@@ -1,0 +1,105 @@
+"""Range (interval) joins and as-of joins over the events table.
+
+Spark has no native as-of/range join operator; these compose it from
+equi-join + range predicate (bounded per-key fan-out) and from a
+union + window "last known value" plan — both shuffle once on the key
+and never fall back to a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs,
+           ROUND(SUM(b.value - a.value), 2) AS delta_sum
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs per user within 10 minutes.
+
+    Scale: the equi-key (user_id) bounds the join — one sort-merge
+    exchange on user_id, then the range predicate filters within each
+    key group.  Never a cross product; skewed users are split by AQE
+    skew-join handling.
+    """
+    e = load_table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return joined.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(F.col("b.value") - F.col("a.value")), 2).alias("delta_sum"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+               event_type
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               MAX(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_view_ts,
+           CAST(date_diff('second', last_view_ts, ts) AS BIGINT) AS secs_since_view
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior-or-equal view
+    by the same user.
+
+    Implemented as the classic union + running-max plan: tag view rows
+    with their own ts, take the running max per user in time order, keep
+    purchase rows.  One shuffle on user_id, one sort — same cost shape
+    as a window function, vs. the naive per-row subquery which is a
+    range self-join.  (pandas merge_asof per group via applyInPandas is
+    the fallback for non-SQL as-of semantics like nearest/backward
+    tolerance.)
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = e.withColumn(
+        "view_ts", F.when(F.col("event_type") == "view", F.col("ts"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged.withColumn("last_view_ts", F.max("view_ts").over(w))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_view_ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"))
+        .cast("bigint")
+        .alias("secs_since_view"),
+    )

@@ -1,0 +1,359 @@
+"""Set operations, scalar function families, pivot, and JSON access.
+
+The JSON functions are the native form of the reference's JSON funnel
+(it ships every batch through ``json.dumps`` + ``json_populate_recordset``,
+ref: /root/reference/pypeline/Pype.py:107,126,147).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey AS key, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT o_custkey AS key, 'bigorder' AS src FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"), F.lit("building").alias("src"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("key"), F.lit("bigorder").alias("src"))
+    )
+    return c.unionAll(o)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set union — one hash exchange for the distinct)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.union(o).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.intersect(o)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct difference)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "q_scalar_str",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_upper,
+           LOWER(c_mktsegment)                             AS seg_lower,
+           LENGTH(c_name)                                  AS name_len,
+           SUBSTR(c_name, 1, 8)                            AS name_prefix,
+           CONCAT(c_name, ':', c_mktsegment)               AS name_seg,
+           TRIM(CONCAT(' ', c_name, ' '))                  AS name_trim,
+           REPLACE(c_name, 'Customer', 'Cust')             AS name_replaced,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)           AS name_digits
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def q_scalar_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (upper/lower/length/substr/concat/trim/
+    replace/regexp_extract)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_replaced"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)     AS yr,
+           CAST(MONTH(o_orderdate) AS INT)    AS mo,
+           CAST(DAY(o_orderdate) AS INT)      AS dy,
+           CAST(QUARTER(o_orderdate) AS INT)  AS qtr,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE)          AS order_date,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (year/month/day/quarter/trunc/last_day/
+    interval arithmetic)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                       AS price_r1,
+           CAST(ABS(l_discount - 0.05) AS DOUBLE)          AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)                AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)               AS qty_floor,
+           ROUND(POWER(l_quantity, 2), 2)                  AS qty_sq,
+           ROUND(LN(l_extendedprice), 4)                   AS price_ln,
+           ROUND(SQRT(l_extendedprice), 4)                 AS price_sqrt,
+           CAST(CAST(l_orderkey AS BIGINT) % 7 AS BIGINT)  AS key_mod
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (round/abs/ceil/floor/pow/ln/sqrt/mod)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).cast("double").alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        (F.col("l_orderkey").cast("bigint") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "q_case_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+                WHEN c_acctbal >= 5000 THEN 'gold'
+                WHEN c_acctbal >= 0    THEN 'standard'
+                ELSE 'delinquent' END                 AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           CAST(c_acctbal > 5000 AS BOOLEAN)          AS is_high
+    FROM customer
+    """,
+)
+def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE / COALESCE / NULLIF / boolean expr."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 0, "standard")
+        .otherwise("delinquent")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        (F.col("c_acctbal") > 5000).cast("boolean").alias("is_high"),
+    )
+
+
+@query(
+    "q_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar access over the events.props column — the native form
+    of the reference's JSON wire format (ref: Pype.py:147)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' '))                               AS n_tokens,
+           CAST(len(list_filter(string_split(trim(text), ' '),
+                                w -> len(w) > 4)) AS INT)                   AS n_long_tokens,
+           string_split(trim(text), ' ')[1]                                AS first_token,
+           CAST(list_contains(string_split(trim(text), ' '), 'spark') AS BOOLEAN) AS has_spark
+    FROM documents WHERE doc_id <= 200
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/lambda filter/element_at/array_contains.
+
+    Lambda higher-order functions run JVM-side (no Python UDF).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 4)).cast("int").alias("n_long_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").cast("boolean").alias("has_spark"),
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT e.event_id, t.word
+    FROM events e, unnest(string_split(e.event_type, '')) AS t(word)
+    WHERE e.event_id <= 50
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (table-generating function) of a derived array."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 50)
+    return e.select("event_id", F.explode(F.split("event_type", "")).alias("word")).filter(
+        F.col("word") != ""
+    )
+
+
+@query(
+    "q_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           'k' AS first_key
+    FROM events WHERE event_id <= 100
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: from_json to map, map_keys, element_at."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 100)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
+@query(
+    "q_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT('{"key":', CAST(o_orderkey AS VARCHAR),
+                  ',"status":"', o_orderstatus, '"}') AS payload
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row -> JSON string (native analogue of the reference's batch
+    serialization via json.dumps, ref: Pype.py:147)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(F.col("o_orderkey").alias("key"), F.col("o_orderstatus").alias("status"))
+        ).alias("payload"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list => no extra
+    distinct-values job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )

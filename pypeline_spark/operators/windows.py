@@ -1,0 +1,208 @@
+"""Window functions: ranking, navigation, running frames, top-k.
+
+All ranking orders include a unique tie-break key so results are
+deterministic across engines and across Spark's own task retries.
+
+Scale: a window over ``partitionBy(k)`` is one hash exchange on k plus a
+per-partition sort; no global sort.  Global top-k (q_topk) uses
+TakeOrderedAndProject — per-partition heaps, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+
+@query(
+    "q_window_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number + filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer in order-date order."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within each customer's order history."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile within market segment."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate, ROUND(SUM(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT o_orderdate, day_rev,
+           ROUND(SUM(day_rev) OVER (ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rev_7d
+    FROM daily
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue via a RANGE frame over pre-aggregated days.
+
+    Scale: pre-aggregating to one row per day first keeps the (global)
+    range window tiny; the expensive part stays a partial-agg groupBy.
+    """
+    from pypeline_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT o_orderdate, ROUND(SUM(o_totalprice), 2) AS day_rev
+            FROM orders GROUP BY o_orderdate
+        )
+        SELECT o_orderdate, day_rev,
+               ROUND(SUM(day_rev) OVER (ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        FROM daily
+        """
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with an explicit full frame for last."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps a 10-row heap, the driver merges heaps; no global
+    sort, no full shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY c_custkey LIMIT 20 OFFSET 50
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination — the native form of the reference's
+    vestigial OFFSET suffix (ref: /root/reference/pypeline/Pype.py:174-175)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.orderBy("c_custkey").offset(50).limit(20).select("c_custkey", "c_name")

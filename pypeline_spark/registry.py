@@ -1,0 +1,75 @@
+"""Query registry: one named entry per operator from SURVEY.md §2.
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with an
+optional ANSI-SQL oracle string runnable by DuckDB over the same parquet
+tables.  ``__spark_entry__.py`` re-exports this registry to the driver's
+differential-testing harness.
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash, columns sorted by name):
+- every computed/aggregate column is aliased identically on both sides;
+- floating-point aggregates are rounded (ROUND(x, 2)) on both sides so
+  summation-order differences between engines can't flip the hash;
+- ties in any top-k / window ranking are broken by a unique key so the
+  result set is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryCase:
+    name: str
+    builder: Builder
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryCase] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builder]:
+    """Decorator registering a query builder (and its DuckDB oracle)."""
+
+    def deco(fn: Builder) -> Builder:
+        QUERIES[name] = QueryCase(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+_OPERATOR_MODULES = (
+    "pypeline_spark.operators.relational",
+    "pypeline_spark.operators.windows",
+    "pypeline_spark.operators.setops_scalar",
+    "pypeline_spark.operators.range_join",
+    "pypeline_spark.sinks.keyed",
+    "pypeline_spark.pipeline.queries",
+    "pypeline_spark.functions.text",
+    "pypeline_spark.functions.dedup",
+    "pypeline_spark.functions.similarity",
+    "pypeline_spark.functions.multimodal",
+    "pypeline_spark.streaming.windows",
+)
+
+
+def load_all() -> dict[str, QueryCase]:
+    """Import every operator module so their @query decorators run."""
+    import importlib
+
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # Tolerate modules that aren't built yet (incremental rounds);
+            # re-raise genuine dependency errors inside existing modules.
+            if exc.name and not exc.name.startswith("pypeline_spark"):
+                raise
+    return QUERIES

@@ -1,0 +1,107 @@
+"""SparkSession construction and the parquet-backed catalog.
+
+The reference engine's "catalog" is whatever tables live in the source
+MySQL / target PostgreSQL (ref: /root/reference/pypeline/Pype.py:34-36) —
+queries are shipped to them as strings.  Here the catalog is Spark's own:
+every fixture table is registered as a temp view so arbitrary SQL (the
+reference's ``extract_query`` surface) runs through Catalyst natively.
+
+Scale notes (100 TB design):
+- AQE is on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` is a local-mode default only; on a
+  real cluster AQE's coalescing makes the initial number a ceiling.
+- Session timezone pinned to UTC so timestamp semantics are stable
+  across engines (and match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "pypeline_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession with scale-appropriate defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (see load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan => columnar, pushdown-capable.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file; with nanosAsLong it
+    arrives as a nanosecond epoch long and is converted here to a
+    microsecond timestamp (matching DuckDB's nanos->micros truncation).
+    Note: predicates on the converted column no longer push down to the
+    scan — at scale, filter on the raw long (nanos) first when pruning
+    matters.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        # Runtime-settable; required even on externally-provided sessions
+        # (e.g. the verify driver's), or the nanos column aborts the scan.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division (`div`), not `/`: the nanos epoch exceeds
+        # double precision, so float division loses microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture parquet as a temp view; return name -> DataFrame.
+
+    Temp views keep the scan lazy: Catalyst still sees the parquet relation,
+    so filters/projections written against the view push down to the file
+    scan (PushedFilters / ReadSchema in the physical plan).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

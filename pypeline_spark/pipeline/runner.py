@@ -1,0 +1,147 @@
+"""Sequential pipeline runner: the reference's Pypeline on Spark.
+
+One run = ordered steps sharing a source catalog (temp views) and a
+target catalog (keyed sinks).  Mirrors
+/root/reference/pypeline/Pypeline.py:11-50 (sequencing, placeholder
+override, debug flag) and Pype.py:31-80 (per-step lifecycle), with the
+batch loop replaced by partitioned execution and per-step metrics
+replacing the per-batch log line (ref: Pype.py:65-75).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pypeline_spark.pipeline.hydrate import hydrate_query
+from pypeline_spark.pipeline.spec import PipelineConfig, PypeSpec
+from pypeline_spark.pipeline.transformers import apply_transform_chain, load_transformers
+from pypeline_spark.sinks.keyed import MemoryCatalog, delete_by_keys, update_only, upsert
+
+log = logging.getLogger("pypeline_spark")
+
+
+@dataclass
+class StepMetrics:
+    """Per-step observability (replaces the reference's per-batch log,
+    ref: Pype.py:65-75)."""
+
+    name: str
+    rows_out: int = 0
+    extract_secs: float = 0.0
+    transform_secs: float = 0.0
+    load_secs: float = 0.0
+
+
+@dataclass
+class RunResult:
+    steps: list[StepMetrics] = field(default_factory=list)
+
+
+class Pypeline:
+    """Compile + run named pipelines from a validated config.
+
+    ``catalog`` is the mutable target database (MemoryCatalog or
+    ParquetCatalog); source tables are whatever temp views are
+    registered on the session — the extract query runs through
+    ``spark.sql`` (the native form of the reference shipping
+    extract_query to MySQL, ref: Pype.py:36).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        catalog: Optional[MemoryCatalog] = None,
+        placeholders: Optional[Mapping[str, object]] = None,
+        debug: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.catalog = catalog if catalog is not None else MemoryCatalog()
+        self.placeholders = dict(placeholders or {})
+        self.debug = debug
+
+    def run(
+        self, name: str, placeholders: Optional[Mapping[str, object]] = None
+    ) -> RunResult:
+        """Run one named pipeline; run-time placeholders override the
+        constructor's (ref: Pypeline.py:27-28)."""
+        ph = dict(self.placeholders)
+        ph.update(placeholders or {})
+        result = RunResult()
+        for spec in self.config.get_pypes(name):
+            result.steps.append(self._run_step(spec, ph))
+        return result
+
+    def _run_step(self, spec: PypeSpec, ph: Mapping[str, object]) -> StepMetrics:
+        m = StepMetrics(name=spec.name)
+
+        # extract (N1/N9): hydrate then spark.sql
+        t0 = time.time()
+        sql = hydrate_query(spec.extract_query, ph)
+        df = self.spark.sql(sql)
+        m.extract_secs = time.time() - t0
+
+        # transform chain (N3/N4)
+        t0 = time.time()
+        if spec.transformers:
+            chain = load_transformers(spec.transformers)
+            df = apply_transform_chain(df, chain, spec.transformer_schema)
+        m.transform_secs = time.time() - t0
+
+        # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92)
+        t0 = time.time()
+        target = self.catalog.get(spec.target_table)
+        if spec.type == "delete":
+            if target is None:
+                raise ValueError(f"delete target {spec.target_table!r} does not exist")
+            new_target = delete_by_keys(target, df, identifier=spec.identifier)
+        elif spec.type == "update":
+            if target is None:
+                raise ValueError(f"update target {spec.target_table!r} does not exist")
+            new_target = update_only(
+                target,
+                df,
+                key_columns=spec.key_columns,
+                fields_excluded_from_update=spec.fields_excluded_from_update,
+            )
+        elif spec.type == "upsert":
+            if target is None:
+                new_target = df  # first load creates the table
+            else:
+                new_target = upsert(
+                    target,
+                    df,
+                    key_columns=spec.key_columns,
+                    fields_excluded_from_update=spec.fields_excluded_from_update,
+                )
+        elif spec.type == "append":
+            new_target = df if target is None else target.unionByName(df)
+        else:  # overwrite
+            new_target = df
+        self.catalog.put(spec.target_table, new_target)
+        # register the target as a view so post_query / later steps see it
+        self.catalog.get(spec.target_table).createOrReplaceTempView(spec.target_table)
+        m.load_secs = time.time() - t0
+
+        # post hook (N10; ref: Pype.py:164-167)
+        if spec.post_query:
+            post = hydrate_query(spec.post_query, ph)
+            self.spark.sql(post)
+
+        if self.debug or spec.debug:
+            m.rows_out = self.catalog.get(spec.target_table).count()
+            log.info(
+                "pype %s: rows=%d extract=%.2fs transform=%.2fs load=%.2fs",
+                spec.name,
+                m.rows_out,
+                m.extract_secs,
+                m.transform_secs,
+                m.load_secs,
+            )
+        return m

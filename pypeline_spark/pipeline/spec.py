@@ -1,0 +1,110 @@
+"""Pipeline spec: the reference's YAML config model, validated.
+
+Reference structure (ref: /root/reference/pypeline/Pypeline.py:15-19,
+38-48 and Pype.py:14-26): a YAML file with two top-level maps —
+``pypelines`` (name -> ordered list of pype names) and ``pypes``
+(name -> step config).  The reference merges config over defaults and
+``setattr``s every key onto the step object, so required keys only
+fail at use sites; and its pypeline-name validation has a typo
+(``pype in self.config["pypes"][pype]`` at Pypeline.py:43) that turns
+a missing pype into a KeyError.  Both are fixed here: the spec is a
+validated dataclass and unknown/missing names raise with a clear
+message at load time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence
+
+VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append")
+
+
+class SpecError(ValueError):
+    """Invalid pipeline configuration."""
+
+
+@dataclass
+class PypeSpec:
+    """One step: extract -> transform chain -> keyed sink -> post hook.
+
+    Mirrors the reference's per-pype config keys (ref: Pype.py:14-21):
+    extract_query, target_table, type, transformers, identifier,
+    post_query, bulk_size, fields_excluded_from_update, debug — with
+    ``key_columns`` generalizing the reference's hard-coded ``id``
+    conflict key (ref: Pype.py:117,127,134).
+    """
+
+    name: str
+    extract_query: str
+    target_table: str
+    type: str = "upsert"
+    transformers: Sequence[str] = field(default_factory=tuple)
+    transformer_schema: Optional[str] = None  # output schema when transforms reshape rows
+    identifier: Optional[str] = None  # delete-key column (ref: Pype.py:83,180)
+    post_query: Optional[str] = None
+    key_columns: Sequence[str] = ("id",)
+    fields_excluded_from_update: Sequence[str] = field(default_factory=tuple)
+    bulk_size: int = 2000  # kept for config parity; maps to scan partitioning hints
+    debug: bool = False
+
+    def __post_init__(self) -> None:
+        if not self.extract_query:
+            raise SpecError(f"pype {self.name!r}: extract_query is required")
+        if not self.target_table:
+            raise SpecError(f"pype {self.name!r}: target_table is required")
+        if self.type not in VALID_TYPES:
+            raise SpecError(
+                f"pype {self.name!r}: type {self.type!r} not in {VALID_TYPES}"
+            )
+        if self.type == "delete" and not self.identifier:
+            raise SpecError(f"pype {self.name!r}: delete requires identifier")
+        if self.type in ("upsert", "update") and not self.key_columns:
+            raise SpecError(f"pype {self.name!r}: {self.type} requires key_columns")
+
+
+@dataclass
+class PipelineConfig:
+    """The whole config: named pipelines over a pool of named steps."""
+
+    pypes: dict[str, PypeSpec]
+    pypelines: dict[str, list[str]]
+
+    @classmethod
+    def from_dict(cls, raw: Mapping[str, Any]) -> "PipelineConfig":
+        if "pypes" not in raw or "pypelines" not in raw:
+            raise SpecError("config must contain 'pypes' and 'pypelines' maps")
+        pypes: dict[str, PypeSpec] = {}
+        for name, cfg in raw["pypes"].items():
+            cfg = dict(cfg)
+            cfg.pop("name", None)
+            known = {f for f in PypeSpec.__dataclass_fields__}
+            unknown = set(cfg) - known
+            if unknown:
+                raise SpecError(f"pype {name!r}: unknown config keys {sorted(unknown)}")
+            pypes[name] = PypeSpec(name=name, **cfg)
+        pypelines: dict[str, list[str]] = {}
+        for pname, steps in raw["pypelines"].items():
+            missing = [s for s in steps if s not in pypes]
+            if missing:
+                # The reference's check here is a typo'd no-op
+                # (Pypeline.py:43) — we validate for real.
+                raise SpecError(f"pypeline {pname!r}: unknown pypes {missing}")
+            pypelines[pname] = list(steps)
+        return cls(pypes=pypes, pypelines=pypelines)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        import yaml
+
+        with open(path) as fh:
+            # safe_load, not the reference's unsafe yaml.load
+            # (ref: Pypeline.py:17).
+            raw = yaml.safe_load(fh)
+        return cls.from_dict(raw)
+
+    def get_pypes(self, pipeline_name: str) -> list[PypeSpec]:
+        """Ordered step specs for one pipeline (ref: Pypeline.py:37-50)."""
+        if pipeline_name not in self.pypelines:
+            raise SpecError(f"unknown pypeline {pipeline_name!r}")
+        return [self.pypes[n] for n in self.pypelines[pipeline_name]]

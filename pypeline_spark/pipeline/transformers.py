@@ -1,0 +1,82 @@
+"""Dynamic transformer loading and the row-wise transform chain.
+
+Reference contract: each transformer is a dotted-path class whose name
+is the last path segment, instantiated with no args, exposing
+``filter(row_dict) -> row_dict``; the chain applies in config order,
+row by row (ref: /root/reference/pypeline/Pype.py:51-52,150-162).
+
+Spark-first execution: instead of a serial driver-side map, the chain
+runs inside ``mapInPandas`` — each Arrow batch is converted to row
+dicts, pushed through the chain, and rebuilt.  This preserves the
+reference's exact per-row dict semantics (including transforms that
+add or drop keys, which the reference permits because it re-reads
+headers per batch, ref: Pype.py:87) while distributing across
+executors.  Transformers are pickled into the task closure once, not
+per row.
+
+For transforms expressible as column expressions, prefer a native
+``df.transform`` chain — the UDF path exists for parity with arbitrary
+Python.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Iterable, Iterator, Optional, Protocol, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class RowTransformer(Protocol):
+    def filter(self, row: dict) -> dict:  # noqa: A003 - reference API name
+        ...
+
+
+def dynamic_import(module_path: str, class_name: str):
+    """Import ``class_name`` from ``module_path``.
+
+    Same convention as the reference loader (ref: Pype.py:150-162):
+    the class name is the final dotted segment.
+    """
+    mod = importlib.import_module(module_path)
+    return getattr(mod, class_name)
+
+
+def load_transformers(names: Iterable[str]) -> list[RowTransformer]:
+    """Instantiate each 'pkg.mod.ClassName' transformer, no-arg ctor."""
+    out: list[RowTransformer] = []
+    for dotted in names:
+        module_path, _, class_name = dotted.rpartition(".")
+        if not module_path:
+            raise ValueError(f"transformer {dotted!r} must be a dotted path")
+        cls = dynamic_import(module_path, class_name)
+        out.append(cls())
+    return out
+
+
+def apply_transform_chain(
+    df: DataFrame,
+    transformers: Sequence[RowTransformer],
+    output_schema: Optional[str] = None,
+) -> DataFrame:
+    """Run the per-row dict transform chain over Arrow batches.
+
+    ``output_schema`` (DDL string) is required when the chain changes
+    the column set; defaults to the input schema.  This is the parity
+    surface for the reference's arbitrary-Python transformers — pure
+    column logic should use native expressions instead.
+    """
+    if not transformers:
+        return df
+    schema = output_schema or df.schema
+    chain = list(transformers)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            for t in chain:
+                rows = [t.filter(r) for r in rows]
+            yield pd.DataFrame(rows) if rows else pdf.iloc[0:0]
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,183 @@
+"""Layer A unit tests: spec validation, hydration, transformer chain,
+YAML loading, end-to-end runner semantics (SURVEY.md §5)."""
+
+import textwrap
+
+import pytest
+
+from pypeline_spark.pipeline.hydrate import HydrationError, hydrate_query
+from pypeline_spark.pipeline.runner import Pypeline
+from pypeline_spark.pipeline.spec import PipelineConfig, PypeSpec, SpecError
+from pypeline_spark.pipeline.transformers import apply_transform_chain, load_transformers
+from pypeline_spark.session import register_tables
+
+
+class TestHydration:
+    def test_basic_substitution(self):
+        assert (
+            hydrate_query("SELECT * FROM t WHERE x = {x} AND y = '{y}'", {"x": 5, "y": "a"})
+            == "SELECT * FROM t WHERE x = 5 AND y = 'a'"
+        )
+
+    def test_unresolved_placeholder_raises(self):
+        # the reference silently ships {typo} to the engine; we fail fast
+        with pytest.raises(HydrationError, match="missing"):
+            hydrate_query("SELECT {missing}", {})
+
+    def test_offset_suffix(self):
+        # vestigial OFFSET path (ref: Pype.py:174-175) kept functional
+        assert hydrate_query("SELECT 1", {}, offset=30) == "SELECT 1 OFFSET 30"
+
+    def test_no_placeholders_passthrough(self):
+        assert hydrate_query("SELECT 1") == "SELECT 1"
+
+
+class TestSpec:
+    def test_missing_extract_query(self):
+        with pytest.raises(SpecError, match="extract_query"):
+            PypeSpec(name="x", extract_query="", target_table="t")
+
+    def test_bad_type(self):
+        with pytest.raises(SpecError, match="not in"):
+            PypeSpec(name="x", extract_query="SELECT 1", target_table="t", type="merge")
+
+    def test_delete_requires_identifier(self):
+        with pytest.raises(SpecError, match="identifier"):
+            PypeSpec(name="x", extract_query="SELECT 1", target_table="t", type="delete")
+
+    def test_unknown_pype_in_pipeline(self):
+        # the reference's validation here is a typo'd no-op (Pypeline.py:43)
+        with pytest.raises(SpecError, match="unknown pypes"):
+            PipelineConfig.from_dict(
+                {
+                    "pypes": {
+                        "a": {"extract_query": "SELECT 1", "target_table": "t"}
+                    },
+                    "pypelines": {"p": ["a", "ghost"]},
+                }
+            )
+
+    def test_unknown_config_key(self):
+        with pytest.raises(SpecError, match="unknown config keys"):
+            PipelineConfig.from_dict(
+                {
+                    "pypes": {
+                        "a": {
+                            "extract_query": "SELECT 1",
+                            "target_table": "t",
+                            "bulk_sizee": 10,
+                        }
+                    },
+                    "pypelines": {"p": ["a"]},
+                }
+            )
+
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = textwrap.dedent(
+            """
+            pypes:
+              step1:
+                extract_query: SELECT c_custkey AS id, c_name FROM customer
+                target_table: names
+                type: overwrite
+            pypelines:
+              demo: [step1]
+            """
+        )
+        path = tmp_path / "cfg.yaml"
+        path.write_text(cfg)
+        config = PipelineConfig.from_yaml(str(path))
+        assert config.get_pypes("demo")[0].target_table == "names"
+
+
+class TestTransformers:
+    def test_load_by_dotted_path(self):
+        chain = load_transformers(
+            ["pypeline_spark.pipeline.sample_transformers.AddTierTransformer"]
+        )
+        assert chain[0].filter({"c_acctbal": 9000})["tier"] == "HIGH"
+
+    def test_bad_path_raises(self):
+        with pytest.raises(ModuleNotFoundError):
+            load_transformers(["no.such.module.Cls"])
+        with pytest.raises(ValueError, match="dotted path"):
+            load_transformers(["JustAClass"])
+
+    def test_chain_order_and_schema_change(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 20")
+        chain = load_transformers(
+            [
+                "pypeline_spark.pipeline.sample_transformers.UppercaseNameTransformer",
+                "pypeline_spark.pipeline.sample_transformers.AddTierTransformer",
+            ]
+        )
+        out = apply_transform_chain(
+            df, chain, "c_custkey bigint, c_name string, c_acctbal double, tier string"
+        )
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r.c_name == r.c_name.upper() for r in rows)
+        assert {r.tier for r in rows} <= {"HIGH", "LOW"}
+
+    def test_empty_chain_is_identity(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT 1 AS one")
+        assert apply_transform_chain(df, []) is df
+
+
+class TestRunner:
+    def test_etl_pipeline_end_to_end(self, spark, sf_dir):
+        from pypeline_spark.pipeline.queries import _ETL_CONFIG
+
+        register_tables(spark, sf_dir)
+        config = PipelineConfig.from_dict(_ETL_CONFIG)
+        p = Pypeline(spark, config, placeholders={"max_key": 100}, debug=True)
+        result = p.run("customer_etl")
+        assert len(result.steps) == 2
+        final = p.catalog.get("dim_customer")
+        rows = {r.c_custkey: r for r in final.collect()}
+        assert all(r.tier in ("HIGH", "LOW") for r in rows.values())
+        # update step boosted only LOW tier
+        base = {
+            r.c_custkey: r.c_acctbal
+            for r in spark.sql(
+                "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100"
+            ).collect()
+        }
+        for k, r in rows.items():
+            if r.tier == "LOW":
+                assert r.c_acctbal == pytest.approx(base[k] + 500.0)
+            else:
+                assert r.c_acctbal == pytest.approx(base[k])
+
+    def test_runtime_placeholder_override(self, spark, sf_dir):
+        from pypeline_spark.pipeline.queries import _ETL_CONFIG
+
+        register_tables(spark, sf_dir)
+        config = PipelineConfig.from_dict(_ETL_CONFIG)
+        p = Pypeline(spark, config, placeholders={"max_key": 100})
+        p.run("customer_etl", placeholders={"max_key": 10})
+        expected = spark.sql("SELECT count(*) AS n FROM customer WHERE c_custkey <= 10").collect()[0].n
+        assert p.catalog.get("dim_customer").count() == expected
+
+    def test_post_query_runs_on_target_view(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        config = PipelineConfig.from_dict(
+            {
+                "pypes": {
+                    "s": {
+                        "extract_query": "SELECT c_custkey AS id, c_acctbal FROM customer LIMIT 5",
+                        "target_table": "t_post",
+                        "type": "overwrite",
+                        "post_query": (
+                            "CREATE OR REPLACE TEMP VIEW t_post_summary AS "
+                            "SELECT count(*) AS n FROM t_post"
+                        ),
+                    }
+                },
+                "pypelines": {"p": ["s"]},
+            }
+        )
+        Pypeline(spark, config).run("p")
+        assert spark.sql("SELECT n FROM t_post_summary").collect()[0].n == 5

@@ -1,0 +1,98 @@
+"""Keyed-sink merge semantics on toy tables (SURVEY.md §5): duplicate
+keys within one load, excluded fields, delete dedup, idempotence."""
+
+import pytest
+
+from pypeline_spark.sinks.keyed import (
+    ParquetCatalog,
+    delete_by_keys,
+    update_only,
+    upsert,
+)
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, val double"
+    )
+
+
+class TestUpsert:
+    def test_insert_and_update(self, spark, target):
+        updates = spark.createDataFrame(
+            [(2, "B", 200.0), (4, "d", 40.0)], "id long, name string, val double"
+        )
+        out = {r.id: r for r in upsert(target, updates, ["id"]).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[2].name == "B" and out[2].val == 200.0
+        assert out[4].name == "d"
+        assert out[1].name == "a"
+
+    def test_duplicate_keys_last_writer_wins_by_order_col(self, spark, target):
+        # the reference inherits Postgres ON CONFLICT arrival order; we
+        # pin an explicit deterministic rule (SURVEY.md §7 hard part 1)
+        updates = spark.createDataFrame(
+            [(2, "first", 1.0, 1), (2, "second", 2.0, 2)],
+            "id long, name string, val double, seq int",
+        )
+        out = upsert(
+            target, updates.select("id", "name", "val", "seq"), ["id"], order_col="seq"
+        )
+        row = {r.id: r for r in out.select("id", "name", "val").collect()}[2]
+        assert row.name == "second"
+
+    def test_excluded_fields_keep_target_values(self, spark, target):
+        updates = spark.createDataFrame(
+            [(2, "B", 200.0), (4, "d", 40.0)], "id long, name string, val double"
+        )
+        out = {
+            r.id: r
+            for r in upsert(
+                target, updates, ["id"], fields_excluded_from_update=["val"]
+            ).collect()
+        }
+        assert out[2].name == "B"
+        assert out[2].val == 20.0  # kept target value
+        assert out[4].val == 40.0  # insert takes the new value
+
+    def test_idempotent(self, spark, target):
+        updates = spark.createDataFrame([(2, "B", 200.0)], "id long, name string, val double")
+        once = upsert(target, updates, ["id"])
+        twice = upsert(once, updates, ["id"])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestUpdateOnly:
+    def test_no_inserts(self, spark, target):
+        updates = spark.createDataFrame(
+            [(2, "B", 200.0), (9, "ghost", 0.0)], "id long, name string, val double"
+        )
+        out = {r.id: r for r in update_only(target, updates, ["id"]).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[2].name == "B"
+
+    def test_partial_column_updates(self, spark, target):
+        # updates missing a column: untouched columns keep target values
+        updates = spark.createDataFrame([(3, 300.0)], "id long, val double")
+        out = {r.id: r for r in update_only(target, updates, ["id"]).collect()}
+        assert out[3].val == 300.0 and out[3].name == "c"
+
+
+class TestDelete:
+    def test_delete_with_duplicate_keys(self, spark, target):
+        # duplicate + unmatched identifiers (set-dedup at ref Pype.py:184)
+        keys = spark.createDataFrame([(2,), (2,), (99,)], "id long")
+        out = delete_by_keys(target, keys, "id")
+        assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+class TestParquetCatalog:
+    def test_read_modify_write_swap(self, spark, target, tmp_path):
+        cat = ParquetCatalog(str(tmp_path / "db"))
+        cat.put("t", target)
+        updates = spark.createDataFrame([(1, "A", 100.0)], "id long, name string, val double")
+        # new value reads the old files — the tmp-swap must not corrupt
+        cat.put("t", upsert(cat.get("t"), updates, ["id"]))
+        out = {r.id: r for r in cat.get("t").collect()}
+        assert out[1].name == "A" and set(out) == {1, 2, 3}

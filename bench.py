@@ -1,0 +1,62 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect, no disk write) after a warm-up of the session itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pypeline_spark.registry import load_all
+from pypeline_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_pricing",     # TPC-H Q1: wide aggregate scan
+    "q_filter_project",  # pushdown-heavy selective scan
+    "q_join_multi",      # 5-table star join
+    "q_window_topn",     # partitioned window
+    "q_topk",            # global top-k
+    "q_range_join",      # interval self-join
+    "q_session",         # session windows
+    "q_dedup_minhash",   # MinHash-LSH near-dup pipeline
+    "q_topk_cosine",     # brute-force vector top-k
+    "q_text_stats",      # per-doc text analysis
+    "q_pipeline_etl",    # Layer A end-to-end pipeline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cases = load_all()
+    spark = get_spark("pypeline_spark_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = cases[name].builder
+        t0 = time.time()
+        df = builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

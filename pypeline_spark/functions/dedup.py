@@ -1,0 +1,408 @@
+r"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- exact: hash-groupBy on a fingerprint — one shuffle keyed by md5, no
+  pairwise work.  At 100 TB, group by the 16-byte digest, never the text.
+- n-gram Jaccard: the exact pairwise similarity — shingle-explode +
+  equi-join on shingle.  Cost is sum over shingles of (docs sharing
+  it)^2: fine when shingles are selective, quadratic when not — which
+  is exactly why the LSH variant exists.
+- MinHash-LSH: signature = k minima of per-seed hashes over the
+  shingle set; band the signature so docs agree on a band with
+  probability 1-(1-j^r)^b; candidate pairs come from a groupBy on
+  (band, band_key) — shuffle is linear in docs, pairwise work only
+  inside buckets.  Hashes are md5-based and engine-portable, so the
+  whole pipeline (signatures -> bands -> candidates -> verified
+  Jaccard) is differentially tested against DuckDB, not just smoked.
+- SimHash: 64-bit weighted-bit fingerprint; near-dups differ in few
+  bits; bucket by 16-bit quadrants (Hamming<=3 within a quadrant match
+  guarantee via pigeonhole at 4 quadrants).
+
+Reference connection: the reference has no dedup surface at all — its
+delete-key set-dedup (ref: /root/reference/pypeline/Pype.py:184) is the
+closest native op; these extend SURVEY.md §2b per the north-star brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+N_HASHES = 12  # MinHash signature length
+BAND_ROWS = 3  # rows per LSH band => 4 bands
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles from an already-materialized token
+    array column.  Docs shorter than n tokens yield an empty set (guard
+    required: sequence(0, negative) would generate a descending range).
+
+    IMPORTANT: ``toks`` must be a *column reference*, not the split
+    expression itself — Catalyst inlines a shared expression into every
+    lambda use, re-running the regex split per shingle element and
+    turning the op quadratic per document (measured 20x slower).
+    """
+    k = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) exploded rows — the base relation for set joins.
+
+    Two projections: tokenize first (one regex split per doc), then
+    window into shingles over the materialized array column.
+    """
+    toksed = docs.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+    )
+    return toksed.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"))).alias("shingle")
+    )
+
+
+# Universal hash family over the md5-derived base hash:
+# h_s(x) = (A[s] * (md5_60(x) mod P) + B[s]) mod P, P = 2^31 - 1.
+# One md5 per shingle (not per seed) — the family expansion is integer
+# arithmetic, exactly replayable in any engine (products stay < 2^62,
+# no bigint overflow anywhere).  md5 (not murmur/xxhash) so signatures
+# are portable across engines and Spark versions: dedup decisions must
+# be replayable.
+MINHASH_P = 2147483647
+MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37]
+MINHASH_B = [41, 43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89]
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """id -> mh_0..mh_{k-1}: per-seed minima over the shingle set.
+
+    One explode + one groupBy(id) with k min() aggregates: map-side
+    partial mins make the shuffle tiny (k longs per doc).  Pass
+    ``rows`` to reuse an already-materialized shingle relation.
+    """
+    if rows is None:
+        rows = shingle_rows(docs, id_col, text_col)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    hashed = rows.select(F.col(id_col), base.alias("h"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P).alias(
+            f"mh_{s}"
+        )
+        for s in range(N_HASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature -> (id, band, band_key) rows; docs sharing a band_key
+    within a band are candidate pairs.
+
+    Single posexplode pass (not a union of per-band selects, which
+    would re-evaluate the signature subtree once per band).
+    """
+    n_bands = N_HASHES // BAND_ROWS
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket.
+
+    Self-join within (band, band_key) buckets: shuffle keyed on the
+    bucket, pairwise expansion only inside buckets (the LSH payoff).
+    """
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, rows: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for given pairs via shingle-set intersection.
+
+    Prunes the shingle relation to candidate docs *before* the
+    shingle self-join — the candidate set is tiny relative to the
+    corpus, so the quadratic step only ever sees near-dup docs.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    rows_c = rows.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        rows_c.alias("ra")
+        .join(rows_c.alias("rb"), F.col("ra.shingle") == F.col("rb.shingle"))
+        .select(
+            F.col(f"ra.{id_col}").alias("id_a"), F.col(f"rb.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+# SQL building blocks shared by the DuckDB oracles (kept textually in
+# sync with the column expressions above).
+_SQL_SHINGLES = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest id.
+
+    Scale: the only shuffle is keyed by the 32-hex digest — never the
+    document text; group sizes are the duplicate multiplicities.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=_SQL_SHINGLES
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard >= 0.2 (the ground truth the
+    approximate variants are judged against)."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = shingle_rows(d)
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        rows.alias("a")
+        .join(rows.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return jac.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_SQL_SHINGLES
+    + """
+    , base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+        FROM sh
+    ),
+    seeds AS (
+        SELECT unnest(range(12)) AS seed,
+               unnest([2,3,5,7,11,13,17,19,23,29,31,37]) AS a,
+               unnest([41,43,47,53,59,61,67,71,73,79,83,89]) AS b
+    ),
+    mh AS (
+        SELECT base.doc_id, s.seed, MIN((s.a * base.h + s.b) % 2147483647) AS h
+        FROM base CROSS JOIN seeds s
+        GROUP BY base.doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(h AS VARCHAR), '_' ORDER BY seed) AS band_key
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> bands -> candidate
+    pairs -> exact-Jaccard verification >= 0.5.
+
+    The full scale path: no all-pairs comparison ever happens — the
+    band groupBy bounds pairwise work to hash buckets.  Deterministic
+    (md5), so the DuckDB oracle replays it exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize shingles and signatures once: bands self-join and the
+    # verify step would otherwise re-derive the explode+groupBy subtree
+    # per reference.  (At warehouse scale these would be persisted
+    # signature tables, not a runtime cache.)
+    rows = shingle_rows(d).cache()
+    sigs = minhash_signature(d, rows=rows).cache()
+    pairs = candidate_pairs(lsh_bands(sigs))
+    return jaccard_for_pairs(pairs, rows).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed bigint
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over token unigrams, JVM-side.
+
+    Bit i of the fingerprint is the sign of sum over distinct tokens of
+    (+1 if bit i of md5(token) else -1).  Uses the first 15 hex chars
+    of md5 (60 bits — 16 would overflow signed bigint) via conv();
+    aggregation is an explode + groupBy(id) with 60 sums folded into a
+    packed bigint.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    rows = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    rows = rows.select(id_col, h.alias("h"))
+    sums = rows.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+@query("q_simhash", oracle=None)  # bit-packing not portably SQL-expressible
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs within Hamming distance 3,
+    bucketed by 15-bit quadrant (pigeonhole: any pair within distance 3
+    agrees on at least one of 4 quadrants)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = simhash64(d)
+    quads = None
+    for qd in range(4):
+        part = fps.select(
+            "doc_id",
+            "simhash",
+            F.lit(qd).alias("quad"),
+            F.shiftright(F.col("simhash"), qd * 15).bitwiseAND(F.lit(0x7FFF)).alias("qkey"),
+        )
+        quads = part if quads is None else quads.unionByName(part)
+    a = quads.alias("a")
+    b = quads.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.quad") == F.col("b.quad"))
+            & (F.col("a.qkey") == F.col("b.qkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -1,0 +1,129 @@
+"""LLM-data extension tests: dedup recall, ANN recall vs brute force,
+SimHash properties, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.functions.dedup import (
+    candidate_pairs,
+    jaccard_for_pairs,
+    lsh_bands,
+    minhash_signature,
+    shingle_rows,
+    simhash64,
+)
+from pypeline_spark.functions.multimodal import attach_payload, decode_image, frame_sample
+from pypeline_spark.functions.similarity import brute_force_topk
+from pypeline_spark.registry import load_all
+from pypeline_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+class TestMinHashLSH:
+    def test_finds_exact_duplicates(self, spark, docs):
+        # plant exact dups: same text under new ids -> jaccard 1.0 pairs
+        dup = docs.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        corpus = docs.unionByName(dup)
+        rows = shingle_rows(corpus)
+        pairs = candidate_pairs(lsh_bands(minhash_signature(corpus)))
+        verified = jaccard_for_pairs(pairs, rows)
+        found = {
+            (r.id_a, r.id_b)
+            for r in verified.filter(F.col("jaccard") >= 0.999).collect()
+        }
+        expected = {(i, i + 100000) for i in range(20)}
+        assert expected <= found  # identical docs always share all bands
+
+    def test_high_jaccard_recall_vs_exact(self, spark, sf_dir):
+        # every exact-Jaccard>=0.8 pair should surface as LSH candidate
+        # (P[miss] = (1-j^3)^4 <= 0.05 at j=0.8; fixture pairs are ~0.99)
+        cases = load_all()
+        exact = {
+            (r.id_a, r.id_b)
+            for r in cases["q_ngram_jaccard"].builder(spark, sf_dir).collect()
+            if r.jaccard >= 0.8
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in cases["q_dedup_minhash"].builder(spark, sf_dir).collect()
+        }
+        assert exact, "fixture should contain near-dup pairs"
+        missed = exact - lsh
+        assert len(missed) / len(exact) <= 0.2, f"LSH missed {missed}"
+
+    def test_signature_shape(self, spark, docs):
+        sig = minhash_signature(docs.limit(5))
+        assert len([c for c in sig.columns if c.startswith("mh_")]) == 12
+
+
+class TestSimHash:
+    def test_identical_texts_same_fingerprint(self, spark, docs):
+        a = simhash64(docs.limit(10)).collect()
+        b = simhash64(docs.limit(10)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_near_dup_pairs_have_small_hamming(self, spark, sf_dir):
+        cases = load_all()
+        out = cases["q_simhash"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert all(r.hamming <= 3 for r in rows)
+
+
+class TestANN:
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        cases = load_all()
+        exact = cases["q_topk_cosine"].builder(spark, sf_dir).collect()
+        approx = cases["q_knn_ivf"].builder(spark, sf_dir).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        # 4 of 16 cells probed: random vectors spread neighbors across
+        # cells, so require a sane floor, not perfection
+        assert mean_recall >= 0.3, f"mean recall {mean_recall}"
+
+    def test_brute_force_self_similarity(self, spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings").limit(50)
+        q = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        # without the self-filter, every vector's top hit is itself
+        out = brute_force_topk(q, e.select("vec_id", "embedding"), k=1)
+        assert all(r.sim < 1.0 or r.vec_id != r.q_id for r in out.collect())
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark, docs):
+        out = decode_image(attach_payload(docs.limit(25)))
+        rows = out.collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert r.byte_len > 0
+            assert len(r.header) == 8  # 4 bytes hex
+            assert 16 <= r.fake_width < 80
+
+    def test_byte_len_matches_text_len(self, spark, docs):
+        joined = (
+            decode_image(attach_payload(docs.limit(25)))
+            .join(docs.limit(25), "doc_id")
+            .select("byte_len", F.length(F.encode("text", "utf-8")).alias("expect"))
+        )
+        assert all(r.byte_len == r.expect for r in joined.collect())
+
+    def test_frame_sample_stride(self, spark, docs):
+        out = frame_sample(attach_payload(docs.limit(5)))
+        counts = {r[0]: r[1] for r in out.groupBy("doc_id").count().collect()}
+        lens = {r.doc_id: r.n for r in docs.limit(5).select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).collect()}
+        for doc_id, n in lens.items():
+            assert counts[doc_id] == max(n // 64, 1)

@@ -207,6 +207,40 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, e.select("vec_id", "embedding"), centroids)
 
 
+DEDUP_SIM_THRESHOLD = 0.4  # fixture embeddings are near-random (max pair
+# sim ~0.51), so a production-style 0.95 threshold would make the check
+# trivially empty; 0.4 yields a real, non-empty pair set at every SF.
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_COSINE_SQL}, 6) AS sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE {_COSINE_SQL} >= {DEDUP_SIM_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= threshold).
+
+    Correctness baseline is the all-pairs form shown here; at corpus
+    scale the same threshold runs over IVF cells (ivf_topk) so only
+    same-cell/neighbor-cell pairs are scored.  The fixture corpus is
+    small enough that the exact form is also the oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") >= DEDUP_SIM_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 @query(
     "q_embedding_stats",
     oracle="""

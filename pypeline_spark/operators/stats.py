@@ -1,0 +1,130 @@
+"""Statistical aggregates: exact percentiles, correlation/covariance,
+approximate distinct counts, grouping sets.
+
+Approximation policy: ``approx_count_distinct`` (HyperLogLog++) and
+``percentile_approx`` are the scale path — sketches merge across
+partitions with bounded error and constant memory, where exact distinct
+counts shuffle every distinct value.  Approx results differ by engine,
+so their queries are registered rows-only and accuracy is asserted in
+tests against the exact aggregates with an error tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table, register_tables
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 2)  AS p50_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 2)  AS p90_bal,
+           ROUND(quantile_cont(c_acctbal, 0.99), 2) AS p99_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per segment (both engines linearly
+    interpolate, so values match bit-for-bit modulo rounding)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("p50_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 2).alias("p99_bal"),
+    )
+
+
+@query(
+    "q_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)      AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / sample covariance per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+    )
+
+
+@query("q_approx_distinct", oracle=None)  # HLL sketches are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per return flag — accuracy vs the
+    exact count asserted in tests (rsd 0.01 => ~1% error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@query("q_percentile_approx", oracle=None)  # sketch-based, engine-specific
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the constant-memory quantile path; accuracy
+    vs exact percentile asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation columns
+    (distinguishes rollup nulls from data nulls)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+               AS finished_value,
+           CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS INT) AS has_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / conditional aggregation (FILTER clause + CASE sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("finished_value"),
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("int").alias("has_open"),
+    )

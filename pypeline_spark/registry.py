@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.windows",
     "pypeline_spark.operators.setops_scalar",
     "pypeline_spark.operators.range_join",
+    "pypeline_spark.operators.stats",
     "pypeline_spark.sinks.keyed",
     "pypeline_spark.pipeline.queries",
     "pypeline_spark.functions.text",

@@ -1,0 +1,51 @@
+"""Accuracy gates for sketch-based aggregates (rows-only in the oracle
+harness): approx_count_distinct and percentile_approx vs exact."""
+
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import load_all
+from pypeline_spark.session import load_table
+
+
+class TestApproxAccuracy:
+    def test_approx_count_distinct_within_tolerance(self, spark, sf_dir):
+        cases = load_all()
+        approx = {
+            r.l_returnflag: r
+            for r in cases["q_approx_distinct"].builder(spark, sf_dir).collect()
+        }
+        exact = {
+            r.l_returnflag: r
+            for r in load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("parts"),
+                F.countDistinct("l_suppkey").alias("supps"),
+            )
+            .collect()
+        }
+        for flag, ex in exact.items():
+            ap = approx[flag]
+            assert abs(ap.approx_parts - ex.parts) / ex.parts < 0.05
+            assert abs(ap.approx_supps - ex.supps) / ex.supps < 0.05
+
+    def test_percentile_approx_within_tolerance(self, spark, sf_dir):
+        cases = load_all()
+        approx = {
+            r.l_returnflag: r
+            for r in cases["q_percentile_approx"].builder(spark, sf_dir).collect()
+        }
+        exact = {
+            r.l_returnflag: r
+            for r in load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+                F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        for flag, ex in exact.items():
+            ap = approx[flag]
+            assert abs(ap.p50_price - ex.p50) / ex.p50 < 0.02
+            assert abs(ap.p95_price - ex.p95) / ex.p95 < 0.02

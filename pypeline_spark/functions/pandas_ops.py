@@ -1,0 +1,131 @@
+r"""Arrow-path operators: scalar pandas UDF and applyInPandas grouped
+custom operators, each differentially tested against a SQL oracle.
+
+The reference's whole transform surface is a row-at-a-time Python map
+(ref: /root/reference/pypeline/Pype.py:51-52).  The Spark equivalent of
+"arbitrary Python over rows" is the Arrow batch path — scalar
+``pandas_udf`` for per-row expressions, ``applyInPandas`` for per-group
+stateful logic — which keeps data vectorized end-to-end (no per-row
+pickling).  These two operators exist to *differentially verify the
+Arrow path itself*: each has an equivalent pure-SQL oracle, so the
+harness proves the UDF surface computes exactly what the declarative
+form computes (the pipeline layer then trusts that surface for
+transformers that are NOT SQL-expressible).
+
+Scale notes: a scalar pandas UDF ships one Arrow batch per ~10k rows —
+per-row overhead is amortized but each batch crosses the JVM/Python
+boundary once, so the hot path should stay in built-ins whenever the
+expression is expressible (see functions/text.py for the native twins).
+applyInPandas shuffles by the group key and materializes ONE GROUP AT A
+TIME in pandas — group cardinality must be high (user_id: millions) and
+per-group size bounded (one user's events fit in memory); a skewed
+group would need pre-splitting by a salt + re-merge.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+SESSION_GAP_MIN = 10
+
+
+def _ws_token_count(text: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized over an Arrow batch."""
+    return text.str.strip().str.split(r"\s+", regex=True).str.len().astype("int32")
+
+
+def ws_token_count():
+    """Built lazily: pandas_udf parses its DDL return type against the
+    active session, so the decorator can't run at import time."""
+    return pandas_udf(_ws_token_count, "int")
+
+
+@query(
+    "q_udf_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF token count — same semantics as the native
+    q_token_count n_ws column, computed through Arrow instead of
+    Catalyst, so the harness differentially verifies the UDF path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ws_token_count()(F.col("text")).alias("n_tokens"))
+
+
+def sessionize_pandas(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom grouped sessionization via applyInPandas.
+
+    The imperative twin of the native ``session_window`` plan
+    (streaming/windows.py): one shuffle keyed by user_id, then pure
+    pandas gaps-and-islands per user.  This is the (b)-tier pattern
+    from the build brief — how an operator Spark *didn't* have would
+    be built — kept here because its output is byte-identical to the
+    native one and the oracle proves it.
+    """
+    gap = pd.Timedelta(minutes=gap_min)
+
+    def _sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        new_session = (pdf["ts"].diff() > gap) | pdf["ts"].diff().isna()
+        sid = new_session.cumsum()
+        g = pdf.groupby(sid)
+        out = pd.DataFrame(
+            {
+                "session_start": g["ts"].min(),
+                "session_end": g["ts"].max() + gap,
+                "user_id": g["user_id"].first(),
+                "n_events": g.size(),
+                "session_value": g["value"].sum().round(2),
+            }
+        )
+        return out
+
+    schema = (
+        "session_start timestamp, session_end timestamp, "
+        "user_id bigint, n_events bigint, session_value double"
+    )
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(_sessions, schema)
+
+
+@query(
+    "q_sessionize_pandas",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE OR
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas sessionization (10-minute gap) — oracle-checked
+    against the same gaps-and-islands SQL as the native q_session, so
+    native window, custom pandas operator, and DuckDB all agree."""
+    return sessionize_pandas(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,207 @@
+r"""Scale-pattern operators: deterministic sampling, unpivot, salted
+aggregation, and stream-static enrichment.
+
+These are the patterns a 100 TB deployment leans on daily:
+
+- hash sampling: reproducible subsets without a full shuffle or an
+  engine-specific RNG — the sample is a *pushed-down filter* on a
+  content hash, so every engine (and every rerun) selects the same
+  rows.  TABLESAMPLE is nondeterministic across engines and excluded
+  from the differential harness for exactly that reason.
+- unpivot (wide -> long): Spark's native ``DataFrame.unpivot`` —
+  one projection, no shuffle, no UDF.
+- salted aggregation: the standard two-phase fix for skewed group
+  keys.  Phase 1 aggregates on (key, salt) so one hot key spreads
+  over N reducers; phase 2 combines the N partials.  The result is
+  provably identical to the direct groupBy (sums/counts are
+  commutative monoids) — which is what the oracle checks.
+- stream-static enrichment join: the canonical streaming pattern
+  (fact stream x broadcast dimension); written once over the batch
+  relation (oracle-checked) and reused by the streaming parity test.
+
+Reference connection: the reference delegates all of this to its
+source database as raw SQL (ref: /root/reference/pypeline/Pype.py:36);
+these make the delegated surface native per SURVEY.md §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+SAMPLE_PCT = 5  # keep rows whose hash bucket (0..99) is < 5
+
+
+def hash_bucket(*cols, buckets: int = 100):
+    """Deterministic, engine-portable bucket in [0, buckets) from the
+    md5 of the '_'-joined key columns (same md5-prefix trick as the
+    MinHash family — conv of 15 hex chars stays inside a signed
+    bigint)."""
+    key = F.concat_ws("_", *cols)
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % buckets
+
+
+_HASH_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(concat_ws('_', {cols})), 1, 15)) AS BIGINT) % {buckets}"
+)
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE {_HASH_BUCKET_SQL.format(cols="l_orderkey, l_linenumber", buckets=100)}
+          < {SAMPLE_PCT}
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample of lineitem keyed on the line identity.
+
+    Scale: the predicate is a plain filter over per-row expressions —
+    no shuffle, no state, embarrassingly parallel, and stable across
+    reruns/engines (unlike TABLESAMPLE/rand()).  Sampling rate changes
+    are monotone: the 5% sample is a superset of the 1% sample.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = hash_bucket(F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(bucket < SAMPLE_PCT).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+    )
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot of the four lineitem measures (recent
+    shipments only, so the filter pushes down below the unpivot).
+
+    Scale: ``unpivot`` is a generate-style projection — 4x rows out
+    but zero shuffle; the melt happens inside the scan stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-09-01").cast("timestamp"))
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+    )
+
+
+N_SALTS = 16
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key
+    (l_returnflag has 3 values — every row hits one of 3 reducers in a
+    naive plan).
+
+    Phase 1 groups by (key, salt in [0,16)) so each hot key spreads
+    over 16 reducers; phase 2 combines partials per key.  Sums and
+    counts re-aggregate losslessly (decimal until the final cast, so
+    summation order can't move the double).  The oracle is the direct
+    single-phase GROUP BY — identical results is the correctness claim
+    for the salting rewrite.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = hash_bucket(
+        F.col("l_orderkey"), F.col("l_linenumber"), buckets=N_SALTS
+    ).alias("salt")
+    partial = (
+        li.select(
+            "l_returnflag",
+            salt,
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_d"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty_d"),
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("n_p"),
+            F.sum("price_d").alias("price_p"),
+            F.sum("qty_d").alias("qty_p"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n_p").alias("n"),
+        F.sum("price_p").cast("double").alias("sum_price"),
+        F.sum("qty_p").cast("double").alias("sum_qty"),
+    )
+
+
+def enrich_events(
+    events: DataFrame, customer: DataFrame, include_distinct: bool = True
+) -> DataFrame:
+    """Fact-stream x dimension broadcast join + per-segment rollup.
+
+    Works identically on a batch or streaming `events` relation —
+    stream-static equi-joins are supported natively by Structured
+    Streaming, and the broadcast hint keeps the dimension on every
+    executor (no shuffle of the fact side at any scale).  Streaming
+    callers pass include_distinct=False (exact COUNT DISTINCT is not
+    incrementally computable; the streaming variant would use
+    approx_count_distinct).
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ]
+    if include_distinct:
+        aggs.append(F.countDistinct("user_id").alias("n_users"))
+    return events.join(F.broadcast(dim), "user_id").groupBy("c_mktsegment").agg(*aggs)
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment in batch form (the streaming parity
+    test drives the same ``enrich_events`` plan with readStream)."""
+    return enrich_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

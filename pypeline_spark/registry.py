@@ -51,6 +51,8 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.setops_scalar",
     "pypeline_spark.operators.range_join",
     "pypeline_spark.operators.stats",
+    "pypeline_spark.operators.scale_ops",
+    "pypeline_spark.functions.pandas_ops",
     "pypeline_spark.sinks.keyed",
     "pypeline_spark.pipeline.queries",
     "pypeline_spark.functions.text",

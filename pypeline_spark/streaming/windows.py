@@ -65,7 +65,13 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
-def run_streaming_events(spark: SparkSession, sf_dir: str, agg_fn, watermark: str = "1 hour") -> DataFrame:
+def run_streaming_events(
+    spark: SparkSession,
+    sf_dir: str,
+    agg_fn,
+    watermark: str = "1 hour",
+    output_mode: str = "append",
+) -> DataFrame:
     """Stream the events table through agg_fn with availableNow.
 
     Copies the events parquet into a clean stream-source dir (a file
@@ -90,7 +96,7 @@ def run_streaming_events(spark: SparkSession, sf_dir: str, agg_fn, watermark: st
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg_fn(stream)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

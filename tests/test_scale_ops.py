@@ -1,0 +1,167 @@
+"""Scale-pattern operators: plan shape, determinism, and parity tests.
+
+The oracle harness already proves result correctness; these tests pin
+the *mechanics* each operator claims — sample monotonicity, shuffle
+counts, Arrow-path equivalence with the native plans — so a rewrite
+that stays correct but loses the scale property fails here.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import load_all
+from pypeline_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def cases():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestHashSample:
+    def test_no_shuffle(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_sample_hash"].builder(spark, sf_dir))
+        assert "Exchange" not in plan
+
+    def test_column_pruning(self, spark, sf_dir, cases):
+        read_schema = plan_of(cases["q_sample_hash"].builder(spark, sf_dir)).split(
+            "ReadSchema:"
+        )[1].splitlines()[0]
+        assert "l_extendedprice" in read_schema
+        assert "l_shipdate" not in read_schema
+
+    def test_rate_monotone(self, spark, sf_dir):
+        """The 1% sample must be a subset of the 5% sample (same hash,
+        smaller bucket cutoff) — the property that makes staged
+        sample-size increases reproducible."""
+        from pypeline_spark.operators.scale_ops import hash_bucket
+
+        li = load_table(spark, sf_dir, "lineitem")
+        bucket = hash_bucket(F.col("l_orderkey"), F.col("l_linenumber"))
+        keys = lambda pct: {  # noqa: E731
+            (r.l_orderkey, r.l_linenumber)
+            for r in li.filter(bucket < pct).select("l_orderkey", "l_linenumber").collect()
+        }
+        k1, k5 = keys(1), keys(5)
+        assert k1 and k1 < k5
+
+    def test_rate_close_to_nominal(self, spark, sf_dir, cases):
+        li = load_table(spark, sf_dir, "lineitem")
+        n_total = li.count()
+        n_sample = cases["q_sample_hash"].builder(spark, sf_dir).count()
+        assert 0.02 <= n_sample / n_total <= 0.08  # 5% nominal
+
+
+class TestUnpivot:
+    def test_no_shuffle_expand_only(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_unpivot"].builder(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Expand" in plan  # unpivot compiles to a generate/expand
+
+    def test_filter_pushed_below_unpivot(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_unpivot"].builder(spark, sf_dir))
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual" in plan
+
+
+class TestSaltedAgg:
+    def test_two_phase_shuffles(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_agg_salted"].builder(spark, sf_dir))
+        # one exchange keyed (l_returnflag, salt), one keyed l_returnflag
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "salt" in plan
+
+    def test_equals_direct_aggregation(self, spark, sf_dir, cases):
+        salted = {
+            r.l_returnflag: (r.n, round(r.sum_price, 2), round(r.sum_qty, 2))
+            for r in cases["q_agg_salted"].builder(spark, sf_dir).collect()
+        }
+        li = load_table(spark, sf_dir, "lineitem")
+        direct = {
+            r.l_returnflag: (r.n, round(r.sum_price, 2), round(r.sum_qty, 2))
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        }
+        assert salted == direct
+
+
+class TestStreamEnrich:
+    def test_streaming_matches_batch(self, spark, sf_dir):
+        from pypeline_spark.operators.scale_ops import enrich_events
+        from pypeline_spark.streaming.windows import run_streaming_events
+
+        customer = load_table(spark, sf_dir, "customer")
+        batch = {
+            r.c_mktsegment: (r.n_events, r.total_value)
+            for r in enrich_events(
+                load_table(spark, sf_dir, "events"), customer, include_distinct=False
+            ).collect()
+        }
+        streamed = run_streaming_events(
+            spark,
+            sf_dir,
+            lambda ev: enrich_events(ev, customer, include_distinct=False),
+            output_mode="complete",
+        )
+        got = {
+            r.c_mktsegment: (r.n_events, r.total_value) for r in streamed.collect()
+        }
+        assert got == batch
+
+    def test_dimension_broadcast(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_stream_enrich"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestArrowPathParity:
+    def test_pandas_udf_matches_native(self, spark, sf_dir, cases):
+        udf_counts = {
+            r.doc_id: r.n_tokens
+            for r in cases["q_udf_token_count"].builder(spark, sf_dir).collect()
+        }
+        native_counts = {
+            r.doc_id: r.n_ws
+            for r in cases["q_token_count"].builder(spark, sf_dir).collect()
+        }
+        assert udf_counts == native_counts
+
+    def test_udf_is_arrow_not_row_python(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_udf_token_count"].builder(spark, sf_dir))
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_sessionize_pandas_matches_native_session_window(
+        self, spark, sf_dir, cases
+    ):
+        key = lambda r: (  # noqa: E731
+            r.user_id,
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            r.session_value,
+        )
+        pandas_sessions = sorted(
+            map(key, cases["q_sessionize_pandas"].builder(spark, sf_dir).collect())
+        )
+        native_sessions = sorted(
+            map(key, cases["q_session"].builder(spark, sf_dir).collect())
+        )
+        assert pandas_sessions == native_sessions
+
+    def test_sessionize_single_shuffle_by_user(self, spark, sf_dir, cases):
+        plan = plan_of(cases["q_sessionize_pandas"].builder(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "FlatMapGroupsInPandas" in plan

@@ -38,15 +38,31 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cases = load_all()
     spark = get_spark("pypeline_spark_bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Warm-up: JVM + whole-stage codegen + parquet reader + noop sink,
+    # using the smallest SF so warm-up cost is negligible.  Timings
+    # below then measure engine steady-state, not first-query JIT.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            cases[name].builder(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
+    # Steady-state timing: each query runs N times (default 2), the
+    # minimum is reported — one run can absorb a GC pause or a codegen
+    # compile for a plan shape the warm-up didn't cover.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = cases[name].builder
-        t0 = time.time()
-        df = builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            df = builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -60,10 +60,19 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
     Two projections: tokenize first (one regex split per doc), then
     window into shingles over the materialized array column.
+
+    The exchange between tokenize and shingle spreads the
+    compute-bound expansion (shingle windows, array_distinct, the md5s
+    all downstream consumers apply) over every core: the fixture is a
+    single-row-group parquet file, so without it the whole chain runs
+    inside the one-task scan stage.  At warehouse scale the same holds
+    per-file — hashing is cheap to shuffle early (tokens ≈ text size)
+    and expensive to leave skewed.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     toksed = docs.select(
         F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
-    )
+    ).repartition(par, F.col(id_col))
     return toksed.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"))).alias("shingle")
     )
@@ -163,7 +172,9 @@ def jaccard_for_pairs(
         .distinct()
     )
     rows_c = rows.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # set sizes are only needed for pair members — compute them over the
+    # pruned relation, not the full corpus
+    sizes = rows_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         rows_c.alias("ra")
         .join(rows_c.alias("rb"), F.col("ra.shingle") == F.col("rb.shingle"))
@@ -350,7 +361,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     packed bigint.
     """
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    rows = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    rows = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     rows = rows.select(id_col, h.alias("h"))
     sums = rows.groupBy(id_col).agg(

@@ -68,7 +68,8 @@ def brute_force_topk(
     Rank on similarity rounded to 6 places with id tie-break so the
     result set is deterministic under float-summation differences.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = corpus.repartition(par, F.col(c_id)).crossJoin(F.broadcast(queries)).select(
         F.col(q_id),
         F.col(c_id),
         F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
@@ -132,7 +133,8 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     One broadcast join + window argmin — linear in corpus size; the
     result is the partition (cell) layout the probe side prunes on.
     """
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = corpus.repartition(par, "vec_id").crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
         F.col("cell_id"),
@@ -230,7 +232,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     small enough that the exact form is also the oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    par = spark.sparkContext.defaultParallelism
+    # the pair expansion is quadratic in the cell — spread the stream
+    # side so each core scores a slice of the (a, b) grid
+    a = e.repartition(par, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("vec_a"), F.col("vec_b"))

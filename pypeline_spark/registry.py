@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.range_join",
     "pypeline_spark.operators.stats",
     "pypeline_spark.operators.scale_ops",
+    "pypeline_spark.sources.bucketed",
     "pypeline_spark.functions.pandas_ops",
     "pypeline_spark.sinks.keyed",
     "pypeline_spark.pipeline.queries",
@@ -60,6 +61,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.similarity",
     "pypeline_spark.functions.multimodal",
     "pypeline_spark.streaming.windows",
+    "pypeline_spark.streaming.stateful",
 )
 
 

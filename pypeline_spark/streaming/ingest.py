@@ -1,0 +1,52 @@
+"""Continuous keyed ingestion: streaming upsert via foreachBatch.
+
+The reference's delivery model is idempotent keyed batch loads — rerun
+the pipeline, upsert by id (ref: /root/reference/pypeline/Pype.py:97-117,
+148).  The streaming-native version of that contract is foreachBatch:
+each micro-batch is MERGEd into the target with the same keyed-upsert
+semantics, so the sink state is always "last writer per key wins" no
+matter how the input was chopped into batches.  Exactly-once comes from
+the combination of checkpointed batch ids + idempotent merge — the same
+at-least-once-plus-idempotence story the reference relies on, with the
+state tracked by Spark instead of an operator rerunning a cron job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from pypeline_spark.sinks.keyed import ParquetCatalog, _dedupe_last_writer, upsert
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    catalog: ParquetCatalog,
+    table: str,
+    key_columns: Sequence[str],
+    order_col: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously merge a stream into catalog[table] by key.
+
+    Returns the StreamingQuery (caller awaits termination).  Each batch:
+    read current target, keyed-merge the batch (last-writer-wins within
+    the batch by order_col), swap-write the result.  First batch with no
+    existing target just dedupes and writes.
+    """
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = catalog.get(table)
+        if target is None:
+            merged = _dedupe_last_writer(batch_df, list(key_columns), order_col)
+        else:
+            merged = upsert(
+                target, batch_df, key_columns=key_columns, order_col=order_col
+            )
+        catalog.put(table, merged)
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

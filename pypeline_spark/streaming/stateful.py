@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The genuinely stateful piece of the streaming surface (SURVEY.md §7
+"hard parts"): a per-user running aggregate whose state survives across
+micro-batches.  ``applyInPandasWithState`` is the PySpark primitive for
+operators Structured Streaming doesn't ship — state is an explicit
+tuple the operator reads/updates per key per batch, stored in the state
+store (RocksDB/HDFS-backed on a cluster), with watermark-driven
+timeouts bounding its size.
+
+Parity strategy: the events fixture is split into K files streamed one
+per micro-batch (maxFilesPerTrigger=1), so state genuinely crosses
+batch boundaries; the final per-user totals must equal the one-shot
+batch groupBy.  That is asserted in tests and the batch twin is the
+oracle-checked q_running_totals.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into (n, total) state and
+    emit the updated running totals."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) maintained in explicit state."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Drive the stateful operator through n_batches real micro-batches.
+
+    Splits events into n_batches files by time range (so arrival order
+    is realistic), streams them one file per trigger, and returns each
+    user's LAST update — the running total after the final batch.
+    """
+    src_dir = os.path.join(tempfile.gettempdir(), f"ev_stateful_{uuid.uuid4().hex}")
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.select("user_id", "ts", "value")
+        .repartitionByRange(n_batches, "ts")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table(name)
+    # update mode emits one row per (user, batch-with-changes); the
+    # running total is monotone in n_events, so max(n) picks the final
+    final = updates.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    result = final.select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return result
+
+
+@query(
+    "q_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful running-totals operator (the streaming
+    run is parity-tested against this in tests/test_stateful.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.range_join",
     "pypeline_spark.operators.stats",
     "pypeline_spark.operators.scale_ops",
+    "pypeline_spark.operators.sql_breadth",
     "pypeline_spark.sources.bucketed",
     "pypeline_spark.functions.pandas_ops",
     "pypeline_spark.sinks.keyed",

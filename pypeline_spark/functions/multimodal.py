@@ -117,3 +117,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decode pipeline through mapInPandas (stub codec)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_image(attach_payload(d))
+
+
+@query(
+    "q_frame_sample",
+    # DuckDB can't byte-slice BLOBs; the fixture text is pure ASCII
+    # (verified: octet_length(encode(text)) == length(text) at every
+    # SF), so character slicing of the varchar is byte-equivalent.
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0, greatest(octet_length(encode(text)) // 64 - 1, 0)
+               )) AS frame_no
+        FROM documents
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           hex(encode(substring(text, frame_no * 64 + 1, 8))) AS frame_hex
+    FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride byte-range sampling over the binary payload (the
+    video-frame-extraction plumbing), fully JVM-side; frames emitted as
+    hex strings so the comparison is engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payload(d))
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.upper(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )

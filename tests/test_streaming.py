@@ -68,3 +68,81 @@ class TestStreamBatchParity:
         e = load_table(spark, sf_dir, "events")
         n_batch = tumbling_agg(e).agg(F.sum("n").alias("s")).collect()[0].s
         assert n_batch == e.count()
+
+    def test_late_event_dropped_across_micro_batches(self, spark, tmp_path):
+        """True late-data semantics across real micro-batches.
+
+        Spark filters late events with the watermark as of the
+        PREVIOUS batch (SPARK-40925: watermarkForLateEvents lags
+        watermarkForEviction by one batch), so the drop needs three
+        batches: batch 0 advances event time, batch 1 commits that
+        watermark, batch 2's stale event is then dropped — while a
+        naive batch aggregate over all arrivals would count it.
+        """
+        import glob
+        import os
+        import shutil
+        import time
+        import uuid
+
+        base = "2024-01-01 {:02d}:30:00"
+        on_time = [(i, base.format(h), 1.0) for i, h in enumerate(range(11))]
+        late1 = [(100, base.format(2), 1.0), (101, base.format(11), 1.0)]
+        late2 = [(200, base.format(2), 1.0), (201, base.format(12), 1.0)]
+
+        schema = "event_id long, ts_s string, value double"
+        to_df = lambda rows: (  # noqa: E731
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                F.lit("x").alias("event_type"),
+                "value",
+            )
+        )
+        src = str(tmp_path / "late_src")
+        os.makedirs(src)
+        for i, rows in enumerate((on_time, late1, late2)):
+            tmp = str(tmp_path / f"w{i}")
+            to_df(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            t = time.time() - 200 + i * 50
+            os.utime(dst, (t, t))
+
+        stream = (
+            spark.readStream.schema(to_df(on_time).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        q = (
+            tumbling_agg(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        assert dropped == 1  # exactly the batch-2 stale event
+        streamed = {
+            r.window_start.hour: r.n
+            for r in spark.table(name).collect()
+            if r.window_start.day == 1
+        }
+        # hour-2 window: on-time event + batch-1 event (filter wm was
+        # still unset then); batch-2's stale event excluded
+        assert streamed[2] == 2
+        # the naive batch aggregate over all arrivals counts all three
+        all_rows = to_df(on_time + late1 + late2)
+        batch = {
+            r.window_start.hour: r.n for r in tumbling_agg(all_rows).collect()
+        }
+        assert batch[2] == 3

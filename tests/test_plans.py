@@ -99,6 +99,56 @@ class TestTopK:
         assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestSkewHandling:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The 100 TB skew story (SCALE.md): a hot join key must not
+        pin the whole join on one reducer.  With a 90%-hot key and
+        local-scale thresholds, AQE's final plan must read the skewed
+        shuffle partition as multiple splits (AQEShuffleRead ... skewed).
+        """
+        from pyspark.sql import functions as F
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            # the agg above the join needs hash distribution, so the
+            # split introduces an extra shuffle — allow it explicitly
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+            big = spark.range(0, 300_000).select(
+                F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+                F.col("id").alias("v"),
+            )
+            dim = spark.range(0, 30_000).select(
+                (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+            )
+            j = big.join(dim.hint("merge"), "k").groupBy().agg(F.count("*").alias("n"))
+            n = j.collect()[0].n
+            assert n == 8_103_000  # 270k hot rows x 30 dim matches + tail
+            final_plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "skewed" in final_plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestNoDriverCollects:
     def test_no_collect_in_operator_sources(self):
         # operators must stay distributed: no driver-side materialization

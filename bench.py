@@ -30,6 +30,10 @@ HEADLINE = [
     "q_topk_cosine",     # brute-force vector top-k
     "q_text_stats",      # per-doc text analysis
     "q_pipeline_etl",    # Layer A end-to-end pipeline
+    "q_sample_hash",     # deterministic hash sampling
+    "q_agg_salted",      # two-phase salted aggregation
+    "q_stream_enrich",   # broadcast fact-dim enrichment
+    "q_sessionize_pandas",  # applyInPandas custom operator
 ]
 
 

@@ -55,26 +55,38 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k > 0, sh).otherwise(F.array().cast("array<string>")))
 
 
-def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) exploded rows — the base relation for set joins.
+def doc_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh: array<string>) — one distinct-shingle set per document.
 
     Two projections: tokenize first (one regex split per doc), then
     window into shingles over the materialized array column.
 
-    The exchange between tokenize and shingle spreads the
-    compute-bound expansion (shingle windows, array_distinct, the md5s
-    all downstream consumers apply) over every core: the fixture is a
-    single-row-group parquet file, so without it the whole chain runs
-    inside the one-task scan stage.  At warehouse scale the same holds
-    per-file — hashing is cheap to shuffle early (tokens ≈ text size)
-    and expensive to leave skewed.
+    The per-doc *array* form is the scale-preferred base relation: the
+    whole MinHash signature computes inside the scan stage (map-side,
+    zero shuffle) via array_min over it, where the exploded form costs
+    a shuffle of every (doc, shingle) row just to re-group by doc.
+
+    The explicit repartition spreads the compute-bound expansion
+    (shingle windows, array_distinct, downstream md5s) over every
+    core: the fixture is a single-row-group parquet file, so without
+    it the whole chain runs inside the one-task scan stage.  At
+    warehouse scale the same holds per-file — hashing is cheap to
+    shuffle early (tokens ≈ text size) and expensive to leave skewed.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     toksed = docs.select(
         F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
     ).repartition(par, F.col(id_col))
-    return toksed.select(
-        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"))).alias("shingle")
+    return toksed.select(F.col(id_col), shingles_from_tokens(F.col("__toks")).alias("sh"))
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) exploded rows — the base relation for set
+    equi-joins (the exact n-gram Jaccard path)."""
+    return doc_shingle_arrays(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
     )
 
 
@@ -94,28 +106,39 @@ def minhash_signature(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    rows: DataFrame | None = None,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """id -> mh_0..mh_{k-1}: per-seed minima over the shingle set.
 
-    One explode + one groupBy(id) with k min() aggregates: map-side
-    partial mins make the shuffle tiny (k longs per doc).  Pass
-    ``rows`` to reuse an already-materialized shingle relation.
+    Entirely map-side: one md5 per shingle into a materialized hash
+    array, then k array_min passes of integer arithmetic — no explode,
+    no shuffle.  (The md5 array sits in its own projection so Catalyst
+    does not inline the hash subtree into each of the k array_min
+    lambdas — CollapseProject keeps multi-referenced non-cheap
+    expressions materialized.)  Docs with no shingles (< n tokens) are
+    excluded, matching the explode-based formulation.  Pass ``arrs``
+    to reuse an already-built shingle-array relation.
     """
-    if rows is None:
-        rows = shingle_rows(docs, id_col, text_col)
-    base = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P
+    if arrs is None:
+        arrs = doc_shingle_arrays(docs, id_col, text_col)
+    hashed = arrs.filter(F.size("sh") > 0).select(
+        F.col(id_col),
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            % MINHASH_P,
+        ).alias("hs"),
     )
-    hashed = rows.select(F.col(id_col), base.alias("h"))
-    aggs = [
-        F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P).alias(
-            f"mh_{s}"
-        )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (F.lit(MINHASH_A[s]) * h + F.lit(MINHASH_B[s])) % MINHASH_P,
+            )
+        ).alias(f"mh_{s}")
         for s in range(N_HASHES)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *sig_cols)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -154,6 +177,33 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def jaccard_from_arrays(
+    pairs: DataFrame, arrs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for given pairs via per-doc shingle arrays.
+
+    Two joins of the (small) pair list against the array relation,
+    then size(array_intersect)/size(union) per pair — no shingle-level
+    self-join at all.  The candidate set is tiny relative to the
+    corpus, so both joins broadcast the pairs side and the array
+    relation is never shuffled.
+    """
+    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = arrs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        aa.join(F.broadcast(pairs), "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 4
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -338,14 +388,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5), so the DuckDB oracle replays it exactly.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Materialize shingles and signatures once: bands self-join and the
-    # verify step would otherwise re-derive the explode+groupBy subtree
-    # per reference.  (At warehouse scale these would be persisted
-    # signature tables, not a runtime cache.)
-    rows = shingle_rows(d).cache()
-    sigs = minhash_signature(d, rows=rows).cache()
+    # Shingle-array relation feeds both the signature computation and
+    # the verify step; everything up to the band groupBy is map-side
+    # (no explode, no per-shingle shuffle).  At warehouse scale the
+    # arrays/signatures would be persisted tables, not a runtime cache.
+    arrs = doc_shingle_arrays(d).cache()
+    sigs = minhash_signature(d, arrs=arrs)
     pairs = candidate_pairs(lsh_bands(sigs))
-    return jaccard_for_pairs(pairs, rows).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return jaccard_from_arrays(pairs, arrs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed bigint

@@ -433,7 +433,36 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
-@query("q_simhash", oracle=None)  # bit-packing not portably SQL-expressible
+@query(
+    "q_simhash",
+    # The oracle brute-forces all pairs; the Spark side prunes via
+    # quadrant buckets.  Results are identical by pigeonhole: any pair
+    # within Hamming distance 3 agrees exactly on >=1 of 4 quadrants.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+        FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS i)
+        GROUP BY doc_id, i
+    ),
+    fps AS (SELECT doc_id, SUM(b << i) AS simhash FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + near-dup pairs within Hamming distance 3,
     bucketed by 15-bit quadrant (pigeonhole: any pair within distance 3

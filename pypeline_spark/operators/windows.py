@@ -113,6 +113,38 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume,
+           NTH_VALUE(c_acctbal, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_highest_bal
+    FROM customer WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value distribution analytics.
+
+    Scale: one shuffle keyed by the partition column; the nth_value
+    frame is unbounded-both so it evaluates as a per-partition
+    constant, not a per-row scan.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("second_highest_bal"),
+    )
+
+
+@query(
     "q_window_range_frame",
     oracle="""
     WITH daily AS (

@@ -73,6 +73,70 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_PCT = {"BUILDING": 20, "AUTOMOBILE": 10}  # other segments: 2%
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE {_HASH_BUCKET_SQL.format(cols="c_custkey", buckets=100)}
+          < CASE c_mktsegment WHEN 'BUILDING' THEN 20
+                              WHEN 'AUTOMOBILE' THEN 10
+                              ELSE 2 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-segment rates (20% / 10%
+    / 2%) from one hash predicate — the portable replacement for
+    ``df.sampleBy`` when samples must be replayable across engines.
+
+    Scale: still a pure map-side filter (no shuffle, no per-stratum
+    pass); rebalancing rates re-uses the same buckets, so a raised
+    rate strictly grows the previous sample.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(STRATA_PCT["BUILDING"]))
+    rate = rate.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(STRATA_PCT["AUTOMOBILE"]))
+    rate = rate.otherwise(F.lit(2))
+    return c.filter(hash_bucket(F.col("c_custkey")) < rate).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (25k bins).
+
+    Scale: binning is a map-side expression; the aggregate shuffles
+    only (bin -> partial stats), i.e. output cardinality = bin count,
+    independent of input size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 @query(
     "q_unpivot",
     oracle="""

@@ -98,6 +98,20 @@ class TestTopK:
         plan = plan_of(cases["q_window_topn"].builder(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_minhash_signature_is_map_side(self, spark, sf_dir):
+        """MinHash signatures must compute inside the scan stage: no
+        per-shingle explode/aggregate shuffle, and the md5 hash array
+        must stay materialized (Catalyst inlining it into each of the
+        k array_min lambdas would re-hash every shingle k times)."""
+        from pypeline_spark.functions.dedup import minhash_signature
+        from pypeline_spark.session import load_table
+
+        sigs = minhash_signature(load_table(spark, sf_dir, "documents"))
+        plan = plan_of(sigs)
+        assert "HashAggregate" not in plan and "Generate" not in plan
+        assert plan.count("Exchange") == 1  # only the explicit spread repartition
+        assert plan.count("md5") == 1
+
 
 class TestSkewHandling:
     def test_aqe_splits_skewed_join_partition(self, spark):

@@ -106,6 +106,11 @@ class TestTopK:
         from pypeline_spark.functions.dedup import minhash_signature
         from pypeline_spark.session import load_table
 
+        # earlier tests may have left the shingle-array relation cached
+        # (q_dedup_minhash caches it); a cache hit substitutes an
+        # InMemoryRelation whose stored child plan adds a second
+        # "Exchange" string to the tree — clear for a deterministic plan
+        spark.catalog.clearCache()
         sigs = minhash_signature(load_table(spark, sf_dir, "documents"))
         plan = plan_of(sigs)
         assert "HashAggregate" not in plan and "Generate" not in plan

@@ -181,6 +181,30 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 300
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — the mirror of q_join_left, preserving the
+    customer side.
+
+    Scale: Spark plans right-outer with the *left* side as build when
+    broadcastable (BroadcastHashJoin RightOuter builds left), so the
+    filtered orders subset broadcasts and the preserved side streams.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
     "q_join_full",
     oracle="""
     SELECT c.c_custkey, c.c_acctbal, o.o_custkey, o.n_orders

@@ -92,7 +92,13 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct difference)."""
+    """EXCEPT (distinct difference).
+
+    ``subtract`` is SQL EXCEPT exactly: any key present in the right
+    side disappears entirely.  (``exceptAll().distinct()`` is NOT the
+    same operator — it only removes one occurrence per right-side row,
+    so a key with more left than right occurrences would survive.)
+    """
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -103,7 +109,48 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("key"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+    EXCEPT ALL
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 350000
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: multiset difference over a key with real duplicates
+    (customers place many orders) — each right occurrence cancels
+    exactly one left occurrence.
+
+    Scale: implemented as a counted anti-semantics aggregate, not a
+    sort — one shuffle per side keyed on the value.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_totalprice") > 350000).select(F.col("o_custkey").alias("key"))
+    return a.exceptAll(b)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+    INTERSECT ALL
+    SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: multiset intersection — each key keeps
+    min(left count, right count) occurrences."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    )
+    return a.intersectAll(b)
 
 
 @query(

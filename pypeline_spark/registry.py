@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.multimodal",
     "pypeline_spark.streaming.windows",
     "pypeline_spark.streaming.stateful",
+    "pypeline_spark.streaming.joins",
 )
 
 

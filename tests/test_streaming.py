@@ -52,6 +52,23 @@ class TestStreamBatchParity:
         cols = ["window_start", "window_end", "n", "total_value"]
         assert set(_canon(batch, cols)) <= set(_canon(stream, cols))
 
+    def test_stream_stream_join(self, spark, sf_dir):
+        """Two watermarked streams joined on key + interval: with one
+        availableNow pass over a static file both sides are fully
+        present, so the inner interval join must emit exactly the batch
+        result (watermarks only bound state eviction, not emission)."""
+        from pypeline_spark.streaming.joins import (
+            click_purchase_join,
+            run_stream_stream_join,
+        )
+
+        batch = click_purchase_join(load_table(spark, sf_dir, "events"))
+        stream = run_stream_stream_join(spark, sf_dir)
+        cols = ["user_id", "click_id", "purchase_id", "purchase_value"]
+        canon_batch = _canon(batch, cols)
+        assert canon_batch, "fixture must produce attributed purchases"
+        assert _canon(stream, cols) == canon_batch
+
     def test_session(self, spark, sf_dir):
         cutoff = _watermark_cutoff(spark, sf_dir)
         batch = session_agg(load_table(spark, sf_dir, "events")).filter(

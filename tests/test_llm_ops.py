@@ -127,3 +127,26 @@ class TestMultimodal:
         lens = {r.doc_id: r.n for r in docs.limit(5).select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).collect()}
         for doc_id, n in lens.items():
             assert counts[doc_id] == max(n // 64, 1)
+
+    def test_feature_extract_numpy_parity(self, spark, docs):
+        import numpy as np
+
+        from pypeline_spark.functions.multimodal import (
+            N_FEATURE_BINS,
+            extract_features,
+        )
+
+        sample = docs.limit(10)
+        feats = {
+            r.doc_id: r.features
+            for r in extract_features(attach_payload(sample)).collect()
+        }
+        texts = {r.doc_id: r.text for r in sample.collect()}
+        assert set(feats) == set(texts)
+        for doc_id, text in texts.items():
+            vec = np.array(feats[doc_id], dtype=np.float32)
+            assert vec.shape == (N_FEATURE_BINS,)
+            assert abs(vec.sum() - 1.0) < 1e-5  # L1-normalized
+            raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            expect = np.bincount(raw >> 4, minlength=N_FEATURE_BINS).astype("float32")
+            np.testing.assert_allclose(vec, expect / expect.sum(), rtol=1e-6)

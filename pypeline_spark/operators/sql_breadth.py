@@ -154,3 +154,47 @@ def q_date_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "q_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 200
+    """,
+)
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table: each customer's two largest
+    orders, written as raw SQL through the ``spark.sql`` entry point —
+    the literal form of the reference's arbitrary ``extract_query``
+    surface (ref: /root/reference/pypeline/Pype.py:36).
+
+    Scale: Catalyst decorrelates the lateral subquery into a ranked
+    window over a single equi-shuffle — the executed plan has no
+    nested-loop per-row re-execution (same shape as q_window_topn).
+    """
+    from pypeline_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 200
+        """
+    )

@@ -541,3 +541,31 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.total_rev > (SELECT AVG(total_rev) FROM revenue)
         """
     )
+
+
+@query(
+    "q_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_name LIKE 'Customer#00000%'
+      AND c_name NOT LIKE '%99'
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      AND c_acctbal IS NOT NULL
+    """,
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate breadth: LIKE prefix/suffix patterns, IN-list, null
+    checks — the remaining scan-predicate family from SURVEY.md §2b.
+
+    Scale: the LIKE prefix compiles to StringStartsWith and the IN-list
+    to In — both push into the parquet scan (PushedFilters), so row
+    groups whose column stats can't match are never read.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").like("Customer#00000%")
+        & ~F.col("c_name").like("%99")
+        & F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+        & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")

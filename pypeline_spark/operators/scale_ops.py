@@ -227,6 +227,63 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_by: list[str],
+    n_salt: int = N_SALTS,
+) -> DataFrame:
+    """Equi-join with explicit key salting: the fact side gets a
+    deterministic salt in [0, n_salt) from non-key columns, the dim
+    side is replicated once per salt value, and the join key becomes
+    (key, salt) — a hot key's rows spread over n_salt reducers.
+
+    This is the manual fallback for skew AQE can't fix: AQE splits
+    skewed *shuffle partitions* of a sort-merge join, but can't help
+    when the join must preserve a partitioning for a downstream stage,
+    or in stream-static joins where there is no runtime re-plan.  The
+    salt changes only row placement, never the result (oracle-checked
+    against the plain join).  Cost: dim side inflates n_salt× — only
+    salt against small-to-medium dims.
+    """
+    f = fact.withColumn("__salt", hash_bucket(*[F.col(c) for c in salt_by], buckets=n_salt))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+    )
+    return f.join(d, on + ["__salt"]).drop("__salt")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (shuffle-hash forced so the salt actually
+    governs placement; with broadcast the salt would be moot).  The
+    oracle is the unsalted join — identical results is the correctness
+    claim for the salting rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_totalprice"
+        )
+    )
+    joined = salted_join(
+        li.hint("shuffle_hash"),
+        o,
+        on=["l_orderkey"],
+        salt_by=["l_orderkey", "l_linenumber"],
+    )
+    return joined.select("l_orderkey", "l_linenumber", "o_orderdate", "o_totalprice")
+
+
 def enrich_events(
     events: DataFrame, customer: DataFrame, include_distinct: bool = True
 ) -> DataFrame:

@@ -98,6 +98,18 @@ class TestTopK:
         plan = plan_of(cases["q_window_topn"].builder(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_salted_join_shuffles_on_key_plus_salt(self, spark, sf_dir, cases):
+        """Both sides of the salted join must hash-exchange on
+        (key, __salt) — the salt spreading a hot key over reducers is
+        the entire point of the rewrite."""
+        plan = plan_of(cases["q_join_salted"].builder(spark, sf_dir))
+        salted = [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "__salt" in line
+        ]
+        assert len(salted) == 2
+
     def test_minhash_signature_is_map_side(self, spark, sf_dir):
         """MinHash signatures must compute inside the scan stage: no
         per-shingle explode/aggregate shuffle, and the md5 hash array

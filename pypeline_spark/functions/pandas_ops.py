@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -139,3 +139,59 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same gaps-and-islands SQL as the native q_session, so
     native window, custom pandas operator, and DuckDB all agree."""
     return sessionize_pandas(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_sessionize_sql",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+    """,
+)
+def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labels in pure JVM SQL (gaps-and-islands:
+    lag -> new-session flag -> running sum), the scale-preferred twin
+    of the applyInPandas sessionizer for when the *per-event* label is
+    needed rather than the per-session rollup.
+
+    Scale: one shuffle keyed by user_id serves both window passes
+    (Catalyst reuses the partitioning for lag and the running sum);
+    zero Python — whole-stage codegen end to end.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # microsecond precision: a seconds-truncating cast would
+            # misclassify gaps within 1s of the threshold
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )

@@ -52,6 +52,29 @@ class TestStreamBatchParity:
         cols = ["window_start", "window_end", "n", "total_value"]
         assert set(_canon(batch, cols)) <= set(_canon(stream, cols))
 
+    def test_drop_duplicates_within_watermark(self, spark, sf_dir):
+        """The real streaming dedup operator must keep exactly one row
+        per (user, type, hour) — the key set the batch formulation
+        (q_stream_dedup) derives with row_number.  Which row survives
+        depends on arrival order, so parity is on the key set."""
+
+        def dedup(stream):
+            return (
+                stream.withColumn("hr", F.date_trunc("hour", "ts"))
+                .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+                .select("user_id", "event_type", "hr")
+            )
+
+        streamed = run_streaming_events(spark, sf_dir, dedup)
+        batch_keys = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("hr"))
+            .distinct()
+        )
+        assert _canon(streamed, ["user_id", "event_type", "hr"]) == _canon(
+            batch_keys, ["user_id", "event_type", "hr"]
+        )
+
     def test_stream_stream_join(self, spark, sf_dir):
         """Two watermarked streams joined on key + interval: with one
         availableNow pass over a static file both sides are fully

@@ -34,6 +34,7 @@ HEADLINE = [
     "q_agg_salted",      # two-phase salted aggregation
     "q_stream_enrich",   # broadcast fact-dim enrichment
     "q_sessionize_pandas",  # applyInPandas custom operator
+    "q_corpus_pipeline",  # composed corpus-cleaning pipeline
 ]
 
 

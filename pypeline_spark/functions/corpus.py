@@ -1,0 +1,153 @@
+r"""The north-star composition: an end-to-end training-corpus cleaning
+pipeline — quality gate → language gate → exact dedup → near-dup
+removal → per-language corpus stats — as one oracle-checked DataFrame
+plan.
+
+This is what the individual LLM-data operators exist *for*; composing
+them proves the interfaces chain (each stage consumes the previous
+stage's DataFrame, no materialization between stages needed — Catalyst
+optimizes the whole chain as one plan).
+
+Scale design per stage:
+- quality + language gates: pure map-side filters, evaluated inside
+  the scan stage before anything shuffles;
+- exact dedup: one shuffle keyed by the 16-byte content digest
+  (group-min keep policy — smallest doc_id survives);
+- near-dup removal: the MinHash-LSH pair generator (functions/dedup.py:
+  map-side signatures → band bucket join → candidate pairs →
+  array_intersect verification ≥ t) — the genuine 100 TB path, and
+  because the hash family is md5-derived it is deterministic, so the
+  DuckDB oracle replays the *same* approximate decisions and the whole
+  composed pipeline stays hash-checked (not merely rows-counted);
+- drop policy: greedy keep-smallest — every pair's larger id is
+  dropped (deterministic, one anti-join, no iterative clustering);
+- final stats: groupBy on lang, output cardinality = language count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.functions.dedup import (
+    candidate_pairs,
+    doc_shingle_arrays,
+    jaccard_from_arrays,
+    lsh_bands,
+    minhash_signature,
+)
+from pypeline_spark.functions.text import tokens
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+MIN_TOKENS, MAX_TOKENS = 20, 1000
+KEEP_LANGS = ("en", "es")
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """documents -> cleaned documents (doc_id, lang, text)."""
+    n_toks = F.size(tokens(F.col("text")))
+    kept = docs.filter(
+        F.col("lang").isin(*KEEP_LANGS) & n_toks.between(MIN_TOKENS, MAX_TOKENS)
+    ).select("doc_id", "lang", "text")
+
+    # exact dedup: keep the smallest doc_id per content fingerprint
+    fp = kept.withColumn("f", F.md5(F.lower(F.trim(F.col("text")))))
+    keep_ids = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(keep_ids, ["f", "doc_id"], "left_semi").drop("f")
+
+    # near-dup removal: MinHash-LSH candidates verified by exact
+    # Jaccard >= threshold, greedy keep-smallest (drop every pair's
+    # id_b).  Shingle arrays feed signatures and verification both.
+    arrs = doc_shingle_arrays(deduped).cache()
+    sigs = minhash_signature(deduped, arrs=arrs)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    verified = jaccard_from_arrays(pairs, arrs).filter(
+        F.col("jaccard") >= NEAR_DUP_THRESHOLD
+    )
+    dupes = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return deduped.join(dupes, "doc_id", "left_anti")
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=r"""
+    WITH kept AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE lang IN ('en', 'es')
+          AND len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000
+    ),
+    fp AS (SELECT doc_id, lang, text, md5(lower(trim(text))) AS f FROM kept),
+    deduped AS (
+        SELECT p.doc_id, p.lang, p.text
+        FROM fp p JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f) g
+          ON p.f = g.f AND p.doc_id = g.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM deduped
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+        FROM sh
+    ),
+    seeds AS (
+        SELECT unnest(range(12)) AS seed,
+               unnest([2,3,5,7,11,13,17,19,23,29,31,37]) AS a,
+               unnest([41,43,47,53,59,61,67,71,73,79,83,89]) AS b
+    ),
+    mh AS (
+        SELECT base.doc_id, s.seed, MIN((s.a * base.h + s.b) % 2147483647) AS h
+        FROM base CROSS JOIN seeds s
+        GROUP BY base.doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(h AS VARCHAR), '_' ORDER BY seed) AS band_key
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        GROUP BY 1, 2
+    ),
+    dupes AS (
+        SELECT DISTINCT id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    final AS (
+        SELECT * FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM dupes)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM final GROUP BY lang
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-cleaning pipeline, per-language output stats."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(d)
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
+    )

@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.dedup",
     "pypeline_spark.functions.similarity",
     "pypeline_spark.functions.multimodal",
+    "pypeline_spark.functions.corpus",
     "pypeline_spark.streaming.windows",
     "pypeline_spark.streaming.stateful",
     "pypeline_spark.streaming.joins",

@@ -150,3 +150,41 @@ class TestMultimodal:
             raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
             expect = np.bincount(raw >> 4, minlength=N_FEATURE_BINS).astype("float32")
             np.testing.assert_allclose(vec, expect / expect.sum(), rtol=1e-6)
+
+
+class TestCorpusPipeline:
+    def test_cleaned_corpus_invariants(self, spark, sf_dir):
+        from pypeline_spark.functions.corpus import (
+            NEAR_DUP_THRESHOLD,
+            clean_corpus,
+        )
+        from pypeline_spark.functions.dedup import (
+            candidate_pairs,
+            doc_shingle_arrays,
+            jaccard_from_arrays,
+            lsh_bands,
+            minhash_signature,
+        )
+        from pypeline_spark.session import load_table
+
+        cleaned = clean_corpus(load_table(spark, sf_dir, "documents")).cache()
+        # no exact duplicates survive
+        fps = cleaned.select(F.md5(F.lower(F.trim("text"))).alias("f"))
+        assert fps.count() == fps.distinct().count()
+        # re-running the same near-dup detector on the output finds
+        # nothing: every detected pair's larger id was dropped, so a
+        # surviving pair would contradict the drop policy
+        arrs = doc_shingle_arrays(cleaned)
+        pairs = candidate_pairs(lsh_bands(minhash_signature(cleaned, arrs=arrs)))
+        remaining = (
+            jaccard_from_arrays(pairs, arrs)
+            .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+            .count()
+        )
+        assert remaining == 0
+
+    def test_minhash_empty_input(self, spark):
+        from pypeline_spark.functions.dedup import minhash_signature
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert minhash_signature(empty).count() == 0

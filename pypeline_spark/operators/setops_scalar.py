@@ -404,3 +404,61 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
     )
+
+
+@query(
+    "q_try_cast",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(substr(c_name, 10, 3) AS INT)) AS n_numeric,
+           CAST(SUM(COALESCE(TRY_CAST(substr(c_name, 10, 3) AS INT), 0)) AS BIGINT)
+               AS numeric_sum,
+           COUNT(TRY_CAST(c_name AS DOUBLE)) AS n_bogus_doubles
+    FROM customer
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casting over dirty-ish strings: TRY_CAST yields NULL
+    instead of failing the job — the data-hygiene primitive the
+    reference's JSON funnel (ref: /root/reference/pypeline/Pype.py:147)
+    left to Postgres coercion errors.
+
+    Scale: per-row expression, no shuffle; under ANSI mode a plain
+    CAST would kill the task on the first malformed value — TRY_CAST
+    is how a 100 TB ingest survives a handful of bad rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    digits = F.expr("try_cast(substr(c_name, 10, 3) AS INT)")
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.count(digits).alias("n_numeric"),
+        F.sum(F.coalesce(digits, F.lit(0))).cast("bigint").alias("numeric_sum"),
+        F.count(F.expr("try_cast(c_name AS DOUBLE)")).alias("n_bogus_doubles"),
+    )
+
+
+@query(
+    "q_arg_minmax",
+    oracle="""
+    SELECT c_mktsegment,
+           max_by(c_name, c_custkey) AS newest_customer,
+           min_by(c_name, c_custkey) AS oldest_customer,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by argument aggregates (keyed on the unique
+    custkey, so the answer is deterministic — never key them on a
+    tie-able column).
+
+    Scale: single hash aggregate with map-side partials carrying
+    (value, key) pairs — replaces the window + filter idiom when only
+    the extreme row's single column is needed.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )

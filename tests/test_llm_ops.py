@@ -92,8 +92,53 @@ class TestANN:
         ]
         mean_recall = sum(recalls) / len(recalls)
         # 4 of 16 cells probed: random vectors spread neighbors across
-        # cells, so require a sane floor, not perfection
-        assert mean_recall >= 0.3, f"mean recall {mean_recall}"
+        # cells (measured 0.58 at sf0.001), so floor at 0.5
+        assert mean_recall >= 0.5, f"mean recall {mean_recall}"
+
+    def test_ivf_recall_scales_with_probes(self, spark, sf_dir):
+        """The n_probe knob must actually buy recall (measured 0.38 at
+        2 probes -> 0.82 at 8 of 16 cells): more cells probed => strict
+        superset of candidates => recall can only rise, and on this
+        fixture it rises a lot."""
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.functions.similarity import (
+            N_CELLS,
+            N_QUERIES,
+            ivf_topk,
+        )
+        from pypeline_spark.session import load_table
+
+        cases = load_all()
+        exact_sets = {}
+        for r in cases["q_topk_cosine"].builder(spark, sf_dir).collect():
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        e = load_table(spark, sf_dir, "embeddings")
+        centroids = (
+            e.filter(F.col("vec_id") % 32 == 1)
+            .limit(N_CELLS)
+            .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+        )
+        queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+
+        def recall(n_probe):
+            ap = {}
+            out = ivf_topk(
+                queries, e.select("vec_id", "embedding"), centroids, n_probe=n_probe
+            ).collect()
+            for r in out:
+                ap.setdefault(r.q_id, set()).add(r.vec_id)
+            rs = [
+                len(exact_sets[q] & ap.get(q, set())) / len(exact_sets[q])
+                for q in exact_sets
+            ]
+            return sum(rs) / len(rs)
+
+        low, high = recall(2), recall(8)
+        assert high > low, f"recall did not improve: {low} -> {high}"
+        assert high >= 0.7, f"8-probe recall too low: {high}"
 
     def test_brute_force_self_similarity(self, spark, sf_dir):
         e = load_table(spark, sf_dir, "embeddings").limit(50)

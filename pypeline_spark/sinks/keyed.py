@@ -75,12 +75,16 @@ def upsert(
 
     untouched = target.join(up.select(keys), keys, "left_anti")
     if excluded:
-        # matched rows keep the target's excluded-column values
-        t_excl = target.select(keys + excluded)
+        # Matched rows keep the target's excluded-column values — even a
+        # target NULL.  An explicit match flag (not coalesce) so a NULL in
+        # the target's excluded column is preserved rather than replaced
+        # by the update's value (ref: Pype.py:132-143 omits the field from
+        # the ON CONFLICT SET list entirely).
+        t_excl = target.select(keys + excluded).withColumn("__matched", F.lit(True))
         matched_or_new = up.alias("u").join(t_excl.alias("t"), keys, "left").select(
             *keys,
             *[
-                F.coalesce(F.col(f"t.{c}"), F.col(f"u.{c}")).alias(c)
+                F.when(F.col("__matched"), F.col(f"t.{c}")).otherwise(F.col(f"u.{c}")).alias(c)
                 if c in excluded
                 else F.col(f"u.{c}").alias(c)
                 for c in up.columns
@@ -107,13 +111,16 @@ def update_only(
     value_cols = [c for c in target.columns if c not in excluded and c in up.columns]
     up = up.select(keys + value_cols)
 
+    # Explicit match flag: a matched update row that sets a column to NULL
+    # must write the NULL (ref: Pype.py:119-130 UPDATE ... SET f=records.f),
+    # which coalesce(u.c, t.c) would silently ignore.
     t = target.alias("t")
-    u = up.alias("u")
+    u = up.withColumn("__matched", F.lit(True)).alias("u")
     return t.join(u, keys, "left").select(
         *keys,
         *[
             (
-                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                F.when(F.col("__matched"), F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
                 if c in value_cols
                 else F.col(f"t.{c}").alias(c)
             )
@@ -241,8 +248,9 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH target AS ({_TARGET_SQL}), updates AS ({_UPDATES_SQL})
     SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
-           COALESCE(t.c_mktsegment, u.c_mktsegment) AS c_mktsegment
-    FROM updates u LEFT JOIN target t USING (c_custkey)
+           CASE WHEN t.c_custkey IS NOT NULL THEN t.c_mktsegment
+                ELSE u.c_mktsegment END AS c_mktsegment
+    FROM updates u LEFT JOIN target t ON u.c_custkey = t.c_custkey
     UNION ALL
     SELECT t.* FROM target t
     WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
@@ -265,9 +273,11 @@ def q_upsert_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH target AS ({_TARGET_SQL}), updates AS ({_UPDATES_SQL})
     SELECT t.c_custkey, t.c_name, t.c_nationkey,
-           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
-           COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
-    FROM target t LEFT JOIN updates u USING (c_custkey)
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment
+    FROM target t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
     """,
 )
 def q_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:

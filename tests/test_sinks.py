@@ -56,6 +56,25 @@ class TestUpsert:
         assert out[2].val == 20.0  # kept target value
         assert out[4].val == 40.0  # insert takes the new value
 
+    def test_excluded_field_null_in_target_survives(self, spark):
+        # a matched target row whose excluded column is NULL keeps the
+        # NULL — coalesce would let the update overwrite it (ref:
+        # Pype.py:132-143 omits the field from the SET list entirely)
+        target = spark.createDataFrame(
+            [(1, "a", None), (2, "b", 20.0)], "id long, name string, val double"
+        )
+        updates = spark.createDataFrame(
+            [(1, "A", 111.0), (3, "c", 33.0)], "id long, name string, val double"
+        )
+        out = {
+            r.id: r
+            for r in upsert(
+                target, updates, ["id"], fields_excluded_from_update=["val"]
+            ).collect()
+        }
+        assert out[1].name == "A" and out[1].val is None  # target NULL kept
+        assert out[3].val == 33.0  # insert takes the new value
+
     def test_idempotent(self, spark, target):
         updates = spark.createDataFrame([(2, "B", 200.0)], "id long, name string, val double")
         once = upsert(target, updates, ["id"])
@@ -71,6 +90,16 @@ class TestUpdateOnly:
         out = {r.id: r for r in update_only(target, updates, ["id"]).collect()}
         assert set(out) == {1, 2, 3}
         assert out[2].name == "B"
+
+    def test_matched_update_writes_null(self, spark, target):
+        # UPDATE ... SET f=records.f writes a legitimate NULL (ref:
+        # Pype.py:119-130); coalesce(u.c, t.c) would silently keep t.c
+        updates = spark.createDataFrame(
+            [(2, None, None)], "id long, name string, val double"
+        )
+        out = {r.id: r for r in update_only(target, updates, ["id"]).collect()}
+        assert out[2].name is None and out[2].val is None
+        assert out[1].name == "a"  # unmatched rows untouched
 
     def test_partial_column_updates(self, spark, target):
         # updates missing a column: untouched columns keep target values

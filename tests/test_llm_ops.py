@@ -106,6 +106,7 @@ class TestANN:
             N_CELLS,
             N_QUERIES,
             ivf_topk,
+            kmeans_centroids,
         )
         from pypeline_spark.session import load_table
 
@@ -114,11 +115,7 @@ class TestANN:
         for r in cases["q_topk_cosine"].builder(spark, sf_dir).collect():
             exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
         e = load_table(spark, sf_dir, "embeddings")
-        centroids = (
-            e.filter(F.col("vec_id") % 32 == 1)
-            .limit(N_CELLS)
-            .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-        )
+        centroids = kmeans_centroids(e, k=N_CELLS)
         queries = e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
@@ -139,6 +136,30 @@ class TestANN:
         low, high = recall(2), recall(8)
         assert high > low, f"recall did not improve: {low} -> {high}"
         assert high >= 0.7, f"8-probe recall too low: {high}"
+
+    def test_cell_routed_dedup_is_lossless_on_fixture(self, spark, sf_dir):
+        """The cell-routed near-dup scan (kmeans cells + 8-probe BLAS
+        candidates + exact rescore) must find EXACTLY the all-pairs
+        result — it is registered against the exact all-pairs oracle."""
+        from pypeline_spark.functions.similarity import DEDUP_SIM_THRESHOLD, cosine
+
+        cases = load_all()
+        routed = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cases["q_dedup_embedding"].builder(spark, sf_dir).collect()
+        }
+        e = load_table(spark, sf_dir, "embeddings")
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        exact = {
+            (r.id_a, r.id_b, r.sim)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("s"))
+            .filter(F.col("s") >= DEDUP_SIM_THRESHOLD)
+            .select("id_a", "id_b", F.round("s", 6).alias("sim"))
+            .collect()
+        }
+        assert routed == exact
 
     def test_brute_force_self_similarity(self, spark, sf_dir):
         e = load_table(spark, sf_dir, "embeddings").limit(50)

@@ -61,6 +61,17 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_dedup_embedding_cell_routed_not_all_pairs(self, spark, sf_dir, cases):
+        """The embedding near-dup scan must never plan an all-pairs
+        nested loop: candidates come from cell-local Arrow batches
+        (FlatMapGroupsInPandas under groupBy(cell_id)) and the exact
+        rescore joins back equi on vec_id."""
+        spark.catalog.clearCache()
+        plan = plan_of(cases["q_dedup_embedding"].builder(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "FlatMapGroupsInPandas" in plan
+
 
 class TestAggregation:
     def test_q1_partial_aggregation(self, spark, sf_dir, cases):

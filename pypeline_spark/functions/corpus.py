@@ -52,15 +52,24 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
         F.col("lang").isin(*KEEP_LANGS) & n_toks.between(MIN_TOKENS, MAX_TOKENS)
     ).select("doc_id", "lang", "text")
 
-    # exact dedup: keep the smallest doc_id per content fingerprint
+    # exact dedup: keep the smallest doc_id per content fingerprint.
+    # The result feeds two consumers (the shingle/signature branch and
+    # the final anti-join), so materialize it once — localCheckpoint,
+    # GC-scoped, same rationale as the shingle arrays below.
     fp = kept.withColumn("f", F.md5(F.lower(F.trim(F.col("text")))))
     keep_ids = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-    deduped = fp.join(keep_ids, ["f", "doc_id"], "left_semi").drop("f")
+    deduped = (
+        fp.join(keep_ids, ["f", "doc_id"], "left_semi")
+        .drop("f")
+        .localCheckpoint(eager=False)
+    )
 
     # near-dup removal: MinHash-LSH candidates verified by exact
     # Jaccard >= threshold, greedy keep-smallest (drop every pair's
-    # id_b).  Shingle arrays feed signatures and verification both.
-    arrs = doc_shingle_arrays(deduped).cache()
+    # id_b).  Shingle arrays feed signatures and verification both;
+    # localCheckpoint (not .cache()) materializes them once without
+    # session-global cache state — blocks are GC-scoped to this plan.
+    arrs = doc_shingle_arrays(deduped).localCheckpoint(eager=False)
     sigs = minhash_signature(deduped, arrs=arrs)
     pairs = candidate_pairs(lsh_bands(sigs))
     verified = jaccard_from_arrays(pairs, arrs).filter(

@@ -390,9 +390,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Shingle-array relation feeds both the signature computation and
     # the verify step; everything up to the band groupBy is map-side
-    # (no explode, no per-shingle shuffle).  At warehouse scale the
-    # arrays/signatures would be persisted tables, not a runtime cache.
-    arrs = doc_shingle_arrays(d).cache()
+    # (no explode, no per-shingle shuffle).  Materialized once via
+    # localCheckpoint rather than .cache(): no session-global catalog
+    # state to leak or unpersist (blocks are GC-scoped to this plan),
+    # and repeated builder calls can't trip "already cached" churn.  At
+    # warehouse scale the arrays/signatures would be persisted tables.
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
     sigs = minhash_signature(d, arrs=arrs)
     pairs = candidate_pairs(lsh_bands(sigs))
     return jaccard_from_arrays(pairs, arrs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

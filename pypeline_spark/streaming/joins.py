@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
 from pypeline_spark.session import load_table
+from pypeline_spark.streaming import await_finished
 
 ATTRIBUTION_HORIZON = "30 minutes"
 
@@ -104,7 +105,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_finished(q)
     return spark.table(name)
 
 

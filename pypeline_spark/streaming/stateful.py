@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pypeline_spark.registry import query
 from pypeline_spark.session import load_table
+from pypeline_spark.streaming import await_finished
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -96,7 +97,7 @@ def run_stateful_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_finished(q)
     updates = spark.table(name)
     # update mode emits one row per (user, batch-with-changes); the
     # running total is monotone in n_events, so max(n) picks the final

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
 from pypeline_spark.session import load_table
+from pypeline_spark.streaming import await_finished
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
@@ -102,7 +103,7 @@ def run_streaming_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_finished(q)
     out = spark.table(name)
     return out
 

@@ -89,6 +89,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _epoch_nanos(bound: "str | int") -> int:
+    """UTC wall-clock string (ISO date/datetime) -> nanosecond epoch.
+
+    Integer arithmetic throughout — the nanos epoch exceeds double
+    precision, so ``timestamp() * 1e9`` would corrupt microseconds.
+    Whole-second bounds also keep the nanos comparison exactly
+    equivalent to a micros comparison after truncation, which is what
+    keeps the DuckDB oracle (micros) and the pruned scan (nanos) in
+    lockstep on boundary rows.
+    """
+    if isinstance(bound, int):
+        return bound
+    import calendar
+    from datetime import datetime
+
+    dt = datetime.fromisoformat(bound)
+    if dt.tzinfo is not None:
+        from datetime import timezone
+
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return (calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond) * 1_000
+
+
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    since: "str | int | None" = None,
+    until: "str | int | None" = None,
+) -> DataFrame:
+    """Events scan with time predicates applied to the RAW nanos column.
+
+    ``load_table`` converts ts nanos->micros first, which hides time
+    predicates from the parquet scan (the conversion expression is not
+    a pushable filter) — a 100 TB events table would full-scan.  Here
+    the [since, until) bound filters the long column the file actually
+    stores, so it reaches PushedFilters (plan-gated in
+    tests/test_plans.py) and prunes row groups / partitions before the
+    micros conversion happens.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw_nanos = isinstance(df.schema["ts"].dataType, T.LongType)
+    if raw_nanos:
+        if since is not None:
+            df = df.filter(F.col("ts") >= F.lit(_epoch_nanos(since)))
+        if until is not None:
+            df = df.filter(F.col("ts") < F.lit(_epoch_nanos(until)))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if since is not None:
+        df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(_epoch_nanos(since) // 1000)))
+    if until is not None:
+        df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(_epoch_nanos(until) // 1000)))
+    return df
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture parquet as a temp view; return name -> DataFrame.
 

@@ -33,6 +33,17 @@ class TestPushdown:
         assert "l_comment" not in read_schema
         assert "l_returnflag" not in read_schema  # not referenced by this query
 
+    def test_events_time_bound_reaches_parquet_scan(self, spark, sf_dir, cases):
+        """load_events filters the RAW nanos long, so the time bound
+        must appear in PushedFilters — the micros-converted path can't
+        prune and would full-scan a 100 TB events table."""
+        plan = plan_of(cases["q_events_pruned"].builder(spark, sf_dir))
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert pushed, "no PushedFilters line in events plan"
+        assert any(
+            "GreaterThanOrEqual(ts" in l and "LessThan(ts" in l for l in pushed
+        ), pushed
+
     def test_scan_count_prunes_all_columns(self, spark, sf_dir, cases):
         df = cases["q_scan"].builder(spark, sf_dir)
         # count + count distinct needs only l_orderkey

@@ -29,3 +29,26 @@ class DropNationTransformer:
     def filter(self, row: dict) -> dict:  # noqa: A003
         row.pop("c_nationkey", None)
         return row
+
+
+class NativeUppercaseNameTransformer:
+    """Fast-path twin of UppercaseNameTransformer: same semantics as
+    the row-dict version but as a Catalyst column expression — stays
+    JVM-side, codegen-able, no Arrow round-trip."""
+
+    def apply(self, df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn("c_name", F.upper(F.col("c_name")))
+
+
+class NativeAddTierTransformer:
+    """Fast-path twin of AddTierTransformer (adds a column natively —
+    no transformer_schema needed; Catalyst knows the output type)."""
+
+    def apply(self, df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "tier", F.when(F.col("c_acctbal") > 5000, "HIGH").otherwise("LOW")
+        )

@@ -33,6 +33,19 @@ class RowTransformer(Protocol):
         ...
 
 
+class NativeTransformer(Protocol):
+    """Fast-path plugin: column logic as a DataFrame->DataFrame step.
+
+    A transformer exposing ``apply`` participates in the same dotted-
+    path loading and chain ordering as the row-dict contract, but runs
+    as native Catalyst expressions — no Arrow round-trip, no Python
+    workers, full codegen/pushdown.  A chain of only native
+    transformers compiles to a pure JVM plan (asserted in
+    tests/test_pipeline.py)."""
+
+    def apply(self, df: DataFrame) -> DataFrame: ...
+
+
 def dynamic_import(module_path: str, class_name: str):
     """Import ``class_name`` from ``module_path``.
 
@@ -60,23 +73,51 @@ def apply_transform_chain(
     transformers: Sequence[RowTransformer],
     output_schema: Optional[str] = None,
 ) -> DataFrame:
-    """Run the per-row dict transform chain over Arrow batches.
+    """Run the transform chain, native steps on the JVM fast path.
 
-    ``output_schema`` (DDL string) is required when the chain changes
-    the column set; defaults to the input schema.  This is the parity
-    surface for the reference's arbitrary-Python transformers — pure
-    column logic should use native expressions instead.
+    Transformers exposing ``apply`` (NativeTransformer) are applied
+    directly to the DataFrame — they stay inside Catalyst.  Row-dict
+    transformers (the reference's ``filter`` contract) are grouped into
+    maximal consecutive runs, each run executing as ONE ``mapInPandas``
+    pass over Arrow batches (one Python round-trip per run, not per
+    transformer).
+
+    ``output_schema`` (DDL string) is required when a row-dict run
+    changes the column set and applies to the FINAL row run; earlier
+    row runs must be column-set-preserving (put schema-changing row
+    transformers last, or express them natively).  This mirrors the
+    reference's single evolving header (ref: Pype.py:87) under a
+    statically-typed engine.
     """
     if not transformers:
         return df
-    schema = output_schema or df.schema
     chain = list(transformers)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = pdf.to_dict("records")
-            for t in chain:
-                rows = [t.filter(r) for r in rows]
-            yield pd.DataFrame(rows) if rows else pdf.iloc[0:0]
+    def flush(df: DataFrame, run_chain: list, is_last: bool) -> DataFrame:
+        schema = (output_schema if is_last and output_schema else df.schema)
 
-    return df.mapInPandas(run, schema=schema)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                for t in run_chain:
+                    rows = [t.filter(r) for r in rows]
+                yield pd.DataFrame(rows) if rows else pdf.iloc[0:0]
+
+        return df.mapInPandas(run, schema=schema)
+
+    pending: list = []
+    last_row_idx = max(
+        (i for i, t in enumerate(chain) if not hasattr(t, "apply")), default=-1
+    )
+    for i, t in enumerate(chain):
+        if hasattr(t, "apply"):
+            if pending:
+                df = flush(df, pending, is_last=False)
+                pending = []
+            df = t.apply(df)
+        else:
+            pending.append(t)
+            if i == last_row_idx:
+                df = flush(df, pending, is_last=True)
+                pending = []
+    return df

@@ -125,6 +125,64 @@ class TestTransformers:
         df = spark.sql("SELECT 1 AS one")
         assert apply_transform_chain(df, []) is df
 
+    def test_native_chain_matches_row_chain(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 50")
+        row_chain = load_transformers(
+            [
+                "pypeline_spark.pipeline.sample_transformers.UppercaseNameTransformer",
+                "pypeline_spark.pipeline.sample_transformers.AddTierTransformer",
+            ]
+        )
+        native_chain = load_transformers(
+            [
+                "pypeline_spark.pipeline.sample_transformers.NativeUppercaseNameTransformer",
+                "pypeline_spark.pipeline.sample_transformers.NativeAddTierTransformer",
+            ]
+        )
+        schema = "c_custkey bigint, c_name string, c_acctbal double, tier string"
+        via_rows = sorted(map(tuple, apply_transform_chain(df, row_chain, schema).collect()))
+        via_native = sorted(map(tuple, apply_transform_chain(df, native_chain).collect()))
+        assert via_rows == via_native
+
+    def test_native_chain_compiles_to_pure_catalyst(self, spark, sf_dir):
+        """No Python anywhere in the plan when every transformer is
+        native: the chain must be Catalyst expressions only."""
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer")
+        chain = load_transformers(
+            [
+                "pypeline_spark.pipeline.sample_transformers.NativeUppercaseNameTransformer",
+                "pypeline_spark.pipeline.sample_transformers.NativeAddTierTransformer",
+            ]
+        )
+        out = apply_transform_chain(df, chain)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "EvalPython" not in plan
+
+    def test_mixed_chain_batches_row_runs(self, spark, sf_dir):
+        """native / row / row / native: the two row transformers share
+        ONE mapInPandas pass and the natives stay JVM-side."""
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 50")
+        chain = load_transformers(
+            [
+                "pypeline_spark.pipeline.sample_transformers.NativeUppercaseNameTransformer",
+                "pypeline_spark.pipeline.sample_transformers.AddTierTransformer",
+                "pypeline_spark.pipeline.sample_transformers.DropNationTransformer",
+                "pypeline_spark.pipeline.sample_transformers.NativeAddTierTransformer",
+            ]
+        )
+        out = apply_transform_chain(
+            df, chain, "c_custkey bigint, c_name string, c_acctbal double, tier string"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        rows = out.collect()
+        assert len(rows) == 50
+        assert all(r.c_name == r.c_name.upper() and r.tier in ("HIGH", "LOW") for r in rows)
+
 
 class TestRunner:
     def test_etl_pipeline_end_to_end(self, spark, sf_dir):

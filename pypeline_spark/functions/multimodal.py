@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
@@ -90,6 +90,79 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+N_SHARDS = 16  # payload shard objects; production tunes for ~1 GB blobs
+
+_SHARD_URI = "s3://corpus/shard=%04d/part.bin"
+
+
+def payload_pointers(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, uri, byte_offset, byte_len).
+
+    The object-storage layout for 100 TB media: payloads pack into
+    shard objects (doc_id-hashed), each row holds a *pointer* — shard
+    uri + byte range — not the bytes.  Tables stay narrow and
+    shuffle-cheap; decode stages do ranged GETs only for the rows that
+    survive upstream filters.  Offsets are a per-shard running sum of
+    payload lengths in doc_id order: deterministic, so the pointer
+    table is oracle-checkable and stable across writers.
+    """
+    shard = F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("int")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        payloads.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.length("payload").cast("bigint").alias("byte_len"),
+        )
+        .withColumn(
+            "byte_offset", F.coalesce(F.sum("byte_len").over(w), F.lit(0).cast("bigint"))
+        )
+        .select(
+            "doc_id",
+            F.format_string(_SHARD_URI, F.col("shard")).alias("uri"),
+            "byte_offset",
+            "byte_len",
+        )
+    )
+
+
+def pack_shards(payloads: DataFrame) -> DataFrame:
+    """The writer side of the pointer layout: concatenate each shard's
+    payloads in doc_id order into one blob per shard uri.  (Fixture
+    stand-in for the object-store PUT; binary fold stays JVM-side.)"""
+    shard = F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).cast("int")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "payload"))),
+        lambda s: s["payload"],
+    )
+    blob = F.aggregate(
+        ordered,
+        F.lit(b"").cast("binary"),
+        lambda acc, p: F.concat(acc, p),
+    )
+    return payloads.groupBy(shard.alias("shard")).agg(blob.alias("blob")).select(
+        F.format_string(_SHARD_URI, F.col("shard")).alias("uri"), "blob"
+    )
+
+
+def fetch_ranges(pointers: DataFrame, shards: DataFrame) -> DataFrame:
+    """Ranged-GET simulation: pointer join to its shard blob, byte-slice
+    JVM-side.  In deployment this is a ranged GET inside mapInPandas;
+    the layout math (uri, offset, len) is identical.  Round-trip
+    fidelity (fetched bytes == original payload) is pinned in
+    tests/test_llm_ops.py."""
+    return pointers.join(shards, "uri").select(
+        "doc_id",
+        F.expr("substring(blob, cast(byte_offset as int) + 1, cast(byte_len as int))").alias(
+            "payload"
+        ),
+    )
+
+
 N_FEATURE_BINS = 16
 
 
@@ -154,6 +227,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decode pipeline through mapInPandas (stub codec)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_image(attach_payload(d))
+
+
+@query(
+    "q_multimodal_pointers",
+    oracle=f"""
+    SELECT doc_id,
+           printf('{_SHARD_URI}', CAST(doc_id % {N_SHARDS} AS INT)) AS uri,
+           CAST(COALESCE(SUM(octet_length(encode(text))) OVER (
+               PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS byte_offset,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def q_multimodal_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed pointer table for the payload corpus: shard
+    uri + byte range per document (the object-storage layout described
+    in the module docstring, made concrete and oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    return payload_pointers(attach_payload(d))
 
 
 @query(

@@ -170,6 +170,22 @@ class TestANN:
 
 
 class TestMultimodal:
+    def test_pointer_layout_round_trips(self, spark, docs):
+        """Pack payloads into shard blobs, then fetch every pointer's
+        byte range back — fetched bytes must equal the original payload
+        (the (uri, byte_range) object-storage layout is lossless)."""
+        from pypeline_spark.functions.multimodal import (
+            fetch_ranges,
+            pack_shards,
+            payload_pointers,
+        )
+
+        payloads = attach_payload(docs.limit(200)).select("doc_id", "payload")
+        fetched = fetch_ranges(payload_pointers(payloads), pack_shards(payloads))
+        orig = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+        got = {r.doc_id: bytes(r.payload) for r in fetched.collect()}
+        assert got == orig
+
     def test_decode_plumbing(self, spark, docs):
         out = decode_image(attach_payload(docs.limit(25)))
         rows = out.collect()

@@ -1,0 +1,76 @@
+"""Data-quality profiling: per-column null/distinct/min/max in ONE pass.
+
+The standard pre-training hygiene step (and the engine-side half of
+ANALYZE/statistics collection): profile every column of a table without
+one scan per column.  Spark shape: a single wide aggregate computes all
+metrics for all columns in one scan + one reduce, then a ``stack``
+unpivot turns the 1-row wide result into (column, metric...) rows —
+the unpivot is a zero-shuffle projection of a 1-row relation, so the
+whole profile costs exactly one scan regardless of column count.
+
+Min/max are emitted as strings so heterogeneous column types fit one
+schema (the same trick every profiler uses).  Double columns are NOT
+profiled here: engines disagree on float-to-string rendering
+(1e7 vs 10000000.0), which would break the differential harness on
+formatting, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_val, max_val) per col,
+    computed in one scan / one aggregate."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, __nn, n_distinct, min_val, max_val)",
+        "__n",
+    ).select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@query(
+    "q_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (nulls, cardinality, range)."""
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o, _PROFILE_COLS)

@@ -73,6 +73,8 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.windows",
     "pypeline_spark.operators.setops_scalar",
     "pypeline_spark.operators.stats",
+    "pypeline_spark.functions.profile",
+    "pypeline_spark.functions.export",
 )
 
 

@@ -217,3 +217,180 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
         F.md5(F.array_join(tokens(F.lower(F.col("text"))), " ")).alias("normalized_md5"),
     )
+
+
+# --- corpus hygiene: PII scrubbing, decontamination, repetition ---
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact emails and phone numbers (patterns chosen to parse
+    identically under Java regex and RE2 so the oracle replays them)."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+@query(
+    "q_pii_scrub",
+    # The synthetic fixture has no PII, which would make the scrub a
+    # vacuous no-op — so both sides inject one deterministic email +
+    # phone per doc, then scrub, then count redactions.  The operator
+    # under test is the scrub, the injection just gives it real work.
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact_' || doc_id || '@example.com or +001-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM dirty
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones) + per-doc redaction counts —
+    standard pre-training scrub, pure regexp column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact_"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +001-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+@query(
+    "q_decontaminate",
+    # Benchmark set = docs 0-19 (stand-in for an eval suite); a corpus
+    # doc is contaminated when it shares ANY 3-gram with the benchmark.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+    SELECT s.doc_id,
+           COUNT(DISTINCT s.shingle) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id >= 20
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-gram with
+    the benchmark set, with overlap counts.
+
+    Scale: the benchmark shingle set is small and broadcasts; the
+    corpus side streams through map-side shingling (the same
+    doc_shingle_arrays relation as dedup) and one semi-ish equi-join —
+    no corpus self-join anywhere.
+    """
+    from pypeline_spark.functions.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = shingle_rows(d)
+    bench = (
+        rows.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    )
+    return (
+        rows.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+@query(
+    "q_repetition",
+    # Gopher-style repetition signals: top-token frequency share and
+    # duplicate-3-gram fraction; docs failing either gate are flagged.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    top_tok AS (
+        SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_toks
+        FROM (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok_rows GROUP BY 1, 2)
+        GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT doc_id, len(t) - 2 AS n_sh,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS n_uniq
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT tt.doc_id,
+           ROUND(tt.max_cnt * 1.0 / tt.n_toks, 4) AS top_token_share,
+           ROUND(1.0 - sh.n_uniq * 1.0 / sh.n_sh, 4) AS dup_trigram_frac,
+           (tt.max_cnt * 1.0 / tt.n_toks > 0.20
+            OR 1.0 - sh.n_uniq * 1.0 / sh.n_sh > 0.30) AS flagged
+    FROM top_tok tt JOIN sh USING (doc_id)
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): most-frequent-token
+    share and duplicate-trigram fraction, with a flag for docs over
+    either threshold.  All column math over the token array — the only
+    shuffle is the per-doc token count aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    tok_rows = toks.select("doc_id", F.explode("t").alias("tok"))
+    top_tok = (
+        tok_rows.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_cnt"), F.sum("count").alias("n_toks"))
+    )
+    sh = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        (F.size("t") - 2).alias("n_sh"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.array_join(F.slice(F.col("t"), i + 1, 3), " "),
+                )
+            )
+        ).alias("n_uniq"),
+    )
+    top_share = F.col("max_cnt") / F.col("n_toks")
+    dup_frac = F.lit(1.0) - F.col("n_uniq") / F.col("n_sh")
+    return (
+        top_tok.join(sh, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_share, 4).alias("top_token_share"),
+            F.round(dup_frac, 4).alias("dup_trigram_frac"),
+            ((top_share > 0.20) | (dup_frac > 0.30)).alias("flagged"),
+        )
+    )

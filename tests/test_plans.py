@@ -72,6 +72,24 @@ class TestJoinStrategy:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_tpch_shapes_broadcast_dims_and_fold_topk(self, spark, sf_dir, cases):
+        """Q3/Q10 shapes: dims broadcast (fact never shuffles for the
+        join) and ORDER BY + LIMIT folds into TakeOrderedAndProject —
+        no global sort materializes."""
+        for name in ("q_shipping_priority", "q_returned_items"):
+            plan = plan_of(cases[name].builder(spark, sf_dir))
+            assert plan.count("BroadcastHashJoin") >= 2, name
+            assert "TakeOrderedAndProject" in plan, name
+            assert "CartesianProduct" not in plan, name
+
+    def test_decontaminate_broadcasts_benchmark_set(self, spark, sf_dir, cases):
+        """The benchmark shingle set must broadcast; the corpus side
+        streams map-side — no corpus self-join, no shuffle of the big
+        side for the join itself."""
+        plan = plan_of(cases["q_decontaminate"].builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
     def test_dedup_embedding_cell_routed_not_all_pairs(self, spark, sf_dir, cases):
         """The embedding near-dup scan must never plan an all-pairs
         nested loop: candidates come from cell-local Arrow batches

@@ -192,6 +192,69 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema="doc_id bigint, features array<float>")
 
 
+def feature_hist_bp(df: DataFrame) -> DataFrame:
+    """Byte-histogram features in integer BASIS POINTS (n*10000//total).
+
+    The same Arrow-batched featurizer shape as ``extract_features`` but
+    with integer arithmetic end-to-end, so the output is exactly
+    replayable by any engine — no float normalization to disagree on
+    rounding ties.  This makes the mapInPandas featurizer surface
+    hash-checkable (q_feature_hist), not merely row-counted.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, hists = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_FEATURE_BINS)[:N_FEATURE_BINS]
+                total = int(arr.size)
+                lens.append(total)
+                bp = (hist.astype(np.int64) * 10000) // total if total else hist
+                hists.append(bp.astype("int32").tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "byte_len": lens, "hist_bp": hists}
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, byte_len int, hist_bp array<int>")
+
+
+@query(
+    "q_feature_hist",
+    # Fixture text is pure ASCII (same invariant q_frame_sample relies
+    # on), so byte nibbles == ascii(char) // 16 and DuckDB can replay
+    # the featurizer exactly — integer basis points, no float rounding.
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    chars AS (SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin FROM pos),
+    bins AS (SELECT unnest(range({N_FEATURE_BINS})) AS bin),
+    counts AS (
+        SELECT d.doc_id, b.bin, COUNT(c.bin) AS cnt
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN bins b
+        LEFT JOIN chars c ON c.doc_id = d.doc_id AND c.bin = b.bin
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, length(text) AS total FROM documents)
+    SELECT c.doc_id,
+           CAST(t.total AS INT) AS byte_len,
+           list(CAST(c.cnt * 10000 // t.total AS INT) ORDER BY c.bin) AS hist_bp
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.total
+    """,
+)
+def q_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer byte-histogram features over every payload — the
+    Arrow-batched featurizer, hash-checked against a DuckDB replay."""
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hist_bp(attach_payload(d))
+
+
 @query("q_feature_extract", oracle=None)  # Python featurizer: rows-only + pytest parity
 def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features for every payload (the media featurizer

@@ -335,10 +335,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query(
-    "q_dedup_minhash",
-    oracle=_SQL_SHINGLES
-    + """
+# MinHash CTE chain + verified-pair select, shared between the
+# q_dedup_minhash oracle and the clustering oracle (kept as one string
+# each so the two replays can never drift apart).
+_SQL_MINHASH_BODY = """
     , base AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
@@ -371,13 +371,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
         GROUP BY 1, 2
     )
+"""
+
+_SQL_MINHASH_PAIRS_SELECT = """
     SELECT id_a, id_b,
            ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-    """,
+"""
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_SQL_SHINGLES + _SQL_MINHASH_BODY + _SQL_MINHASH_PAIRS_SELECT,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> bands -> candidate
@@ -502,3 +510,81 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+N_CC_ITERS = 6  # min-label propagation hops; near-dup clusters are tiny
+# (fixture max diameter 1, max size 4) so 6 reaches fixpoint with wide
+# margin — the fixpoint itself is asserted in tests/test_llm_ops.py.
+
+
+def near_dup_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id", n_iter: int = N_CC_ITERS
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id).
+
+    The keep-one-per-cluster policy real dedup uses (greedy pair-drop
+    over-deletes chains: a~b, b~c drops b AND c even when a!~c).
+    Min-label propagation: every node starts as its own label; each
+    iteration takes the min label over itself and its neighbors.  After
+    k iterations labels are min-over-k-hops; clusters here have tiny
+    diameter so N_CC_ITERS reaches the full-closure fixpoint that the
+    DuckDB recursive-CTE oracle computes.  Each iteration is one small
+    join + groupBy over the pair graph (linear in edges, never in
+    corpus), localCheckpoint-ed so plan depth stays flat.  Cluster
+    representative = min doc_id, so "keep one per cluster" is
+    ``doc_id == cluster_id``.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(n_iter):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "lbl"
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").cast("bigint").alias("cluster_id")
+    )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_SQL_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _SQL_MINHASH_BODY
+    + ", verified AS ("
+    + _SQL_MINHASH_PAIRS_SELECT
+    + """
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment for every document: MinHash-LSH
+    verified pairs -> connected components (min-label), singletons
+    cluster as themselves.  Oracle replays the closure with a
+    recursive CTE over the same deterministic pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
+    sigs = minhash_signature(d, arrs=arrs)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    verified = jaccard_from_arrays(pairs, arrs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return near_dup_clusters(verified, d.select("doc_id"))

@@ -75,6 +75,44 @@ class TestSimHash:
         assert all(r.hamming <= 3 for r in rows)
 
 
+class TestDedupClusters:
+    def test_label_propagation_reaches_fixpoint(self, spark, docs):
+        """N_CC_ITERS iterations must equal N_CC_ITERS+2 — i.e., the
+        propagation has converged to the full closure the recursive-CTE
+        oracle computes (the equality the oracle check relies on)."""
+        from pypeline_spark.functions.dedup import (
+            N_CC_ITERS,
+            candidate_pairs,
+            doc_shingle_arrays,
+            jaccard_from_arrays,
+            lsh_bands,
+            near_dup_clusters,
+        )
+
+        arrs = doc_shingle_arrays(docs).localCheckpoint(eager=False)
+        sigs = minhash_signature(docs, arrs=arrs)
+        pairs = jaccard_from_arrays(candidate_pairs(lsh_bands(sigs)), arrs).filter(
+            F.col("jaccard") >= 0.5
+        )
+        ids = docs.select("doc_id")
+        at_n = sorted(map(tuple, near_dup_clusters(pairs, ids).collect()))
+        beyond = sorted(
+            map(tuple, near_dup_clusters(pairs, ids, n_iter=N_CC_ITERS + 2).collect())
+        )
+        assert at_n == beyond
+
+    def test_chain_clusters_together(self, spark):
+        """a~b and b~c must land a, b, c in ONE cluster labeled min(id)
+        even when a and c were never a pair (the case greedy pair-drop
+        handles wrongly)."""
+        from pypeline_spark.functions.dedup import near_dup_clusters
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+        out = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs, ids).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
 class TestANN:
     def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
         cases = load_all()

@@ -106,6 +106,36 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_pruned",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_events_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded events aggregate whose bound PRUNES THE SCAN.
+
+    Uses load_events (filter on the raw nanos long before the micros
+    conversion) so the [since, until) predicate lands in PushedFilters
+    — on a 100 TB time-partitioned events table this is the difference
+    between reading ten days and reading everything.  Plan-gated in
+    tests/test_plans.py.
+    """
+    from pypeline_spark.session import load_events
+
+    e = load_events(spark, sf_dir, since="2024-01-10", until="2024-01-20")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
     "q_histogram",
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
@@ -332,34 +362,4 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     test drives the same ``enrich_events`` plan with readStream)."""
     return enrich_events(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
-    )
-
-
-@query(
-    "q_events_pruned",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
-    GROUP BY event_type
-    """,
-)
-def q_events_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bounded events aggregate whose bound PRUNES THE SCAN.
-
-    Uses load_events (filter on the raw nanos long before the micros
-    conversion) so the [since, until) predicate lands in PushedFilters
-    — on a 100 TB time-partitioned events table this is the difference
-    between reading ten days and reading everything.  Plan-gated in
-    tests/test_plans.py.
-    """
-    from pypeline_spark.session import load_events
-
-    e = load_events(spark, sf_dir, since="2024-01-10", until="2024-01-20")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
     )

@@ -128,3 +128,56 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("finished_value"),
         F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("int").alias("has_open"),
     )
+
+
+@query(
+    "q_time_rollup",
+    # Hour and day grains in ONE aggregate pass via GROUPING SETS over
+    # pre-derived buckets — the continuous-aggregate / hypertable
+    # rollup shape.  Equality predicate keeps the comparison exact:
+    # date_trunc is deterministic in both engines under UTC.
+    oracle="""
+    SELECT event_type,
+           CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+           COALESCE(h, d) AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT event_type, value,
+               date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    )
+    GROUP BY GROUPING SETS ((event_type, h), (event_type, d))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hour + day) in one pass.
+
+    Scale: both grains share ONE scan and one shuffle (Expand feeds the
+    grouping sets into the same partial aggregate); the time bound
+    prunes the scan via load_events.  This is the continuous-aggregate
+    pattern: at 100 TB you'd MERGE this output into a rollup table per
+    window instead of re-scanning raw events per grain.
+    """
+    from pypeline_spark.session import load_events
+
+    e = load_events(spark, sf_dir, since="2024-01-10", until="2024-01-13")
+    e.select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).createOrReplaceTempView("__rollup_src")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(h, d) AS bucket,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM __rollup_src
+        GROUP BY GROUPING SETS ((event_type, h), (event_type, d))
+        """
+    )

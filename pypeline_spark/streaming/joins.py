@@ -128,3 +128,52 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch formulation of the stream-stream click→purchase
     attribution join (same expression the streaming runner executes)."""
     return click_purchase_join(load_table(spark, sf_dir, "events"))
+
+
+def unattributed_clicks(
+    events: DataFrame, purchases_stream: DataFrame | None = None
+) -> DataFrame:
+    """Clicks with NO purchase in the attribution window — the LEFT
+    OUTER side of the stream-stream join.
+
+    Streaming semantics: an unmatched click can only emit once the
+    purchase-side watermark passes click_ts + horizon (Spark must prove
+    no future purchase can match).  State cost is identical to the
+    inner join; the extra machinery is the null-emission timer.  The
+    batch formulation (q_click_gaps) is the same expression over the
+    static table.
+    """
+    clicks, purchases = _sides(events)
+    if purchases_stream is not None:
+        _, purchases = _sides(purchases_stream)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON}"))
+    )
+    return (
+        clicks.join(purchases, cond, "left_outer")
+        .filter(F.col("purchase_id").isNull())
+        .select("user_id", "click_id", "click_ts")
+    )
+
+
+@query(
+    "q_click_gaps",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_id IS NULL
+    """,
+)
+def q_click_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the left-outer stream-stream join: clicks never
+    followed by a purchase within the horizon."""
+    return unattributed_clicks(load_table(spark, sf_dir, "events"))

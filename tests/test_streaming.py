@@ -92,6 +92,92 @@ class TestStreamBatchParity:
         assert canon_batch, "fixture must produce attributed purchases"
         assert _canon(stream, cols) == canon_batch
 
+    def test_stream_stream_left_outer_flushes_on_watermark(self, spark, sf_dir):
+        """LEFT OUTER stream-stream join: an unmatched click may only
+        emit once the watermark proves no purchase can still match.  A
+        far-future sentinel purchase (processed as its own later batch)
+        pushes the watermark past every click+horizon, so the streaming
+        run must emit exactly the batch q_click_gaps result."""
+        import datetime
+        import os
+        import uuid
+
+        from pypeline_spark.streaming import await_finished
+        from pypeline_spark.streaming.joins import (
+            ATTRIBUTION_HORIZON,
+            unattributed_clicks,
+        )
+
+        batch = unattributed_clicks(load_table(spark, sf_dir, "events"))
+        cols = ["user_id", "click_id", "click_ts"]
+        canon_batch = _canon(batch, cols)
+        assert canon_batch, "fixture must contain unattributed clicks"
+
+        import tempfile
+
+        src = os.path.join(tempfile.gettempdir(), f"gaps_{uuid.uuid4().hex}")
+        os.makedirs(src)
+        import shutil
+
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a-data.parquet")
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(src, "a-data.parquet"))
+        # Two sentinel files, 10 and 20 days after everything, each its
+        # own batch, each holding a click AND a purchase: Catalyst
+        # pushes the event_type filter below the watermark node, so
+        # each side's watermark tracks only its own event type — a
+        # purchase-only sentinel would advance the purchase side while
+        # the click side (and the min-policy global watermark) stays at
+        # the last real click and the final unmatched click never
+        # flushes.  Two batches because null emission lags watermark
+        # advancement by one batch.
+        import glob as _glob
+        import time as _time
+
+        for days, fname in ((10, "b-sent1"), (20, "c-sent2")):
+            base = (
+                raw.orderBy(F.col("ts").desc())
+                .limit(1)
+                .withColumn("ts", F.col("ts") + F.lit(days * 24 * 3600 * 10**9))
+                .withColumn("event_id", F.lit(-1))
+            )
+            sent = base.withColumn("event_type", F.lit("purchase")).unionByName(
+                base.withColumn("event_type", F.lit("click"))
+            )
+            tmp_out = os.path.join(src, f"__{fname}")
+            sent.coalesce(1).write.parquet(tmp_out)
+            part = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"{fname}.parquet"))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        now = _time.time()
+        for i, path in enumerate(sorted(_glob.glob(os.path.join(src, "*.parquet")))):
+            os.utime(path, (now - 100 + i * 30, now - 100 + i * 30))
+
+        def _stream():
+            return (
+                spark.readStream.schema(raw.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .withWatermark("ts", ATTRIBUTION_HORIZON)
+            )
+
+        out = unattributed_clicks(_stream(), purchases_stream=_stream())
+        name = f"gaps_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q)
+        streamed = spark.table(name).filter(F.col("click_id") != -1)
+        assert _canon(streamed, cols) == canon_batch
+        shutil.rmtree(src, ignore_errors=True)
+
     def test_session(self, spark, sf_dir):
         cutoff = _watermark_cutoff(spark, sf_dir)
         batch = session_agg(load_table(spark, sf_dir, "events")).filter(

@@ -310,3 +310,33 @@ class TestCorpusPipeline:
 
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert minhash_signature(empty).count() == 0
+
+
+class TestLayoutIndependence:
+    """Exports claim layout-independent determinism — re-running under a
+    different partitioning must produce identical results (the property
+    that makes training runs comparable)."""
+
+    def test_train_shards_stable_across_partitionings(self, spark, docs):
+        from pypeline_spark.functions.export import train_shards
+
+        d = docs.select("doc_id")
+        a = sorted(map(tuple, train_shards(d.repartition(7)).collect()))
+        b = sorted(map(tuple, train_shards(d.repartition(2)).collect()))
+        assert a == b
+        # positions are a 1..n permutation within each shard
+        from collections import defaultdict
+
+        by_shard = defaultdict(list)
+        for _, shard, pos in a:
+            by_shard[shard].append(pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_payload_pointers_stable_across_partitionings(self, spark, docs):
+        from pypeline_spark.functions.multimodal import attach_payload, payload_pointers
+
+        p = attach_payload(docs.limit(100)).select("doc_id", "payload")
+        a = sorted(map(tuple, payload_pointers(p.repartition(5)).collect()))
+        b = sorted(map(tuple, payload_pointers(p.repartition(1)).collect()))
+        assert a == b

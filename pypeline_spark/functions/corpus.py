@@ -20,7 +20,11 @@ Scale design per stage:
   DuckDB oracle replays the *same* approximate decisions and the whole
   composed pipeline stays hash-checked (not merely rows-counted);
 - drop policy: greedy keep-smallest — every pair's larger id is
-  dropped (deterministic, one anti-join, no iterative clustering);
+  dropped (deterministic, one anti-join, no iterative clustering).
+  Note the transitive-chain caveat: a~b, b~c drops b and c even when
+  a!~c.  The cluster-correct policy (keep one per connected component)
+  is `functions/dedup.py:near_dup_clusters` / q_dedup_clusters — use
+  it when over-deletion matters more than plan simplicity;
 - final stats: groupBy on lang, output cardinality = language count.
 """
 

@@ -70,3 +70,95 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible shuffled shard layout for the documents corpus."""
     d = load_table(spark, sf_dir, "documents")
     return train_shards(d)
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_TRAIN_SHARDS,
+) -> DataFrame:
+    """Greedy sequence packing: (doc_id, shard, pack_id, n_tokens).
+
+    Training loaders want fixed-budget token sequences with minimal
+    padding; the standard approach packs documents greedily into bins.
+    A global greedy pack is inherently sequential, so the scale shape
+    is pack-within-shard: the deterministic md5 shard layout bounds
+    each packing problem to one Arrow batch, and applyInPandas runs the
+    greedy fold per shard in parallel.  Decisions depend only on the
+    shard's doc order (doc_id asc), so the result is layout-independent
+    and a recursive-CTE oracle can replay it row by row.  Oversized
+    docs (> budget) get a pack of their own, as loaders truncate.
+    """
+    import pandas as pd
+
+    from pypeline_spark.functions.text import tokens
+
+    keyed = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % n_shards
+        ).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, cur_id, cur_tok = [], 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if cur_tok > 0 and cur_tok + n > budget:
+                cur_id += 1
+                cur_tok = 0
+            cur_tok += n
+            pack_ids.append(cur_id)
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["pack_id"] = pd.array(pack_ids, dtype="int64")
+        return out[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return keyed.groupBy("shard").applyInPandas(
+        pack, schema="doc_id bigint, shard int, pack_id bigint, n_tokens int"
+    )
+
+
+@query(
+    "q_pack_sequences",
+    # Recursive CTE replays the greedy fold row-by-row per shard: the
+    # recursion walks rows in doc_id order carrying (pack_id, running
+    # token count) — exactly the loop the Arrow batch runs.
+    oracle=f"""
+    WITH RECURSIVE keyed AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {N_TRAIN_SHARDS} AS INT) AS shard
+        FROM documents
+    ),
+    numbered AS (
+        SELECT doc_id, shard, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM keyed
+    ),
+    walk AS (
+        SELECT doc_id, shard, n_tokens, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_tokens AS running
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.doc_id, n.shard, n.n_tokens, n.rn,
+               CASE WHEN w.running + n.n_tokens > {PACK_BUDGET}
+                    THEN w.pack_id + 1 ELSE w.pack_id END,
+               CASE WHEN w.running + n.n_tokens > {PACK_BUDGET}
+                    THEN n.n_tokens ELSE w.running + n.n_tokens END
+        FROM numbered n JOIN walk w
+          ON n.shard = w.shard AND n.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, pack_id, CAST(n_tokens AS INT) AS n_tokens FROM walk
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-shard sequence packing of the documents corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d)

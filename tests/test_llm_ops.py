@@ -340,3 +340,23 @@ class TestLayoutIndependence:
         a = sorted(map(tuple, payload_pointers(p.repartition(5)).collect()))
         b = sorted(map(tuple, payload_pointers(p.repartition(1)).collect()))
         assert a == b
+
+
+class TestSequencePacking:
+    def test_packs_respect_budget_and_are_layout_stable(self, spark, docs):
+        from pypeline_spark.functions.export import PACK_BUDGET, pack_sequences
+
+        a = sorted(map(tuple, pack_sequences(docs.repartition(5)).collect()))
+        b = sorted(map(tuple, pack_sequences(docs.repartition(2)).collect()))
+        assert a == b  # layout-independent
+        from collections import defaultdict
+
+        totals = defaultdict(int)
+        members = defaultdict(int)
+        for _, shard, pack_id, n_tokens in a:
+            totals[(shard, pack_id)] += n_tokens
+            members[(shard, pack_id)] += 1
+        for key, tot in totals.items():
+            # a pack may exceed the budget only as an oversized singleton
+            assert tot <= PACK_BUDGET or members[key] == 1, (key, tot)
+        assert len(totals) > 1  # the fixture actually packs into bins

@@ -419,3 +419,46 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).cast("int").alias("min_dim"),
         F.max(F.size("embedding")).cast("int").alias("max_dim"),
     )
+
+
+@query(
+    "q_embedding_quantize",
+    # floor() (not round) on the scaled components: identical IEEE
+    # double math in both engines, and floor has no .5-tie rounding
+    # divergence.  The int8 range check is part of the result.
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS norm,
+           list_transform(v, x -> CAST(floor(x / nrm * 127) AS INT)) AS q8,
+           CAST(list_max(list_transform(v, x -> abs(CAST(floor(x / nrm * 127) AS INT))))
+                AS INT) AS q8_max_abs
+    FROM n
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize + int8-quantize every embedding (the compression
+    step ANN indexes apply before storage: 4x smaller vectors, cosine
+    preserved to ~1/127).  Pure column math, map-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("__nrm") * 127).cast("int"),
+    )
+    return (
+        e.withColumn("__nrm", nrm)
+        .select(
+            "vec_id",
+            F.round(F.col("__nrm"), 6).alias("norm"),
+            q8.alias("q8"),
+            F.array_max(F.transform(q8, F.abs)).cast("int").alias("q8_max_abs"),
+        )
+    )

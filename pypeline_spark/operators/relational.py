@@ -662,3 +662,47 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_not_in_nulls",
+    oracle="""
+    SELECT 'no_null_in_set' AS branch, c_custkey FROM customer
+    WHERE c_custkey <= 200
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    UNION ALL
+    SELECT 'null_in_set' AS branch, c_custkey FROM customer
+    WHERE c_custkey <= 200
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+          UNION ALL SELECT NULL)
+    """,
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic (null-aware anti join).
+
+    The classic correctness trap: one NULL in the subquery result makes
+    ``x NOT IN (...)`` UNKNOWN for every row, so the second branch must
+    return ZERO rows while the first (same set, no NULL) returns the
+    complement.  Spark plans this as a null-aware anti join; both
+    branches run through spark.sql so Catalyst's NAAJ handling — not a
+    hand-rewritten join — is what's under test.
+    """
+    from pypeline_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'no_null_in_set' AS branch, c_custkey FROM customer
+        WHERE c_custkey <= 200
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        UNION ALL
+        SELECT 'null_in_set' AS branch, c_custkey FROM customer
+        WHERE c_custkey <= 200
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+              UNION ALL SELECT NULL)
+        """
+    )

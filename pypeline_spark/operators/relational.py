@@ -593,10 +593,11 @@ def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: unshipped-order revenue for one segment, top 10.
 
-    Scale: the segment filter prunes customer BEFORE it broadcasts;
-    orders carries its date predicate into the scan; lineitem (the
-    fact) joins broadcast-wise on both dims and never shuffles until
-    the final two-phase aggregate; LIMIT folds into
+    Scale: the segment filter prunes customer BEFORE it broadcasts
+    (customer is the true dimension here); orders is a FACT table — no
+    broadcast hint, AQE picks broadcast at small SF and sort-merge at
+    warehouse scale where a forced broadcast would OOM the executors.
+    Both fact scans carry their date predicates; LIMIT folds into
     TakeOrderedAndProject, so the global sort never materializes.
     Ties broken by l_orderkey for a deterministic top-10.
     """
@@ -610,7 +611,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -643,8 +644,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
 
     Scale: return-flag and date predicates push into the two fact
-    scans; customer/nation broadcast; one shuffle for the aggregate on
-    c_custkey; TakeOrderedAndProject for the limit.
+    scans; customer/nation (true dims) broadcast; orders is a fact —
+    unhinted, so AQE broadcasts it only while it actually fits; one
+    shuffle for the aggregate on c_custkey; TakeOrderedAndProject for
+    the limit.
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -654,7 +657,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")

@@ -91,6 +91,11 @@ def pack_sequences(
     shard's doc order (doc_id asc), so the result is layout-independent
     and a recursive-CTE oracle can replay it row by row.  Oversized
     docs (> budget) get a pack of their own, as loaders truncate.
+
+    Scale note: one shard = one Arrow batch, so ``n_shards`` must grow
+    with the corpus (target the loader's file size, ~100-500 MB of
+    tokens per shard); the fixture's 8 shards are a test-scale choice,
+    not a constant to keep at 100 TB.
     """
     import pandas as pd
 

@@ -26,7 +26,13 @@ from pypeline_spark.session import load_table
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_val, max_val) per col,
-    computed in one scan / one aggregate."""
+    computed in one scan / one aggregate.
+
+    Scale note: N exact countDistinct aggregates make Catalyst Expand
+    the input N ways; at warehouse scale swap them for
+    approx_count_distinct (HLL sketch, no Expand) — exact distincts
+    here keep the profile oracle-checkable.
+    """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

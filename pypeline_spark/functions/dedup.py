@@ -588,3 +588,83 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     return near_dup_clusters(verified, d.select("doc_id"))
+
+
+INCR_SPLIT = 300  # fixture split: doc_id < 300 = standing corpus, rest = new batch
+
+
+def incremental_near_dups(
+    kept: DataFrame, batch: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """New-batch docs that near-duplicate the STANDING corpus.
+
+    The ingestion-time shape of near-dedup: the standing corpus's
+    signatures/bands are a persisted index that each incoming batch
+    probes — candidates come from a bands(batch) x bands(kept) join
+    (never batch x batch here, and never a corpus rescan beyond the
+    band index), then exact Jaccard verifies.  Output: one row per
+    (new_id, kept_id) verified pair.  At 100 TB the kept-side band
+    table is bucketed by (band, band_key) so a batch probe shuffles
+    only the batch.
+    """
+    arrs_kept = doc_shingle_arrays(kept, id_col).localCheckpoint(eager=False)
+    arrs_new = doc_shingle_arrays(batch, id_col).localCheckpoint(eager=False)
+    bands_kept = lsh_bands(minhash_signature(kept, id_col, arrs=arrs_kept), id_col)
+    bands_new = lsh_bands(minhash_signature(batch, id_col, arrs=arrs_new), id_col)
+    cand = (
+        bands_new.alias("n")
+        .join(
+            bands_kept.alias("k"),
+            (F.col("n.band") == F.col("k.band"))
+            & (F.col("n.band_key") == F.col("k.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"k.{id_col}").alias("kept_id")
+        )
+        .distinct()
+    )
+    nn = arrs_new.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_n"))
+    kk = arrs_kept.select(F.col(id_col).alias("kept_id"), F.col("sh").alias("sh_k"))
+    n_inter = F.size(F.array_intersect("sh_n", "sh_k"))
+    return (
+        nn.join(F.broadcast(cand), "new_id")
+        .join(kk, "kept_id")
+        .select(
+            "new_id",
+            "kept_id",
+            F.round(n_inter / (F.size("sh_n") + F.size("sh_k") - n_inter), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    # Same CTE chain as q_dedup_minhash with the pair predicate swapped:
+    # a (id_a) ranges over the NEW batch, b (id_b) over the standing
+    # corpus — the replace rewrites both the band-join and the
+    # shingle-intersection join in one stroke, keeping the chain
+    # textually identical to the Spark path otherwise.
+    oracle=_SQL_SHINGLES
+    + _SQL_MINHASH_BODY.replace(
+        "AND a.doc_id < b.doc_id",
+        f"AND b.doc_id < {INCR_SPLIT} AND a.doc_id >= {INCR_SPLIT}",
+    )
+    + f"""
+    SELECT id_a AS new_id, id_b AS kept_id,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup probe: docs >= INCR_SPLIT (the new batch)
+    checked against docs < INCR_SPLIT (the standing corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    return incremental_near_dups(kept, batch)

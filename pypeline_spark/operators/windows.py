@@ -238,3 +238,81 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     vestigial OFFSET suffix (ref: /root/reference/pypeline/Pype.py:174-175)."""
     c = load_table(spark, sf_dir, "customer")
     return c.orderBy("c_custkey").offset(50).limit(20).select("c_custkey", "c_name")
+
+
+@query(
+    "q_interpolate",
+    # Gaps are synthesized deterministically (every 7th event_id loses
+    # its value); interior gaps linear-interpolate between the nearest
+    # non-null neighbors, boundary gaps stay NULL.  Identical
+    # expression shape both sides: pv + (nv - pv) * ((t - pt)/(nt - pt))
+    # over integer microsecond deltas, rounded to 4.
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+               epoch_us(ts) AS t
+        FROM events WHERE user_id < 20
+    ),
+    n AS (
+        SELECT user_id, event_id, ts, v, t,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER w_next AS nt
+        FROM g
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_next AS (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           ROUND(COALESCE(v, pv + (nv - pv) * ((t - pt) * 1.0 / (nt - pt))), 4)
+               AS value_filled,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS was_interpolated
+    FROM n
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation of missing values.
+
+    Interior NULLs fill as pv + (nv-pv)*frac between the nearest
+    non-null neighbors (last/first with ignorenulls over asymmetric
+    frames); boundary NULLs stay NULL.  One shuffle on user_id covers
+    both window frames — the standard sensor-data repair op.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    t = F.unix_micros(F.col("ts"))
+    g = e.select("user_id", "event_id", "ts", v.alias("v"), t.alias("t"))
+    w_prev = (
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(1, W.unboundedFollowing)
+    )
+    tv = F.when(F.col("v").isNotNull(), F.col("t"))
+    n = g.select(
+        "user_id",
+        "event_id",
+        "v",
+        "t",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(tv, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(tv, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (F.col("t") - F.col("pt")) * F.lit(1.0) / (F.col("nt") - F.col("pt"))
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return n.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(F.col("v"), interp), 4).alias("value_filled"),
+        (
+            F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        ).alias("was_interpolated"),
+    )

@@ -135,77 +135,6 @@ def q_events_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_histogram",
-    oracle="""
-    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
-           ROUND(MIN(o_totalprice), 2) AS lo,
-           ROUND(MAX(o_totalprice), 2) AS hi,
-           COUNT(*) AS n
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of order value (25k bins).
-
-    Scale: binning is a map-side expression; the aggregate shuffles
-    only (bin -> partial stats), i.e. output cardinality = bin count,
-    independent of input size.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.withColumn(
-            "bin", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
-        )
-        .groupBy("bin")
-        .agg(
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-@query(
-    "q_unpivot",
-    oracle="""
-    WITH base AS (
-        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               l_discount, l_tax
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1998-09-01'
-    )
-    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-           l_quantity AS val FROM base
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-    FROM base
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base
-    """,
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide -> long unpivot of the four lineitem measures (recent
-    shipments only, so the filter pushes down below the unpivot).
-
-    Scale: ``unpivot`` is a generate-style projection — 4x rows out
-    but zero shuffle; the melt happens inside the scan stage.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") >= F.lit("1998-09-01").cast("timestamp"))
-        .unpivot(
-            ids=["l_orderkey", "l_linenumber"],
-            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-            variableColumnName="measure",
-            valueColumnName="val",
-        )
-    )
-
-
 N_SALTS = 16
 
 
@@ -362,4 +291,75 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     test drives the same ``enrich_events`` plan with readStream)."""
     return enrich_events(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (25k bins).
+
+    Scale: binning is a map-side expression; the aggregate shuffles
+    only (bin -> partial stats), i.e. output cardinality = bin count,
+    independent of input size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+    )
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot of the four lineitem measures (recent
+    shipments only, so the filter pushes down below the unpivot).
+
+    Scale: ``unpivot`` is a generate-style projection — 4x rows out
+    but zero shuffle; the melt happens inside the scan stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-09-01").cast("timestamp"))
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
     )

@@ -54,10 +54,12 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # Steady-state timing: each query runs N times (default 2), the
-    # minimum is reported — one run can absorb a GC pause or a codegen
-    # compile for a plan shape the warm-up didn't cover.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Steady-state timing: each query runs N times (default 3), the
+    # minimum is reported — one run can absorb a GC pause, a codegen
+    # compile for a plan shape the warm-up didn't cover, or a transient
+    # host-contention window (observed: identical code measuring 12s vs
+    # 22s total across runs minutes apart on a busy hypervisor).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = cases[name].builder

@@ -5,6 +5,7 @@ results correct but wrecks the 100 TB story fails CI."""
 
 import pytest
 
+from pypeline_spark.plans.inspect import optimized_plan, physical_plan
 from pypeline_spark.registry import load_all
 
 
@@ -14,11 +15,11 @@ def cases():
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(df)
 
 
 def optimized_of(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    return optimized_plan(df)
 
 
 class TestPushdown:
@@ -251,3 +252,32 @@ class TestNoDriverCollects:
             if name == "q_pipeline_etl":  # runs a full ETL by design
                 continue
             assert isinstance(case.builder(spark, sf_dir), DataFrame), name
+
+
+class TestNoNestedLoopSweep:
+    # Cross/nested shapes that are the operator's documented semantics:
+    # q_join_cross IS a cross join; q_topk_cosine / q_knn_ivf broadcast
+    # a tiny query/centroid set across the corpus by design.
+    INTENTIONAL = {"q_join_cross", "q_topk_cosine", "q_knn_ivf"}
+    # Streaming builders execute a real streaming job; their plans are
+    # asserted in tests/test_streaming.py instead.
+    STREAMING = {
+        "q_tumbling", "q_sliding", "q_session",
+        "q_stream_dedup", "q_running_totals", "q_stream_join",
+    }
+
+    def test_every_batch_query_avoids_nested_loops(self, spark, sf_dir, cases):
+        """Sweep: no registered batch operator may plan a
+        BroadcastNestedLoopJoin/CartesianProduct unless its semantics
+        ARE a cross product — the blanket guard that keeps future
+        operators from quietly shipping an all-pairs plan."""
+        from pypeline_spark.plans import has_nested_loop
+
+        spark.catalog.clearCache()
+        offenders = []
+        for name, case in cases.items():
+            if name in self.INTENTIONAL or name in self.STREAMING:
+                continue
+            if has_nested_loop(case.builder(spark, sf_dir)):
+                offenders.append(name)
+        assert not offenders, offenders

@@ -75,6 +75,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.stats",
     "pypeline_spark.functions.profile",
     "pypeline_spark.functions.export",
+    "pypeline_spark.functions.lm",
 )
 
 

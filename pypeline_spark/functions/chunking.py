@@ -1,0 +1,177 @@
+r"""Training-data preparation: document chunking, vocabulary statistics,
+and mixture resampling over the ``documents`` corpus.
+
+These extend the LLM-data tier (functions/text.py, functions/corpus.py)
+with the steps that sit between a cleaned corpus and a tokenizer /
+training run:
+
+- **chunking** splits long documents into fixed-size token windows with
+  overlap (the context-window packing precursor; see
+  functions/export.py for the packing step itself);
+- **vocabulary stats** computes per-token document frequency and IDF —
+  the input to tokenizer training and stop-word lists;
+- **mixture resampling** rebalances the corpus across source strata to
+  a target mixture with a deterministic hash gate, the standard way a
+  training mix is pinned (and reproduced) across runs.
+
+Scale notes (100 TB corpus):
+- Chunking is a map-side explode: ``split`` -> ``sequence`` ->
+  ``explode`` -> ``slice`` all run inside WholeStageCodegen on the
+  scan, no shuffle, no Python.  Output size is input size × overlap
+  factor — the explode multiplies rows, not bytes-per-row, so file
+  sizing is handled by AQE coalescing on the write.
+- Vocabulary stats shuffle once on token (the unavoidable reduce);
+  ``array_distinct`` BEFORE exploding turns per-doc repeats into one
+  row, a map-side combine that cuts the shuffle by the in-doc repeat
+  factor.  The driver never sees the long tail — top-k is a sort of
+  the already-aggregated (small) token table.
+- Mixture sampling broadcasts a per-stratum rate table (|sources|
+  rows) onto the scan; the accept test is the same engine-portable
+  md5 bucket used by q_sample_hash (operators/scale_ops.py:40), so
+  every engine and every rerun selects the SAME rows — a pinned,
+  reproducible training mix.
+
+Reference connection: the reference's corpus surface is delegated SQL
+(ref: /root/reference/pypeline/Pype.py:36); SURVEY.md §2b's LLM-data
+extension makes these native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.operators.scale_ops import _HASH_BUCKET_SQL, hash_bucket
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+VOCAB_TOP = 50  # vocabulary rows returned
+MIX_BUCKETS = 10_000  # basis-point granularity of the accept gate
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS})) AS INT)
+               AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM t, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS g(start)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks: 32 tokens, stride 24 (8 overlap).
+
+    Pure map-side explode — chunk starts come from ``sequence`` over
+    the token count, the chunk text from ``slice`` + ``array_join``;
+    the whole plan is one codegen stage on the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS))
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "q_vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT token, df, ROUND(LN(total * 1.0 / df), 4) AS idf
+    FROM c, n
+    ORDER BY df DESC, token
+    LIMIT {VOCAB_TOP}
+    """,
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token document-frequency + IDF, top 50 by df (token tiebreak).
+
+    ``array_distinct`` before the explode is the map-side combine:
+    per-document repeats never reach the shuffle.  The total-docs
+    scalar rides in as an uncorrelated scalar subquery (a separate
+    1-row job whose result is injected as a literal) — not a cross
+    join, not a driver-side collect.
+    """
+    from pypeline_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tok AS (
+            SELECT explode(array_distinct(split(text, ' '))) AS token
+            FROM documents
+        ),
+        c AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
+        SELECT token, df,
+               ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 4) AS idf
+        FROM c
+        ORDER BY df DESC, token
+        LIMIT {VOCAB_TOP}
+        """
+    )
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (SELECT source, (mn * {MIX_BUCKETS}) // cnt AS rate_bp FROM c, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {_HASH_BUCKET_SQL.format(cols="d.doc_id", buckets=MIX_BUCKETS)}
+          < r.rate_bp
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-mixture resample: downsample every source stratum to the
+    smallest one with a deterministic per-row hash gate.
+
+    The per-stratum acceptance rate (basis points, integer arithmetic
+    so both engines agree exactly) broadcasts onto the scan; the gate
+    is the md5 bucket from q_sample_hash, so the selected subset is
+    identical across engines, reruns, and partition layouts — a
+    reproducible training mix.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    # the min-count scalar rides on a window over the tiny per-stratum
+    # counts table (|sources| rows), not a cross join against it
+    rates = counts.select(
+        "source",
+        F.expr(f"(min(cnt) OVER ()) * {MIX_BUCKETS} div cnt").alias("rate_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id"), buckets=MIX_BUCKETS) < F.col("rate_bp"))
+        .select("doc_id", "lang", "source")
+    )

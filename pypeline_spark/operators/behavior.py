@@ -1,0 +1,178 @@
+r"""Behavioral event analytics: conversion funnel, cohort retention,
+and statistical outlier detection over the ``events`` table.
+
+These are the product-analytics queries the reference serves by
+shipping raw SQL to its source database (ref:
+/root/reference/pypeline/Pype.py:36 — ``extract_query`` is arbitrary
+SQL); here each is a native Catalyst plan per SURVEY.md §2b.
+
+Scale notes (100 TB events):
+- The funnel anchors every user at their FIRST view and checks the
+  other steps inside a fixed window after it.  The expensive part is
+  the per-user anchor join: it is an **equi-join on user_id** (the
+  window predicate is a post-join filter within the key group), so it
+  shuffles both sides once on user_id — never a cartesian.  AQE
+  handles hot users (bot traffic) via skew-split; the
+  ``test_plans.py`` nested-loop sweep covers this query too.
+- Cohort retention is two hash aggregates over one scan pattern
+  (first-touch per user, then distinct users per (cohort, offset)).
+  countDistinct shuffles (cohort_day, day_offset, user_id) — the
+  right layout, since user_id is already the finest grain.
+- Outlier scoring broadcasts a 5-row per-type stats table back onto
+  the stream of events: one scan + one tiny shuffle for the stats,
+  map-side z-score, no second full shuffle.
+- All window arithmetic is integer microseconds (``unix_micros`` /
+  ``epoch_us``) — the engine-portable form this repo uses everywhere
+  for time gaps (see operators/windows.py:254,290).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour after the anchor view
+RETENTION_MAX_DAY = 13  # two weeks of daily cohort offsets
+Z_CUTOFF = 2.5
+
+
+@query(
+    "q_funnel",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    flags AS (
+        SELECT f.user_id,
+               MAX(CASE WHEN e.event_type = 'click'
+                         AND e.ts > f.first_view
+                         AND epoch_us(e.ts) - epoch_us(f.first_view)
+                             <= {FUNNEL_WINDOW_US}
+                        THEN 1 ELSE 0 END) AS clicked,
+               MAX(CASE WHEN e.event_type = 'purchase'
+                         AND e.ts > f.first_view
+                         AND epoch_us(e.ts) - epoch_us(f.first_view)
+                             <= {FUNNEL_WINDOW_US}
+                        THEN 1 ELSE 0 END) AS purchased
+        FROM firsts f JOIN events e ON f.user_id = e.user_id
+        GROUP BY f.user_id
+    )
+    SELECT 'view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM flags
+    UNION ALL
+    SELECT 'view_click' AS step,
+           CAST(SUM(clicked) AS BIGINT) AS users FROM flags
+    UNION ALL
+    SELECT 'view_click_purchase' AS step,
+           CAST(SUM(CASE WHEN clicked = 1 AND purchased = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS users
+    FROM flags
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored conversion funnel: view -> click -> purchase within 1 h.
+
+    Every user is anchored at their FIRST view; later steps count if
+    they occur strictly after the anchor and within the window.  The
+    funnel is monotone by construction (a purchase only counts for
+    users who also clicked), so the three counts never invert.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("first_view"))
+    in_window = (F.col("ts") > F.col("first_view")) & (gap <= FUNNEL_WINDOW_US)
+    step_hit = lambda t: F.max(  # noqa: E731
+        F.when((F.col("event_type") == t) & in_window, 1).otherwise(0)
+    )
+    flags = (
+        firsts.join(e, "user_id")  # equi-join on user_id; window is a post-filter
+        .groupBy("user_id")
+        .agg(step_hit("click").alias("clicked"), step_hit("purchase").alias("purchased"))
+    )
+    counts = flags.agg(
+        F.count("*").cast("bigint").alias("views"),
+        F.sum("clicked").cast("bigint").alias("clicks"),
+        F.sum(F.when((F.col("clicked") == 1) & (F.col("purchased") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("conversions"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', views, 'view_click', clicks,"
+        " 'view_click_purchase', conversions) AS (step, users)"
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)
+               AS day_offset,
+           COUNT(DISTINCT e.user_id) AS users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+          <= {RETENTION_MAX_DAY}
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users active N days after first touch.
+
+    Cohort = date of a user's first event; a cell (cohort_day, k)
+    counts distinct cohort members active exactly k days later, for
+    the first two weeks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("int")
+    return (
+        e.join(firsts, "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= RETENTION_MAX_DAY)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+@query(
+    "q_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 2) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > {Z_CUTOFF}
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: |value - mean| > 2.5 sigma.
+
+    The per-type stats table is tiny (one row per event_type) and
+    broadcast back onto the events scan, so scoring is map-side; the
+    only shuffle is the stats aggregate itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > Z_CUTOFF)
+        .select("event_id", "event_type", "value", F.round(z, 2).alias("z"))
+    )

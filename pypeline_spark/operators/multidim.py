@@ -1,0 +1,134 @@
+r"""Multi-dimensional analytics: one-pass correlation matrices and
+Z-order (Morton) clustering keys for multi-column data skipping.
+
+- **Correlation matrix**: all pairwise Pearson correlations of a set
+  of measures in ONE aggregate pass — the profiling step before
+  feature selection.  Six ``corr`` expressions share a single scan and
+  a single (1-row) aggregate; ``stack`` pivots the row to long form.
+  At 100 TB this is the difference between one pass and C(n,2) passes.
+
+- **Z-order key**: interleaves the bits of two bucketed dimensions so
+  rows close in (x, y) are close in z.  Sorting/range-partitioning a
+  table by z before writing gives every output file a NARROW min/max
+  envelope in BOTH dimensions, so a predicate on either column prunes
+  files (parquet row-group stats / data-skipping indexes) — the
+  standard lakehouse layout trick for multi-dimensional workloads.
+  ``sinks/layout.py::write_zordered`` is the writer; the query below
+  oracle-checks the bit-interleave arithmetic itself.
+
+Reference connection: delegated-SQL surface made native
+(ref: /root/reference/pypeline/Pype.py:36); SURVEY.md §2b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pypeline_spark.registry import query
+from pypeline_spark.session import load_table
+
+Z_BITS = 8  # bits per dimension: z fits in 2*Z_BITS = 16 bits
+
+
+def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton interleave of two already-bucketed non-negative ints.
+
+    Bit i of x lands at z-bit 2i, bit i of y at 2i+1.  Built from
+    shiftleft/shiftright/& only — evaluates inside WholeStageCodegen,
+    no UDF.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """The same interleave in portable SQL (DuckDB `<<`/`>>`/`&`)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _pairs():
+    cols = _MEASURES
+    return [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+
+@query(
+    "q_corr_matrix",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+        # + 0.0 folds IEEE -0.0 (a possible ROUND output) to +0.0
+        f" ROUND(corr({a}, {b}), 3) + 0.0 AS r FROM lineitem"
+        for a, b in _pairs()
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of 4 lineitem measures, one pass.
+
+    All six ``corr`` aggregates share a single scan + single 1-row
+    aggregate; ``stack`` unpivots to (col_x, col_y, r) long form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            (F.round(F.corr(a, b), 3) + F.lit(0.0)).alias(f"c{i}")
+            for i, (a, b) in enumerate(_pairs())
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(_pairs())
+    )
+    return wide.selectExpr(
+        f"stack({len(_pairs())}, {stack_args}) AS (col_x, col_y, r)"
+    )
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    WITH z AS (
+        SELECT ({_zvalue_sql(f"(l_partkey % {1 << Z_BITS})", f"(l_suppkey % {1 << Z_BITS})")})
+               AS zv
+        FROM lineitem
+    )
+    SELECT CAST(zv // 256 AS INT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(zv) AS INT) AS z_min,
+           CAST(MAX(zv) AS INT) AS z_max
+    FROM z GROUP BY z_bucket
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key distribution over (l_partkey, l_suppkey) buckets.
+
+    Oracle-checks the bit-interleave arithmetic; the layout writer
+    (``sinks/layout.py``) range-partitions on this key so parquet
+    min/max stats prune on BOTH dimensions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = (1 << Z_BITS) - 1
+    zv = zvalue(
+        F.col("l_partkey").bitwiseAND(mask), F.col("l_suppkey").bitwiseAND(mask)
+    )
+    # % on positives == & mask here; & keeps the DuckDB side (%) exact too
+    return (
+        li.select(zv.alias("zv"))
+        .groupBy(F.expr("zv div 256").cast("int").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zv").cast("int").alias("z_min"),
+            F.max("zv").cast("int").alias("z_max"),
+        )
+    )

@@ -33,13 +33,20 @@ class QueryCase:
 
 
 QUERIES: dict[str, QueryCase] = {}
+_MODULE_OF: dict[str, str] = {}  # query name -> defining module
+_SEQ_OF: dict[str, int] = {}  # query name -> within-module registration seq
+_seq_counter = 0
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builder]:
     """Decorator registering a query builder (and its DuckDB oracle)."""
 
     def deco(fn: Builder) -> Builder:
+        global _seq_counter
         QUERIES[name] = QueryCase(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
+        _MODULE_OF[name] = fn.__module__
+        _SEQ_OF[name] = _seq_counter
+        _seq_counter += 1
         return fn
 
     return deco
@@ -76,6 +83,9 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.profile",
     "pypeline_spark.functions.export",
     "pypeline_spark.functions.lm",
+    "pypeline_spark.operators.behavior",
+    "pypeline_spark.functions.chunking",
+    "pypeline_spark.operators.multidim",
 )
 
 
@@ -91,4 +101,15 @@ def load_all() -> dict[str, QueryCase]:
             # re-raise genuine dependency errors inside existing modules.
             if exc.name and not exc.name.startswith("pypeline_spark"):
                 raise
-    return QUERIES
+    # Canonical order: _OPERATOR_MODULES rank, then within-module
+    # registration sequence.  Raw QUERIES insertion order is an import-
+    # order artifact — importing any operator module before load_all()
+    # (a test, a REPL, sinks/layout.py pulling in multidim) would
+    # otherwise displace entries from the driver's 50-entry correctness
+    # window.  This sort makes the window independent of import order.
+    rank = {mod: i for i, mod in enumerate(_OPERATOR_MODULES)}
+    ordered = sorted(
+        QUERIES,
+        key=lambda n: (rank.get(_MODULE_OF[n], len(rank)), _SEQ_OF[n]),
+    )
+    return {n: QUERIES[n] for n in ordered}

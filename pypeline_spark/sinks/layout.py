@@ -1,0 +1,91 @@
+r"""Physical layout writers: Z-order clustered parquet for
+multi-dimensional data skipping.
+
+Why this exists: a 100 TB fact table is usually range-partitioned (or
+just arrival-ordered) on ONE key, so predicates on any other column
+read every file.  Writing the table clustered by a Morton (Z-order)
+key over the two hottest filter columns gives every output file a
+narrow min/max envelope in BOTH dimensions, and every engine that
+reads parquet footers (Spark, DuckDB, Trino, ...) prunes files/row
+groups on either column for free.  This is the same layout strategy
+lakehouse table formats expose as ``OPTIMIZE ... ZORDER BY``;
+here it is a plain-parquet writer with no table-format dependency.
+
+Mechanics: compute z = interleave(bits(x), bits(y)) (see
+``operators/multidim.py::zvalue``), then ``repartitionByRange(z)`` —
+one range shuffle, identical cost shape to a global sort-by-one-key —
+and ``sortWithinPartitions(z)`` so row groups inside a file are
+clustered too.  The z column is kept in the file: it doubles as the
+cluster key for later compactions and costs one int16-range column.
+
+The test (tests/test_layout.py) proves the skipping claim from the
+parquet footers themselves: per-file z ranges are pairwise disjoint,
+and the mean per-file envelope width in x and y is a small fraction
+of the global range.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pypeline_spark.operators.multidim import Z_BITS, zvalue
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: "str | Column",
+    y: "str | Column",
+    num_files: int = 8,
+    bits: int = Z_BITS,
+    z_col: str = "__z",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of (x, y).
+
+    ``x`` / ``y`` must be non-negative int expressions; they are
+    bucketed to ``bits`` bits with a mask (callers with wider domains
+    should pre-bucket, e.g. ``F.col("ts_day")`` or a modulus).  One
+    range shuffle on z; files come out z-disjoint.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    mask = (1 << bits) - 1
+    z = zvalue(xc.bitwiseAND(mask), yc.bitwiseAND(mask), bits=bits)
+    (
+        df.withColumn(z_col, z)
+        .repartitionByRange(num_files, F.col(z_col))
+        .sortWithinPartitions(z_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_column_ranges(path: str, columns: Sequence[str]) -> list[dict]:
+    """Per-file (min, max) of each column, read from parquet footers —
+    the same stats a data-skipping reader uses.  Driver-side metadata
+    only; no row data is read."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        ranges: dict = {"file": name}
+        for col in columns:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    c = row_group.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            ranges[col] = (lo, hi)
+        out.append(ranges)
+    return out

@@ -37,6 +37,7 @@ from pypeline_spark.session import load_table
 FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour after the anchor view
 RETENTION_MAX_DAY = 13  # two weeks of daily cohort offsets
 Z_CUTOFF = 2.5
+BASKET_TOP = 20  # co-occurrence pairs returned
 
 
 @query(
@@ -175,4 +176,106 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > Z_CUTOFF)
         .select("event_id", "event_type", "value", F.round(z, 2).alias("z"))
+    )
+
+
+@query(
+    "q_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence mining: parts bought together, top 20.
+
+    The pair generation is a SELF-EQUI-JOIN on l_orderkey (the basket
+    id); the ``part_a < part_b`` canonicalization is a post-filter
+    inside the key group, so fanout is C(basket_size, 2) per order —
+    bounded by basket size, never by table size.  This is the frequent-
+    itemset (k=2) building block; higher k iterates the same join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_order DESC, custkey) AS r_q,
+           NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+           NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS m_q
+    FROM base
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer.
+
+    One aggregate over orders, then three NTILE windows over the
+    (much smaller) per-customer table.  Ties are broken by custkey so
+    quartile assignment is total-ordered — identical across engines
+    and partition layouts.  Money stays DECIMAL through the sum
+    (engine-exact), rounded once at the end.
+
+    Scale note: a global NTILE is a single-partition sort of the
+    PER-CUSTOMER table — fine while |customers| << |orders| (the fact
+    table never passes through it).  If the dimension itself outgrows
+    one partition, swap NTILE for approx_percentile cutoffs broadcast
+    onto the base (rank-exactness traded for distribution).
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_order").desc(), "custkey"))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_q"),
     )

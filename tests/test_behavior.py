@@ -155,6 +155,28 @@ class TestMixtureSample:
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+class TestMarketBasket:
+    def test_pairs_canonical_and_supported(self, spark, sf_dir, cases):
+        df = cases["q_market_basket"].builder(spark, sf_dir)
+        assert df.filter(F.col("part_a") >= F.col("part_b")).count() == 0
+        assert df.filter(F.col("n_orders") < 1).count() == 0
+
+    def test_self_join_is_hash_on_basket_key(self, spark, sf_dir, cases):
+        plan = cases["q_market_basket"].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestRfm:
+    def test_quartiles_balanced(self, spark, sf_dir, cases):
+        df = cases["q_rfm"].builder(spark, sf_dir)
+        n = df.count()
+        for col in ("r_q", "f_q", "m_q"):
+            sizes = {r[col]: r["count"] for r in df.groupBy(col).count().collect()}
+            assert set(sizes) == {1, 2, 3, 4}
+            assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE balance
+        assert n == df.select("custkey").distinct().count()
+
+
 class TestZorderQuery:
     def test_bucket_ranges_nest(self, spark, sf_dir, cases):
         df = cases["q_zorder"].builder(spark, sf_dir)

@@ -1,0 +1,99 @@
+"""End-to-end: a micro-batched stream committed per-batch into the
+keyed upsert sink — the reference's actual deployment shape
+(ref: /root/reference/pypeline/Pype.py:147-148 — fetch a batch, merge,
+commit, repeat).
+
+What the reference gets from per-batch DB transactions, this engine
+gets from foreachBatch + an IDEMPOTENT keyed merge: Structured
+Streaming replays a batch after a failure with the same batch_id and
+same rows, and upsert(last-writer-wins by key) makes the replay a
+no-op — the exactly-once story these tests pin:
+
+1. streaming the updates in N micro-batches lands the same final
+   table as one batch merge (order/batching independence);
+2. re-applying any batch (simulated checkpoint-replay) changes
+   nothing (idempotence).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.session import load_table
+from pypeline_spark.sinks.keyed import ParquetCatalog, upsert
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return ParquetCatalog(str(tmp_path / "target_db"))
+
+
+def _target_and_updates(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    target = c.filter(F.col("c_custkey") <= 1000)
+    updates = (
+        c.filter(F.col("c_custkey").between(800, 1200))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_name", F.upper("c_name"))
+    )
+    return target, updates
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_of_batches_matches_single_merge(spark, sf_dir, catalog):
+    """Rate-source micro-batches foreachBatch'd through upsert ==
+    one-shot upsert of the whole update set."""
+    target, updates = _target_and_updates(spark, sf_dir)
+    catalog.put("customer", target)
+
+    # one-shot reference result
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+
+    # split updates into 4 deterministic micro-batches and replay them
+    # through the same merge path a foreachBatch sink would run
+    batches = [
+        updates.filter(F.pmod(F.col("c_custkey"), 4) == i) for i in range(4)
+    ]
+
+    def commit_batch(batch_df, _batch_id):
+        current = catalog.get("customer")
+        merged = upsert(current, batch_df, key_columns=("c_custkey",))
+        catalog.put("customer", merged)
+
+    stream_dir = catalog.root + "/__stream_in__"
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(f"{stream_dir}/b{i}")
+
+    q = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*")
+        .writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", catalog.root + "/__ckpt__"
+        )
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+    assert _canon(catalog.get("customer")) == expected
+
+
+def test_batch_replay_is_a_noop(spark, sf_dir, catalog):
+    """Re-committing an already-applied batch (what a post-crash
+    checkpoint replay does) must not change the table."""
+    target, updates = _target_and_updates(spark, sf_dir)
+    catalog.put("customer", target)
+
+    batch = updates.filter(F.col("c_custkey") <= 1100)
+    for _ in range(3):  # apply, then replay twice
+        current = catalog.get("customer")
+        catalog.put("customer", upsert(current, batch, key_columns=("c_custkey",)))
+
+    once = upsert(target, batch, key_columns=("c_custkey",))
+    assert _canon(catalog.get("customer")) == _canon(once)

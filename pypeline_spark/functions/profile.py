@@ -80,3 +80,79 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan column profile of orders (nulls, cardinality, range)."""
     o = load_table(spark, sf_dir, "orders")
     return profile_columns(o, _PROFILE_COLS)
+
+
+def _check(name: str, violations: F.Column, total: F.Column):
+    return (name, violations, total)
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'customer_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations,
+           COUNT(*) AS total
+    FROM customer
+    UNION ALL
+    SELECT 'orders_fk_customer' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS violations,
+           COUNT(*) AS total
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_qty_in_domain' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT) AS violations,
+           COUNT(*) AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_user_not_null' AS check_name,
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS violations,
+           COUNT(*) AS total
+    FROM events
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit: PK uniqueness, FK integrity, value domain,
+    non-null — one row per check with violation and total counts.
+
+    The data-quality gate a pipeline runs BEFORE a merge (the
+    reference trusts its DBs' constraints; ref: Pype.py:97-148 relies
+    on ON CONFLICT against a real PK — an object-store lakehouse has
+    no such enforcement, so the engine provides it).  Each check is a
+    single scan + aggregate; the FK check is one equi-join whose
+    dimension side broadcasts.  Checks over the same table could share
+    a scan (as profile_columns does); they stay separate here so each
+    check's cost is attributable.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    pk = c.agg(
+        F.lit("customer_pk_unique").alias("check_name"),
+        (F.count("*") - F.countDistinct("c_custkey")).cast("bigint").alias("violations"),
+        F.count("*").alias("total"),
+    )
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left")
+        .agg(
+            F.lit("orders_fk_customer").alias("check_name"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).cast("bigint").alias("violations"),
+            F.count("*").alias("total"),
+        )
+    )
+    dom = li.agg(
+        F.lit("lineitem_qty_in_domain").alias("check_name"),
+        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1))
+        .cast("bigint")
+        .alias("violations"),
+        F.count("*").alias("total"),
+    )
+    nn = e.agg(
+        F.lit("events_user_not_null").alias("check_name"),
+        (F.count("*") - F.count("user_id")).cast("bigint").alias("violations"),
+        F.count("*").alias("total"),
+    )
+    return pk.unionByName(fk).unionByName(dom).unionByName(nn)

@@ -89,3 +89,74 @@ def file_column_ranges(path: str, columns: Sequence[str]) -> list[dict]:
             ranges[col] = (lo, hi)
         out.append(ranges)
     return out
+
+
+def plan_compaction(
+    path: str, target_bytes: int = 128 * 1024 * 1024, min_fill: float = 0.5
+) -> list[list[str]]:
+    """Greedy small-file compaction plan: bins of files whose summed
+    size approaches ``target_bytes``.
+
+    Returns rewrite groups (lists of file paths); singleton files that
+    already exceed ``min_fill * target_bytes`` are left alone — they
+    are not worth rewriting.  This is driver-side FILE METADATA only
+    (one listing; no row data): at lakehouse scale the same plan reads
+    the table format's manifest instead of the directory.
+
+    First-fit-decreasing keeps bins near target without splitting any
+    file; rewrite cost is proportional to the small-file bytes, which
+    is exactly the data whose per-file overhead (task scheduling, open
+    cost, footer reads) the compaction removes.
+    """
+    files = sorted(
+        (
+            (os.path.getsize(os.path.join(path, f)), os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ),
+        reverse=True,
+    )
+    bins: list[tuple[int, list[str]]] = []
+    leave_alone = min_fill * target_bytes
+    for size, fp in files:
+        if size >= leave_alone:
+            continue  # big enough already
+        for i, (bsize, members) in enumerate(bins):
+            if bsize + size <= target_bytes:
+                bins[i] = (bsize + size, members + [fp])
+                break
+        else:
+            bins.append((size, [fp]))
+    # a bin with one small file and nothing merged into it is a no-op
+    return [members for _, members in bins if len(members) > 1]
+
+
+def compact(spark, path: str, groups: list[list[str]]) -> int:
+    """Execute a compaction plan: each group is rewritten as ONE file
+    (coalesce(1) per group — groups were sized to one target file),
+    then the originals are removed.  Returns files removed.
+
+    Atomicity note: plain parquet has no manifest swap, so the window
+    between write and delete shows duplicates; production binds this
+    to a table-format transaction (Delta OPTIMIZE / Iceberg rewrite).
+    """
+    removed = 0
+    for gi, group in enumerate(groups):
+        out = os.path.join(path, f"compact-{gi:05d}.parquet")
+        df = spark.read.parquet(*group)
+        # one output file per group by construction
+        df.coalesce(1).write.mode("overwrite").parquet(out + ".__tmp__")
+        part = [
+            f
+            for f in os.listdir(out + ".__tmp__")
+            if f.endswith(".parquet")
+        ]
+        assert len(part) == 1
+        os.replace(os.path.join(out + ".__tmp__", part[0]), out)
+        import shutil
+
+        shutil.rmtree(out + ".__tmp__", ignore_errors=True)
+        for f in group:
+            os.remove(f)
+            removed += 1
+    return removed

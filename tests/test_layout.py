@@ -67,3 +67,65 @@ def test_roundtrip_preserves_rows(spark, sf_dir, zordered_path):
     assert back.agg(F.sum("l_orderkey")).collect()[0][0] == li.agg(
         F.sum("l_orderkey")
     ).collect()[0][0]
+
+
+class TestCompaction:
+    @pytest.fixture()
+    def small_files_dir(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "frag")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        li.repartition(24).write.mode("overwrite").parquet(path)  # fragment
+        return path
+
+    def test_plan_bins_respect_target(self, small_files_dir):
+        import os
+
+        from pypeline_spark.sinks.layout import plan_compaction
+
+        sizes = {
+            os.path.join(small_files_dir, f): os.path.getsize(
+                os.path.join(small_files_dir, f)
+            )
+            for f in os.listdir(small_files_dir)
+            if f.endswith(".parquet")
+        }
+        target = 8 * max(sizes.values())
+        groups = plan_compaction(small_files_dir, target_bytes=target)
+        assert groups, "24 fragments must yield at least one rewrite group"
+        seen = [f for g in groups for f in g]
+        assert len(seen) == len(set(seen))  # no file in two groups
+        for g in groups:
+            assert len(g) > 1
+            assert sum(sizes[f] for f in g) <= target
+
+    def test_compact_preserves_rows_and_cuts_files(self, spark, small_files_dir):
+        import os
+
+        from pypeline_spark.sinks.layout import compact, plan_compaction
+
+        before = spark.read.parquet(small_files_dir)
+        n_before = before.count()
+        checksum = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        sum_before = before.agg(checksum).collect()[0][0]
+        files_before = len(
+            [f for f in os.listdir(small_files_dir) if f.endswith(".parquet")]
+        )
+
+        sizes = [
+            os.path.getsize(os.path.join(small_files_dir, f))
+            for f in os.listdir(small_files_dir)
+            if f.endswith(".parquet")
+        ]
+        groups = plan_compaction(small_files_dir, target_bytes=8 * max(sizes))
+        removed = compact(spark, small_files_dir, groups)
+        assert removed > 0
+
+        files_after = len(
+            [f for f in os.listdir(small_files_dir) if f.endswith(".parquet")]
+        )
+        assert files_after < files_before
+        after = spark.read.parquet(small_files_dir)
+        assert after.count() == n_before
+        assert after.agg(checksum).collect()[0][0] == sum_before

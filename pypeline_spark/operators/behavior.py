@@ -279,3 +279,122 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("monetary").desc(), "custkey"))
         .alias("m_q"),
     )
+
+
+@query(
+    "q_rolling_dau",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+        SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS target_day,
+               user_id
+        FROM daily
+    )
+    SELECT CAST(target_day AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS wau
+    FROM contrib
+    WHERE CAST(target_day AS DATE) <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    GROUP BY day
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — WITHOUT a range join.
+
+    A rolling COUNT(DISTINCT) admits no window frame (distinct isn't
+    decomposable), and the naive day-range self-join is a nested loop.
+    The scalable formulation INVERTS the window: each (day, user) row
+    is exploded to the 7 target days it contributes to, then one hash
+    aggregate per target day counts distincts.  Map-side explode ×7 on
+    the (days × users) table, one shuffle — survives any scale where
+    daily actives fit a shuffle, which is the same condition the
+    metric itself needs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # scalar bound rides in as a subquery (no driver collect)
+    daily.createOrReplaceTempView("__daily_active")
+    e.select(F.to_date("ts").alias("d")).createOrReplaceTempView("__event_days")
+    return spark.sql(
+        """
+        SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
+        FROM (
+            SELECT explode(sequence(day, day + INTERVAL 6 DAY)) AS target_day,
+                   user_id
+            FROM __daily_active
+        )
+        WHERE target_day <= (SELECT MAX(d) FROM __event_days)
+        GROUP BY target_day
+        """
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "q_ewma_smooth",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT event_id, event_type, value, rn, value AS ewma
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.event_type, o.value, o.rn,
+               {EWMA_ALPHA} * o.value + {1 - EWMA_ALPHA} * r.ewma
+        FROM ordered o JOIN r
+          ON o.event_type = r.event_type AND o.rn = r.rn + 1
+    )
+    SELECT event_id, event_type, value, ROUND(ewma, 6) AS ewma FROM r
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event_type — a
+    sequential-state operator no window frame expresses.
+
+    Spark side: applyInPandas per type; the recurrence
+    ``y = a*x + (1-a)*y_prev`` runs as an explicit loop with the SAME
+    IEEE operation order as the DuckDB recursive-CTE oracle, so the
+    match is exact, not approximate.  Total order within a group is
+    (ts, event_id).
+
+    Scale note: EWMA state is inherently sequential per key, so the
+    unit of parallelism is the KEY — fine when keys are plentiful
+    (devices, users); for few huge keys, shard by (key, day) and
+    chain boundary values, or run the streaming twin
+    (applyInPandasWithState, see streaming/stateful.py) which carries
+    state across micro-batches instead of one giant group.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        vals = pdf["value"].to_numpy()
+        out = vals.copy()
+        prev = None
+        for i, x in enumerate(vals):
+            prev = float(x) if prev is None else EWMA_ALPHA * float(x) + (1 - EWMA_ALPHA) * prev
+            out[i] = prev
+        pdf["ewma"] = out
+        return pdf[["event_id", "event_type", "value", "ewma"]]
+
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        e.repartition(par, "event_type")  # pandas groups sized by key, not AQE
+        .groupBy("event_type")
+        .applyInPandas(
+            smooth, schema="event_id long, event_type string, value double, ewma double"
+        )
+        .withColumn("ewma", F.round("ewma", 6))
+    )

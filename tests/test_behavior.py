@@ -177,6 +177,68 @@ class TestRfm:
         assert n == df.select("custkey").distinct().count()
 
 
+class TestRollingDau:
+    def test_wau_at_least_dau(self, spark, sf_dir, cases):
+        wau = cases["q_rolling_dau"].builder(spark, sf_dir)
+        e = load_table(spark, sf_dir, "events")
+        dau = e.groupBy(F.to_date("ts").alias("day")).agg(
+            F.countDistinct("user_id").alias("dau")
+        )
+        violations = (
+            wau.join(dau, "day").filter(F.col("wau") < F.col("dau")).count()
+        )
+        assert violations == 0  # a 7-day window contains its last day
+
+    def test_covers_every_event_day(self, spark, sf_dir, cases):
+        wau_days = cases["q_rolling_dau"].builder(spark, sf_dir).select("day")
+        event_days = (
+            load_table(spark, sf_dir, "events")
+            .select(F.to_date("ts").alias("day"))
+            .distinct()
+        )
+        assert event_days.exceptAll(wau_days).count() == 0
+
+
+class TestEwma:
+    def test_ewma_between_min_and_max_seen(self, spark, sf_dir, cases):
+        """EWMA is a convex combination of the prefix — it can never
+        leave the [running min, running max] envelope."""
+        from pyspark.sql import Window as W
+
+        df = cases["q_ewma_smooth"].builder(spark, sf_dir)
+        e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        w = (
+            W.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        joined = df.join(e, "event_id").withColumn(
+            "run_min", F.min("value").over(w)
+        ).withColumn("run_max", F.max("value").over(w))
+        eps = 1e-6  # ewma column is rounded to 6 decimals
+        bad = joined.filter(
+            (F.col("ewma") < F.col("run_min") - eps)
+            | (F.col("ewma") > F.col("run_max") + eps)
+        ).count()
+        assert bad == 0
+
+    def test_first_value_passthrough(self, spark, sf_dir, cases):
+        from pyspark.sql import Window as W
+
+        df = cases["q_ewma_smooth"].builder(spark, sf_dir)
+        e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        w = W.partitionBy("event_type").orderBy("ts", "event_id")
+        first = (
+            df.join(e, "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        bad = first.filter(
+            F.abs(F.col("ewma") - F.round(F.col("value"), 6)) > 1e-9
+        ).count()
+        assert bad == 0
+
+
 class TestZorderQuery:
     def test_bucket_ranges_nest(self, spark, sf_dir, cases):
         df = cases["q_zorder"].builder(spark, sf_dir)

@@ -181,3 +181,39 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, h), (event_type, d))
         """
     )
+
+
+@query("q_hll_rollup")  # rows-only: sketch estimates are approximate by design
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users,
+    UNIONED upward to weekly estimates without rescanning raw events.
+
+    This is the continuous-aggregate pattern for COUNT(DISTINCT): a
+    distinct count is NOT decomposable (yesterday's count + today's
+    count ≠ the union), but its HLL SKETCH is — ``hll_union_agg`` over
+    stored per-day sketches yields any coarser grain from the fine
+    one.  At 100 TB you persist the daily sketch table (a few KB per
+    day) and never touch raw events again for distinct-user rollups
+    at ANY granularity.
+
+    Driver policy: rows-only (approximate estimates differ across
+    engines by design); the accuracy bound vs exact distincts is
+    asserted in tests/test_stats_sketches.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    weekly = (
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.count("*").alias("days_merged"),
+        )
+    )
+    return weekly

@@ -66,6 +66,7 @@ def test_rows_only_set_is_the_declared_policy():
     rows_only = {n for n, c in cases.items() if c.oracle is None}
     assert rows_only == {
         "q_approx_distinct",
+        "q_hll_rollup",
         "q_knn_ivf",
         "q_multimodal_decode",
         "q_percentile_approx",

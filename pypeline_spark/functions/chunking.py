@@ -175,3 +175,48 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id"), buckets=MIX_BUCKETS) < F.col("rate_bp"))
         .select("doc_id", "lang", "source")
     )
+
+
+BPE_TOP = 30  # merge-candidate pairs returned
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    p AS (
+        SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+    )
+    SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS n
+    FROM p
+    GROUP BY a, b
+    ORDER BY n DESC, a, b
+    LIMIT {BPE_TOP}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies, top 30 — the merge-candidate
+    count at the heart of BPE tokenizer training.
+
+    The pair stream is built map-side: two shifted ``slice`` views of
+    the token array zipped and exploded (no index join, no UDF); one
+    hash aggregate on the pair.  BPE training iterates exactly this
+    query, merging the winner into the vocab between rounds — at
+    corpus scale the iteration state (the vocab) is a broadcast,
+    while the heavy pair count stays this same shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = (
+        d.select(toks.alias("toks"))
+        .withColumn("a_arr", F.slice(F.col("toks"), 1, F.size("toks") - 1))
+        .withColumn("b_arr", F.slice(F.col("toks"), 2, F.size("toks") - 1))
+        .select(F.explode(F.arrays_zip("a_arr", "b_arr")).alias("p"))
+        .select(F.col("p.a_arr").alias("a"), F.col("p.b_arr").alias("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(BPE_TOP)
+    )

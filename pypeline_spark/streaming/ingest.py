@@ -13,11 +13,14 @@ state tracked by Spark instead of an operator rerunning a cron job.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import TYPE_CHECKING, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
 from pypeline_spark.sinks.keyed import ParquetCatalog, _dedupe_last_writer, upsert
+
+if TYPE_CHECKING:  # annotation only — avoids an import cycle at runtime
+    from pypeline_spark.sinks.manifest import ManifestTable
 
 
 def stream_upsert(
@@ -45,6 +48,38 @@ def stream_upsert(
                 target, batch_df, key_columns=key_columns, order_col=order_col
             )
         catalog.put(table, merged)
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_upsert_manifest(
+    stream_df: DataFrame,
+    table: "ManifestTable",
+    key_columns: Sequence[str],
+    checkpoint_dir: Optional[str] = None,
+):
+    """Continuously merge a stream into a manifest-committed table —
+    the fully transactional variant of ``stream_upsert``.
+
+    Each micro-batch commits through ``ManifestTable.commit_merge``
+    with ``batch_id=f"stream-{batch_id}"``: the commit is one atomic
+    manifest swap (readers never see a torn table), and a post-crash
+    replay of an already-applied batch id is detected and skipped, so
+    the pipeline is exactly-once END TO END — Spark's checkpoint makes
+    delivery at-least-once, the manifest's batch-id ledger makes
+    application at-most-once.
+    """
+    from pyspark.sql import SparkSession
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        assert spark is not None
+        table.commit_merge(
+            spark, batch_df, key_columns, batch_id=f"stream-{batch_id}"
+        )
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -97,3 +97,40 @@ def test_batch_replay_is_a_noop(spark, sf_dir, catalog):
 
     once = upsert(target, batch, key_columns=("c_custkey",))
     assert _canon(catalog.get("customer")) == _canon(once)
+
+
+def test_manifest_stream_upsert_end_to_end(spark, sf_dir, tmp_path):
+    """Stream -> foreachBatch -> ManifestTable: final state equals a
+    one-shot merge, every batch commit bumped the version atomically,
+    and batch ids are in the ledger."""
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_upsert_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target, batch_id="seed")
+
+    stream_dir = str(tmp_path / "in")
+    for i in range(3):
+        updates.filter(F.pmod(F.col("c_custkey"), 3) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+
+    q = stream_upsert_manifest(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    assert _canon(table.read(spark)) == expected
+    assert table.version() == 1 + 3  # seed + one atomic commit per batch
+    assert {b for b in table.applied_batch_ids() if b.startswith("stream-")} == {
+        "stream-0",
+        "stream-1",
+        "stream-2",
+    }

@@ -152,7 +152,7 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, event_id, ts,
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM flagged
@@ -167,6 +167,12 @@ def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle keyed by user_id serves both window passes
     (Catalyst reuses the partitioning for lag and the running sum);
     zero Python — whole-stage codegen end to end.
+
+    Output carries ``ts_us`` (epoch micros) rather than the raw
+    timestamp: events.ts is TIMESTAMP(NANOS) in the file, Spark reads
+    at µs and DuckDB at ns, so a raw-ts column can never value-hash
+    across engines (driver red in r2) — both sides truncate to µs
+    explicitly instead.
     """
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -190,7 +196,7 @@ def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id",
         "event_id",
-        "ts",
+        F.unix_micros("ts").alias("ts_us"),
         F.sum("new_session")
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("session_no"),

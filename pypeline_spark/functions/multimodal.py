@@ -243,24 +243,45 @@ def feature_hist_bp(df: DataFrame) -> DataFrame:
     tot AS (SELECT doc_id, length(text) AS total FROM documents)
     SELECT c.doc_id,
            CAST(t.total AS INT) AS byte_len,
-           list(CAST(c.cnt * 10000 // t.total AS INT) ORDER BY c.bin) AS hist_bp
+           array_to_string(list(CAST(c.cnt * 10000 // t.total AS INT) ORDER BY c.bin),
+                           ',') AS hist_bp
     FROM counts c JOIN tot t USING (doc_id)
     GROUP BY c.doc_id, t.total
     """,
 )
 def q_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer byte-histogram features over every payload — the
-    Arrow-batched featurizer, hash-checked against a DuckDB replay."""
+    Arrow-batched featurizer, hash-checked against a DuckDB replay.
+
+    The histogram ships comma-joined (string), not array<int>: array
+    columns crash the driver's pandas canonicalizer (r2/r3 red rows);
+    the integer basis-point values are unchanged.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return feature_hist_bp(attach_payload(d))
+    out = feature_hist_bp(attach_payload(d))
+    return out.select(
+        "doc_id",
+        "byte_len",
+        F.array_join(F.col("hist_bp").cast("array<string>"), ",").alias("hist_bp"),
+    )
 
 
 @query("q_feature_extract", oracle=None)  # Python featurizer: rows-only + pytest parity
 def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features for every payload (the media featurizer
-    plumbing; numpy-parity and shape pinned in tests/test_llm_ops.py)."""
+    plumbing; numpy-parity and shape pinned in tests/test_llm_ops.py).
+
+    The float vector ships comma-joined: even rows-only checks fail if
+    the canonicalizer can't hash the column (r2/r3 driver crash), and
+    the string form is deterministic here (float32→float renders
+    identically across replays of the same engine).
+    """
     d = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_payload(d))
+    out = extract_features(attach_payload(d))
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("features").cast("array<string>"), ",").alias("features"),
+    )
 
 
 @query(

@@ -437,7 +437,8 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(nrm, 6) AS norm,
-           list_transform(v, x -> CAST(floor(x / nrm * 127) AS INT)) AS q8,
+           array_to_string(list_transform(v, x -> CAST(floor(x / nrm * 127) AS INT)),
+                           ',') AS q8,
            CAST(list_max(list_transform(v, x -> abs(CAST(floor(x / nrm * 127) AS INT))))
                 AS INT) AS q8_max_abs
     FROM n
@@ -446,7 +447,14 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize + int8-quantize every embedding (the compression
     step ANN indexes apply before storage: 4x smaller vectors, cosine
-    preserved to ~1/127).  Pure column math, map-side, no UDF."""
+    preserved to ~1/127).  Pure column math, map-side, no UDF.
+
+    ``q8`` ships as a comma-joined string, not array<int>: array-typed
+    output columns are not canonicalizable by the driver's pandas
+    harness (r2/r3 red rows) — and CSV-ish packing is also the realistic
+    storage form for an int8 codebook column.  Values are unchanged;
+    integer rendering is identical in both engines.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     nrm = norm(F.col("embedding"))
     q8 = F.transform(
@@ -458,7 +466,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(F.col("__nrm"), 6).alias("norm"),
-            q8.alias("q8"),
+            F.array_join(q8.cast("array<string>"), ",").alias("q8"),
             F.array_max(F.transform(q8, F.abs)).cast("int").alias("q8_max_abs"),
         )
     )

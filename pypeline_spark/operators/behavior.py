@@ -314,20 +314,22 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    # scalar bound rides in as a subquery (no driver collect)
-    daily.createOrReplaceTempView("__daily_active")
-    e.select(F.to_date("ts").alias("d")).createOrReplaceTempView("__event_days")
+    # scalar bound rides in as a subquery (no driver collect); the
+    # DataFrames bind as parameterized table refs — no temp-view
+    # side effect on the shared session catalog
     return spark.sql(
         """
         SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
         FROM (
             SELECT explode(sequence(day, day + INTERVAL 6 DAY)) AS target_day,
                    user_id
-            FROM __daily_active
+            FROM {daily}
         )
-        WHERE target_day <= (SELECT MAX(d) FROM __event_days)
+        WHERE target_day <= (SELECT MAX(d) FROM {event_days})
         GROUP BY target_day
-        """
+        """,
+        daily=daily,
+        event_days=e.select(F.to_date("ts").alias("d")),
     )
 
 

@@ -84,12 +84,20 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(median(l_quantity), 2)              AS med_qty,
            ROUND(quantile_cont(l_quantity, 0.25), 2) AS q1_qty,
            ROUND(quantile_cont(l_quantity, 0.75), 2) AS q3_qty,
-           ROUND(median(l_extendedprice), 2)         AS med_price
+           CAST(floor(median(l_extendedprice) * 100) AS BIGINT) AS med_price_cents
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rank statistics per group (median + quartiles).
+
+    The price median ships as integer CENTS via floor: an even-count
+    median interpolates to a half-cent (x.245) whose decimal ROUND is
+    engine-dependent (HALF_UP on the binary double truncates
+    differently in Spark vs DuckDB), while floor of the identical IEEE
+    double is deterministic.  Quantities are small integers whose
+    quartile fractions (.25/.5/.75) are exact binary — plain ROUND is
+    safe there.
 
     Scale: exact percentiles sort within each group partition — fine
     for bounded group counts; unbounded cardinality switches to
@@ -100,7 +108,9 @@ def q_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("med_qty"),
         F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("q1_qty"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 2).alias("q3_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("med_price"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 100)
+        .cast("bigint")
+        .alias("med_price_cents"),
     )
 
 

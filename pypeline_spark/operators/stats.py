@@ -164,12 +164,13 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypeline_spark.session import load_events
 
     e = load_events(spark, sf_dir, since="2024-01-10", until="2024-01-13")
-    e.select(
+    src = e.select(
         "event_type",
         "value",
         F.date_trunc("hour", "ts").alias("h"),
         F.date_trunc("day", "ts").alias("d"),
-    ).createOrReplaceTempView("__rollup_src")
+    )
+    # parameterized table ref — no temp-view side effect on the catalog
     return spark.sql(
         """
         SELECT event_type,
@@ -177,9 +178,10 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(h, d) AS bucket,
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS total_value
-        FROM __rollup_src
+        FROM {src}
         GROUP BY GROUPING SETS ((event_type, h), (event_type, d))
-        """
+        """,
+        src=src,
     )
 
 

@@ -64,28 +64,51 @@ def get_spark(app_name: str = "pypeline_spark", cpus: int | None = None) -> Spar
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet scan => columnar, pushdown-capable.
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain µs TIMESTAMP whatever the reader
+    produced.  TIMESTAMP(NANOS) parquet has read differently across Spark
+    versions: as a nanosecond epoch long (``nanosAsLong``), or — Spark
+    4.1+ — as TIMESTAMP_NTZ (nanos truncated to µs).  Downstream code
+    (``unix_micros`` arithmetic, window specs, the DuckDB oracles) is
+    written against one canonical type, so the branch lives here only.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file; with nanosAsLong it
-    arrives as a nanosecond epoch long and is converted here to a
-    microsecond timestamp (matching DuckDB's nanos->micros truncation).
-    Note: predicates on the converted column no longer push down to the
-    scan — at scale, filter on the raw long (nanos) first when pruning
-    matters.
+    The NTZ→TIMESTAMP cast is wall-clock-preserving because the session
+    timezone is pinned to UTC (set in ``load_table`` even on externally
+    provided sessions); the fixture wall-clock IS the UTC instant, which
+    is also how DuckDB's ``epoch_us`` reads the same file.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if name == "events":
-        # Runtime-settable; required even on externally-provided sessions
-        # (e.g. the verify driver's), or the nanos column aborts the scan.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         # integer division (`div`), not `/`: the nanos epoch exceeds
         # double precision, so float division loses microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan => columnar, pushdown-capable.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file; see
+    ``_normalize_events_ts`` for the version-dependent read shapes.
+    Note: predicates on the converted column no longer push down to the
+    scan — at scale, filter before the conversion (``load_events``) when
+    pruning matters.
+    """
+    if name == "events":
+        # Runtime-settable; applied even on externally-provided sessions
+        # (e.g. the verify driver's).  nanosAsLong keeps older readers
+        # from aborting on the nanos column; UTC makes the NTZ→TIMESTAMP
+        # normalization wall-clock-preserving there too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df
 
 
@@ -132,19 +155,31 @@ def load_events(
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw_nanos = isinstance(df.schema["ts"].dataType, T.LongType)
-    if raw_nanos:
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        # raw nanos long: integer-epoch comparison pushes straight down.
         if since is not None:
             df = df.filter(F.col("ts") >= F.lit(_epoch_nanos(since)))
         if until is not None:
             df = df.filter(F.col("ts") < F.lit(_epoch_nanos(until)))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_events_ts(df)
+
+    def _lit_ts(bound: "str | int"):
+        us = F.timestamp_micros(F.lit(_epoch_nanos(bound) // 1000))
+        if isinstance(dt, T.TimestampNTZType):
+            # constant-folds to an NTZ literal (UTC session tz), so the
+            # predicate compares the scan column directly and stays
+            # pushable — casting the *column* instead would hide it.
+            return us.cast("timestamp_ntz")
+        return us
+
     if since is not None:
-        df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(_epoch_nanos(since) // 1000)))
+        df = df.filter(F.col("ts") >= _lit_ts(since))
     if until is not None:
-        df = df.filter(F.col("ts") < F.timestamp_micros(F.lit(_epoch_nanos(until) // 1000)))
-    return df
+        df = df.filter(F.col("ts") < _lit_ts(until))
+    return _normalize_events_ts(df)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

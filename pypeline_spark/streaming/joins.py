@@ -83,18 +83,17 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "part-0.parquet")
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(src_dir).schema
+    from pypeline_spark.session import _normalize_events_ts
 
     def _stream():
-        return (
-            spark.readStream.schema(raw_schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_events_ts(
+            spark.readStream.schema(raw_schema).parquet(src_dir)
             # watermark bounds BOTH state stores: clicks may wait for
             # purchases up to horizon later, purchases for clicks up to
             # horizon earlier
-            .withWatermark("ts", ATTRIBUTION_HORIZON)
-        )
+        ).withWatermark("ts", ATTRIBUTION_HORIZON)
 
     joined = click_purchase_join(_stream(), purchases_stream=_stream())
     name = f"ssj_out_{uuid.uuid4().hex[:8]}"

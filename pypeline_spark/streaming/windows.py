@@ -87,13 +87,13 @@ def run_streaming_events(
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "part-0.parquet"))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    from pypeline_spark.session import _normalize_events_ts
+
+    stream = _normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(src_dir)
+    ).withWatermark("ts", watermark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
         agg_fn(stream)

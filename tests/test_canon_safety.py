@@ -1,0 +1,91 @@
+"""Registry-wide output-schema lint: every query must be canonicalizable
+by the DRIVER's pandas comparison harness.
+
+The driver collects each query's result into pandas and sort_values it
+before hashing; two schema shapes break that in ways a friendlier local
+compare never sees (the round-2 red rows):
+
+- array/map-typed columns -> ``TypeError: unhashable type`` inside
+  pandas' lexsort (q_embedding_quantize, q_feature_hist,
+  q_feature_extract in r2/r3).  Struct columns collect as Row objects
+  and are equally unsortable.
+- a raw ``events.ts`` passthrough -> Spark truncates the file's
+  TIMESTAMP(NANOS) to µs while DuckDB keeps ns, so the value hash can
+  never match (q_sessionize_sql in r2).  Queries emit integer epoch
+  micros (``unix_micros`` / ``epoch_us``) instead.
+
+Plain TIMESTAMP outputs are allowed when they are derived bucket bounds
+at whole-second granularity (ns == µs there), but TIMESTAMP_NTZ must
+never escape a builder: whether the parquet reader produces NTZ is a
+Spark-version artifact the oracles can't see (see
+``session._normalize_events_ts``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from pypeline_spark.registry import load_all
+
+_FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.fixture(scope="module")
+def schemas(spark, sf_dir):
+    out = {}
+    for name, case in load_all().items():
+        out[name] = case.builder(spark, sf_dir).schema
+    return out
+
+
+def test_no_unhashable_output_columns(schemas):
+    bad = [
+        (name, f.name, f.dataType.simpleString())
+        for name, schema in schemas.items()
+        for f in schema.fields
+        if isinstance(f.dataType, _FORBIDDEN)
+    ]
+    assert not bad, f"driver canon cannot sort these output columns: {bad}"
+
+
+# µs-precision naive parquet columns (TPC-H dates) are engine-portable
+# as-is: both engines collect them as naive µs datetimes, so an NTZ
+# passthrough is canon-safe.  Only the ns-resolution events column is
+# not — and that one must leave load_table as plain TIMESTAMP.
+_PORTABLE_NTZ_COLS = {"o_orderdate", "last_order"}
+
+
+def test_no_ntz_output_columns_outside_date_allowlist(schemas):
+    bad = [
+        (name, f.name)
+        for name, schema in schemas.items()
+        for f in schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+        and f.name not in _PORTABLE_NTZ_COLS
+    ]
+    assert not bad, (
+        "TIMESTAMP_NTZ escaped ts normalization (events.ts must go "
+        f"through session._normalize_events_ts): {bad}"
+    )
+
+
+# q_asof_join ships raw event timestamps and has hash-matched on the
+# driver in BOTH the TIMESTAMP (r2) and NTZ (r3) read shapes — its
+# oracle's date_diff('second', …) semantics don't observe sub-µs nanos.
+# Any NEW query must use the unix_micros/epoch_us convention instead.
+_CERTIFIED_TS_PASSTHROUGH = {"q_asof_join"}
+
+
+def test_no_raw_events_ts_passthrough(schemas):
+    bad = [
+        (name, f.name)
+        for name, schema in schemas.items()
+        if name not in _CERTIFIED_TS_PASSTHROUGH
+        for f in schema.fields
+        if f.name == "ts" and isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    assert not bad, (
+        "raw events.ts output can never hash-match the ns-resolution "
+        f"oracle — emit unix_micros(ts) instead: {bad}"
+    )

@@ -119,10 +119,16 @@ class TestStreamBatchParity:
         os.makedirs(src)
         import shutil
 
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a-data.parquet")
-        )
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Re-write the events table normalized (ts → µs TIMESTAMP,
+        # whatever the reader produced for the nanos column) so the
+        # sentinel files below share one schema with the base file.
+        tmp_base = os.path.join(src, "__base")
+        load_table(spark, sf_dir, "events").coalesce(1).write.parquet(tmp_base)
+        import glob as _glob
+
+        part = _glob.glob(os.path.join(tmp_base, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, "a-data.parquet"))
+        shutil.rmtree(tmp_base, ignore_errors=True)
         raw = spark.read.parquet(os.path.join(src, "a-data.parquet"))
         # Two sentinel files, 10 and 20 days after everything, each its
         # own batch, each holding a click AND a purchase: Catalyst
@@ -133,14 +139,13 @@ class TestStreamBatchParity:
         # the last real click and the final unmatched click never
         # flushes.  Two batches because null emission lags watermark
         # advancement by one batch.
-        import glob as _glob
         import time as _time
 
         for days, fname in ((10, "b-sent1"), (20, "c-sent2")):
             base = (
                 raw.orderBy(F.col("ts").desc())
                 .limit(1)
-                .withColumn("ts", F.col("ts") + F.lit(days * 24 * 3600 * 10**9))
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
                 .withColumn("event_id", F.lit(-1))
             )
             sent = base.withColumn("event_type", F.lit("purchase")).unionByName(
@@ -160,7 +165,6 @@ class TestStreamBatchParity:
                 spark.readStream.schema(raw.schema)
                 .option("maxFilesPerTrigger", "1")
                 .parquet(src)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
                 .withWatermark("ts", ATTRIBUTION_HORIZON)
             )
 

@@ -3,41 +3,84 @@ oracle on DuckDB, compare row count + column names + order-insensitive
 value multiset.  Mirrors the driver's t2 gate so failures surface before
 a round ends.
 
+The canonical form deliberately replicates the DRIVER's pandas-based
+canonicalizer, which is STRICTER than a repr()-of-collected-rows compare
+in two ways that produced invisible-locally red rows in round 2:
+
+- both sides go through ``pandas.DataFrame.sort_values`` first — an
+  array/map-typed output column raises ``TypeError: unhashable type``
+  exactly like the driver's canon does (q_embedding_quantize r2);
+- timestamps keep their native resolution (DuckDB returns datetime64[ns]
+  for the TIMESTAMP(NANOS) events column, Spark µs), so emitting a raw
+  ``events.ts`` column mismatches here exactly like it did on the driver
+  (q_sessionize_sql r2).  Portable queries emit integer epoch micros.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from pypeline_spark.registry import load_all
 from pypeline_spark.session import TABLES, get_spark
 
 
-def normalize(rows, cols):
-    """Sorted-column, order-insensitive canonical form with float rounding."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in idx:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            vals.append(repr(v))
-        out.append("|".join(vals))
-    out.sort()
-    return out
+def _cell(v) -> str:
+    """One canonical string per value, unifying the engines' physical
+    types (DuckDB HUGEINT→float64, Spark long→int64, Decimal, numpy
+    scalars) without weakening timestamp resolution."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, (np.bool_, bool)):
+        return "true" if v else "false"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        if f.is_integer():
+            return str(int(f))
+        return repr(round(f, 6))
+    if isinstance(v, pd.Timestamp):
+        return str(v)  # keeps ns digits when present — driver-strict
+    if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+        # Spark collects DATE as datetime.date; DuckDB's .df() returns
+        # midnight datetime64 — unify (the driver's canon does; DATE
+        # queries q_scd2/q_scalar_date were driver-green in r1/r2)
+        return str(pd.Timestamp(v))
+    if isinstance(v, dt.datetime):
+        return str(pd.Timestamp(v))
+    return repr(v)
+
+
+def canon(pdf: pd.DataFrame) -> list[str]:
+    """Driver-shaped canonical form: columns sorted by name, pandas
+    sort_values over all columns (raises on unhashable cells, like the
+    driver), then one normalized string per row, multiset-sorted."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    rows = [
+        "|".join(_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
 
 
 def main() -> int:
@@ -60,42 +103,44 @@ def main() -> int:
         try:
             sdf = case.builder(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            # canonicalize even rows-only queries: the driver does, and
+            # an uncanonicalizable schema fails its weak check too
+            sn = canon(spdf)
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
+            print(f"FAIL  {name}: spark/canon error: {type(exc).__name__}: {exc}")
             continue
         if case.oracle is None:
             n_rows_only += 1
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(case.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(case.oracle).df()
+            on = canon(opdf)
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
+            print(f"FAIL  {name}: duckdb/canon error: {type(exc).__name__}: {exc}")
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sn, on = normalize(srows, scols), normalize(orows, ocols)
-            if sn != on:
-                diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
-                problems.append(f"values differ, e.g. {diff}")
+        if sorted(scols) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(scols)} oracle={sorted(opdf.columns)}"
+            )
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if not problems and sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            problems.append(f"values differ, e.g. {diff}")
         if problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
     if failures:
         print("failed:", " ".join(failures))

@@ -167,3 +167,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-shard sequence packing of the documents corpus."""
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d)
+
+
+TRAIN_PCT, VAL_PCT = 80, 10  # test = remaining 10
+
+
+def split_of(col) -> "F.Column":
+    """Deterministic train/val/test label from a content hash of the id
+    (same md5-bucket trick as the samplers): stable under re-runs,
+    engine-portable, and monotone — growing TRAIN_PCT only promotes
+    rows from val/test, never reshuffles existing assignments."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", col)), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        F.when(h < TRAIN_PCT, F.lit("train"))
+        .when(h < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query(
+    "q_train_val_split",
+    oracle=f"""
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN h < {TRAIN_PCT} THEN 'train'
+                    WHEN h < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source, n_chars,
+                   CAST(('0x' || substr(md5(concat_ws('_', doc_id)), 1, 15))
+                        AS BIGINT) % 100 AS h
+            FROM documents
+        )
+    )
+    GROUP BY source, split
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus with
+    per-(source, split) counts — the audit view a training pipeline
+    materializes to prove no split leakage across re-runs and that no
+    source is skewed into one split.
+
+    Scale: hash + CASE are map-side; the audit aggregate shuffles only
+    (source, split) groups.  The split LABEL itself never shuffles —
+    a 100 TB export filters `split = 'train'` as a pushed-down
+    predicate, same as the samplers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", "n_chars", split_of(F.col("doc_id")).alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

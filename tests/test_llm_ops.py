@@ -360,3 +360,34 @@ class TestSequencePacking:
             # a pack may exceed the budget only as an oversized singleton
             assert tot <= PACK_BUDGET or members[key] == 1, (key, tot)
         assert len(totals) > 1  # the fixture actually packs into bins
+
+
+class TestKnnLsh:
+    def test_recall_floor_vs_brute_force(self, spark, sf_dir):
+        from pypeline_spark.registry import load_all
+
+        cases = load_all()
+        brute = {
+            (r.q_id, r.vec_id)
+            for r in cases["q_topk_cosine"].builder(spark, sf_dir).collect()
+        }
+        lsh = {
+            (r.q_id, r.vec_id)
+            for r in cases["q_knn_lsh"].builder(spark, sf_dir).collect()
+        }
+        # near-random fixture vectors: 6x6 LSH measures ~0.34 recall
+        # (clustered production data recalls far higher); the floor
+        # guards against a silent candidate-generation regression
+        assert len(brute & lsh) / len(brute) >= 0.2
+
+    def test_candidate_join_is_equi_not_nested(self, spark, sf_dir):
+        from pypeline_spark.registry import load_all
+
+        plan = (
+            load_all()["q_knn_lsh"]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan

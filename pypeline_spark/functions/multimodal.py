@@ -363,3 +363,153 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         F.upper(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + audio-frame featurizers: the remaining two mapInPandas media
+# stages, shaped like production (binary in, numpy per Arrow batch) but
+# with ALL-INTEGER outputs so both are value-hash-checked by a DuckDB
+# replay instead of rows-only (fixture payloads are ASCII text bytes,
+# the same invariant q_feature_hist exploits).
+# ---------------------------------------------------------------------------
+
+RESIZE_W = 8  # pseudo-image row width in bytes (every doc >= 47 bytes -> >=5 rows)
+
+
+def resize_pool2x2(df: DataFrame) -> DataFrame:
+    """2x2 mean-pool 'resize' over the payload byte grid.
+
+    The payload is interpreted as an (n // W) x W single-channel image
+    and mean-pooled (integer floor mean, so the replay is exact); a
+    real deployment swaps the reshape for an image decode and the
+    pooling for cv2/PIL resize — the Arrow plumbing, schema, and
+    batch shape stay identical.  Output per doc: dims, the pooled-
+    pixel sum, and an md5 of the row-major pooled pixels (a compact
+    exact witness of every output pixel, canon-safe as a string).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "in_h": [], "out_h": [], "out_w": [],
+                    "px_sum": [], "px_md5": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                h = arr.size // RESIZE_W
+                h2 = (h // 2) * 2
+                img = arr[: h * RESIZE_W].reshape(h, RESIZE_W)[:h2].astype(np.int64)
+                pooled = img.reshape(h2 // 2, 2, RESIZE_W // 2, 2).sum(axis=(1, 3)) // 4
+                flat = pooled.ravel()
+                rows["doc_id"].append(doc_id)
+                rows["in_h"].append(h)
+                rows["out_h"].append(h // 2)
+                rows["out_w"].append(RESIZE_W // 2)
+                rows["px_sum"].append(int(flat.sum()))
+                rows["px_md5"].append(
+                    hashlib.md5(",".join(str(int(v)) for v in flat).encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, in_h int, out_h int, out_w int, "
+        "px_sum bigint, px_md5 string",
+    )
+
+
+@query(
+    "q_image_resize",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    dims AS (SELECT doc_id, length(text) // {RESIZE_W} AS h FROM documents),
+    px AS (
+        SELECT p.doc_id,
+               (p.i - 1) // {RESIZE_W} AS row, (p.i - 1) % {RESIZE_W} AS col,
+               ascii(substr(d.text, p.i, 1)) AS v
+        FROM pos p JOIN documents d USING (doc_id)
+    ),
+    blocks AS (
+        SELECT px.doc_id, row // 2 AS orow, col // 2 AS ocol,
+               SUM(v) // 4 AS pval
+        FROM px JOIN dims USING (doc_id)
+        WHERE row < (h // 2) * 2
+        GROUP BY 1, 2, 3
+    )
+    SELECT b.doc_id,
+           CAST(d.h AS INT) AS in_h,
+           CAST(d.h // 2 AS INT) AS out_h,
+           CAST({RESIZE_W} // 2 AS INT) AS out_w,
+           CAST(SUM(pval) AS BIGINT) AS px_sum,
+           md5(string_agg(CAST(pval AS VARCHAR), ',' ORDER BY orow, ocol))
+               AS px_md5
+    FROM blocks b JOIN dims d USING (doc_id)
+    GROUP BY b.doc_id, d.h
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of the media pipeline (2x2 integer mean-pool
+    over the payload byte grid), hash-checked pixel-exactly against a
+    DuckDB replay via the per-doc pooled-pixel md5."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_pool2x2(attach_payload(d))
+
+
+AUDIO_FRAME = 32  # bytes per frame (every doc >= 47 bytes -> >= 1 frame)
+
+
+def audio_frame_energy(df: DataFrame) -> DataFrame:
+    """Fixed-size frame windowing + per-frame energy over the payload,
+    the audio-featurizer shape (VAD, loudness normalization, silence
+    trim all start exactly here): bytes -> frames -> per-frame
+    reduction, numpy per Arrow batch, integer energy so the replay is
+    exact.  A real deployment decodes PCM and emits float RMS/mel
+    features; plumbing and batch shape are identical."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "energy": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_frames = arr.size // AUDIO_FRAME
+                frames = arr[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
+                energy = (frames.astype(np.int64) ** 2).sum(axis=1)
+                rows["doc_id"].extend([doc_id] * n_frames)
+                rows["frame_no"].extend(range(n_frames))
+                rows["energy"].extend(int(e) for e in energy)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema="doc_id bigint, frame_no int, energy bigint")
+
+
+@query(
+    "q_audio_energy",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    s AS (
+        SELECT p.doc_id, p.i,
+               (p.i - 1) // {AUDIO_FRAME} AS frame_no,
+               ascii(substr(d.text, p.i, 1)) AS v,
+               length(d.text) AS n
+        FROM pos p JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s
+    WHERE i <= (n // {AUDIO_FRAME}) * {AUDIO_FRAME}
+    GROUP BY doc_id, frame_no
+    """,
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame windowing: per-32-byte-frame integer energy
+    over every payload, hash-checked against a DuckDB replay."""
+    d = load_table(spark, sf_dir, "documents")
+    return audio_frame_energy(attach_payload(d))

@@ -16,6 +16,9 @@ in two ways that produced invisible-locally red rows in round 2:
   (q_sessionize_sql r2).  Portable queries emit integer epoch micros.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Set SPARK_GRAFT_BARE=1 to run the Spark side on a BARE SparkSession
+(no repo configs) — the verify driver's environment; combined with the
+strict canon this is a full offline replica of the driver's gate.
 """
 
 from __future__ import annotations
@@ -87,7 +90,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     cases = load_all()
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_BARE"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_bare")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.host", "127.0.0.1")
+            .config("spark.driver.bindAddress", "127.0.0.1")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

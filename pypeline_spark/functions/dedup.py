@@ -120,8 +120,22 @@ def minhash_signature(
     to reuse an already-built shingle-array relation.
     """
     if arrs is None:
-        arrs = doc_shingle_arrays(docs, id_col, text_col)
-    hashed = arrs.filter(F.size("sh") > 0).select(
+        # Gate short docs with the CHEAP equivalent predicate (>= 3
+        # tokens <=> >= 1 shingle) *before* shingling: a size(sh) > 0
+        # filter on the built relation gets predicate-pushed below the
+        # parallelizing exchange, where Catalyst re-evaluates the whole
+        # shingle subtree (window + array_distinct per doc) inside the
+        # single-task scan stage — measured 2.5x on the signature job.
+        gated = docs.filter(
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= 3
+        )
+        hashed = doc_shingle_arrays(gated, id_col, text_col)
+    else:
+        # externally-built relation (often a localCheckpoint, where
+        # pushdown below the checkpoint is impossible anyway): keep the
+        # direct emptiness filter
+        hashed = arrs.filter(F.size("sh") > 0)
+    hashed = hashed.select(
         F.col(id_col),
         F.transform(
             F.col("sh"),

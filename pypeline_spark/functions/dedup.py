@@ -84,9 +84,21 @@ def doc_shingle_arrays(
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) exploded rows — the base relation for set
-    equi-joins (the exact n-gram Jaccard path)."""
-    return doc_shingle_arrays(docs, id_col, text_col).select(
-        F.col(id_col), F.explode("sh").alias("shingle")
+    equi-joins (the exact n-gram Jaccard path).
+
+    ``explode_outer`` + post-generate null filter, NOT plain explode:
+    InferFiltersFromGenerate turns a plain explode into a pushed-down
+    ``size(sh) > 0`` predicate that re-evaluates the entire shingle
+    subtree below the parallelizing exchange — serial per-doc
+    array_distinct in the one-task scan stage (same failure mode the
+    minhash path guards against).  The outer variant infers nothing;
+    empty-shingle docs surface as one null row and drop right here,
+    above the exchange.
+    """
+    return (
+        doc_shingle_arrays(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 

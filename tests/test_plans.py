@@ -281,3 +281,46 @@ class TestNoNestedLoopSweep:
             if has_nested_loop(case.builder(spark, sf_dir)):
                 offenders.append(name)
         assert not offenders, offenders
+
+
+class TestNoExpensiveFilterReevaluation:
+    """Predicate pushdown (incl. InferFiltersFromGenerate on explode)
+    can clone an expensive computed-array subtree into a Filter below
+    the parallelizing exchange — the whole shingle pipeline then runs
+    serially inside the one-task scan stage.  Round-4 fixes: token-count
+    gate in minhash_signature, explode_outer in shingle_rows.  This
+    sweep keeps the pattern from coming back anywhere in the text/dedup
+    family."""
+
+    QUERIES = [
+        "q_dedup_minhash",
+        "q_dedup_incremental",
+        "q_dedup_clusters",
+        "q_ngram_jaccard",
+        "q_decontaminate",
+        "q_fingerprint",
+        "q_corpus_pipeline",
+        "q_vocab_stats",
+        "q_bpe_pairs",
+    ]
+
+    def test_no_array_subtree_inside_filters(self, spark, sf_dir, cases):
+        import re
+
+        offenders = []
+        for name in self.QUERIES:
+            plan = (
+                cases[name]
+                .builder(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            for line in plan.splitlines():
+                stripped = line.strip().lstrip("+-: ")
+                if stripped.startswith("Filter ") and (
+                    "array_distinct" in line or "transform(sequence" in line
+                ):
+                    offenders.append((name, line.strip()[:120]))
+                    break
+        assert not offenders, f"expensive subtree re-evaluated in Filter: {offenders}"

@@ -328,6 +328,217 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gopher_rules",
+    # The full Gopher-style rule battery (Rae et al. 2021, public):
+    # word-count band, mean-word-length band, alphabetic-word fraction,
+    # stopword presence.  Thresholds tuned down to the synthetic corpus
+    # (docs are ~30-40 words) so both branches of every gate are
+    # exercised; production values are noted inline.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               ROUND(list_sum(list_transform(toks, w -> LENGTH(w))) * 1.0
+                     / len(toks), 4) AS mean_wlen,
+               ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                     * 1.0 / len(toks), 4) AS alpha_frac,
+               len(list_filter(toks, w -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'],
+                   lower(w)))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop,
+           (n_words BETWEEN 20 AND 1000) AS words_ok,
+           (mean_wlen BETWEEN 2 AND 10)  AS wlen_ok,
+           (alpha_frac >= 0.80)          AS alpha_ok,
+           (n_stop >= 1)                 AS stop_ok,
+           ((n_words BETWEEN 20 AND 1000) AND (mean_wlen BETWEEN 2 AND 10)
+            AND alpha_frac >= 0.80 AND n_stop >= 1) AS keep
+    FROM sig
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate battery: word-count band (prod:
+    50-100k, fixture: 20-1000), mean word length 2-10 (prod: 3-10),
+    >=80% words containing an alphabetic char, >=1 stopword (prod: 2).
+    Emits each signal, each gate, and the combined keep decision.
+
+    Scale: one projection over the token array — zero shuffles, whole
+    battery in one WholeStageCodegen span; the keep flag is the standard
+    first-pass filter before any model-scored stage touches the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_words = F.size("toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sig = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.col("toks"), F.lit(0), lambda acc, w: acc + F.length(w)
+            )
+            * F.lit(1.0)
+            / n_words,
+            4,
+        ).alias("mean_wlen"),
+        F.round(
+            F.size(F.filter(F.col("toks"), lambda w: w.rlike("[A-Za-z]")))
+            * F.lit(1.0)
+            / n_words,
+            4,
+        ).alias("alpha_frac"),
+        F.size(
+            F.filter(F.col("toks"), lambda w: F.array_contains(stop_arr, F.lower(w)))
+        ).alias("n_stop"),
+    )
+    words_ok = F.col("n_words").between(20, 1000)
+    wlen_ok = F.col("mean_wlen").between(2, 10)
+    alpha_ok = F.col("alpha_frac") >= 0.80
+    stop_ok = F.col("n_stop") >= 1
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "alpha_frac",
+        "n_stop",
+        words_ok.alias("words_ok"),
+        wlen_ok.alias("wlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & wlen_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+@query(
+    "q_url_extract",
+    # The fixture corpus carries no URLs, so (as with q_pii_scrub) both
+    # sides inject one deterministic URL per doc before extraction —
+    # the operator under test is the regex extract + domain parse + the
+    # per-domain rollup, which is what a crawl-corpus domain filter runs.
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                    || ' and http://cdn.example.net/a' AS text
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        FROM dirty
+    )
+    SELECT regexp_extract(url, '^https?://([^/\s]+)', 1) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls
+    GROUP BY domain
+    """,
+)
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup — the domain-level blocklist /
+    frequency filter every crawl pipeline runs before quality scoring.
+    Regex domain parse (not parse_url) so the oracle replays it verbatim.
+
+    Scale: extraction is map-side; the only shuffle is the domain
+    rollup, whose cardinality is domains (tiny), with map-side partial
+    aggregation absorbing the per-URL fan-out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn.example.net/a"),
+        ).alias("text"),
+    )
+    urls = dirty.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id", F.regexp_extract("url", r"^https?://([^/\s]+)", 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "q_boilerplate",
+    # Corpus-global boilerplate: 3-grams shared by >= 5 distinct docs
+    # (nav bars, license footers, template text in a real crawl).  Per
+    # doc: what fraction of its distinct shingles are boilerplate.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    global_cnt AS (
+        SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN g.n_docs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           ROUND(SUM(CASE WHEN g.n_docs >= 5 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS boiler_frac
+    FROM sh s JOIN global_cnt g ON s.shingle = g.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate detection: count how many distinct docs
+    carry each 3-gram, mark shingles present in >=5 docs as boilerplate,
+    and score each doc by its boilerplate-shingle fraction — the
+    template/footer signal used to strip repeated chrome from crawls.
+
+    Scale: reuses the shared shingle relation (map-side expansion), one
+    shuffle keyed by shingle for the global count, one keyed by doc for
+    the rollup; the shingle->count join is shuffle-on-shingle with
+    map-side combine — never a corpus self-join.
+    """
+    from pypeline_spark.functions.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = shingle_rows(d)
+    global_cnt = rows.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        rows.join(global_cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 5, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
     "q_repetition",
     # Gopher-style repetition signals: top-token frequency share and
     # duplicate-3-gram fraction; docs failing either gate are flagged.

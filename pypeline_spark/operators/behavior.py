@@ -28,7 +28,7 @@ Scale notes (100 TB events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
@@ -399,4 +399,98 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             smooth, schema="event_id long, event_type string, value double, ewma double"
         )
         .withColumn("ewma", F.round("ewma", 6))
+    )
+
+
+ANOM_FRAME = 20  # trailing events per user feeding the rolling stats
+ANOM_MIN_N = 10  # minimum trailing points before a z-score is emitted
+ANOM_Z = 2.5
+
+
+@query(
+    "q_anomaly_zscore",
+    # All rolling stats derive from EXACT integer sums over
+    # cent-quantized values (floor(value*100)): a windowed AVG/STDDEV of
+    # doubles differs between engines in the last ulp (summation order),
+    # which flips ROUND at 4dp boundaries; n*Σc² - (Σc)² is exact
+    # bigint math, and the final divide/sqrt are single IEEE ops —
+    # bit-identical in both engines.
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               SUM(CAST(floor(value * 100) AS BIGINT)) OVER w           AS s1,
+               SUM(CAST(floor(value * 100) AS BIGINT)
+                   * CAST(floor(value * 100) AS BIGINT)) OVER w         AS s2,
+               COUNT(*) OVER w                                          AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOM_FRAME} PRECEDING AND 1 PRECEDING)
+    ),
+    stats AS (
+        SELECT user_id, event_id, ts_us, cents, n,
+               s1 * 1.0 / n AS mean_c,
+               sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) AS std_c
+        FROM scored WHERE n >= {ANOM_MIN_N} AND n * s2 > s1 * s1
+    )
+    SELECT user_id, event_id, ts_us, cents,
+           ROUND(mean_c, 4) AS mean_c,
+           ROUND(std_c, 4)  AS std_c,
+           ROUND((cents - mean_c) / std_c, 4) AS z,
+           (ABS((cents - mean_c) / std_c) > {ANOM_Z}) AS is_anomaly
+    FROM stats
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user anomaly detection: each event's value scored
+    against the mean/stddev of that user's previous {ANOM_FRAME} events
+    — the self-adapting complement to q_outliers' static per-type
+    z-score (a user whose baseline drifts isn't permanently flagged).
+    Stats come from exact integer sums over cent-quantized values so
+    the decision replays identically on any engine (see oracle note).
+
+    Scale: one shuffle on user_id for the window sort; the trailing
+    frame is rows-bounded so state per row is O(frame), and users are
+    the natural partition key at 100 TB (skew absorbed by AQE; a bot
+    user with millions of events degrades to a single-key sort, the
+    same cost any sessionization pays).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_FRAME, -1)
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    scored = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cents.alias("cents"),
+        F.sum(cents).over(w).alias("s1"),
+        F.sum(cents * cents).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean_c = F.col("s1") * F.lit(1.0) / F.col("n")
+    std_c = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        * F.lit(1.0)
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    z = (F.col("cents") - mean_c) / std_c
+    return (
+        scored.filter(
+            (F.col("n") >= ANOM_MIN_N)
+            & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "cents",
+            F.round(mean_c, 4).alias("mean_c"),
+            F.round(std_c, 4).alias("std_c"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+        )
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
@@ -266,3 +266,93 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+
+
+def cdc_apply(
+    base: DataFrame,
+    ops: DataFrame,
+    key_columns: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC log (mixed upserts + deletes, arbitrary arrival
+    order) to a keyed base table.
+
+    Two phases, the shape every CDC consumer (Debezium sink, Delta CDF
+    reader) uses:
+
+    1. **Log compaction** — keep only the highest-``seq_col`` op per
+       key (one window pass; ties broken by op so reruns are stable).
+    2. **Merge** — compacted deletes drop the key, compacted upserts
+       replace-or-insert the row; untouched base rows pass through via
+       a single left-anti join.
+
+    Scale: compaction shuffles the log once on the key columns, the
+    merge joins base↔compacted-log on the same key — co-partitioned,
+    so AQE plans one exchange per side and the log side (a batch,
+    typically ≪ base) broadcasts.  No window over the base table.
+    """
+    keys = list(key_columns)
+    w = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(op_col))
+    )
+    last = ops.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    survivors = last.filter(F.col(op_col) != "delete").drop(seq_col, op_col)
+    untouched = base.join(last.select(keys), keys, "left_anti")
+    return untouched.unionByName(survivors.select(base.columns))
+
+
+_CDC_BASE_SQL = """
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey <= 1000
+"""
+# CDC log derived from orders: seq = o_orderkey (globally unique,
+# monotone), every 5th op a delete, payload from the order row.  Keys
+# beyond the base range arrive as inserts.
+_CDC_OPS_SQL = """
+    SELECT o_custkey AS custkey, o_orderkey AS seq,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           ROUND(o_totalprice, 2) AS acctbal,
+           'CDC_' || o_orderstatus AS segment
+    FROM orders WHERE o_orderkey % 3 != 0
+"""
+
+
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH base AS ({_CDC_BASE_SQL}), ops AS ({_CDC_OPS_SQL}),
+    last AS (
+        SELECT custkey, op, acctbal, segment
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                                           ORDER BY seq DESC, op) AS rn
+              FROM ops)
+        WHERE rn = 1
+    )
+    SELECT b.custkey, b.acctbal, b.segment
+    FROM base b LEFT JOIN last l USING (custkey) WHERE l.custkey IS NULL
+    UNION ALL
+    SELECT custkey, acctbal, segment FROM last WHERE op != 'delete'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application: compact an out-of-order upsert/delete
+    change log (one op per order, sequenced by orderkey) to its final
+    op per key, then merge onto the customer base — deletes drop,
+    upserts replace or insert, untouched rows pass through."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ops = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, "delete").otherwise("upsert").alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("acctbal"),
+        F.concat(F.lit("CDC_"), F.col("o_orderstatus")).alias("segment"),
+    )
+    return cdc_apply(base, ops, ["custkey"])

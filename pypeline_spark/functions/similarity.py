@@ -585,13 +585,11 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame
     )
 
 
-def _lsh_oracle() -> str:
-    """DuckDB replay of the full LSH search: the SAME integer planes
+def _lsh_sigs_sql() -> str:
+    """The LSH signature relation as DuckDB SQL: the SAME integer planes
     (generated by _lsh_plane at import time) inlined as list literals,
-    the same floor-quantized bigint signature math, the same cosine
-    rescoring as q_topk_cosine.  Exactness of the integer signature is
-    what makes this ANN tier hash-checkable where q_knn_ivf (float
-    k-means) is rows-only."""
+    the same floor-quantized bigint signature math as _lsh_sig_col.
+    Shared by the q_knn_lsh and q_semantic_dedup oracles."""
     tables = []
     for t in range(LSH_TABLES):
         bits = []
@@ -606,10 +604,17 @@ def _lsh_oracle() -> str:
         tables.append(
             f"SELECT vec_id, {t} AS t, {sig} AS sig FROM embeddings"
         )
-    sigs = "\nUNION ALL\n".join(tables)
+    return "\nUNION ALL\n".join(tables)
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of the full LSH search: identical signatures
+    (_lsh_sigs_sql), the same cosine rescoring as q_topk_cosine.
+    Exactness of the integer signature is what makes this ANN tier
+    hash-checkable where q_knn_ivf (float k-means) is rows-only."""
     return f"""
     WITH sigs AS (
-        {sigs}
+        {_lsh_sigs_sql()}
     ),
     q AS (SELECT vec_id AS q_id, embedding FROM embeddings
           WHERE vec_id < {N_QUERIES}),
@@ -650,3 +655,93 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     return lsh_topk(queries, e.select("vec_id", "embedding"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication over the LSH buckets.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.40  # cosine threshold: fixture near-neighbors sit at ~0.4-0.5;
+# production corpora with real duplicates run this at 0.9+ (SemDeDup,
+# Abbas et al. 2023), where LSH bucket collision is far higher.
+
+
+def _sem_dedup_oracle() -> str:
+    return f"""
+    WITH sigs AS (
+        {_lsh_sigs_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+        SELECT cand.id_a, cand.id_b
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.id_a
+        JOIN embeddings c ON c.vec_id = cand.id_b
+        WHERE {_COSINE_SQL} >= {SEM_TAU}
+    ),
+    lower_dups AS (
+        SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_lower_dups
+        FROM dups GROUP BY id_b
+    )
+    SELECT e.vec_id,
+           COALESCE(d.n_lower_dups, 0) AS n_lower_dups,
+           (d.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN lower_dups d ON e.vec_id = d.vec_id
+    """
+
+
+@query("q_semantic_dedup", oracle=_sem_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-shaped): vectors whose cosine to
+    a LOWER-id LSH-bucket neighbor reaches SEM_TAU are dropped; the
+    lowest id of each near-duplicate group survives.  Emits the per-
+    vector keep decision plus how many lower kept-or-dropped partners
+    triggered the drop.
+
+    Scale: candidates come from the hyperplane-LSH bucket equi-join
+    (never an all-pairs loop — the same signature relation q_knn_lsh
+    stores as its index), exact cosine runs only on bucket collisions,
+    and the keep decision is one aggregate + left join keyed by vec_id.
+    At 100 TB this is signatures (map-side) + one bucket-keyed shuffle
+    + one id-keyed shuffle; candidate volume is governed by bucket
+    occupancy, which the table/plane counts tune.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = lsh_signatures(e.select("vec_id", "embedding"))
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = e.select("vec_id", "embedding")
+    dups = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+            "id_b",
+        )
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_TAU)
+    )
+    lower = (
+        dups.groupBy("id_b")
+        .agg(F.count("*").cast("bigint").alias("n_lower_dups"))
+        .select(F.col("id_b").alias("vec_id"), "n_lower_dups")
+    )
+    return e.select("vec_id").join(lower, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("n_lower_dups"), F.lit(0)).cast("bigint").alias("n_lower_dups"),
+        F.col("n_lower_dups").isNull().alias("keep"),
+    )

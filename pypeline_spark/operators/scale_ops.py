@@ -415,3 +415,67 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=o,
         o2=o,
     )
+
+
+SKEW_TOP = 10
+
+
+@query(
+    "q_key_skew",
+    # Exact-integer diagnostics: share/skew are single divisions of
+    # exact counts, so 6dp rounding is engine-stable.
+    oracle=f"""
+    WITH per_key AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    g_stats AS (
+        SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM per_key
+    )
+    SELECT p.custkey, p.cnt,
+           ROUND(p.cnt * 1.0 / g.total, 6)          AS share,
+           ROUND(p.cnt * 1.0 * g.n_keys / g.total, 6) AS skew_factor
+    FROM per_key p, g_stats g
+    ORDER BY p.cnt DESC, p.custkey
+    LIMIT {SKEW_TOP}
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the {SKEW_TOP} hottest order
+    custkeys with their row share and skew factor (count over the
+    uniform-key expectation) — the measurement that decides whether a
+    key needs salting (q_agg_salted / q_join_salted) or AQE skew-join
+    handles it.
+
+    Scale: one partial-aggregated count per key, a 1-row global
+    rollup broadcast-hash-joined back (always-zero derived key — same
+    no-BNLJ pattern as q_bm25), and a TakeOrdered top-{SKEW_TOP}; no
+    full sort, no window over the key table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("cnt")
+    )
+    glob = per_key.agg(
+        F.count("*").alias("n_keys"), F.sum("cnt").cast("bigint").alias("total")
+    )
+    return (
+        per_key.withColumn("__k", F.pmod(F.xxhash64("custkey"), F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                glob.withColumn("__k", F.pmod(F.col("n_keys"), F.lit(1)).cast("int"))
+            ),
+            "__k",
+        )
+        .select(
+            "custkey",
+            "cnt",
+            F.round(F.col("cnt") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.lit(1.0) * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), "custkey")
+        .limit(SKEW_TOP)
+    )

@@ -156,6 +156,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.chunking",
     "pypeline_spark.operators.multidim",
     "pypeline_spark.functions.ir",
+    "pypeline_spark.operators.graph",
 )
 
 

@@ -835,3 +835,93 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mkt_share")
     )
+
+
+@query(
+    "q_large_orders",
+    # TPC-H Q18 shape (large-quantity orders and their customers).
+    # l_quantity is integral-valued, so SUM is exact in double on both
+    # engines; cast to BIGINT for a type-stable hash.
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds the
+    threshold, with their customer and order rollup.
+
+    Scale: the IN-subquery is an aggregate on l_orderkey (map-side
+    partial sums) semi-joined back to orders — both sides shuffle on
+    the order key once; the customer attach is a dim join AQE
+    broadcasts.  No row explosion: the final aggregate reuses the
+    order-key partitioning.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+@query(
+    "q_priority_lateness",
+    # TPC-H Q4 shape adapted to this schema (no commit/receipt dates):
+    # an order is "late-shipped" when any of its line items shipped
+    # more than 60 days after the order date.
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a half-year
+    window with at least one line item shipped >60 days after order
+    date — correlated EXISTS with a non-equi date predicate.
+
+    Scale: the EXISTS compiles to a LEFT SEMI hash join on the order
+    key with the date comparison as a residual predicate inside the
+    key group — one shuffle per side, never a nested loop; the
+    half-year filter prunes the probe side at the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )

@@ -208,3 +208,52 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+@query(
+    "q_recursive_cte",
+    # DuckDB's integer division spells // where Spark SQL spells div;
+    # everything else is the same ANSI recursive CTE text.
+    oracle="""
+    WITH RECURSIVE walk(custkey, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 500
+        UNION ALL
+        SELECT custkey, node // 2, depth + 1 FROM walk WHERE node > 1
+    )
+    SELECT custkey,
+           CAST(MAX(depth) AS INT)    AS depth,
+           CAST(COUNT(*) AS BIGINT)   AS n_steps,
+           CAST(SUM(node) AS BIGINT)  AS path_sum
+    FROM walk GROUP BY custkey
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4's WITH RECURSIVE): walk each
+    customer key up the implicit binary-tree hierarchy (parent =
+    key div 2) to the root, emitting walk depth and path aggregates —
+    the transitive-closure SQL surface (org charts, BOM explosions,
+    referral chains) that previously required driver-side iteration.
+
+    Scale: each recursion level is one self-union step over the
+    frontier; depth is log2(max key), so the plan is ~18 narrow
+    levels at warehouse key ranges — the same work the iterative
+    label-propagation in functions/dedup.py does, but expressed
+    declaratively.
+    """
+    from pypeline_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 500
+            UNION ALL
+            SELECT custkey, node div 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT custkey,
+               CAST(MAX(depth) AS INT)    AS depth,
+               CAST(COUNT(*) AS BIGINT)   AS n_steps,
+               CAST(SUM(node) AS BIGINT)  AS path_sum
+        FROM walk GROUP BY custkey
+        """
+    )

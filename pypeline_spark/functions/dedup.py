@@ -694,3 +694,67 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.filter(F.col("doc_id") < INCR_SPLIT)
     batch = d.filter(F.col("doc_id") >= INCR_SPLIT)
     return incremental_near_dups(kept, batch)
+
+
+@query(
+    "q_dedup_recall",
+    # Meta-evaluation of the approximate tier: banding recall against
+    # the exact-Jaccard ground truth at the SAME 0.5 threshold.
+    # Precision is 1.0 by construction (candidates are exact-verified
+    # before they're emitted), so missed pairs are the only error
+    # mode; recall ships as integer basis points (exact div).
+    oracle=_SQL_SHINGLES
+    + _SQL_MINHASH_BODY
+    + """
+    , found AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    truth_inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM truth_inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(f.id_a) AS BIGINT) AS n_found,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 10000
+                     ELSE (10000 * COUNT(f.id_a)) // COUNT(*) END
+                AS BIGINT) AS recall_bp
+    FROM truth t
+    LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+    """,
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH banding against the exact all-pairs
+    Jaccard ground truth at threshold 0.5 — the evaluation every
+    approximate-dedup deployment runs on a sample before trusting the
+    banded tier at full scale.  (The ground-truth side is quadratic by
+    intent, like q_ngram_jaccard; at 100 TB you run it on a sampled
+    stratum, while the banded side is the production path.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    found = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    truth = (
+        q_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    joined = truth.alias("t").join(
+        found.withColumn("__hit", F.lit(1)).alias("f"), ["id_a", "id_b"], "left"
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_truth"),
+        F.count("__hit").cast("bigint").alias("n_found"),
+        F.expr(
+            "CAST(CASE WHEN count(*) = 0 THEN 10000 "
+            "ELSE (10000 * count(__hit)) div count(*) END AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -605,3 +605,82 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_share > 0.20) | (dup_frac > 0.30)).alias("flagged"),
         )
     )
+
+
+@query(
+    "q_dedup_url",
+    # Crawl dedup step 1: canonicalize the URL (lowercase scheme+host,
+    # strip tracking params and fragments), then collapse by canonical
+    # key.  The fixture corpus has no URLs, so both sides inject one
+    # deterministic messy URL per doc (case noise in scheme/host, a
+    # utm_ tracking param, a fragment); doc_id mod arithmetic makes
+    # canonical keys collide in groups of 5.
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               'HTTPS://Site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.Example.org/p/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                   || '&utm_source=x' || CAST(doc_id AS VARCHAR)
+                   || '#frag' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(url, '#.*$', ''),
+                   '[?&]utm_[^&#]*', '', 'g') AS stripped
+        FROM dirty
+    ),
+    keyed AS (
+        SELECT doc_id,
+               lower(regexp_extract(stripped, '^([^/]*//[^/]*)', 1))
+                   || regexp_extract(stripped, '^[^/]*//[^/]*(.*)$', 1)
+                   AS canonical_url
+        FROM canon
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM keyed GROUP BY canonical_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalized dedup: lowercase the scheme+authority, strip
+    tracking (utm_*) params and fragments, group by the canonical URL
+    keeping the smallest doc_id — pure regex column math, the cheapest
+    dedup tier (runs before any content hash touches the page body).
+
+    Scale: canonicalization is map-side; the only shuffle is keyed by
+    the canonical URL string, group sizes = duplicate multiplicity."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.org/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_source=x"),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "#.*$", ""), r"[?&]utm_[^&#]*", ""
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract(stripped, "^([^/]*//[^/]*)", 1)),
+        F.regexp_extract(stripped, "^[^/]*//[^/]*(.*)$", 1),
+    )
+    return (
+        dirty.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )

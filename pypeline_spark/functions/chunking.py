@@ -220,3 +220,86 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "a", "b")
         .limit(BPE_TOP)
     )
+
+
+# Ordered BPE merge table.  Chosen so no rule's left side collides with
+# the suffix of a token an earlier rule created (e.g. no 'h e' after
+# 't h'->'th' exists), which keeps plain substring replacement over the
+# space-joined symbol sequence a faithful BPE step.
+BPE_MERGES = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("i n", "in"),
+    ("a n", "an"),
+    ("an d", "and"),
+    ("o r", "or"),
+)
+
+
+@query(
+    "q_bpe_apply",
+    # Both engines: explode words, space-join the chars, apply the
+    # merge table in order with plain (non-regex) replaces, count
+    # resulting symbols.
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id,
+               trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+               LENGTH(w) AS n_chars
+        FROM words
+    ),
+    merged AS (
+        SELECT doc_id, n_chars,
+               replace(replace(replace(replace(replace(replace(
+                   s, 't h', 'th'), 'th e', 'the'), 'i n', 'in'),
+                   'a n', 'an'), 'an d', 'and'), 'o r', 'or') AS m
+        FROM seq
+    )
+    SELECT doc_id,
+           CAST(SUM(n_chars) AS BIGINT)                       AS n_chars,
+           CAST(SUM(len(string_split(m, ' '))) AS BIGINT)     AS n_bpe_tokens,
+           ROUND(SUM(n_chars) * 1.0 /
+                 SUM(len(string_split(m, ' '))), 4)           AS chars_per_token
+    FROM merged GROUP BY doc_id
+    """,
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware counting: apply a fixed ordered BPE merge table
+    to each word's character sequence and report per-doc subword token
+    counts and compression (chars per token) — the statistic that
+    decides packing lengths and per-doc training cost.
+
+    Scale: pure column expressions after one word explode — the merge
+    chain is {n} nested replaces inside WholeStageCodegen; the only
+    shuffle is the per-doc rollup (map-side combined).  A production
+    tokenizer swaps the merge table for its learned vocabulary; the
+    plumbing (explode -> symbol sequence -> ordered merges -> count)
+    is identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    seq = words.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+        F.length("w").alias("n_chars"),
+    )
+    m = F.col("s")
+    for lhs, rhs in BPE_MERGES:
+        m = F.replace(m, F.lit(lhs), F.lit(rhs))
+    merged = seq.select("doc_id", "n_chars", m.alias("m"))
+    n_tok = F.size(F.split(F.col("m"), " ", -1))
+    return merged.groupBy("doc_id").agg(
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(n_tok).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_chars") * F.lit(1.0) / F.sum(n_tok), 4
+        ).alias("chars_per_token"),
+    )

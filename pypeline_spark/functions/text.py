@@ -684,3 +684,59 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+@query(
+    "q_quality_deciles",
+    # NTILE is deterministic given a total order: quality ties break
+    # by doc_id.  The quality signal reuses q_quality_score's formula.
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               ROUND(LEAST(1.0, len(toks) / 100.0) * 0.5 +
+                     LEAST(1.0, len(list_filter(toks, w -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'],
+                     lower(w)))) * 5.0 / len(toks)) * 0.5, 4) AS quality
+        FROM t
+    )
+    SELECT doc_id, lang, quality,
+           CAST(NTILE(10) OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS INT) AS decile
+    FROM q
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles: rank every doc into NTILE(10)
+    buckets within its language — the calibration step that turns a
+    raw quality score into sampling strata (`q_mixture_sample`
+    consumes exactly this kind of bucket).
+
+    Scale: the window partitions by lang, so each language sorts
+    independently across the cluster — no global single-partition
+    sort (contrast q_rfm's global NTILE, which is over a small
+    per-customer rollup).  Languages are low-cardinality but huge:
+    at 100 TB you'd sub-salt the sort via range partitioning, which
+    Spark's window exchange already does per partition key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_toks = F.size(toks)
+    quality = F.round(
+        F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), (n_stop * F.lit(1.0) / n_toks) * 5.0) * 0.5,
+        4,
+    )
+    from pyspark.sql import Window as W
+
+    q = d.select("doc_id", "lang", quality.alias("quality"))
+    win = W.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return q.select(
+        "doc_id", "lang", "quality", F.ntile(10).over(win).cast("int").alias("decile")
+    )

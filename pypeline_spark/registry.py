@@ -157,6 +157,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.multidim",
     "pypeline_spark.functions.ir",
     "pypeline_spark.operators.graph",
+    "pypeline_spark.functions.inference",
 )
 
 

@@ -134,3 +134,43 @@ def test_manifest_stream_upsert_end_to_end(spark, sf_dir, tmp_path):
         "stream-1",
         "stream-2",
     }
+
+
+def test_cdc_stream_matches_one_shot_apply(spark, sf_dir, catalog):
+    """A sequenced upsert/delete change log streamed in seq-ordered
+    micro-batches (within-batch arrival order arbitrary — Debezium's
+    per-key ordering contract) through cdc_apply == one-shot apply of
+    the whole log; replaying the final batch is a no-op."""
+    from pypeline_spark.sinks.history import cdc_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    ops = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, "delete").otherwise("upsert").alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("acctbal"),
+    )
+    expected = _canon(cdc_apply(base, ops, ["custkey"]))
+
+    catalog.put("t", base)
+    # seq-range batches (ordered across batches), shuffled within
+    bounds = ops.approxQuantile("seq", [0.34, 0.67], 0.001) + [float("inf")]
+    lo = float("-inf")
+    applied = []
+    for hi in bounds:
+        batch = ops.filter((F.col("seq") > lo) & (F.col("seq") <= hi)).orderBy(
+            F.md5(F.col("seq").cast("string"))  # arbitrary within-batch order
+        )
+        applied.append(batch)
+        catalog.put("t", cdc_apply(catalog.get("t"), batch, ["custkey"]))
+        lo = hi
+    assert _canon(catalog.get("t")) == expected
+
+    # checkpoint-replay of the final batch: idempotent
+    catalog.put("t", cdc_apply(catalog.get("t"), applied[-1], ["custkey"]))
+    assert _canon(catalog.get("t")) == expected

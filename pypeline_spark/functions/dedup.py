@@ -758,3 +758,77 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (10000 * count(__hit)) div count(*) END AS BIGINT)"
         ).alias("recall_bp"),
     )
+
+
+LINK_BLOCK_PREFIX = 8  # blocking key: first chars of the name
+LINK_MAX_DIST = 2  # Levenshtein acceptance threshold
+
+
+@query(
+    "q_record_linkage",
+    # Entity resolution between the customer table and a deterministic
+    # "dirty" copy (suffix perturbation on every 3rd key, so blocking
+    # prefixes survive): block on (nation, name prefix), then exact
+    # integer Levenshtein <= 2 inside the block.  Self-matches keep the
+    # clean record; the query emits matched pairs with their distance.
+    oracle=f"""
+    WITH dirty AS (
+        SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN substr(c_name, 1, LENGTH(c_name) - 1) || 'X'
+                    ELSE c_name END AS d_name
+        FROM customer
+    ),
+    blocked AS (
+        SELECT c.c_custkey, d.d_custkey,
+               levenshtein(c.c_name, d.d_name) AS dist
+        FROM customer c
+        JOIN dirty d
+          ON c.c_nationkey = d.d_nationkey
+         AND substr(c.c_name, 1, {LINK_BLOCK_PREFIX})
+             = substr(d.d_name, 1, {LINK_BLOCK_PREFIX})
+         AND c.c_custkey != d.d_custkey
+    )
+    SELECT c_custkey, d_custkey, CAST(dist AS INT) AS dist
+    FROM blocked WHERE dist <= {LINK_MAX_DIST}
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: link clean customer records to a perturbed
+    copy via blocking (nation + name prefix) and integer Levenshtein
+    distance <= {LINK_MAX_DIST} — the blocked fuzzy-match shape every
+    record-linkage pipeline uses, with the edit distance exact in both
+    engines (no float similarity to diverge).
+
+    Scale: the block key carries the equi-join (one shuffle per side);
+    Levenshtein runs only inside blocks, so pairwise cost is bounded
+    by block occupancy — never an all-pairs comparison.  Skewed blocks
+    (common name prefixes) split under AQE like any hot join key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+    )
+    blocked = c.join(
+        dirty,
+        (F.col("c_nationkey") == F.col("d_nationkey"))
+        & (
+            F.substring("c_name", 1, LINK_BLOCK_PREFIX)
+            == F.substring("d_name", 1, LINK_BLOCK_PREFIX)
+        )
+        & (F.col("c_custkey") != F.col("d_custkey")),
+    )
+    return blocked.select(
+        "c_custkey",
+        "d_custkey",
+        F.levenshtein("c_name", "d_name").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= LINK_MAX_DIST)

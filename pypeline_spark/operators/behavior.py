@@ -494,3 +494,110 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > ANOM_Z).alias("is_anomaly"),
         )
     )
+
+
+AB_Z_CRIT = 1.96  # two-sided 95%
+
+
+@query(
+    "q_ab_test",
+    # Welch z from EXACT integer sums over cent-quantized values (same
+    # determinism move as q_anomaly_zscore): n, sum(c), sum(c^2) are
+    # exact bigints per arm, so mean/variance/z are fixed chains of
+    # single IEEE ops — bit-identical across engines.
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type,
+               user_id % 2 AS arm,
+               CAST(floor(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    per_arm AS (
+        SELECT event_type, arm,
+               COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM assigned GROUP BY event_type, arm
+    ),
+    wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+               b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+        FROM per_arm a JOIN per_arm b
+          ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(s1_a * 1.0 / n_a, 4) AS mean_a,
+           ROUND(s1_b * 1.0 / n_b, 4) AS mean_b,
+           ROUND((s1_a * 1.0 / n_a - s1_b * 1.0 / n_b)
+                 / sqrt(((n_a * s2_a - s1_a * s1_a) * 1.0 / (n_a * (n_a - 1))) / n_a
+                      + ((n_b * s2_b - s1_b * s1_b) * 1.0 / (n_b * (n_b - 1))) / n_b),
+                 4) AS z,
+           ABS((s1_a * 1.0 / n_a - s1_b * 1.0 / n_b)
+               / sqrt(((n_a * s2_a - s1_a * s1_a) * 1.0 / (n_a * (n_a - 1))) / n_a
+                    + ((n_b * s2_b - s1_b * s1_b) * 1.0 / (n_b * (n_b - 1))) / n_b))
+               > {AB_Z_CRIT} AS significant
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison per event type: users hash into arms,
+    Welch z-statistic computed from exact integer sums over
+    cent-quantized values (deterministic on any engine), with a 95%
+    significance flag — the experiment-readout query every product
+    pipeline serves.
+
+    Scale: one partial-aggregated pass keyed by (event_type, arm) —
+    three bigint accumulators per group — then a tiny self-join on
+    event_type; nothing else shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    per_arm = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("arm"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").cast("bigint").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    wide = a.join(b, "event_type")
+    mean_a = F.col("s1_a") * F.lit(1.0) / F.col("n_a")
+    mean_b = F.col("s1_b") * F.lit(1.0) / F.col("n_b")
+    var_a = (
+        (F.col("n_a") * F.col("s2_a") - F.col("s1_a") * F.col("s1_a"))
+        * F.lit(1.0)
+        / (F.col("n_a") * (F.col("n_a") - 1))
+    )
+    var_b = (
+        (F.col("n_b") * F.col("s2_b") - F.col("s1_b") * F.col("s1_b"))
+        * F.lit(1.0)
+        / (F.col("n_b") * (F.col("n_b") - 1))
+    )
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )

@@ -257,3 +257,42 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY custkey
         """
     )
+
+
+@query(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json once into the shredded binary encoding, then typed
+    variant_get extraction feeding a per-type rollup — the modern
+    replacement for per-access get_json_object string re-parsing
+    (q_json_props is the classic form).
+
+    Scale: VARIANT parses each document once at the scan and stores a
+    shredded binary; repeated typed extractions are pointer chases,
+    not string parses — at 100 TB of event payloads that is the
+    difference between one JSON parse per row and one per access.
+    The rollup is an ordinary partial-aggregated groupBy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

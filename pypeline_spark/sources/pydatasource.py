@@ -1,0 +1,85 @@
+"""Custom Python data source (Spark 4 DataSource API): a JSONL reader
+with per-file partition parallelism.
+
+The reference's extensibility story is "point extract_query at any
+database" (ref: /root/reference/pypeline/Pype.py:34-36); Spark's
+native equivalent for sources the built-in readers don't cover is the
+Python DataSource API — this module exercises it end to end so the
+engine demonstrably supports user-defined connectors, not just the
+bundled formats.
+
+Scale design:
+
+- ``partitions()`` returns ONE InputPartition PER FILE, so a
+  directory of N shards reads with N-way parallelism — the same
+  split-per-task layout the built-in file sources use.  (A production
+  connector for big single files would split on byte ranges and seek
+  to the next newline; per-file is the right granularity for the
+  sharded-JSONL layout training corpora actually use.)
+- the reader yields plain tuples per row — Spark batches them through
+  Arrow; no driver-side collect anywhere.
+- schema is explicit (option or default), never inferred by a full
+  pre-scan: at 100 TB an inference pass is a second read of the
+  corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = "doc_id bigint, text string, lang string"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def partitions(self):  # one task per shard file
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".jsonl", ".json")) and not f.startswith((".", "_"))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in self.field_names)
+
+
+class JsonlDataSource(DataSource):
+    """``spark.read.format("pypeline_jsonl").schema(...).load(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pypeline_jsonl"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> JsonlReader:
+        return JsonlReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent registration on a session."""
+    spark.dataSource.register(JsonlDataSource)

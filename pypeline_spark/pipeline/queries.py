@@ -70,3 +70,71 @@ def q_pipeline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = Pypeline(spark, config, placeholders={"max_key": 600})
     pipeline.run("customer_etl")
     return pipeline.catalog.get("dim_customer")
+
+
+_CDC_CONFIG = {
+    "pypes": {
+        "seed_accounts": {
+            "extract_query": (
+                "SELECT c_custkey AS custkey, c_acctbal AS acctbal, "
+                "c_mktsegment AS segment FROM customer WHERE c_custkey <= {max_key}"
+            ),
+            "target_table": "accounts",
+            "type": "overwrite",
+        },
+        "apply_changes": {
+            "extract_query": (
+                "SELECT o_custkey AS custkey, o_orderkey AS seq, "
+                "CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op, "
+                "ROUND(o_totalprice, 2) AS acctbal, "
+                "'CDC_' || o_orderstatus AS segment "
+                "FROM orders WHERE o_orderkey % 3 != 0"
+            ),
+            "target_table": "accounts",
+            "type": "cdc",
+            "key_columns": ["custkey"],
+        },
+    },
+    "pypelines": {"account_sync": ["seed_accounts", "apply_changes"]},
+}
+
+
+@query(
+    "q_pipeline_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+               c_mktsegment AS segment
+        FROM customer WHERE c_custkey <= 1000
+    ),
+    ops AS (
+        SELECT o_custkey AS custkey, o_orderkey AS seq,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+               ROUND(o_totalprice, 2) AS acctbal,
+               'CDC_' || o_orderstatus AS segment
+        FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    last AS (
+        SELECT custkey, op, acctbal, segment
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                                           ORDER BY seq DESC, op) AS rn
+              FROM ops)
+        WHERE rn = 1
+    )
+    SELECT b.custkey, b.acctbal, b.segment
+    FROM base b LEFT JOIN last l USING (custkey) WHERE l.custkey IS NULL
+    UNION ALL
+    SELECT custkey, acctbal, segment FROM last WHERE op != 'delete'
+    """,
+)
+def q_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A pipeline with the ``cdc`` step type: seed a base table
+    (overwrite), then apply a sequenced upsert/delete change log
+    through ``sinks.history.cdc_apply`` — the reference's DB-sync
+    loop upgraded to real change-log semantics, driven entirely from
+    the validated YAML-shaped config."""
+    register_tables(spark, sf_dir)
+    config = PipelineConfig.from_dict(_CDC_CONFIG)
+    pipeline = Pypeline(spark, config, placeholders={"max_key": 1000})
+    pipeline.run("account_sync")
+    return pipeline.catalog.get("accounts")

@@ -120,6 +120,22 @@ class Pypeline:
                     key_columns=spec.key_columns,
                     fields_excluded_from_update=spec.fields_excluded_from_update,
                 )
+        elif spec.type == "cdc":
+            from pypeline_spark.sinks.history import cdc_apply
+
+            if target is None:
+                # first batch against an empty base: survivors only
+                base_cols = [
+                    c for c in df.columns if c not in (spec.seq_column, spec.op_column)
+                ]
+                target = self.spark.createDataFrame([], df.select(base_cols).schema)
+            new_target = cdc_apply(
+                target,
+                df,
+                key_columns=spec.key_columns,
+                seq_col=spec.seq_column,
+                op_col=spec.op_column,
+            )
         elif spec.type == "append":
             new_target = df if target is None else target.unionByName(df)
         else:  # overwrite

@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional, Sequence
 
-VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append")
+VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append", "cdc")
 
 
 class SpecError(ValueError):
@@ -47,6 +47,8 @@ class PypeSpec:
     fields_excluded_from_update: Sequence[str] = field(default_factory=tuple)
     bulk_size: int = 2000  # kept for config parity; maps to scan partitioning hints
     debug: bool = False
+    seq_column: str = "seq"  # cdc: ordering column of the change log
+    op_column: str = "op"  # cdc: 'upsert' | 'delete' per log row
 
     def __post_init__(self) -> None:
         if not self.extract_query:
@@ -59,8 +61,10 @@ class PypeSpec:
             )
         if self.type == "delete" and not self.identifier:
             raise SpecError(f"pype {self.name!r}: delete requires identifier")
-        if self.type in ("upsert", "update") and not self.key_columns:
+        if self.type in ("upsert", "update", "cdc") and not self.key_columns:
             raise SpecError(f"pype {self.name!r}: {self.type} requires key_columns")
+        if self.type == "cdc" and not (self.seq_column and self.op_column):
+            raise SpecError(f"pype {self.name!r}: cdc requires seq_column and op_column")
 
 
 @dataclass

@@ -239,3 +239,51 @@ class TestRunner:
         )
         Pypeline(spark, config).run("p")
         assert spark.sql("SELECT n FROM t_post_summary").collect()[0].n == 5
+
+
+def test_cdc_step_requires_key_columns():
+    import pytest as _pytest
+
+    from pypeline_spark.pipeline.spec import PipelineConfig, SpecError
+
+    bad = {
+        "pypes": {
+            "apply": {
+                "extract_query": "SELECT 1 AS custkey, 1 AS seq, 'upsert' AS op",
+                "target_table": "t",
+                "type": "cdc",
+                "key_columns": [],
+            }
+        },
+        "pypelines": {"p": ["apply"]},
+    }
+    with _pytest.raises(SpecError, match="requires key_columns"):
+        PipelineConfig.from_dict(bad)
+
+
+def test_cdc_step_first_batch_creates_from_survivors(spark):
+    """A cdc step against a missing target applies the compacted log
+    to an empty base: survivors insert, deletes vanish."""
+    from pypeline_spark.pipeline.runner import Pypeline
+    from pypeline_spark.pipeline.spec import PipelineConfig
+
+    spark.createDataFrame(
+        [(1, 10, "upsert", "a"), (1, 20, "delete", None), (2, 5, "upsert", "b")],
+        "k int, seq int, op string, v string",
+    ).createOrReplaceTempView("__cdc_log__")
+    config = PipelineConfig.from_dict(
+        {
+            "pypes": {
+                "apply": {
+                    "extract_query": "SELECT k, seq, op, v FROM __cdc_log__",
+                    "target_table": "t_new",
+                    "type": "cdc",
+                    "key_columns": ["k"],
+                }
+            },
+            "pypelines": {"p": ["apply"]},
+        }
+    )
+    pipe = Pypeline(spark, config)
+    pipe.run("p")
+    assert {(r.k, r.v) for r in pipe.catalog.get("t_new").collect()} == {(2, "b")}

@@ -158,6 +158,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.ir",
     "pypeline_spark.operators.graph",
     "pypeline_spark.functions.inference",
+    "pypeline_spark.operators.ivm",
 )
 
 

@@ -49,3 +49,33 @@ class TestApproxAccuracy:
             ap = approx[flag]
             assert abs(ap.p50_price - ex.p50) / ex.p50 < 0.02
             assert abs(ap.p95_price - ex.p95) / ex.p95 < 0.02
+
+
+class TestIvmMerge:
+    def test_batch_order_and_split_invariance(self, spark, sf_dir):
+        """Merging per-month partial rollups in ANY order equals the
+        direct rollup — the associativity/commutativity contract that
+        lets maintenance batches land out of order."""
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.operators.ivm import ivm_merge, rollup_events
+        from pypeline_spark.session import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        direct = rollup_events(e)
+        bucket = F.pmod(F.dayofmonth(F.to_date("ts")), F.lit(3))
+        parts = [rollup_events(e.filter(bucket == b)) for b in (0, 1, 2)]
+        parts = [p for p in parts if p.count() > 0]
+        assert len(parts) >= 2, "fixture spans fewer days than expected"
+
+        def canon(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        fwd = parts[0]
+        for p in parts[1:]:
+            fwd = ivm_merge(fwd, p)
+        rev = parts[-1]
+        for p in reversed(parts[:-1]):
+            rev = ivm_merge(rev, p)
+        assert canon(fwd) == canon(direct)
+        assert canon(rev) == canon(direct)

@@ -760,17 +760,19 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LINK_BLOCK_PREFIX = 8  # blocking key: first chars of the name
 LINK_MAX_DIST = 2  # Levenshtein acceptance threshold
 
 
 @query(
     "q_record_linkage",
     # Entity resolution between the customer table and a deterministic
-    # "dirty" copy (suffix perturbation on every 3rd key, so blocking
-    # prefixes survive): block on (nation, name prefix), then exact
-    # integer Levenshtein <= 2 inside the block.  Self-matches keep the
-    # clean record; the query emits matched pairs with their distance.
+    # "dirty" copy (suffix perturbation on every 3rd key).  The block
+    # key is the NAME STEM — everything but the last two characters —
+    # which (a) survives the last-char perturbation, and (b) stays
+    # selective on TPC-H-style names, where a fixed-length prefix would
+    # be degenerate (every customer shares 'Customer#...', so prefix
+    # blocking collapses to per-nation all-pairs).  Exact integer
+    # Levenshtein <= 2 inside the block.
     oracle=f"""
     WITH dirty AS (
         SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
@@ -785,8 +787,8 @@ LINK_MAX_DIST = 2  # Levenshtein acceptance threshold
         FROM customer c
         JOIN dirty d
           ON c.c_nationkey = d.d_nationkey
-         AND substr(c.c_name, 1, {LINK_BLOCK_PREFIX})
-             = substr(d.d_name, 1, {LINK_BLOCK_PREFIX})
+         AND substr(c.c_name, 1, LENGTH(c.c_name) - 2)
+             = substr(d.d_name, 1, LENGTH(d.d_name) - 2)
          AND c.c_custkey != d.d_custkey
     )
     SELECT c_custkey, d_custkey, CAST(dist AS INT) AS dist
@@ -795,15 +797,18 @@ LINK_MAX_DIST = 2  # Levenshtein acceptance threshold
 )
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: link clean customer records to a perturbed
-    copy via blocking (nation + name prefix) and integer Levenshtein
+    copy via blocking (nation + name stem) and integer Levenshtein
     distance <= {LINK_MAX_DIST} — the blocked fuzzy-match shape every
     record-linkage pipeline uses, with the edit distance exact in both
     engines (no float similarity to diverge).
 
     Scale: the block key carries the equi-join (one shuffle per side);
     Levenshtein runs only inside blocks, so pairwise cost is bounded
-    by block occupancy — never an all-pairs comparison.  Skewed blocks
-    (common name prefixes) split under AQE like any hot join key.
+    by block occupancy.  The stem key keeps occupancy tiny (~keys
+    sharing all but 2 trailing chars) where a fixed-length prefix on
+    templated names would degenerate to per-nation all-pairs — block
+    key choice IS the scale knob in record linkage.  Skewed blocks
+    split under AQE like any hot join key.
     """
     c = load_table(spark, sf_dir, "customer")
     dirty = c.select(
@@ -822,8 +827,8 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty,
         (F.col("c_nationkey") == F.col("d_nationkey"))
         & (
-            F.substring("c_name", 1, LINK_BLOCK_PREFIX)
-            == F.substring("d_name", 1, LINK_BLOCK_PREFIX)
+            F.expr("substr(c_name, 1, length(c_name) - 2)")
+            == F.expr("substr(d_name, 1, length(d_name) - 2)")
         )
         & (F.col("c_custkey") != F.col("d_custkey")),
     )

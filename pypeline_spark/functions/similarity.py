@@ -555,10 +555,15 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame
     100 TB the corpus signature table is the stored index — bucket
     joins prune to matching partitions; no training step, unlike IVF.
     """
+    # Materialize the corpus signatures once — the persisted-index
+    # shape a deployment stores; it also keeps the ~2300-node signature
+    # expression tree from re-evaluating under the bucket join.  The
+    # query side stays a fresh projection (queries need not be corpus
+    # members) — it's |queries| rows, negligible.
     q_sigs = lsh_signatures(
         queries.select(F.col("q_id").alias("vec_id"), "embedding")
     ).select(F.col("vec_id").alias("q_id"), "t", "sig")
-    c_sigs = lsh_signatures(corpus)
+    c_sigs = lsh_signatures(corpus).localCheckpoint(eager=False)
     cand = (
         q_sigs.join(c_sigs, ["t", "sig"])
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -711,7 +716,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy, which the table/plane counts tune.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    sigs = lsh_signatures(e.select("vec_id", "embedding"))
+    # The signature projection is a ~2300-node expression tree (tables
+    # x planes x dim integer dots); materialize it once so the
+    # self-join's two sides (and nothing else) pay it — the stored-
+    # index shape a deployment would persist anyway.
+    sigs = lsh_signatures(e.select("vec_id", "embedding")).localCheckpoint(eager=False)
     cand = (
         sigs.alias("a")
         .join(

@@ -356,3 +356,83 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CDC_"), F.col("o_orderstatus")).alias("segment"),
     )
     return cdc_apply(base, ops, ["custkey"])
+
+
+_PIT_DATES = ("2024-03-01", "2024-08-01")  # one before, one after the SCD2 cutover
+
+
+@query(
+    "q_pit_join",
+    # Point-in-time dimension lookup: each (key, probe date) row joins
+    # the SCD2 version valid AT that date — the temporal-correctness
+    # join every feature-store / training-data backfill needs (as-of
+    # facts must see the dimension as it was, not as it is).  The
+    # oracle rebuilds the merged history inline (same derivation as
+    # the q_scd2 oracle) and applies the same validity predicate.
+    oracle=f"""
+    WITH hist AS ({_HIST_SQL}), upd AS ({_UPD_SQL}),
+    changed AS (
+        SELECT u.c_custkey FROM upd u JOIN hist t USING (c_custkey)
+        WHERE t.c_name IS DISTINCT FROM u.c_name
+           OR t.c_acctbal IS DISTINCT FROM u.c_acctbal
+           OR t.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+    ),
+    merged AS (
+        SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment, t.valid_from,
+               CASE WHEN c.c_custkey IS NOT NULL THEN DATE '2024-06-01' END AS valid_to,
+               c.c_custkey IS NULL AS is_current
+        FROM hist t LEFT JOIN changed c USING (c_custkey)
+        UNION ALL
+        SELECT u.c_custkey, u.c_name, u.c_acctbal, u.c_mktsegment,
+               DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        FROM upd u
+        WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+           OR u.c_custkey NOT IN (SELECT c_custkey FROM hist)
+    ),
+    probes AS (
+        SELECT c_custkey, CAST(d AS DATE) AS pit
+        FROM (SELECT DISTINCT c_custkey FROM merged),
+             (SELECT unnest(['{_PIT_DATES[0]}', '{_PIT_DATES[1]}']) AS d)
+    )
+    SELECT p.c_custkey, p.pit, m.c_acctbal, m.c_mktsegment, m.is_current
+    FROM probes p
+    JOIN merged m
+      ON p.c_custkey = m.c_custkey
+     AND m.valid_from <= p.pit
+     AND (m.valid_to IS NULL OR p.pit < m.valid_to)
+    """,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: probe every SCD2 key at {_PIT_DATES} and
+    return the dimension version valid at each probe date (validity
+    predicate ``valid_from <= pit < valid_to``).  Exactly one version
+    matches per (key, pit) by SCD2 construction.
+
+    Scale: equi-join on the key with the validity range as a residual
+    predicate inside the key group — one shuffle per side, the same
+    non-cartesian shape as the range/as-of joins; at 100 TB the
+    history side prunes closed versions via is_current/valid_to
+    partitioning before the join.
+    """
+    hist, upd = _scd2_inputs(spark, sf_dir)
+    merged = scd2_apply(hist, upd, _SCD2_KEYS, _SCD2_TRACKED)
+    dates = F.array(*[F.lit(d).cast("date") for d in _PIT_DATES])
+    probes = merged.select("c_custkey").distinct().select(
+        "c_custkey", F.explode(dates).alias("pit")
+    )
+    cond = (
+        (F.col("p.c_custkey") == F.col("m.c_custkey"))
+        & (F.col("m.valid_from") <= F.col("p.pit"))
+        & (F.col("m.valid_to").isNull() | (F.col("p.pit") < F.col("m.valid_to")))
+    )
+    return (
+        probes.alias("p")
+        .join(merged.alias("m"), cond)
+        .select(
+            F.col("p.c_custkey").alias("c_custkey"),
+            F.col("p.pit").alias("pit"),
+            F.col("m.c_acctbal").alias("c_acctbal"),
+            F.col("m.c_mktsegment").alias("c_mktsegment"),
+            F.col("m.is_current").alias("is_current"),
+        )
+    )

@@ -145,7 +145,7 @@ def clean_corpus(docs: DataFrame) -> DataFrame:
         FROM inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
     ),
     final AS (
         SELECT * FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM dupes)

@@ -399,13 +399,17 @@ _SQL_MINHASH_BODY = """
     )
 """
 
+# The threshold is applied to the ROUNDED jaccard — the Spark side
+# filters jaccard_from_arrays' 4dp output, so every oracle that pairs
+# with it must round before comparing or a pair with true jaccard in
+# [0.49995, 0.5) would be admitted by one engine only.
 _SQL_MINHASH_PAIRS_SELECT = """
     SELECT id_a, id_b,
            ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
 """
 
 
@@ -684,7 +688,7 @@ def incremental_near_dups(
     FROM inter
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
     """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,7 +714,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
     ),
     truth_inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -721,7 +725,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b FROM truth_inter
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
-        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
            CAST(COUNT(f.id_a) AS BIGINT) AS n_found,
@@ -740,7 +744,6 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     intent, like q_ngram_jaccard; at 100 TB you run it on a sampled
     stratum, while the banded side is the production path.)
     """
-    d = load_table(spark, sf_dir, "documents")
     found = q_dedup_minhash(spark, sf_dir).select("id_a", "id_b")
     truth = (
         q_ngram_jaccard(spark, sf_dir)

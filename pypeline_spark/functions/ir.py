@@ -56,6 +56,9 @@ def _bm25_oracle() -> str:
         f"(d.tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / g.avgdl))"
         for i in range(len(BM25_TERMS))
     )
+    match_any = " OR ".join(
+        f"d.tf_{i} > 0" for i in range(len(BM25_TERMS))
+    )
     return f"""
     WITH t AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -76,7 +79,7 @@ def _bm25_oracle() -> str:
         SELECT d.doc_id,
                ROUND({score_terms}, 4) AS score
         FROM d, g
-        WHERE d.tf_0 > 0 OR d.tf_1 > 0 OR d.tf_2 > 0
+        WHERE {match_any}
     )
     SELECT doc_id, score,
            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
@@ -132,10 +135,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a plain crossJoin(broadcast(1 row)) plans as a
     # BroadcastNestedLoopJoin, which the plan gate rejects (see
     # similarity.assign_cells for the same pattern).
+    from functools import reduce
+    from operator import or_
+
+    # derive the match filter from BM25_TERMS (not hard-coded columns)
+    # so adding a term can never silently drop its matches
+    match_any = reduce(or_, [F.col(f"tf_{i}") > 0 for i in range(len(BM25_TERMS))])
     matched = (
-        per_doc.filter(
-            (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
-        )
+        per_doc.filter(match_any)
         .withColumn("__k", F.pmod(F.xxhash64("doc_id"), F.lit(1)).cast("int"))
         .join(
             F.broadcast(

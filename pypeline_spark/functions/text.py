@@ -92,6 +92,26 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stopword_ratio_expr(toks: Column) -> Column:
+    """Stopword share of the token array — shared signal component."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return n_stop * F.lit(1.0) / F.size(toks)
+
+
+def quality_expr(toks: Column) -> Column:
+    """THE quality score formula (rounded 4dp) — single source shared
+    by q_quality_score and q_quality_deciles so the decile calibration
+    can never drift from the score it stratifies."""
+    n_toks = F.size(toks)
+    return F.round(
+        F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), stopword_ratio_expr(toks) * 5.0) * 0.5,
+        4,
+    )
+
+
 @query(
     "q_quality_score",
     oracle=r"""
@@ -117,19 +137,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cheap pre-filter before expensive model-based scoring."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    n_toks = F.size(toks)
-    stop_ratio = n_stop * F.lit(1.0) / n_toks
     return d.select(
         "doc_id",
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        n_toks.between(20, 1000).cast("boolean").alias("len_ok"),
-        F.round(
-            F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.5
-            + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.5,
-            4,
-        ).alias("quality"),
+        F.round(stopword_ratio_expr(toks), 4).alias("stopword_ratio"),
+        F.size(toks).between(20, 1000).cast("boolean").alias("len_ok"),
+        quality_expr(toks).alias("quality"),
     )
 
 
@@ -724,18 +736,9 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's window exchange already does per partition key.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    n_toks = F.size(toks)
-    quality = F.round(
-        F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.5
-        + F.least(F.lit(1.0), (n_stop * F.lit(1.0) / n_toks) * 5.0) * 0.5,
-        4,
-    )
     from pyspark.sql import Window as W
 
-    q = d.select("doc_id", "lang", quality.alias("quality"))
+    q = d.select("doc_id", "lang", quality_expr(tokens(F.col("text"))).alias("quality"))
     win = W.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
     return q.select(
         "doc_id", "lang", "quality", F.ntile(10).over(win).cast("int").alias("decile")

@@ -504,7 +504,9 @@ AB_Z_CRIT = 1.96  # two-sided 95%
     # Welch z from EXACT integer sums over cent-quantized values (same
     # determinism move as q_anomaly_zscore): n, sum(c), sum(c^2) are
     # exact bigints per arm, so mean/variance/z are fixed chains of
-    # single IEEE ops — bit-identical across engines.
+    # single IEEE ops — bit-identical across engines.  The variance
+    # products are computed in DOUBLE (see builder comment) so whole-arm
+    # aggregates can't overflow int64 at production row counts.
     oracle=f"""
     WITH assigned AS (
         SELECT event_type,
@@ -530,12 +532,16 @@ AB_Z_CRIT = 1.96  # two-sided 95%
            ROUND(s1_a * 1.0 / n_a, 4) AS mean_a,
            ROUND(s1_b * 1.0 / n_b, 4) AS mean_b,
            ROUND((s1_a * 1.0 / n_a - s1_b * 1.0 / n_b)
-                 / sqrt(((n_a * s2_a - s1_a * s1_a) * 1.0 / (n_a * (n_a - 1))) / n_a
-                      + ((n_b * s2_b - s1_b * s1_b) * 1.0 / (n_b * (n_b - 1))) / n_b),
+                 / sqrt(((n_a * (s2_a * 1.0) - (s1_a * 1.0) * (s1_a * 1.0))
+                         / ((n_a * 1.0) * (n_a - 1))) / n_a
+                      + ((n_b * (s2_b * 1.0) - (s1_b * 1.0) * (s1_b * 1.0))
+                         / ((n_b * 1.0) * (n_b - 1))) / n_b),
                  4) AS z,
            ABS((s1_a * 1.0 / n_a - s1_b * 1.0 / n_b)
-               / sqrt(((n_a * s2_a - s1_a * s1_a) * 1.0 / (n_a * (n_a - 1))) / n_a
-                    + ((n_b * s2_b - s1_b * s1_b) * 1.0 / (n_b * (n_b - 1))) / n_b))
+               / sqrt(((n_a * (s2_a * 1.0) - (s1_a * 1.0) * (s1_a * 1.0))
+                       / ((n_a * 1.0) * (n_a - 1))) / n_a
+                    + ((n_b * (s2_b * 1.0) - (s1_b * 1.0) * (s1_b * 1.0))
+                       / ((n_b * 1.0) * (n_b - 1))) / n_b))
                > {AB_Z_CRIT} AS significant
     FROM wide
     """,
@@ -581,15 +587,20 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = a.join(b, "event_type")
     mean_a = F.col("s1_a") * F.lit(1.0) / F.col("n_a")
     mean_b = F.col("s1_b") * F.lit(1.0) / F.col("n_b")
+    # Variance products run in DOUBLE (sums promoted via * 1.0), never
+    # bigint: n*s2 and s1*s1 overflow int64 at ~1e6 rows of 1e5-cent
+    # values, where Spark would wrap silently and DuckDB would raise.
+    # int64->double conversion and double multiply are single IEEE ops,
+    # identical in both engines, so the hash contract is unchanged.
     var_a = (
-        (F.col("n_a") * F.col("s2_a") - F.col("s1_a") * F.col("s1_a"))
-        * F.lit(1.0)
-        / (F.col("n_a") * (F.col("n_a") - 1))
+        (F.col("n_a") * (F.col("s2_a") * F.lit(1.0))
+         - (F.col("s1_a") * F.lit(1.0)) * (F.col("s1_a") * F.lit(1.0)))
+        / ((F.col("n_a") * F.lit(1.0)) * (F.col("n_a") - 1))
     )
     var_b = (
-        (F.col("n_b") * F.col("s2_b") - F.col("s1_b") * F.col("s1_b"))
-        * F.lit(1.0)
-        / (F.col("n_b") * (F.col("n_b") - 1))
+        (F.col("n_b") * (F.col("s2_b") * F.lit(1.0))
+         - (F.col("s1_b") * F.lit(1.0)) * (F.col("s1_b") * F.lit(1.0)))
+        / ((F.col("n_b") * F.lit(1.0)) * (F.col("n_b") - 1))
     )
     z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
     return wide.select(

@@ -99,21 +99,18 @@ _CDC_CONFIG = {
 }
 
 
+# The oracle composes the SAME base/ops SQL the direct q_cdc_apply
+# oracle uses (sinks/history constants) — the two replays cannot
+# drift, and the hash match doubles as "pipeline path == direct
+# cdc_apply" equivalence.
+from pypeline_spark.sinks.history import _CDC_BASE_SQL, _CDC_OPS_SQL  # noqa: E402
+
+
 @query(
     "q_pipeline_cdc",
-    oracle="""
-    WITH base AS (
-        SELECT c_custkey AS custkey, c_acctbal AS acctbal,
-               c_mktsegment AS segment
-        FROM customer WHERE c_custkey <= 1000
-    ),
-    ops AS (
-        SELECT o_custkey AS custkey, o_orderkey AS seq,
-               CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
-               ROUND(o_totalprice, 2) AS acctbal,
-               'CDC_' || o_orderstatus AS segment
-        FROM orders WHERE o_orderkey % 3 != 0
-    ),
+    oracle=f"""
+    WITH base AS ({_CDC_BASE_SQL}),
+    ops AS ({_CDC_OPS_SQL}),
     last AS (
         SELECT custkey, op, acctbal, segment
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey

@@ -128,15 +128,15 @@ _DRIVER_WINDOW = (
     "q_zorder",
 )
 
-# Round-5 rotation candidates: the 23 queries added in round 4 have
+# Round-5 rotation candidates: the 24 queries added in round 4 have
 # never held a driver window slot (judge-replay only so far) —
 # q_gopher_rules q_url_extract q_boilerplate q_anomaly_zscore
 # q_cdc_apply q_semantic_dedup q_bm25 q_pagerank q_bfs_hops q_key_skew
 # q_recursive_cte q_large_orders q_priority_lateness q_dedup_recall
 # q_dedup_url q_bpe_apply q_batch_inference q_quality_deciles
 # q_record_linkage q_ab_test q_variant_props q_pipeline_cdc
-# q_ivm_rollup.  Rotate them into _DRIVER_WINDOW next round; the
-# round-4 window's 50 will by then all be driver-certified.
+# q_ivm_rollup q_pit_join.  Rotate them into _DRIVER_WINDOW next
+# round; the round-4 window's 50 will by then all be driver-certified.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

@@ -128,14 +128,20 @@ _DRIVER_WINDOW = (
     "q_zorder",
 )
 
-# Round-5 rotation candidates: the 24 queries added in round 4 have
-# never held a driver window slot (judge-replay only so far) —
+# Round-5 rotation candidates: the queries added in rounds 3-4 that
+# have never held a driver window slot (judge-replay only so far) —
 # q_gopher_rules q_url_extract q_boilerplate q_anomaly_zscore
 # q_cdc_apply q_semantic_dedup q_bm25 q_pagerank q_bfs_hops q_key_skew
 # q_recursive_cte q_large_orders q_priority_lateness q_dedup_recall
 # q_dedup_url q_bpe_apply q_batch_inference q_quality_deciles
 # q_record_linkage q_ab_test q_variant_props q_pipeline_cdc
-# q_ivm_rollup q_pit_join.  Rotate them into _DRIVER_WINDOW next
+# q_ivm_rollup q_pit_join, plus the round-4 TPC-H completion set
+# (operators/tpch_extra.py: q_min_cost_supplier q_nation_volume
+# q_product_profit q_value_concentration q_shipmode_priority
+# q_order_count_distribution q_promo_revenue q_top_supplier
+# q_supplier_part_counts q_small_qty_revenue q_disjunctive_pred
+# q_excess_suppliers q_waiting_orders q_sales_opportunity) and any
+# other round-4 additions.  Rotate them into _DRIVER_WINDOW next
 # round; the round-4 window's 50 will by then all be driver-certified.
 
 _OPERATOR_MODULES = (
@@ -156,6 +162,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.sql_breadth",
     "pypeline_spark.sources.bucketed",
     "pypeline_spark.operators.relational",
+    "pypeline_spark.operators.tpch_extra",
     "pypeline_spark.operators.windows",
     "pypeline_spark.operators.setops_scalar",
     "pypeline_spark.operators.stats",

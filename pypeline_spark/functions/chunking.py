@@ -303,3 +303,61 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars") * F.lit(1.0) / F.sum(n_tok), 4
         ).alias("chars_per_token"),
     )
+
+
+MIX_TAU_NUM, MIX_TAU_DEN = 1, 2  # temperature tau = 0.5 (sqrt scaling)
+
+
+@query(
+    "q_mixture_temperature",
+    # rate_s = (min_cnt / cnt_s)^(1 - tau): tau=1 keeps natural
+    # proportions, tau=0 is the uniform mix of q_mixture_sample.  The
+    # power/sqrt is IEEE-correctly-rounded in both engines over the
+    # same exact inputs, so the floor'd basis-point rate — and hence
+    # the hash-gated subset — is identical.
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (SELECT lang,
+                 CAST(FLOOR({MIX_BUCKETS} * SQRT(CAST(mn AS DOUBLE)
+                            / CAST(cnt AS DOUBLE))) AS BIGINT) AS rate_bp
+          FROM c, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE {{gate}} < r.rate_bp
+    """.format(gate=_HASH_BUCKET_SQL.format(cols="d.doc_id", buckets=MIX_BUCKETS)),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resample (tau = 0.5): each language
+    stratum keeps share proportional to cnt^tau — the multilingual
+    training-mix standard (square-root scaling) that upweights small
+    languages without flattening the mix entirely.
+
+    Scale: identical shuffle shape to q_mixture_sample — one tiny
+    per-stratum count aggregate, a window over |sources| rows for the
+    min, and a broadcast of the rate table onto the scan; the accept
+    gate is the same deterministic md5 bucket, so the subset is
+    reproducible across engines, reruns, and partition layouts.
+    Because rates only ever DOWN-sample (the smallest stratum is the
+    1.0 anchor), no row duplication is needed; a tau wanting
+    upsampling would switch the gate to ``explode(sequence(...))``
+    repetition with the same integer-rate discipline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    rates = counts.select(
+        "lang",
+        F.floor(
+            MIX_BUCKETS
+            * F.sqrt(
+                F.expr("min(cnt) OVER ()").cast("double") / F.col("cnt").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("rate_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket(F.col("doc_id"), buckets=MIX_BUCKETS) < F.col("rate_bp"))
+        .select("doc_id", "lang", "source")
+    )

@@ -840,3 +840,138 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_custkey",
         F.levenshtein("c_name", "d_name").cast("int").alias("dist"),
     ).filter(F.col("dist") <= LINK_MAX_DIST)
+
+
+# --- Repeated-span (substring-level) dedup -------------------------------
+# The "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al., 2022) failure mode: verbatim spans repeated ACROSS documents that
+# document-level dedup (exact, MinHash) can't see because the containing
+# documents differ.  Production systems use suffix arrays; the
+# shuffle-friendly formulation is fixed-length token windows — every
+# k-token span, grouped by content, flagged when it recurs in >=2 docs.
+
+SPAN_K = 10  # tokens per span
+
+# shared tokenizer + span generator, kept in ONE place per engine so the
+# Spark expression and the DuckDB oracle can't drift (same convention as
+# _SQL_SHINGLES above)
+_SPAN_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SQL_SPANS = rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SPAN_TOKENS} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {SPAN_K - 1}),
+                   i -> array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')))
+                   AS span
+        FROM toks WHERE len(t) >= {SPAN_K}
+    )
+"""
+
+
+def span_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, span) — one row per k-token window position (stride 1,
+    duplicates within a doc KEPT: span dedup counts occurrences, unlike
+    shingle sets).  Map-side only: tokenize, transform, explode."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    spans = F.expr(
+        f"transform(sequence(1, greatest(size(__t) - {SPAN_K - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__t, i, {SPAN_K})))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= SPAN_K)
+        .select(F.col(id_col), F.explode(spans).alias("span"))
+    )
+
+
+@query(
+    "q_span_dedup",
+    oracle=_SQL_SPANS
+    + """
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: every 10-token window occurring in
+    at least two distinct documents, with its document and occurrence
+    counts.
+
+    Scale: span generation is map-side (tokenize -> transform ->
+    explode, pure codegen); the single shuffle is keyed by span
+    content.  At 100 TB the span strings themselves should not ride
+    the wire — key the exchange by xxhash64(span) and keep one witness
+    string per group (collision odds at 64 bits are negligible, and a
+    second md5 check can confirm); kept as the raw string here so the
+    DuckDB oracle replays bit-for-bit.  Stride-1 windows cost k rows
+    per token; production suffix-array pipelines amortize with stride
+    s and re-expand hits, trading recall at span boundaries.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        span_rows(d)
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "q_span_dup_share",
+    oracle=_SQL_SPANS
+    + """
+    , dup AS (
+        SELECT span FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans,
+           (10000 * SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END))
+               // COUNT(*) AS dup_bp
+    FROM spans s LEFT JOIN (SELECT DISTINCT span FROM dup) d USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def q_span_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span share — the actionable filter signal
+    (drop or trim documents whose text is mostly boilerplate seen
+    elsewhere), in integer basis points.
+
+    Scale: reuses the one span-keyed shuffle to build the duplicated
+    set, then a second span-keyed join marks each occurrence — same
+    key, so AQE reuses the partitioning; the per-doc rollup shuffles
+    on doc_id.  The share is integer DIV — no float division to
+    diverge between engines.
+    """
+    spans = span_rows(load_table(spark, sf_dir, "documents"))
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span")
+    )
+    marked = spans.join(
+        dup.withColumn("__isdup", F.lit(1)), "span", "left_outer"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__isdup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .withColumn("dup_bp", F.expr("(10000 * n_dup_spans) DIV n_spans"))
+    )

@@ -754,3 +754,99 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_lower_dups"), F.lit(0)).cast("bigint").alias("n_lower_dups"),
         F.col("n_lower_dups").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall meta-evaluation: LSH tier vs the exact brute-force baseline.
+# ---------------------------------------------------------------------------
+
+
+def _knn_recall_oracle() -> str:
+    """DuckDB replay of BOTH tiers — the LSH search (shared signature
+    source _lsh_sigs_sql) and the brute-force baseline — joined into
+    per-query hit counts.  Both rankings round sim to 6 places and
+    tie-break on vec_id, so the intersection is deterministic and the
+    recall is hash-checkable (the q_dedup_recall convention, applied
+    to the ANN tier)."""
+    return f"""
+    WITH sigs AS (
+        {_lsh_sigs_sql()}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qs AS (SELECT q.q_id, s.t, s.sig FROM q JOIN sigs s ON s.vec_id = q.q_id),
+    cand AS (
+        SELECT DISTINCT qs.q_id, s.vec_id
+        FROM qs JOIN sigs s ON s.t = qs.t AND s.sig = qs.sig
+        WHERE s.vec_id <> qs.q_id
+    ),
+    lsh_scored AS (
+        SELECT cand.q_id, cand.vec_id, ROUND({_COSINE_SQL}, 6) AS sim
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    ),
+    lsh_topk AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM lsh_scored) WHERE rank <= {TOP_K}
+    ),
+    exact_scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               ROUND({_COSINE_SQL}, 6) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES}
+         AND q.vec_id <> c.vec_id
+    ),
+    exact_topk AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM exact_scored) WHERE rank <= {TOP_K}
+    )
+    SELECT e.q_id,
+           CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           (10000 * SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+               // {TOP_K} AS recall_bp
+    FROM exact_topk e
+    LEFT JOIN lsh_topk l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+    GROUP BY e.q_id
+    """
+
+
+@query("q_knn_recall", oracle=_knn_recall_oracle())
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN tier against the exact brute-force
+    baseline, per query, in integer basis points — the measurement a
+    production pipeline runs on a sampled slice before trusting an
+    approximate index at full scale.
+
+    Scale: the expensive side (brute force) is the thing being
+    SAMPLED at 100 TB — N_QUERIES probes, not the corpus; the LSH side
+    is the production path.  Both top-k sets are deterministic
+    (6-place-rounded sim, id tie-break), the hit count is a semi-join
+    on (q_id, vec_id), and the recall is integer DIV — fully
+    hash-checkable end-to-end.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "embedding",
+    )
+    corpus = e.select("vec_id", "embedding")
+    lsh = lsh_topk(queries, corpus).select("q_id", "vec_id")
+    exact = brute_force_topk(
+        queries.select("q_id", "q_vec"), corpus
+    ).select("q_id", "vec_id")
+    marked = exact.join(
+        lsh.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left_outer"
+    )
+    return (
+        marked.groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("hits"))
+        .withColumn("recall_bp", F.expr(f"(10000 * hits) DIV {TOP_K}"))
+    )

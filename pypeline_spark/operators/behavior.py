@@ -612,3 +612,106 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > AB_Z_CRIT).alias("significant"),
     )
+
+
+ATTR_WINDOW_SECS = 1800  # last-touch lookback: 30 minutes
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER w AS last_click_ts,
+               last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+                   OVER w AS last_click_k,
+               last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS last_view_ts,
+               last_value(CASE WHEN event_type = 'view' THEN k END IGNORE NULLS)
+                   OVER w AS last_view_k
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN last_click_ts IS NOT NULL
+                  AND date_diff('second', last_click_ts, ts) <= {ATTR_WINDOW_SECS}
+               THEN 'click'
+             WHEN last_view_ts IS NOT NULL
+                  AND date_diff('second', last_view_ts, ts) <= {ATTR_WINDOW_SECS}
+               THEN 'view'
+             ELSE 'direct'
+           END AS channel,
+           CASE
+             WHEN last_click_ts IS NOT NULL
+                  AND date_diff('second', last_click_ts, ts) <= {ATTR_WINDOW_SECS}
+               THEN last_click_k
+             WHEN last_view_ts IS NOT NULL
+                  AND date_diff('second', last_view_ts, ts) <= {ATTR_WINDOW_SECS}
+               THEN last_view_k
+           END AS credited_k
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    click within the 30-minute lookback, falling back to the most
+    recent view, else 'direct' — the channel-priority waterfall of a
+    marketing attribution pipeline.
+
+    Scale: ONE user_id shuffle and one in-partition sort serve all
+    four ignore-null running fills (last click/view ts and their
+    credited key); the waterfall itself is a row-local CASE.  This is
+    the as-of-join family expressed as window fills — the self-join
+    formulation would fan out per (purchase x candidate touch).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    def _last(kind: str, col: str):
+        return F.last(
+            F.when(F.col("event_type") == kind, F.col(col)), ignorenulls=True
+        ).over(w)
+
+    filled = (
+        e.withColumn("last_click_ts", _last("click", "ts"))
+        .withColumn("last_click_k", _last("click", "k"))
+        .withColumn("last_view_ts", _last("view", "ts"))
+        .withColumn("last_view_k", _last("view", "k"))
+    )
+    click_ok = F.col("last_click_ts").isNotNull() & (
+        F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts") <= ATTR_WINDOW_SECS
+    )
+    view_ok = F.col("last_view_ts").isNotNull() & (
+        F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts") <= ATTR_WINDOW_SECS
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(click_ok, F.lit("click"))
+        .when(view_ok, F.lit("view"))
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        F.when(click_ok, F.col("last_click_k"))
+        .when(view_ok, F.col("last_view_k"))
+        .alias("credited_k"),
+    )

@@ -219,3 +219,103 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return weekly
+
+
+# --- Count-Min Sketch heavy hitters --------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 128  # counters per row
+CMS_TOP = 20  # heavy hitters reported
+
+
+def _cms_bucket_sql(r: int, col: str) -> str:
+    """Row-r CMS bucket of ``col`` — the engine-portable md5 bucket
+    (same trick as _HASH_BUCKET_SQL) salted with the row index."""
+    return (
+        f"CAST(('0x' || substr(md5(concat_ws('_', 'cms{r}', {col})), 1, 15)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+def _cms_bucket(r: int, col) -> F.Column:
+    from pypeline_spark.operators.scale_ops import hash_bucket
+
+    return hash_bucket(F.lit(f"cms{r}"), col, buckets=CMS_W)
+
+
+def _cms_oracle() -> str:
+    counters = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(r, 'bg')} AS b, SUM(n) AS total "
+        f"FROM counts GROUP BY b"
+        for r in range(CMS_D)
+    )
+    lookups = ", ".join(
+        f"(SELECT total FROM counters WHERE r = {r} AND b = {_cms_bucket_sql(r, 'top.bg')})"
+        for r in range(CMS_D)
+    )
+    return f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+    counts AS (
+        SELECT toks[i] || ' ' || toks[i + 1] AS bg, COUNT(*) AS n
+        FROM p GROUP BY bg
+    ),
+    counters AS (
+        {counters}
+    ),
+    top AS (
+        SELECT bg, n FROM counts ORDER BY n DESC, bg LIMIT {CMS_TOP}
+    )
+    SELECT top.bg, CAST(top.n AS BIGINT) AS true_cnt,
+           CAST(LEAST({lookups}) AS BIGINT) AS cms_cnt,
+           CAST(LEAST({lookups}) - top.n AS BIGINT) AS overest
+    FROM top
+    """
+
+
+@query("q_heavy_hitters_cms", oracle=_cms_oracle())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters: the top-20 token bigrams with
+    their exact counts AND their CMS estimates (4 rows x 128 md5
+    counters), so the sketch's one-sided overestimation is visible —
+    and hash-checked, because the md5 bucket functions are
+    engine-portable (no RNG, unlike HLL's rows-only policy).
+
+    Scale: a CMS is the streaming answer to "how often does key X
+    occur" when the key space outgrows memory — counters are a fixed
+    d x w integer grid that merges by addition across partitions and
+    micro-batches.  Here the grid is built FROM the exact counts
+    (sum-by-bucket: numerically identical to per-occurrence increments,
+    one aggregate cheaper); a true streaming deployment increments per
+    row and never materializes exact counts.  The estimate lookup is a
+    broadcast join of the 20 probes against d tiny counter tables.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = (
+        d.select(toks.alias("toks"))
+        .withColumn("a_arr", F.slice(F.col("toks"), 1, F.size("toks") - 1))
+        .withColumn("b_arr", F.slice(F.col("toks"), 2, F.size("toks") - 1))
+        .select(F.explode(F.arrays_zip("a_arr", "b_arr")).alias("p"))
+        .select(
+            F.concat_ws(" ", F.col("p.a_arr"), F.col("p.b_arr")).alias("bg")
+        )
+    )
+    counts = pairs.groupBy("bg").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "bg").limit(CMS_TOP)
+    out = top
+    for r in range(CMS_D):
+        counter = (
+            counts.groupBy(_cms_bucket(r, F.col("bg")).alias(f"b{r}"))
+            .agg(F.sum("n").alias(f"total{r}"))
+        )
+        out = out.withColumn(f"__b{r}", _cms_bucket(r, F.col("bg"))).join(
+            F.broadcast(counter), F.col(f"__b{r}") == F.col(f"b{r}")
+        )
+    est = F.least(*[F.col(f"total{r}") for r in range(CMS_D)])
+    return out.select(
+        "bg",
+        F.col("n").cast("bigint").alias("true_cnt"),
+        est.cast("bigint").alias("cms_cnt"),
+        (est - F.col("n")).cast("bigint").alias("overest"),
+    )

@@ -135,3 +135,77 @@ def q_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = Pypeline(spark, config, placeholders={"max_key": 1000})
     pipeline.run("account_sync")
     return pipeline.catalog.get("accounts")
+
+
+_DEDUP_SEED_SQL = "SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 300"
+_DEDUP_BATCH_SQL = (
+    "SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 250 "
+    "UNION ALL "
+    "SELECT doc_id + 1000 AS doc_id, text, lang, source "
+    "FROM documents WHERE doc_id >= 450"
+)
+
+_DEDUP_CONFIG = {
+    "pypes": {
+        "seed_corpus": {
+            "extract_query": _DEDUP_SEED_SQL,
+            "target_table": "corpus",
+            "type": "overwrite",
+        },
+        "ingest_batch": {
+            "extract_query": _DEDUP_BATCH_SQL,
+            "target_table": "corpus",
+            "type": "dedup",
+            "dedup_method": "exact",
+            "key_columns": ["doc_id"],
+            "text_column": "text",
+        },
+    },
+    "pypelines": {"corpus_ingest": ["seed_corpus", "ingest_batch"]},
+}
+
+
+@query(
+    "q_pipeline_dedup",
+    # same seed/batch SQL strings as the config — the replays can't
+    # drift.  The batch overlaps the seed (ids 250-299: identical
+    # text, dropped by the standing-corpus fingerprint probe) and
+    # contains internal copies (ids 1450-1999 re-keyed from 450-499:
+    # dropped by keep-min-key), so both dedup paths are exercised.
+    oracle=f"""
+    WITH seed AS ({_DEDUP_SEED_SQL}),
+    batch AS ({_DEDUP_BATCH_SQL}),
+    internal AS (
+        SELECT doc_id, text, lang, source FROM (
+            SELECT b.*, MIN(doc_id) OVER (
+                PARTITION BY md5(lower(trim(text)))) AS keep
+            FROM batch b)
+        WHERE doc_id = keep
+    ),
+    survivors AS (
+        SELECT i.* FROM internal i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seed s
+            WHERE md5(lower(trim(s.text))) = md5(lower(trim(i.text))))
+    )
+    SELECT * FROM seed UNION ALL SELECT * FROM survivors
+    """,
+)
+def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A pipeline with the ``dedup`` step type: seed a corpus,
+    then ingest a batch that is deduplicated against the standing
+    corpus (content fingerprint) and against itself (keep-min-key)
+    before appending — exact-dedup ingestion as a declarative YAML
+    step; ``dedup_method: minhash`` swaps in the near-dup probe of
+    q_dedup_incremental (asserted in tests/test_pipeline.py).
+
+    Scale: the fingerprint probe is a digest-keyed anti join (the
+    q_dedup_exact shuffle shape); the standing corpus side projects to
+    its digest only.  The minhash method probes the persisted band
+    index, shuffling the batch — never rescanning the corpus.
+    """
+    register_tables(spark, sf_dir)
+    config = PipelineConfig.from_dict(_DEDUP_CONFIG)
+    pipeline = Pypeline(spark, config)
+    pipeline.run("corpus_ingest")
+    return pipeline.catalog.get("corpus")

@@ -136,6 +136,42 @@ class Pypeline:
                 seq_col=spec.seq_column,
                 op_col=spec.op_column,
             )
+        elif spec.type == "dedup":
+            # dedup-ingest: drop batch rows duplicating the standing
+            # target (and, for 'exact', each other), then append the
+            # survivors — the LLM-data dedup tier as a Layer-A step.
+            from pyspark.sql import functions as F
+
+            key = spec.key_columns[0]
+            if spec.dedup_method == "exact":
+                fp = F.md5(F.lower(F.trim(F.col(spec.text_column))))
+                batch = df.withColumn("__fp", fp)
+                # batch-internal: keep the smallest key per fingerprint
+                keep = batch.groupBy("__fp").agg(F.min(key).alias("__keep"))
+                batch = (
+                    batch.join(keep, "__fp")
+                    .filter(F.col(key) == F.col("__keep"))
+                    .drop("__keep")
+                )
+                if target is not None:
+                    seen = target.select(fp.alias("__fp")).distinct()
+                    batch = batch.join(seen, "__fp", "left_anti")
+                survivors = batch.drop("__fp")
+            else:  # minhash: near-dup probe against the standing corpus
+                from pypeline_spark.functions.dedup import incremental_near_dups
+
+                if target is not None:
+                    dups = (
+                        incremental_near_dups(target, df, id_col=key)
+                        .select(F.col("new_id").alias(key))
+                        .distinct()
+                    )
+                    survivors = df.join(dups, key, "left_anti")
+                else:
+                    survivors = df
+            new_target = (
+                survivors if target is None else target.unionByName(survivors)
+            )
         elif spec.type == "append":
             new_target = df if target is None else target.unionByName(df)
         else:  # overwrite

@@ -17,7 +17,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional, Sequence
 
-VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append", "cdc")
+VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append", "cdc", "dedup")
+VALID_DEDUP_METHODS = ("exact", "minhash")
 
 
 class SpecError(ValueError):
@@ -49,6 +50,8 @@ class PypeSpec:
     debug: bool = False
     seq_column: str = "seq"  # cdc: ordering column of the change log
     op_column: str = "op"  # cdc: 'upsert' | 'delete' per log row
+    dedup_method: str = "exact"  # dedup: 'exact' | 'minhash'
+    text_column: str = "text"  # dedup: content column fingerprinted
 
     def __post_init__(self) -> None:
         if not self.extract_query:
@@ -65,6 +68,16 @@ class PypeSpec:
             raise SpecError(f"pype {self.name!r}: {self.type} requires key_columns")
         if self.type == "cdc" and not (self.seq_column and self.op_column):
             raise SpecError(f"pype {self.name!r}: cdc requires seq_column and op_column")
+        if self.type == "dedup":
+            if not self.key_columns:
+                raise SpecError(f"pype {self.name!r}: dedup requires key_columns")
+            if self.dedup_method not in VALID_DEDUP_METHODS:
+                raise SpecError(
+                    f"pype {self.name!r}: dedup_method {self.dedup_method!r} "
+                    f"not in {VALID_DEDUP_METHODS}"
+                )
+            if not self.text_column:
+                raise SpecError(f"pype {self.name!r}: dedup requires text_column")
 
 
 @dataclass

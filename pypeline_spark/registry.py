@@ -140,9 +140,12 @@ _DRIVER_WINDOW = (
 # q_product_profit q_value_concentration q_shipmode_priority
 # q_order_count_distribution q_promo_revenue q_top_supplier
 # q_supplier_part_counts q_small_qty_revenue q_disjunctive_pred
-# q_excess_suppliers q_waiting_orders q_sales_opportunity) and any
-# other round-4 additions.  Rotate them into _DRIVER_WINDOW next
-# round; the round-4 window's 50 will by then all be driver-certified.
+# q_excess_suppliers q_waiting_orders q_sales_opportunity) and the
+# round-4 operator additions (q_span_dedup q_span_dup_share
+# q_knn_recall q_mixture_temperature q_heavy_hitters_cms
+# q_asof_forward q_asof_nearest q_attribution q_pipeline_dedup).  Rotate them into
+# _DRIVER_WINDOW next round; the round-4 window's 50 will by then all
+# be driver-certified.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

@@ -391,3 +391,65 @@ class TestKnnLsh:
             .toString()
         )
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestSpanDedup:
+    def test_dup_share_bounded_and_consistent(self, spark, sf_dir):
+        from pypeline_spark.registry import load_all
+
+        cases = load_all()
+        rows = cases["q_span_dup_share"].builder(spark, sf_dir).collect()
+        assert rows, "span dup share returned nothing"
+        for r in rows:
+            assert 0 <= r.n_dup_spans <= r.n_spans
+            assert 0 <= r.dup_bp <= 10_000
+        # at least one doc shares a span with another (fixture has
+        # 969 cross-doc duplicated spans at sf0.01)
+        assert any(r.n_dup_spans > 0 for r in rows)
+
+    def test_span_dedup_spans_recur_across_docs(self, spark, sf_dir):
+        from pypeline_spark.registry import load_all
+
+        rows = load_all()["q_span_dedup"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_docs >= 2
+            assert r.n_occ >= r.n_docs
+            assert len(r.span.split(" ")) == 10
+
+
+class TestKnnRecall:
+    def test_recall_bounds_and_floor(self, spark, sf_dir):
+        from pypeline_spark.functions.similarity import N_QUERIES, TOP_K
+        from pypeline_spark.registry import load_all
+
+        rows = load_all()["q_knn_recall"].builder(spark, sf_dir).collect()
+        assert len(rows) == N_QUERIES
+        for r in rows:
+            assert 0 <= r.hits <= TOP_K
+            assert r.recall_bp == (10_000 * r.hits) // TOP_K
+        # same floor as TestKnnLsh: mean recall over queries >= 0.2
+        assert sum(r.hits for r in rows) / (len(rows) * TOP_K) >= 0.2
+
+
+class TestMixtureTemperature:
+    def test_sqrt_scaling_between_natural_and_uniform(self, spark, sf_dir):
+        """tau=0.5 keeps MORE of the small strata than natural share
+        and MORE total than the uniform mix — the defining property."""
+        from pypeline_spark.registry import load_all
+        from pypeline_spark.session import load_table
+
+        cases = load_all()
+        full = load_table(spark, sf_dir, "documents")
+        kept = cases["q_mixture_temperature"].builder(spark, sf_dir)
+        n_full = full.count()
+        n_kept = kept.count()
+        assert 0 < n_kept < n_full  # really downsampled, not degenerate
+        # smallest stratum survives (rate anchor = 1.0)
+        by_lang_full = {r.lang: r.cnt for r in full.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+        by_lang_kept = {r.lang: r.cnt for r in kept.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+        smallest = min(by_lang_full, key=by_lang_full.get)
+        assert by_lang_kept[smallest] == by_lang_full[smallest]
+        # larger strata keep a strictly smaller share than the anchor
+        largest = max(by_lang_full, key=by_lang_full.get)
+        assert by_lang_kept[largest] < by_lang_full[largest]

@@ -287,3 +287,94 @@ def test_cdc_step_first_batch_creates_from_survivors(spark):
     pipe = Pypeline(spark, config)
     pipe.run("p")
     assert {(r.k, r.v) for r in pipe.catalog.get("t_new").collect()} == {(2, "b")}
+
+
+class TestDedupStep:
+    def test_exact_dedup_step_drops_seen_and_internal(self, spark):
+        from pypeline_spark.pipeline.runner import Pypeline
+        from pypeline_spark.pipeline.spec import PipelineConfig
+
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id bigint, text string",
+        ).createOrReplaceTempView("__seed_docs__")
+        spark.createDataFrame(
+            [
+                (10, "alpha beta gamma"),   # dup of seed -> dropped
+                (11, "eta theta iota"),     # new -> kept
+                (12, "eta theta iota"),     # internal dup of 11 -> dropped
+            ],
+            "doc_id bigint, text string",
+        ).createOrReplaceTempView("__batch_docs__")
+        config = PipelineConfig.from_dict(
+            {
+                "pypes": {
+                    "seed": {
+                        "extract_query": "SELECT * FROM __seed_docs__",
+                        "target_table": "corpus",
+                        "type": "overwrite",
+                    },
+                    "ingest": {
+                        "extract_query": "SELECT * FROM __batch_docs__",
+                        "target_table": "corpus",
+                        "type": "dedup",
+                        "dedup_method": "exact",
+                        "key_columns": ["doc_id"],
+                    },
+                },
+                "pypelines": {"p": ["seed", "ingest"]},
+            }
+        )
+        pipe = Pypeline(spark, config)
+        pipe.run("p")
+        assert {r.doc_id for r in pipe.catalog.get("corpus").collect()} == {1, 2, 11}
+
+    def test_minhash_dedup_step_drops_near_dups(self, spark):
+        from pypeline_spark.pipeline.runner import Pypeline
+        from pypeline_spark.pipeline.spec import PipelineConfig
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " tonight"  # high-Jaccard shingle overlap
+        far = "completely different words about spark shuffles and parquet scans"
+        spark.createDataFrame(
+            [(1, base)], "doc_id bigint, text string"
+        ).createOrReplaceTempView("__seed_docs__")
+        spark.createDataFrame(
+            [(10, near), (11, far)], "doc_id bigint, text string"
+        ).createOrReplaceTempView("__batch_docs__")
+        config = PipelineConfig.from_dict(
+            {
+                "pypes": {
+                    "seed": {
+                        "extract_query": "SELECT * FROM __seed_docs__",
+                        "target_table": "corpus",
+                        "type": "overwrite",
+                    },
+                    "ingest": {
+                        "extract_query": "SELECT * FROM __batch_docs__",
+                        "target_table": "corpus",
+                        "type": "dedup",
+                        "dedup_method": "minhash",
+                        "key_columns": ["doc_id"],
+                    },
+                },
+                "pypelines": {"p": ["seed", "ingest"]},
+            }
+        )
+        pipe = Pypeline(spark, config)
+        pipe.run("p")
+        assert {r.doc_id for r in pipe.catalog.get("corpus").collect()} == {1, 11}
+
+    def test_dedup_spec_validation(self):
+        import pytest
+
+        from pypeline_spark.pipeline.spec import PypeSpec, SpecError
+
+        with pytest.raises(SpecError, match="dedup_method"):
+            PypeSpec(
+                name="x",
+                extract_query="SELECT 1",
+                target_table="t",
+                type="dedup",
+                dedup_method="bogus",
+            )

@@ -257,8 +257,11 @@ class TestNoDriverCollects:
 class TestNoNestedLoopSweep:
     # Cross/nested shapes that are the operator's documented semantics:
     # q_join_cross IS a cross join; q_topk_cosine / q_knn_ivf broadcast
-    # a tiny query/centroid set across the corpus by design.
-    INTENTIONAL = {"q_join_cross", "q_topk_cosine", "q_knn_ivf"}
+    # a tiny query/centroid set across the corpus by design;
+    # q_knn_recall embeds the q_topk_cosine brute-force baseline as the
+    # ground-truth side of the recall measurement (the LSH side it
+    # grades is equi-joined and separately gated in test_llm_ops).
+    INTENTIONAL = {"q_join_cross", "q_topk_cosine", "q_knn_ivf", "q_knn_recall"}
     # Streaming builders execute a real streaming job; their plans are
     # asserted in tests/test_streaming.py instead.
     STREAMING = {

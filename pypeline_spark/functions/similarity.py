@@ -850,3 +850,48 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("hits"))
         .withColumn("recall_bp", F.expr(f"(10000 * hits) DIV {TOP_K}"))
     )
+
+
+CENT_SCALE = 1024  # same exact power-of-two quantization as the LSH tier
+
+
+@query(
+    "q_embedding_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {CENT_SCALE})
+                         AS BIGINT)) AS BIGINT) AS sum_q,
+           SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {CENT_SCALE})
+                    AS BIGINT)) // COUNT(*) AS centroid_q
+    FROM embeddings, LATERAL (SELECT unnest(generate_series(1, {LSH_DIM})) AS i)
+    GROUP BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension) — the distributed "average a vector column by group"
+    primitive behind class prototypes, cluster summaries, and drift
+    monitors.
+
+    Scale: components quantize to floor(x * 1024) (EXACT: a float
+    times a power of two), so the per-dimension sums are bigint —
+    order-independent and hash-checkable where a float sum would vary
+    with partition layout.  posexplode fans each vector into dim rows
+    map-side; the single shuffle keys on (label, dim) — |labels| x 64
+    cells — and partial aggregation collapses almost everything before
+    the exchange.  Emitting (label, dim) rows instead of an array
+    column keeps the output canon-safe by construction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("comp").cast("double") * CENT_SCALE).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "comp"))
+        .select("label", "dim", q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sum_q"),
+        )
+        .withColumn("centroid_q", F.expr("sum_q DIV n"))
+    )

@@ -121,8 +121,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS next_purchase_ts
         FROM tagged
     )
-    SELECT event_id, user_id, ts, next_purchase_ts,
-           CAST(date_diff('second', ts, next_purchase_ts) AS BIGINT)
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(next_purchase_ts) AS next_purchase_us,
+           (epoch_us(next_purchase_ts) - epoch_us(ts)) // 1000000
                AS secs_until_purchase
     FROM filled WHERE event_type = 'view'
     """,
@@ -151,11 +152,11 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("event_type") == "view").select(
         "event_id",
         "user_id",
-        "ts",
-        "next_purchase_ts",
-        (F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts"))
-        .cast("bigint")
-        .alias("secs_until_purchase"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("next_purchase_ts").alias("next_purchase_us"),
+        F.expr(
+            "(unix_micros(next_purchase_ts) - unix_micros(ts)) DIV 1000000"
+        ).alias("secs_until_purchase"),
     )
 
 
@@ -187,15 +188,15 @@ ASOF_TOL_SECS = 300  # nearest-match tolerance: 5 minutes
                prev_view_ts, next_view_ts
         FROM filled WHERE event_type = 'purchase'
     )
-    SELECT event_id, user_id, ts,
-           CASE
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(CASE
              WHEN back_secs IS NOT NULL AND back_secs <= {ASOF_TOL_SECS}
                   AND (fwd_secs IS NULL OR back_secs <= fwd_secs
                        OR fwd_secs > {ASOF_TOL_SECS})
                THEN prev_view_ts
              WHEN fwd_secs IS NOT NULL AND fwd_secs <= {ASOF_TOL_SECS}
                THEN next_view_ts
-           END AS nearest_view_ts,
+           END) AS nearest_view_us,
            CAST(CASE
              WHEN back_secs IS NOT NULL AND back_secs <= {ASOF_TOL_SECS}
                   AND (fwd_secs IS NULL OR back_secs <= fwd_secs
@@ -254,10 +255,12 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "event_id",
         "user_id",
-        "ts",
-        F.when(back_wins, F.col("prev_view_ts"))
-        .when(fwd_ok, F.col("next_view_ts"))
-        .alias("nearest_view_ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(
+            F.when(back_wins, F.col("prev_view_ts")).when(
+                fwd_ok, F.col("next_view_ts")
+            )
+        ).alias("nearest_view_us"),
         F.when(back_wins, F.col("back_secs"))
         .when(fwd_ok, F.col("fwd_secs"))
         .cast("bigint")

@@ -462,3 +462,41 @@ def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", "c_custkey").alias("oldest_customer"),
         F.max("c_custkey").cast("bigint").alias("max_key"),
     )
+
+
+@query(
+    "q_union_evolve",
+    oracle="""
+    SELECT id, name, acctbal, segment FROM (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+               c_mktsegment AS segment
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL BY NAME
+        SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
+        FROM supplier
+    )
+    """,
+)
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine two relations whose column sets
+    differ (supplier rows have no segment), missing columns null-filled
+    by NAME — the ingest shape when a source adds columns mid-stream.
+
+    Scale: ``unionByName(allowMissingColumns=True)`` is pure plan
+    surgery (project + union, no shuffle); positional UNION would
+    silently misalign columns and a strict union would reject the
+    batch.  This is also the read-side contract for parquet
+    mergeSchema directories.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)

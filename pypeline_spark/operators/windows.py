@@ -316,3 +316,54 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
         ).alias("was_interpolated"),
     )
+
+
+@query(
+    "q_period_growth",
+    # Month-over-month revenue growth in basis points.  Revenue stays
+    # DECIMAL through the sum and converts to integer hundredths of a
+    # cent — x10000 clears the product's full scale-4, so the cast is
+    # exact on both engines (x100 would leave fractional digits that
+    # Spark truncates and DuckDB rounds).  The growth ratio is integer
+    # DIV — Spark's DIV and DuckDB's // both truncate toward zero
+    # (verified on negatives), so declining months hash-match too.
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    * 10000 AS BIGINT) AS rev_cq
+        FROM lineitem GROUP BY month
+    )
+    SELECT month, rev_cq,
+           LAG(rev_cq) OVER (ORDER BY month) AS prev_cq,
+           (10000 * (rev_cq - LAG(rev_cq) OVER (ORDER BY month)))
+               // LAG(rev_cq) OVER (ORDER BY month) AS growth_bp
+    FROM monthly
+    """,
+)
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period readout
+    every revenue dashboard runs, with the ratio in integer basis
+    points.
+
+    Scale: the heavy work is the monthly rollup (map-side partial sums
+    into a |months|-row table); the LAG window then runs over that
+    tiny aggregate in a single partition BY DESIGN — windowing the
+    aggregate, never the fact table.  The growth arithmetic is integer
+    end-to-end (decimal cents, truncating DIV).
+    """
+    from pypeline_spark.operators.relational import _disc_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg((F.sum(_disc_price()) * 10000).cast("bigint").alias("rev_cq"))
+    w = W.orderBy("month")
+    return (
+        monthly.withColumn("prev_cq", F.lag("rev_cq").over(w))
+        .withColumn(
+            "growth_bp",
+            F.expr("(10000 * (rev_cq - prev_cq)) DIV prev_cq"),
+        )
+    )

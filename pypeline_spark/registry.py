@@ -143,7 +143,8 @@ _DRIVER_WINDOW = (
 # q_excess_suppliers q_waiting_orders q_sales_opportunity) and the
 # round-4 operator additions (q_span_dedup q_span_dup_share
 # q_knn_recall q_mixture_temperature q_heavy_hitters_cms
-# q_asof_forward q_asof_nearest q_attribution q_pipeline_dedup).  Rotate them into
+# q_asof_forward q_asof_nearest q_attribution q_pipeline_dedup
+# q_embedding_centroids q_period_growth q_union_evolve).  Rotate them into
 # _DRIVER_WINDOW next round; the round-4 window's 50 will by then all
 # be driver-certified.
 

@@ -513,3 +513,130 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every payload, hash-checked against a DuckDB replay."""
     d = load_table(spark, sf_dir, "documents")
     return audio_frame_energy(attach_payload(d))
+
+
+# --- Perceptual-hash near-dup detection over binary payloads -------------
+
+PHASH_CELLS = 60  # signature bits (60, not 64: signed-bigint headroom,
+# same packing discipline as dedup.simhash64)
+PHASH_MAX_HAMMING = 3
+
+
+def payload_ahash(df: DataFrame) -> DataFrame:
+    """(id, phash): average-hash signature of each payload — bit c is 1
+    when cell c's mean byte value exceeds the payload's global mean,
+    compared by integer cross-multiplication (s_c * N > S * n_c) so no
+    division ever rounds.  Cells are byte positions mod PHASH_CELLS —
+    length-agnostic stride sampling standing in for the 8x8 DCT grid a
+    real pHash pools after decode (the decode stage is the stubbed
+    codec; everything downstream of it is this exact shape).
+
+    Scale: the byte explode is map-side; both aggregates and the
+    totals window share the doc_id shuffle key.
+    """
+    from pyspark.sql import Window as W
+
+    px = df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(payload)), i -> ascii(substr(payload, i, 1)))")
+        ).alias("pos", "v"),
+    ).select("doc_id", (F.col("pos") % PHASH_CELLS).alias("cell"), "v")
+    cells = px.groupBy("doc_id", "cell").agg(
+        F.sum("v").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    w = W.partitionBy("doc_id")
+    bits = cells.select(
+        "doc_id",
+        "cell",
+        (
+            F.col("s") * F.sum("n").over(w) > F.sum("s").over(w) * F.col("n")
+        ).cast("bigint").alias("b"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(b, cast(cell AS int))")).alias("phash")
+    )
+
+
+@query(
+    "q_image_phash",
+    # Brute-force oracle; the Spark side prunes via the same 4x15-bit
+    # quadrant pigeonhole as q_simhash (any pair within Hamming 3
+    # agrees exactly on >= 1 of 4 quadrants).
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id, (p.i - 1) % {PHASH_CELLS} AS cell,
+               ascii(substr(d.text, p.i, 1)) AS v
+        FROM pos p JOIN documents d USING (doc_id)
+    ),
+    cells AS (
+        SELECT doc_id, cell, SUM(v) AS s, COUNT(*) AS n
+        FROM px GROUP BY doc_id, cell
+    ),
+    tot AS (SELECT doc_id, SUM(s) AS st, SUM(n) AS nt FROM cells GROUP BY doc_id),
+    bits AS (
+        SELECT c.doc_id, c.cell,
+               CASE WHEN c.s * t.nt > t.st * c.n
+                    THEN CAST(1 AS BIGINT) ELSE 0 END AS b
+        FROM cells c JOIN tot t USING (doc_id)
+    ),
+    fps AS (SELECT doc_id, SUM(b << cell) AS phash FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary payloads: average-hash
+    signatures + banded Hamming search — the image-dedup tier of a
+    multimodal corpus (pHash/aHash families), with the same pigeonhole
+    guarantee and shuffle shape as text SimHash.
+
+    Scale: signatures are one doc-keyed aggregate over the byte
+    stream; the pair search never goes all-pairs — 4 quadrant bands of
+    15 bits, equi-joined, then exact bit_count on collisions only.  At
+    production image volumes the quadrant tables are the persisted
+    index; wider payloads pool to the same 60 cells, so signature cost
+    scales with bytes but index cost with documents.  The cell grid
+    stands in for post-decode DCT pooling (codec stubbed; see module
+    docstring).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fps = payload_ahash(attach_payload(d))
+    quads = None
+    for qd in range(4):
+        part = fps.select(
+            "doc_id",
+            "phash",
+            F.lit(qd).alias("quad"),
+            F.shiftright(F.col("phash"), qd * 15)
+            .bitwiseAND(F.lit(0x7FFF))
+            .alias("qkey"),
+        )
+        quads = part if quads is None else quads.unionByName(part)
+    a = quads.alias("a")
+    b = quads.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.quad") == F.col("b.quad"))
+            & (F.col("a.qkey") == F.col("b.qkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= PHASH_MAX_HAMMING
+    )

@@ -237,10 +237,10 @@ def _cms_bucket_sql(r: int, col: str) -> str:
     )
 
 
-def _cms_bucket(r: int, col) -> F.Column:
+def _cms_bucket(r: int, col, buckets: int = CMS_W) -> F.Column:
     from pypeline_spark.operators.scale_ops import hash_bucket
 
-    return hash_bucket(F.lit(f"cms{r}"), col, buckets=CMS_W)
+    return hash_bucket(F.lit(f"cms{r}"), col, buckets=buckets)
 
 
 def _cms_oracle() -> str:
@@ -318,4 +318,85 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("true_cnt"),
         est.cast("bigint").alias("cms_cnt"),
         (est - F.col("n")).cast("bigint").alias("overest"),
+    )
+
+
+# --- Per-group linear trend (integer-exact least squares) ----------------
+
+TREND_T0_US = 1_704_067_200_000_000  # epoch micros of 2024-01-01 (fixture start)
+TREND_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_linear_trend",
+    # slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = whole hours
+    # since the fixture epoch and y = integer cents: every sum and
+    # cross term is exact bigint (bounds ~1e14 << 2^63), and the one
+    # final division is the same IEEE op on the same two integers in
+    # both engines.
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               (epoch_us(ts) - {TREND_T0_US}) // {TREND_HOUR_US} AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hr,
+           ROUND((CAST(sy AS DOUBLE) - ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS intercept_cents
+    FROM s
+    """,
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of event value over time — the
+    drift detector behind metric monitoring, fitted in ONE aggregate
+    pass from exact integer moment sums (no covariance UDF, no
+    two-pass mean-centering).
+
+    Scale: map-side partial sums of (x, y, xy, xx) collapse almost all
+    rows before the |event_types|-keyed exchange; the closed-form
+    slope/intercept then divide on a handful of rows.  Numerical
+    discipline: hour-resolution x and cent-resolution y keep every
+    cross term within bigint (~1e14), so the moments — unlike float
+    covariance sums — are partition-order independent and the fit is
+    hash-checkable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) - {TREND_T0_US}) DIV {TREND_HOUR_US}").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    intercept = F.round(
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+        4,
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_hr"),
+        intercept.alias("intercept_cents"),
     )

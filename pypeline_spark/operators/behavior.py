@@ -715,3 +715,55 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(view_ok, F.col("last_view_k"))
         .alias("credited_k"),
     )
+
+
+@query(
+    "q_weekday_profile",
+    # Seasonality profile with NO floats anywhere: per (type, weekday)
+    # the count, exact cent sum, and the integer variance numerator
+    # n*SUM(c^2) - SUM(c)^2 (variance = that / n^2) — cent-quantized
+    # squares stay ~5e13, far inside bigint, so the profile is
+    # partition-order independent and needs no rounding convention.
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS var_num
+    FROM (
+        SELECT event_type, ts, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    GROUP BY event_type, dow
+    """,
+)
+def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week (Monday=0; Spark weekday == DuckDB isodow-1 — the
+    1-based dayofweek builtins disagree on the week start) seasonality
+    profile per event type: count, exact
+    cent sum, and the integer variance numerator — the baseline table
+    a seasonal anomaly detector compares fresh traffic against
+    (variance = var_num / n^2, computed by the consumer).
+
+    Scale: one map-side partial aggregate into a |types| x 7 key
+    space; the variance comes from moment sums, not a second pass or
+    a float accumulator — same single-pass discipline as
+    q_linear_trend, same reason: exact bigint moments commute across
+    partitions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select("event_type", F.weekday("ts").cast("int").alias("dow"), c.alias("c"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+            (
+                F.count("*") * F.sum(F.col("c") * F.col("c"))
+                - F.sum("c") * F.sum("c")
+            )
+            .cast("bigint")
+            .alias("var_num"),
+        )
+    )

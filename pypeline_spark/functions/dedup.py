@@ -1064,3 +1064,54 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PREFIX_JACCARD_T)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "q_lsh_efficiency",
+    # LEFT JOIN from cand (not inter): a banding collision with zero
+    # shared shingles is still a candidate the rescorer paid for, and
+    # the Spark side counts it (jaccard 0) — the oracle must too.
+    oracle=_SQL_SHINGLES
+    + _SQL_MINHASH_BODY
+    + """
+    , scored AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(COALESCE(i.n_inter, 0) * 1.0
+                     / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 4) AS j
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified,
+           (10000 * SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)) // COUNT(*)
+               AS precision_bp
+    FROM scored
+    """,
+)
+def q_lsh_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding efficiency of the MinHash-LSH tier: candidate volume,
+    verified near-dups, and candidate precision in basis points — THE
+    tuning readout for the bands x rows trade (too few bands starves
+    recall, too many drowns the rescorer in false candidates; this
+    measures the second failure mode, q_dedup_recall the first).
+
+    Scale: candidate count is a by-product of the band join the dedup
+    tier already runs; the precision denominator is exactly the number
+    of exact-verify units of work — at 100 TB this number times the
+    per-pair rescore cost IS the dedup bill, which is why it gets a
+    first-class query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
+    bands = lsh_bands(minhash_signature(d, arrs=arrs))
+    cand = candidate_pairs(bands)
+    jac = jaccard_from_arrays(cand, arrs)
+    return jac.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified"),
+    ).withColumn("precision_bp", F.expr("(10000 * n_verified) DIV n_candidates"))

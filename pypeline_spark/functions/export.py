@@ -227,3 +227,50 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "q_shard_balance",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {N_TRAIN_SHARDS} AS INT) AS shard,
+               len(string_split_regex(trim(text), '\\s+')) AS n_toks
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM keyed GROUP BY shard
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard doc and token counts for the training-shard layout —
+    the balance audit run before a data loader trusts the shards
+    (a skewed shard becomes the epoch's straggler).
+
+    Scale: one map-side aggregate on the shard key; token counts come
+    from the same tokenizer expression the packing step uses, so the
+    audit measures exactly what the loader will see.  The md5 shard
+    assignment makes imbalance purely statistical (multinomial), so
+    at real shard counts this readout should be near-uniform — drift
+    here means the id space or the hash changed.
+    """
+    from pypeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % N_TRAIN_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )

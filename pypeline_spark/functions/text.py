@@ -743,3 +743,52 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "doc_id", "lang", "quality", F.ntile(10).over(win).cast("int").alias("decile")
     )
+
+
+@query(
+    "q_langid_confusion",
+    # wraps the exact q_lang_id SELECT as a subquery — predictor
+    # logic stays single-sourced in spirit (same marker lists/tie
+    # order); any drift breaks BOTH hash checks
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, w -> list_contains(['the','and','of'], w))) AS s_en,
+               len(list_filter(toks, w -> list_contains(['el','la','los'], w)))  AS s_es,
+               len(list_filter(toks, w -> list_contains(['le','la','les'], w)))  AS s_fr,
+               len(list_filter(toks, w -> list_contains(['der','die','das'], w))) AS s_de
+        FROM t
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                    WHEN s_en >= GREATEST(s_es, s_fr, s_de) THEN 'en'
+                    WHEN s_es >= GREATEST(s_fr, s_de) THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS lang_guess
+        FROM scored
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_guess
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    fixture's ground-truth lang column — the classifier-evaluation
+    readout a pipeline runs before trusting a cheap detector as a
+    filter gate (q_lang_filter's upstream).
+
+    Scale: the predictor is the same map-side marker-count argmax as
+    q_lang_id; the confusion rollup is a |langs| x |guesses| key
+    aggregate — evaluation costs one scan, no joins, because the
+    ground truth rides the same row.
+    """
+    cases_df = q_lang_id(spark, sf_dir)
+    return cases_df.groupBy("lang", "lang_guess").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

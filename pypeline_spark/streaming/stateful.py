@@ -126,3 +126,134 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+# --- Timeout-evicted sessionization (bounded-state proof) ----------------
+
+SESSION_GAP_SECS = 600  # same 10-minute gap as q_sessionize_sql
+
+SESSION_OUTPUT = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
+)
+SESSION_STATE = "start_us bigint, end_us bigint, n bigint"
+
+
+def _sessionize_evict(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap sessionizer whose state is ONE open session per user.
+
+    Data call: fold the batch's (sorted) event times into sessions,
+    emitting every session CLOSED by a gap and keeping only the open
+    tail in state, with an event-time timeout at end + gap.  Timeout
+    call: the watermark passed the open session's close point with no
+    new data — emit it and CLEAR state.  That eviction is what bounds
+    the store to |active users| regardless of history length.
+    """
+    gap_us = SESSION_GAP_SECS * 1_000_000
+    out = {"user_id": [], "session_start_us": [], "session_end_us": [], "n_events": []}
+
+    def emit(start: int, end: int, n: int) -> None:
+        out["user_id"].append(key[0])
+        out["session_start_us"].append(start)
+        out["session_end_us"].append(end)
+        out["n_events"].append(n)
+
+    if state.hasTimedOut:
+        start, end, n = state.get
+        emit(start, end, n)
+        state.remove()
+    else:
+        cur = state.get if state.exists else None
+        times = []
+        for pdf in pdfs:
+            times.extend(int(v) for v in pdf["ts_us"])
+        # applyInPandasWithState does NOT pre-filter late rows (unlike
+        # windowed aggregations) — rows behind the watermark can reach
+        # the fold when source files arrive out of order.  Folding one
+        # into an open session would move its end BACKWARD; drop them,
+        # the standard late-data semantics at this watermark delay.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        times = sorted(t for t in times if t > wm_us)
+        for t in times:
+            if cur is None:
+                cur = (t, t, 0)
+            start, end, n = cur
+            if t - end > gap_us:
+                emit(start, end, n)
+                cur = (t, t, 1)
+            else:
+                cur = (start, t, n + 1)
+        if cur is not None:
+            state.update(cur)
+            # evict when the watermark passes the session close point;
+            # if the watermark already has (this key's data ran behind
+            # other keys' event times), schedule for the next trigger —
+            # Spark rejects deadlines behind the current watermark
+            deadline_ms = (cur[1] + gap_us) // 1000
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+    yield pd.DataFrame(out)
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """Watermarked gap sessionization with timeout eviction."""
+    prepared = events_stream.withWatermark("ts", "0 seconds").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_evict,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Drive the evicting sessionizer through real micro-batches and
+    return every emitted (closed or evicted) session."""
+    src_dir = os.path.join(tempfile.gettempdir(), f"ev_sess_{uuid.uuid4().hex}")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # Write each time-range as its OWN sequential job: the parquet file
+    # source orders files by modification time, and a single
+    # repartitionByRange write stamps near-identical mtimes — ties
+    # would let a later range process first, turning the earlier range
+    # into late data the sessionizer rightly drops.
+    from pyspark.sql import Window as _W
+
+    ranked = events.withColumn(
+        "__b", F.ntile(n_batches).over(_W.orderBy("ts", "user_id")) - 1
+    )
+    for b in range(n_batches):
+        (
+            ranked.filter(F.col("__b") == b)
+            .drop("__b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src_dir, f"f={b}"))
+        )
+    schema = spark.read.parquet(os.path.join(src_dir, "f=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "f=*"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+    result = spark.table(name)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return result

@@ -169,3 +169,108 @@ class TestStreamUpsert:
         assert got == expected
         # and the revised keys really did take wave 2's values
         assert any(w == 1 for (_, w) in got.values())
+
+
+class TestTimeoutEviction:
+    def test_closed_sessions_match_batch_sessionization(self, spark, sf_dir):
+        """Every emitted session must match the batch gap-sessionizer
+        exactly, and every NON-final session per user must be emitted
+        (closed by data or evicted by timeout — either way, once)."""
+        from pypeline_spark.streaming.stateful import (
+            SESSION_GAP_SECS,
+            run_sessionize_stream,
+        )
+
+        emitted = {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+            for r in run_sessionize_stream(spark, sf_dir, n_batches=3).collect()
+        }
+        e = load_table(spark, sf_dir, "events")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts_us")
+        lagged = e.select("user_id", F.unix_micros("ts").alias("ts_us")).withColumn(
+            "new_s",
+            (
+                F.col("ts_us") - F.lag("ts_us").over(w)
+                > SESSION_GAP_SECS * 1_000_000
+            )
+            .cast("int")
+            .alias("new_s"),
+        )
+        sess = (
+            lagged.withColumn(
+                "sid", F.sum(F.coalesce("new_s", F.lit(0))).over(w)
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts_us").alias("start_us"),
+                F.max("ts_us").alias("end_us"),
+                F.count("*").alias("n"),
+            )
+        )
+        rows = sess.collect()
+        batch = {(r.user_id, r.start_us): (r.end_us, r.n) for r in rows}
+        finals = {}
+        for r in rows:
+            cur = finals.get(r.user_id)
+            if cur is None or r.start_us > cur:
+                finals[r.user_id] = r.start_us
+        final_keys = {(uid, s) for uid, s in finals.items()}
+        # everything emitted is a true session
+        for key, val in emitted.items():
+            assert batch[key] == val, key
+        # every non-final session was emitted exactly once
+        missing = (set(batch) - final_keys) - set(emitted)
+        assert not missing, sorted(missing)[:5]
+
+    def test_idle_user_session_is_evicted_by_timeout(self, spark, tmp_path):
+        """A user with events ONLY in the first micro-batch can never be
+        closed by the data path — if their session is emitted, the
+        EventTimeTimeout eviction did it (the bounded-state claim)."""
+        import pandas as pd
+
+        from pypeline_spark.streaming import await_finished
+        from pypeline_spark.streaming.stateful import sessionize_stream
+
+        base = pd.Timestamp("2024-01-01")
+
+        def ts(minutes):
+            return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+        src = str(tmp_path / "src")
+        # file 1: idle user 1 (2 events), plus user 2
+        spark.createDataFrame(
+            [(1, ts(0)), (1, ts(2)), (2, ts(1))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(src + "/f=1")
+        # files 2-3: only user 2, hours later — watermark sails past
+        # user 1's close point
+        spark.createDataFrame(
+            [(2, ts(120))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(src + "/f=2")
+        spark.createDataFrame(
+            [(2, ts(240))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(src + "/f=3")
+        schema = spark.read.parquet(src + "/f=1").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/f=*")
+        )
+        import uuid as _uuid
+
+        name = f"evict_{_uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_finished(q)
+        got = {
+            (r.user_id, r.n_events)
+            for r in spark.table(name).collect()
+        }
+        assert (1, 2) in got, got

@@ -257,3 +257,66 @@ def run_sessionize_stream(
     result = spark.table(name)
     shutil.rmtree(src_dir, ignore_errors=True)
     return result
+
+
+@query(
+    "q_session_rollup",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SECS * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+        SELECT user_id, ts_us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM labeled GROUP BY user_id, sid
+    """,
+)
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the timeout-evicting streaming sessionizer: one
+    row per (user, gap session) with start/end/count — the streaming
+    op's emissions are parity-tested against exactly this rollup in
+    tests/test_stateful.py.
+
+    Scale: one user-keyed shuffle serves the gap flags, the running
+    session label, and the rollup (same sort order throughout); the
+    output unit is sessions, so downstream session analytics never
+    re-touch raw events.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > SESSION_GAP_SECS * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wl = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    labeled = flagged.withColumn("sid", F.sum("new_s").over(wl))
+    return labeled.groupBy("user_id", "sid").agg(
+        F.min("ts_us").cast("bigint").alias("session_start_us"),
+        F.max("ts_us").cast("bigint").alias("session_end_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ).drop("sid")

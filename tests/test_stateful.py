@@ -185,31 +185,15 @@ class TestTimeoutEviction:
             (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
             for r in run_sessionize_stream(spark, sf_dir, n_batches=3).collect()
         }
-        e = load_table(spark, sf_dir, "events")
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("user_id").orderBy("ts_us")
-        lagged = e.select("user_id", F.unix_micros("ts").alias("ts_us")).withColumn(
-            "new_s",
-            (
-                F.col("ts_us") - F.lag("ts_us").over(w)
-                > SESSION_GAP_SECS * 1_000_000
-            )
-            .cast("int")
-            .alias("new_s"),
-        )
-        sess = (
-            lagged.withColumn(
-                "sid", F.sum(F.coalesce("new_s", F.lit(0))).over(w)
-            )
-            .groupBy("user_id", "sid")
-            .agg(
-                F.min("ts_us").alias("start_us"),
-                F.max("ts_us").alias("end_us"),
-                F.count("*").alias("n"),
-            )
-        )
-        rows = sess.collect()
+        # reference = the oracle-checked batch twin q_session_rollup
+        rows = [
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in load_all()["q_session_rollup"].builder(spark, sf_dir).collect()
+        ]
+        rows = [
+            type("R", (), dict(user_id=u, start_us=s, end_us=e, n=n))()
+            for u, s, e, n in rows
+        ]
         batch = {(r.user_id, r.start_us): (r.end_us, r.n) for r in rows}
         finals = {}
         for r in rows:

@@ -767,3 +767,76 @@ def q_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("var_num"),
         )
     )
+
+
+PATTERN_SPAN_SECS = 172_800  # whole pattern completes within 48h (fixture
+# events run ~20/user/month, so sub-hour spans are vacuous here; a
+# clickstream deployment sets minutes)
+
+
+@query(
+    "q_pattern_match",
+    # CEP / MATCH_RECOGNIZE shape: STRICTLY CONSECUTIVE view -> click
+    # -> purchase per user, whole span inside 48 hours.  Integer-us
+    # span; (ts, event_id) ordering — the repo's canonical total order
+    # on events.
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(event_id, 2) OVER w AS id2,
+               LEAD(epoch_us(ts), 2) OVER w AS ts2_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS view_id, id1 AS click_id, id2 AS purchase_id,
+           (ts2_us - ts_us) // 1000000 AS span_secs
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2_us - ts_us <= {PATTERN_SPAN_SECS * 1_000_000}
+    """,
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / CEP shape):
+    strictly consecutive view -> click -> purchase runs per user
+    completing within 48 hours — the "did the funnel happen as an
+    uninterrupted sequence" question, stricter than q_funnel's
+    anchored any-order-within-window semantics.
+
+    Scale: fixed-length strict patterns compile to LEAD lookaheads on
+    ONE user-keyed sort — no self-joins, no state machine; every
+    event is examined once.  Variable-length patterns (A B* C) are
+    where this form runs out and the streaming state-machine operator
+    (applyInPandasWithState, as in streaming/stateful.py) takes over.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 1).over(w).alias("id1"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+        F.lead(ts_us, 2).over(w).alias("ts2_us"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("ts2_us") - F.col("ts_us") <= PATTERN_SPAN_SECS * 1_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("id1").alias("click_id"),
+            F.col("id2").alias("purchase_id"),
+            F.expr("(ts2_us - ts_us) DIV 1000000").alias("span_secs"),
+        )
+    )

@@ -147,7 +147,8 @@ _DRIVER_WINDOW = (
 # q_embedding_centroids q_period_growth q_union_evolve q_image_phash
 # q_linear_trend q_cms_users q_heavy_hitters_cms q_jaccard_prefix
 # q_top_terms q_lang_drift q_pipeline_dedup q_weekday_profile
-# q_langid_confusion q_lsh_efficiency q_shard_balance q_session_rollup).  Rotate them into
+# q_langid_confusion q_lsh_efficiency q_shard_balance q_session_rollup
+# q_pattern_match).  Rotate them into
 # _DRIVER_WINDOW next round; the round-4 window's 50 will by then all
 # be driver-certified.
 

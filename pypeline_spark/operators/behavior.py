@@ -840,3 +840,84 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ts2_us - ts_us) DIV 1000000").alias("span_secs"),
         )
     )
+
+
+@query(
+    "q_pattern_var",
+    # Variable-length CEP: view (click)* purchase, strictly consecutive.
+    # The Kleene star needs no state machine in batch: each event's
+    # NEXT NON-CLICK position is a conditional MIN over the FOLLOWING
+    # frame, and a view matches iff that position holds a purchase —
+    # everything between is a click by construction.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    nnc AS (
+        SELECT *, MIN(CASE WHEN event_type <> 'click' THEN rn END)
+                    OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                      AS next_nc
+        FROM seq
+    )
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(p.rn - v.rn - 1 AS BIGINT) AS n_clicks,
+           (p.ts_us - v.ts_us) // 1000000 AS span_secs
+    FROM nnc v JOIN nnc p ON p.user_id = v.user_id AND p.rn = v.next_nc
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length sequence pattern — ``view (click)* purchase``,
+    strictly consecutive per user (the Kleene-star case fixed-lookahead
+    LEAD cannot express).
+
+    Scale: the star compiles to ONE extra window pass — a conditional
+    MIN over the following frame yields each event's next non-click
+    position, and the single (user, position) equi self-join stitches
+    the match endpoints; intermediate clicks are counted by position
+    arithmetic, never enumerated.  Still no state machine and no
+    per-pattern-length blowup; arbitrary regular patterns beyond one
+    star graduate to the streaming stateful operator.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nnc = seq.withColumn(
+        "next_nc",
+        F.min(F.when(F.col("event_type") != "click", F.col("rn"))).over(wf),
+    )
+    v = nnc.alias("v")
+    p = nnc.alias("p")
+    return (
+        v.join(
+            p,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("p.rn") == F.col("v.next_nc")),
+        )
+        .filter(
+            (F.col("v.event_type") == "view")
+            & (F.col("p.event_type") == "purchase")
+        )
+        .select(
+            F.col("v.user_id").alias("user_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            (F.col("p.rn") - F.col("v.rn") - 1).cast("bigint").alias("n_clicks"),
+            F.expr("(p.ts_us - v.ts_us) DIV 1000000").alias("span_secs"),
+        )
+    )

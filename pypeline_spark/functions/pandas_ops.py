@@ -201,3 +201,83 @@ def q_sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("session_no"),
     )
+
+
+@query(
+    "q_capped_running",
+    # Floored running balance is a NON-ASSOCIATIVE scan — max(0, prev +
+    # delta) — so no window frame can express it: partial sums can't be
+    # combined once the floor clips.  This is category (b) of the
+    # custom-operator policy: applyInPandas per key, with a recursive
+    # CTE as the row-by-row oracle (same replay technique as
+    # q_pack_sequences).
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    bal AS (
+        SELECT user_id, event_id, rn, GREATEST(delta, 0) AS balance_cents
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               GREATEST(b.balance_cents + s.delta, 0)
+        FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+    )
+    SELECT user_id, event_id, CAST(balance_cents AS BIGINT) AS balance_cents
+    FROM bal
+    """,
+)
+def q_capped_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance per user (credits from purchases, debits
+    from errors, never below zero) — the inventory/wallet semantics
+    whose floor makes the scan NON-ASSOCIATIVE: clipped partial sums
+    cannot be merged, so no window frame or two-phase aggregate can
+    express it.
+
+    Scale: applyInPandas per user — one user-keyed shuffle, then a
+    vectorizable linear fold per group (numpy loop over the group's
+    rows; each group is one Arrow batch).  This is the documented
+    escalation path when Catalyst's operator algebra runs out: key-
+    partition the non-associative scan so each sequential fold is
+    small, exactly like pack-within-shard.  Integer cents keep the
+    fold exact, so the recursive-CTE oracle replays it bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    ).otherwise(-F.round(F.col("value") * 100).cast("bigint"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        delta.alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal = 0
+        out = []
+        for d in pdf["delta"]:
+            bal = max(bal + int(d), 0)
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "balance_cents": out,
+            }
+        )
+
+    return seq.groupBy("user_id").applyInPandas(
+        fold, schema="user_id bigint, event_id bigint, balance_cents bigint"
+    )

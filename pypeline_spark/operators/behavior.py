@@ -921,3 +921,84 @@ def q_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(p.ts_us - v.ts_us) DIV 1000000").alias("span_secs"),
         )
     )
+
+
+MAD_K2 = 3  # flag |value - median| > 3 * MAD
+
+
+@query(
+    "q_outliers_mad",
+    # Robust (median/MAD) outlier counts with NO floats: medians of
+    # integers interpolate to halves, so 2*median and 2*median(|2c-m2|)
+    # are exact integers in both engines (integer sums and /2 are exact
+    # IEEE); the flag |c-med| > 3*MAD rewrites to 2*d > 3*mad4.
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, CAST(2 * median(c) AS BIGINT) AS m2
+        FROM c GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.c, ABS(2 * c.c - med.m2) AS d
+        FROM c JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, CAST(2 * median(d) AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(med.m2) AS med2_cents,
+           MAX(mad.mad4) AS mad4_cents,
+           CAST(SUM(CASE WHEN 2 * dev.d > {MAD_K2} * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev
+    JOIN med ON med.event_type = dev.event_type
+    JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via median/MAD — the
+    heavy-tail-safe complement to q_outliers' mean/stddev z-score (one
+    wild value inflates a stddev and hides its neighbors; the median
+    absolute deviation doesn't move).
+
+    Scale: two exact-percentile passes over (type)-partitioned data
+    plus a broadcast of the |types|-row median tables between them;
+    at unbounded group cardinality both medians switch to
+    percentile_approx like q_percentile_approx.  The doubled/
+    quadrupled integer encoding (m2 = 2*median, mad4 = 4*MAD) keeps
+    every interpolated half exact, so the robust statistics — and the
+    outlier flags at the threshold boundary — are hash-checkable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.expr("percentile(c, 0.5)")).cast("bigint").alias("m2")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(2 * F.col("c") - F.col("m2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(d, 0.5)")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("m2").alias("med2_cents"),
+            F.max("mad4").alias("mad4_cents"),
+            F.sum(
+                F.when(2 * F.col("d") > MAD_K2 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -132,3 +132,64 @@ class TestSpanProperties:
         finally:
             dd.SPAN_K = orig
         assert got == _model_spans(docs)
+
+
+seqs = st.lists(
+    st.sampled_from(["view", "click", "purchase", "error"]),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _model_pattern_var(kinds):
+    """Reference: python regex over the kind sequence — view (click)*
+    purchase, strictly consecutive; one match per starting view."""
+    out = []
+    for i, k in enumerate(kinds):
+        if k != "view":
+            continue
+        j = i + 1
+        while j < len(kinds) and kinds[j] == "click":
+            j += 1
+        if j < len(kinds) and kinds[j] == "purchase":
+            out.append((i, j, j - i - 1))  # (view idx, purchase idx, n_clicks)
+    return sorted(out)
+
+
+class TestPatternVarProperties:
+    @PROP_SETTINGS
+    @given(kinds=seqs)
+    def test_matches_regex_reference(self, spark, kinds):
+        base = pd.Timestamp("2024-01-01")
+        data = [
+            (i, (base + pd.Timedelta(seconds=i)).to_pydatetime(), k)
+            for i, k in enumerate(kinds)
+        ]
+        e = spark.createDataFrame(data, "event_id long, ts timestamp, kind string")
+        w = W.orderBy("ts", "event_id")
+        seq = e.select(
+            "event_id",
+            "kind",
+            F.row_number().over(w).alias("rn"),
+        )
+        wf = W.orderBy("rn").rowsBetween(1, W.unboundedFollowing)
+        nnc = seq.withColumn(
+            "next_nc",
+            F.min(F.when(F.col("kind") != "click", F.col("rn"))).over(wf),
+        )
+        v = nnc.alias("v")
+        p = nnc.alias("p")
+        got = sorted(
+            (r.vi, r.pi, r.nc)
+            for r in v.join(p, F.col("p.rn") == F.col("v.next_nc"))
+            .filter(
+                (F.col("v.kind") == "view") & (F.col("p.kind") == "purchase")
+            )
+            .select(
+                F.col("v.event_id").alias("vi"),
+                F.col("p.event_id").alias("pi"),
+                (F.col("p.rn") - F.col("v.rn") - 1).alias("nc"),
+            )
+            .collect()
+        )
+        assert got == _model_pattern_var(kinds)

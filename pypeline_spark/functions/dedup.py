@@ -1115,3 +1115,56 @@ def q_lsh_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_verified"),
     ).withColumn("precision_bp", F.expr("(10000 * n_verified) DIV n_candidates"))
+
+
+@query(
+    "q_cluster_sizes",
+    # same recursive closure as q_dedup_clusters, rolled up to the
+    # cluster-size histogram
+    oracle=_SQL_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _SQL_MINHASH_BODY
+    + ", verified AS ("
+    + _SQL_MINHASH_PAIRS_SELECT
+    + """
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    csizes AS (
+        SELECT cluster_id, COUNT(*) AS csize FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY csize
+    """,
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the dedup REPORT (how much
+    of the corpus is duplicated, and in how big clumps) that decides
+    keep-one-per-cluster savings before anything is deleted.
+
+    Scale: two tiny rollups over the cluster assignment q_dedup_clusters
+    already computes; the histogram's key space is the largest cluster
+    size.  A heavy tail here (one giant cluster) is the signal to
+    inspect boilerplate/templates before trusting keep-min-id.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    ).select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        (F.col("csize") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+    )

@@ -400,3 +400,83 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_hr"),
         intercept.alias("intercept_cents"),
     )
+
+
+@query(
+    "q_mode",
+    oracle="""
+    SELECT l_returnflag, CAST(qty AS BIGINT) AS mode_qty,
+           CAST(cnt AS BIGINT) AS n
+    FROM (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC,
+                                           CAST(l_quantity AS BIGINT)) AS rk
+        FROM lineitem GROUP BY l_returnflag, qty
+    ) WHERE rk = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent quantity per return flag) with a
+    deterministic smallest-value tiebreak — the ordered-set aggregate
+    the ANSI MODE() function computes.
+
+    Scale: a (group, value) count aggregate then a window over the
+    aggregated (small) table — the fact is scanned once and the
+    ranking never sees raw rows.  Spark's native mode() breaks ties
+    arbitrarily, so the explicit count+rank form is what a
+    deterministic pipeline actually deploys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "qty")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS INT) AS lead_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (10000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS share_bp
+    FROM orders
+    WHERE o_totalprice >= 1
+    GROUP BY lead_digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals — the Benford's-law
+    audit fraud/ETL-corruption screens run on money columns (synthetic
+    or truncated data shows up as a flat or spiked digit histogram).
+
+    Scale: leading digit is string arithmetic on the floor'd integer
+    (explicit FLOOR: bare double->bigint casts round in DuckDB but
+    truncate in Spark), one 9-key aggregate; the share is integer basis
+    points over the window total of the aggregated table.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    from pyspark.sql import Window as W
+
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("lead_digit")
+    )
+    counts = digits.groupBy("lead_digit").agg(F.count("*").cast("bigint").alias("n"))
+    return counts.withColumn(
+        "share_bp", F.expr("(10000 * n) DIV (SUM(n) OVER ())").cast("bigint")
+    )

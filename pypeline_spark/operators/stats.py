@@ -480,3 +480,46 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "share_bp", F.expr("(10000 * n) DIV (SUM(n) OVER ())").cast("bigint")
     )
+
+
+@query(
+    "q_latency_bands",
+    # P50/P95 per (type, hour) — the observability dashboard readout.
+    # Percentiles ship as floor'd integer cents (the q_median_iqr
+    # convention: interpolated fractions of a cent round
+    # engine-dependently; floor of the identical IEEE double doesn't).
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(quantile_cont(value, 0.50) * 100) AS BIGINT) AS p50_cents,
+           CAST(FLOOR(quantile_cont(value, 0.95) * 100) AS BIGINT) AS p95_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type, hour
+    """,
+)
+def q_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile bands per (event type, hour) — the P50/P95-by-bucket
+    readout every latency/value dashboard is built from.
+
+    Scale: exact percentiles sort within (type, hour) groups — bounded
+    by the bucket's row count, so this stays exact at any corpus size
+    as long as buckets are bounded (they are: they're time slices);
+    unbounded-bucket variants switch to percentile_approx sketches.
+    The time bound prunes the scan via load_events' raw-nanos pushdown.
+    """
+    from pypeline_spark.session import load_events
+
+    e = load_events(spark, sf_dir, since="2024-01-10", until="2024-01-12")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.floor(F.expr("percentile(value, 0.50)") * 100)
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.floor(F.expr("percentile(value, 0.95)") * 100)
+        .cast("bigint")
+        .alias("p95_cents"),
+    )

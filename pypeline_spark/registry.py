@@ -149,7 +149,7 @@ _DRIVER_WINDOW = (
 # q_top_terms q_lang_drift q_pipeline_dedup q_weekday_profile
 # q_langid_confusion q_lsh_efficiency q_shard_balance q_session_rollup
 # q_pattern_match q_pattern_var q_capped_running q_outliers_mad
-# q_mode q_benford q_cluster_sizes).  Rotate them into
+# q_mode q_benford q_cluster_sizes q_latency_bands).  Rotate them into
 # _DRIVER_WINDOW next round; the round-4 window's 50 will by then all
 # be driver-certified.
 

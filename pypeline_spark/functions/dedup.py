@@ -938,8 +938,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dup_spans,
-           (10000 * SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END))
-               // COUNT(*) AS dup_bp
+           CAST((10000 * SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END))
+               // COUNT(*) AS BIGINT) AS dup_bp
     FROM spans s LEFT JOIN (SELECT DISTINCT span FROM dup) d USING (span)
     GROUP BY s.doc_id
     """,
@@ -1086,8 +1086,8 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
            CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_verified,
-           (10000 * SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)) // COUNT(*)
-               AS precision_bp
+           CAST((10000 * SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)) // COUNT(*)
+               AS BIGINT) AS precision_bp
     FROM scored
     """,
 )

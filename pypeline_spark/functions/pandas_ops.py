@@ -153,8 +153,12 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           -- CAST: DuckDB's windowed SUM(int) yields HUGEINT, which
+           -- pandas materializes as float64 and the driver canon hashes
+           -- differently from Spark's int64 (r2-r4 red row)
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
     FROM flagged
     """,
 )

@@ -809,8 +809,8 @@ def _knn_recall_oracle() -> str:
     SELECT e.q_id,
            CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS hits,
-           (10000 * SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END))
-               // {TOP_K} AS recall_bp
+           CAST((10000 * SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+               // {TOP_K} AS BIGINT) AS recall_bp
     FROM exact_topk e
     LEFT JOIN lsh_topk l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
     GROUP BY e.q_id
@@ -862,8 +862,8 @@ CENT_SCALE = 1024  # same exact power-of-two quantization as the LSH tier
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {CENT_SCALE})
                          AS BIGINT)) AS BIGINT) AS sum_q,
-           SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {CENT_SCALE})
-                    AS BIGINT)) // COUNT(*) AS centroid_q
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {CENT_SCALE})
+                    AS BIGINT)) // COUNT(*) AS BIGINT) AS centroid_q
     FROM embeddings, LATERAL (SELECT unnest(generate_series(1, {LSH_DIM})) AS i)
     GROUP BY label, dim
     """,

@@ -57,25 +57,115 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None)  # HLL sketches are engine-specific
+@query(
+    "q_approx_distinct",
+    # Tolerance-banded oracle: raw HLL++ estimates are engine-specific
+    # and can never value-hash, so the BAND CHECK is the output — Spark
+    # emits the exact distincts (fully hash-checked against DuckDB)
+    # plus 1/0 flags asserting its own sketch landed within 5% of
+    # exact (rsd 0.01 => 5 sigma); the oracle's flags are literal 1s.
+    # A broken sketch therefore flips a hash-checked column.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           1 AS parts_ok, 1 AS supps_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) per return flag — accuracy vs the
-    exact count asserted in tests (rsd 0.01 => ~1% error)."""
+    """approx_count_distinct (HLL++) per return flag, differentially
+    tested via a tolerance band: the exact counts hash-check against
+    DuckDB and the sketch must agree with exact to within 5%.
+
+    Scale: the exact countDistinct here is the AUDIT side (run on a
+    sampled slice at 100 TB); the sketch is the production path — one
+    map-side HLL per partition, merged, no distinct shuffle of the
+    raw keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    band = 0.05
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("a_supps"),
+    )
+    ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= band * F.col(e)
+    ).cast("int")
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        ok("a_parts", "exact_parts").alias("parts_ok"),
+        ok("a_supps", "exact_supps").alias("supps_ok"),
     )
 
 
-@query("q_percentile_approx", oracle=None)  # sketch-based, engine-specific
+@query(
+    "q_percentile_approx",
+    # Banded oracle: percentile_approx returns a dataset element whose
+    # RANK is guaranteed within 1/accuracy of the target — so the
+    # portable assertion is rank-based, not value-based.  Exact
+    # interpolated quantiles (bit-identical across engines, cf.
+    # q_percentile) carry the value hash; the 1/0 flags assert the
+    # sketch element's empirical rank sits inside a generous band
+    # (target ± ~0.02-0.03, absorbing tie mass at the element).
+    # Integer-cents output (FLOOR(x*100+0.5), not ROUND(x,2)): both
+    # engines interpolate the same double, but their decimal ROUND
+    # paths disagree on exact .xx5 midpoints (observed at sf0.001);
+    # FLOOR on the shared double is IEEE-deterministic.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(FLOOR(quantile_cont(l_extendedprice, 0.5)  * 100 + 0.5)
+                AS BIGINT) AS p50_cents,
+           CAST(FLOOR(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5)
+                AS BIGINT) AS p95_cents,
+           1 AS p50_rank_ok, 1 AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — the constant-memory quantile path; accuracy
-    vs exact percentile asserted in tests."""
+    """percentile_approx (constant-memory t-digest-style quantiles),
+    differentially tested via a rank band: the approx element's
+    empirical CDF position must sit within the sketch's guarantee,
+    while the exact interpolated quantiles hash-check against DuckDB.
+
+    Scale: the rank-audit join broadcasts the 3-row summary back over
+    the fact table — one extra scan, no extra shuffle; at 100 TB the
+    audit runs on a sampled slice while the sketch is the product."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 100 + 0.5)
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.95)") * 100 + 0.5)
+        .cast("bigint")
+        .alias("p95_cents"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+    )
+    ranks = (
+        li.join(F.broadcast(s.select("l_returnflag", "a50", "a95")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("a50")).cast("long")).alias("r50"),
+            F.sum((F.col("l_extendedprice") <= F.col("a95")).cast("long")).alias("r95"),
+        )
+    )
+    frac = lambda r: F.col(r) / F.col("n_rows")  # noqa: E731
+    return (
+        s.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "p50_cents",
+            "p95_cents",
+            frac("r50").between(0.48, 0.53).cast("int").alias("p50_rank_ok"),
+            frac("r95").between(0.93, 0.97).cast("int").alias("p95_rank_ok"),
+        )
     )
 
 
@@ -185,7 +275,21 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hll_rollup")  # rows-only: sketch estimates are approximate by design
+@query(
+    "q_hll_rollup",
+    # Banded oracle (was rows-only through r4): the weekly exact
+    # distinct-user counts hash-check against DuckDB, and the 1/0 flag
+    # asserts the sketch-merged weekly estimate landed within 5% of
+    # exact (default lgConfigK=12 => rsd ~1.6%, so 5% is ~3 sigma;
+    # small weeks sit in HLL sparse mode and are exact).
+    oracle="""
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_merged,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS approx_ok
+    FROM events GROUP BY week
+    """,
+)
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: daily HLL sketches of distinct users,
     UNIONED upward to weekly estimates without rescanning raw events.
@@ -198,9 +302,10 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day) and never touch raw events again for distinct-user rollups
     at ANY granularity.
 
-    Driver policy: rows-only (approximate estimates differ across
-    engines by design); the accuracy bound vs exact distincts is
-    asserted in tests/test_stats_sketches.py.
+    Differential policy (upgraded from rows-only in r5): exact weekly
+    distincts hash-check against DuckDB; the sketch-merged estimate is
+    asserted within a 5% band via the ``approx_ok`` flag (plus the
+    tighter accuracy bound in tests/test_stats_sketches.py).
     """
     e = load_table(spark, sf_dir, "events")
     daily = (
@@ -218,7 +323,22 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("days_merged"),
         )
     )
-    return weekly
+    exact = (
+        e.select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "days_merged",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
+        .cast("int")
+        .alias("approx_ok"),
+    )
 
 
 # --- Count-Min Sketch heavy hitters --------------------------------------
@@ -452,7 +572,8 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                 AS INT) AS lead_digit,
            CAST(COUNT(*) AS BIGINT) AS n,
-           (10000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS share_bp
+           CAST((10000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_bp
     FROM orders
     WHERE o_totalprice >= 1
     GROUP BY lead_digit

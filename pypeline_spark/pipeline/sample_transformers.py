@@ -31,6 +31,37 @@ class DropNationTransformer:
         return row
 
 
+class SplitNameTransformer:
+    """Schema-EVOLVING row transform: replaces c_name with name_word0 /
+    n_words — exercises mid-chain evolution (a per-run schema list),
+    matching the reference's per-batch header re-read (Pype.py:87)."""
+
+    def filter(self, row: dict) -> dict:  # noqa: A003
+        words = row.pop("c_name").split()
+        row["name_word0"] = words[0] if words else ""
+        row["n_words"] = len(words)
+        return row
+
+
+class ExplodingTransformer:
+    """Raises while processing rows when SPARK_GRAFT_EXPLODE=1 at
+    DRIVER-side construction time (the flag rides into the task closure
+    with the pickled instance, so it works regardless of when executor
+    Python workers were forked) — used by the restartability test to
+    kill a pipeline mid-run (the reference's partial-apply crash mode,
+    Pype.py:148)."""
+
+    def __init__(self) -> None:
+        import os
+
+        self.explode = os.environ.get("SPARK_GRAFT_EXPLODE") == "1"
+
+    def filter(self, row: dict) -> dict:  # noqa: A003
+        if self.explode:
+            raise RuntimeError("injected mid-run failure")
+        return row
+
+
 class NativeUppercaseNameTransformer:
     """Fast-path twin of UppercaseNameTransformer: same semantics as
     the row-dict version but as a Catalyst column expression — stays

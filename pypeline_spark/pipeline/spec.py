@@ -41,7 +41,11 @@ class PypeSpec:
     target_table: str
     type: str = "upsert"
     transformers: Sequence[str] = field(default_factory=tuple)
-    transformer_schema: Optional[str] = None  # output schema when transforms reshape rows
+    # Output schema when row transforms reshape rows: a DDL string
+    # (applies to the final row run) or a list of DDL strings mapping
+    # one-to-one onto row-transformer runs (mid-chain evolution,
+    # matching the reference's per-batch header re-read, Pype.py:87).
+    transformer_schema: Optional[object] = None
     identifier: Optional[str] = None  # delete-key column (ref: Pype.py:83,180)
     post_query: Optional[str] = None
     key_columns: Sequence[str] = ("id",)

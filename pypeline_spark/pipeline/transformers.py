@@ -71,7 +71,7 @@ def load_transformers(names: Iterable[str]) -> list[RowTransformer]:
 def apply_transform_chain(
     df: DataFrame,
     transformers: Sequence[RowTransformer],
-    output_schema: Optional[str] = None,
+    output_schema: Optional[object] = None,
 ) -> DataFrame:
     """Run the transform chain, native steps on the JVM fast path.
 
@@ -82,19 +82,46 @@ def apply_transform_chain(
     pass over Arrow batches (one Python round-trip per run, not per
     transformer).
 
-    ``output_schema`` (DDL string) is required when a row-dict run
-    changes the column set and applies to the FINAL row run; earlier
-    row runs must be column-set-preserving (put schema-changing row
-    transformers last, or express them natively).  This mirrors the
-    reference's single evolving header (ref: Pype.py:87) under a
-    statically-typed engine.
+    ``output_schema`` declares the output columns when a row-dict run
+    reshapes rows, and mirrors the reference's per-batch evolving
+    header (ref: Pype.py:87) under a statically-typed engine:
+
+    - a single DDL string applies to the FINAL row run (earlier runs
+      must preserve the column set) — the common case;
+    - a LIST of DDL strings maps one-to-one onto the row-dict runs in
+      chain order, so ANY run may reshape — including one sandwiched
+      before a native step that consumes the reshaped columns (full
+      mid-chain schema evolution).
     """
     if not transformers:
         return df
     chain = list(transformers)
+    is_row = [not hasattr(t, "apply") for t in chain]
+
+    # Split row-dict transformers into maximal consecutive runs to know
+    # how many mapInPandas passes a schema list must cover.
+    n_row_runs = sum(
+        1 for i, r in enumerate(is_row) if r and (i == 0 or not is_row[i - 1])
+    )
+    schema_list: Optional[list[str]] = None
+    if output_schema is not None and not isinstance(output_schema, str):
+        schema_list = list(output_schema)
+        if len(schema_list) != n_row_runs:
+            raise ValueError(
+                f"transformer_schema list has {len(schema_list)} entries "
+                f"but the chain has {n_row_runs} row-transformer runs"
+            )
+    run_no = 0
 
     def flush(df: DataFrame, run_chain: list, is_last: bool) -> DataFrame:
-        schema = (output_schema if is_last and output_schema else df.schema)
+        nonlocal run_no
+        if schema_list is not None:
+            schema = schema_list[run_no]
+        elif is_last and output_schema:
+            schema = output_schema
+        else:
+            schema = df.schema
+        run_no += 1
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

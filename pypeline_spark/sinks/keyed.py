@@ -143,7 +143,16 @@ def delete_by_keys(
 
 
 class MemoryCatalog:
-    """Target 'database' as named in-memory DataFrames (test harness)."""
+    """Target 'database' as named in-memory DataFrames (test harness).
+
+    ``put`` cuts lineage with an eager ``localCheckpoint``: targets are
+    read-modify-write values, so storing the raw DataFrame would make
+    step N+1's read of the target re-execute steps 1..N's
+    extract+transform chain (and the final action replay the whole
+    pipeline).  Checkpointing materializes each step's output once —
+    the in-memory analogue of the ParquetCatalog's durable write.
+    Asserted by tests/test_pipeline.py (step N+1's plan must scan the
+    checkpointed RDD, not the step-N sources)."""
 
     def __init__(self, tables: Optional[dict[str, DataFrame]] = None) -> None:
         self.tables: dict[str, DataFrame] = dict(tables or {})
@@ -152,7 +161,7 @@ class MemoryCatalog:
         return self.tables.get(name)
 
     def put(self, name: str, df: DataFrame) -> None:
-        self.tables[name] = df
+        self.tables[name] = df.localCheckpoint(eager=True)
 
     def register_views(self, spark: SparkSession) -> None:
         for name, df in self.tables.items():
@@ -184,17 +193,20 @@ class ParquetCatalog:
 
     def put(self, name: str, df: DataFrame) -> None:
         # Materialize before overwrite: the new value may read the old
-        # files (read-modify-write), so write to a temp dir then swap.
-        path = self._path(name)
-        tmp = path + ".__tmp__"
-        df.write.mode("overwrite").parquet(tmp)
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        # files (read-modify-write), so write ONCE to a temp dir, then
+        # swap directories.  (A write-then-rewrite-to-final would double
+        # sink I/O — at 100 TB that's the difference between one and two
+        # full passes over the target.)  A crash between rmtree and
+        # rename loses only the in-flight put; the rerun rewrites tmp
+        # from scratch, and the keyed merges feeding put are idempotent.
         import shutil
 
+        path = self._path(name)
+        tmp = path + ".__tmp__"
         shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
 
 
 # ---------------------------------------------------------------------------

@@ -23,10 +23,14 @@ Spark-version artifact the oracles can't see (see
 
 from __future__ import annotations
 
+import os
+
+import duckdb
 import pytest
 from pyspark.sql import types as T
 
 from pypeline_spark.registry import load_all
+from pypeline_spark.session import TABLES
 
 _FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
 
@@ -88,4 +92,78 @@ def test_no_raw_events_ts_passthrough(schemas):
     assert not bad, (
         "raw events.ts output can never hash-match the ns-resolution "
         f"oracle — emit unix_micros(ts) instead: {bad}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle result-type lint (the r2-r4 q_sessionize_sql failure class).
+#
+# DuckDB widens SUM(BIGINT) to HUGEINT, and HUGEINT lands in pandas as
+# float64 — so the driver hashes '1.0' against Spark's '1' and the row
+# goes red even when every value is identical.  The old local canon
+# unified integral floats with ints and masked this for three rounds.
+# This lint DESCRIBEs every oracle in DuckDB (bind only, no execution)
+# and fails on:
+#   - any HUGEINT/UHUGEINT output column (always a latent driver red);
+#   - an oracle float/decimal column where the Spark column is integral
+#     (float64-vs-int64 hash mismatch), or the reverse.
+# ---------------------------------------------------------------------------
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_HUGE = {"HUGEINT", "UHUGEINT"}
+_DUCK_FLOATISH_PREFIX = ("FLOAT", "DOUBLE", "DECIMAL", "REAL")
+_SPARK_INT = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+@pytest.fixture(scope="module")
+def oracle_types(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    out = {}
+    for name, case in load_all().items():
+        if case.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE {case.oracle}").fetchall()
+        out[name] = {row[0]: row[1].upper() for row in desc}
+    con.close()
+    return out
+
+
+def test_no_hugeint_oracle_columns(oracle_types):
+    bad = [
+        (name, col, typ)
+        for name, cols in oracle_types.items()
+        for col, typ in cols.items()
+        if typ in _DUCK_HUGE
+    ]
+    assert not bad, (
+        "HUGEINT oracle outputs land in pandas as float64 and can never "
+        f"hash-match Spark int64 — CAST(... AS BIGINT): {bad}"
+    )
+
+
+def test_oracle_numeric_kinds_match_spark(schemas, oracle_types):
+    bad = []
+    for name, cols in oracle_types.items():
+        spark_types = {f.name: f.dataType for f in schemas[name].fields}
+        for col, dtyp in cols.items():
+            styp = spark_types.get(col)
+            if styp is None:
+                continue  # column-name mismatch is caught elsewhere
+            s_int = isinstance(styp, _SPARK_INT)
+            d_int = dtyp in _DUCK_INT or dtyp in _DUCK_HUGE
+            d_float = dtyp.startswith(_DUCK_FLOATISH_PREFIX)
+            if s_int and d_float:
+                bad.append((name, col, "spark int vs oracle " + dtyp))
+            if isinstance(styp, (T.FloatType, T.DoubleType)) and d_int:
+                bad.append((name, col, "spark float vs oracle " + dtyp))
+    assert not bad, (
+        "int-vs-float physical type mismatch between Spark output and "
+        f"DuckDB oracle will hash-mismatch on the driver: {bad}"
     )

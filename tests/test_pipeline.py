@@ -241,6 +241,153 @@ class TestRunner:
         assert spark.sql("SELECT n FROM t_post_summary").collect()[0].n == 5
 
 
+class TestMaterialization:
+    def test_step_target_does_not_reexecute_prior_steps(self, spark, sf_dir):
+        """MemoryCatalog.put cuts lineage (localCheckpoint): after a
+        2-step run, the stored target's plan must scan the materialized
+        RDD — not replay step 1's extract over the source tables."""
+        from pypeline_spark.pipeline.queries import _ETL_CONFIG
+
+        register_tables(spark, sf_dir)
+        config = PipelineConfig.from_dict(_ETL_CONFIG)
+        p = Pypeline(spark, config, placeholders={"max_key": 100})
+        p.run("customer_etl")
+        plan = p.catalog.get("dim_customer")._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+        # no source scan, no merge join, no Python chain in the target
+        assert "customer" not in plan.lower().replace("dim_customer", "")
+        assert "Join" not in plan and "MapInPandas" not in plan, plan
+
+    def test_parquet_catalog_swaps_tmp_into_place(self, spark, tmp_path):
+        """put() writes ONCE to a tmp dir and renames it into place —
+        read-modify-write against the live path stays correct and no
+        tmp residue survives."""
+        from pypeline_spark.sinks.keyed import ParquetCatalog
+
+        import os
+
+        cat = ParquetCatalog(str(tmp_path / "db"))
+        cat.put("t", spark.range(5).withColumnRenamed("id", "k"))
+        # new value derived from the CURRENT stored value (the RMW shape)
+        cur = cat.get("t")
+        cat.put("t", cur.unionByName(spark.range(5, 8).withColumnRenamed("id", "k")))
+        assert sorted(r.k for r in cat.get("t").collect()) == list(range(8))
+        assert not os.path.exists(str(tmp_path / "db" / "t.__tmp__"))
+
+
+class TestRestartability:
+    def test_rerun_after_midrun_failure_converges(self, spark, sf_dir, tmp_path, monkeypatch):
+        """Kill a 3-step pipeline inside step 3, rerun it, and assert
+        the durable target equals an uninterrupted run — the
+        reference's partially-applied-but-idempotent contract
+        (Pype.py:148 per-batch commit + idempotent keyed upsert)."""
+        from pypeline_spark.sinks.keyed import ParquetCatalog
+
+        register_tables(spark, sf_dir)
+        config = PipelineConfig.from_dict(
+            {
+                "pypes": {
+                    "seed": {
+                        "extract_query": (
+                            "SELECT c_custkey AS id, c_name, c_acctbal "
+                            "FROM customer WHERE c_custkey <= 50"
+                        ),
+                        "target_table": "cust",
+                        "type": "upsert",
+                        "key_columns": ["id"],
+                    },
+                    "boost": {
+                        "extract_query": (
+                            "SELECT id, c_name, c_acctbal + 100.0 AS c_acctbal "
+                            "FROM cust WHERE id <= 20"
+                        ),
+                        "target_table": "cust",
+                        "type": "upsert",
+                        "key_columns": ["id"],
+                    },
+                    "label": {
+                        "extract_query": "SELECT id, c_name, c_acctbal FROM cust",
+                        "target_table": "cust",
+                        # overwrite: the reshape adds a column, and an
+                        # upsert would align to the old target schema
+                        "type": "overwrite",
+                        "key_columns": ["id"],
+                        "transformers": [
+                            "pypeline_spark.pipeline.sample_transformers.ExplodingTransformer",
+                            "pypeline_spark.pipeline.sample_transformers.AddTierTransformer",
+                        ],
+                        "transformer_schema": (
+                            "id bigint, c_name string, c_acctbal double, tier string"
+                        ),
+                    },
+                },
+                "pypelines": {"p": ["seed", "boost", "label"]},
+            }
+        )
+
+        def run_once(root: str) -> dict:
+            cat = ParquetCatalog(root)
+            Pypeline(spark, config, catalog=cat).run("p")
+            return {r.id: (r.c_acctbal, r.tier) for r in cat.get("cust").collect()}
+
+        # uninterrupted reference run
+        expected = run_once(str(tmp_path / "clean"))
+
+        # interrupted run: steps 1-2 commit, step 3 dies mid-flight
+        crash_root = str(tmp_path / "crashy")
+        cat = ParquetCatalog(crash_root)
+        monkeypatch.setenv("SPARK_GRAFT_EXPLODE", "1")
+        with pytest.raises(Exception, match="injected mid-run failure"):
+            Pypeline(spark, config, catalog=cat).run("p")
+        monkeypatch.delenv("SPARK_GRAFT_EXPLODE")
+        # partial state is durable: steps 1-2 applied, no tier column yet
+        partial = ParquetCatalog(crash_root).get("cust")
+        assert partial is not None and "tier" not in partial.columns
+
+        # rerun from the top over the partial state -> converges
+        assert run_once(crash_root) == expected
+
+
+class TestMidChainSchemaEvolution:
+    def test_schema_list_lets_row_run_reshape_before_native_step(self, spark, sf_dir):
+        """row(reshape) -> native(consumes reshaped col) -> row(reshape):
+        a per-run schema list gives every row run its own output schema,
+        matching the reference's per-batch header re-read (Pype.py:87)."""
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 30")
+        chain = load_transformers(
+            [
+                # run 1 (row): drop c_name, add name_word0 + n_words
+                "pypeline_spark.pipeline.sample_transformers.SplitNameTransformer",
+                # native: consumes the reshaped n_words column
+                "pypeline_spark.pipeline.sample_transformers.NativeAddTierTransformer",
+                # run 2 (row): column-preserving
+                "pypeline_spark.pipeline.sample_transformers.ExplodingTransformer",
+            ]
+        )
+        out = apply_transform_chain(
+            df,
+            chain,
+            [
+                "c_custkey bigint, c_acctbal double, name_word0 string, n_words bigint",
+                "c_custkey bigint, c_acctbal double, name_word0 string, n_words bigint, tier string",
+            ],
+        )
+        rows = out.collect()
+        assert len(rows) == 30
+        assert all(r.n_words >= 1 and r.tier in ("HIGH", "LOW") for r in rows)
+        assert "c_name" not in out.columns
+
+    def test_schema_list_length_mismatch_raises(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        df = spark.sql("SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 5")
+        chain = load_transformers(
+            ["pypeline_spark.pipeline.sample_transformers.AddTierTransformer"]
+        )
+        with pytest.raises(ValueError, match="1 row-transformer runs"):
+            apply_transform_chain(df, chain, ["a int", "b int"])
+
+
 def test_cdc_step_requires_key_columns():
     import pytest as _pytest
 

@@ -2,11 +2,10 @@
 queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
-Round-4 rotation: rounds 1-3 driver-certified 98 distinct queries (r1:
-relational/window/setops/range tail; r2/r3: sinks, pipeline, LLM-data,
-streaming).  The window now holds exactly the 42 never-driver-checked
-queries, the 4 repaired r2/r3 red rows, and 4 ts-normalization
-re-certification picks — pinned one-to-one against
+Round-5 rotation: rounds 1-4 driver-certified 140 distinct queries.
+The window now holds the repaired q_sessionize_sql, the 3 tolerance-
+band oracle upgrades, the 5 re-CAST HUGEINT oracles, and 41 of the
+remaining never-driver-checked queries — pinned one-to-one against
 ``registry._DRIVER_WINDOW`` so any drift is a loud failure.
 """
 
@@ -41,11 +40,11 @@ def test_rows_only_set_is_the_declared_policy():
     a new query accidentally registered without one should fail here."""
     cases = load_all()
     rows_only = {n for n, c in cases.items() if c.oracle is None}
+    # r5: q_approx_distinct / q_percentile_approx / q_hll_rollup gained
+    # tolerance-banded oracles (exact values hash-checked, sketch
+    # accuracy asserted via 1/0 band flags) and left this set.
     assert rows_only == {
-        "q_approx_distinct",
-        "q_hll_rollup",
         "q_knn_ivf",
         "q_multimodal_decode",
-        "q_percentile_approx",
         "q_feature_extract",
     }, rows_only

@@ -41,9 +41,12 @@ from pypeline_spark.session import TABLES, get_spark
 
 
 def _cell(v) -> str:
-    """One canonical string per value, unifying the engines' physical
-    types (DuckDB HUGEINT→float64, Spark long→int64, Decimal, numpy
-    scalars) without weakening timestamp resolution."""
+    """One canonical string per value — DRIVER-STRICT: an integral
+    float ('1.0') does NOT unify with an int ('1').  The old unification
+    masked the HUGEINT oracle class for three rounds (DuckDB
+    SUM(BIGINT)→HUGEINT→pandas float64 vs Spark int64 hashed
+    differently on the driver while passing here — q_sessionize_sql
+    r2-r4).  Oracles must CAST(... AS BIGINT) instead."""
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, (np.bool_, bool)):
@@ -56,8 +59,6 @@ def _cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "NULL"
-        if f.is_integer():
-            return str(int(f))
         return repr(round(f, 6))
     if isinstance(v, pd.Timestamp):
         return str(v)  # keeps ns digits when present — driver-strict

@@ -1168,3 +1168,50 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         (F.col("csize") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
     )
+
+
+CONTAINMENT_T = 0.8  # n_inter / min(|A|,|B|) — near-containment cutoff
+
+
+@query(
+    "q_containment",
+    oracle=_SQL_SHINGLES
+    + _SQL_MINHASH_BODY
+    + """
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 4) >= 0.8
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: shingle-set overlap divided by
+    the SMALLER set — the quote/excerpt/snippet detector Jaccard misses
+    (a 50-token doc fully embedded in a 1000-token doc has Jaccard
+    ~0.05 but containment 1.0).
+
+    Scale: same zero-shuffle-signature -> banded-candidates ->
+    broadcast-verify shape as q_dedup_minhash; only the verification
+    formula changes (min-size denominator instead of union size).
+    Recall caveat, stated rather than hidden: MinHash banding is tuned
+    for symmetric Jaccard, so a small-in-large pair whose Jaccard is
+    far below the banding's S-curve can evade candidacy — at
+    production scale the containment tier uses the repeated-span index
+    (q_span_dedup) as its candidate source instead.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
+    sigs = minhash_signature(d, arrs=arrs)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    aa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = F.round(n_inter / F.least(F.size("sh_a"), F.size("sh_b")), 4)
+    return (
+        aa.join(F.broadcast(pairs), "id_a")
+        .join(bb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_T)
+    )

@@ -274,3 +274,105 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
     )
+
+
+DOMAIN_CAP = 40  # max docs kept per source domain (corpus balancing)
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(source || '|' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+                AS BIGINT) AS rk,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY k, doc_id)
+                          <= {DOMAIN_CAP}
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM keyed
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per source,
+    chosen by deterministic hash order — the corpus-balancing gate that
+    stops one crawl domain from dominating the training mixture (the
+    same role as per-domain caps in public corpus recipes).
+
+    Scale: one shuffle keyed by source; the hash order makes the kept
+    subset reproducible AND monotone (a higher cap keeps a superset),
+    so staged corpus sizes compose.  Skewed domains are exactly the
+    point here — the window sort is per-domain, and a pathologically
+    hot domain can pre-aggregate via the salted-counts pattern before
+    ranking only its own rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        d.select("doc_id", "source", k.alias("k"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            (F.col("rk") <= DOMAIN_CAP).cast("int").alias("kept"),
+        )
+    )
+
+
+N_EPOCHS = 3  # epochs whose training order is laid out
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT CAST(unnest(range({N_EPOCHS})) AS INT) AS epoch),
+    keyed AS (
+        SELECT d.doc_id, e.epoch,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS k,
+               CAST(CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {N_TRAIN_SHARDS} AS INT) AS shard
+        FROM documents d CROSS JOIN e
+    )
+    SELECT doc_id, epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY k)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training order: every epoch gets an independent
+    deterministic permutation (epoch-salted md5 into shard + position),
+    so consecutive epochs present the corpus in decorrelated orders —
+    the data-loader shuffle, computed once as a layout instead of at
+    read time.
+
+    Scale: NO global sort anywhere — position is per (epoch, shard),
+    matching how loaders actually consume data (files read in shard
+    order, rows in position order).  A global ROW_NUMBER would be a
+    single-reducer sort; the sharded layout is embarrassingly parallel
+    and each epoch's layout job is independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    epochs = F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
+    keyed = d.select("doc_id").select("doc_id", epochs)
+    salt = F.concat_ws(
+        ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+    )
+    k = F.md5(salt)
+    shard = (
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint") % N_TRAIN_SHARDS
+    ).cast("int")
+    w = W.partitionBy("epoch", "shard").orderBy("k")
+    return (
+        keyed.select("doc_id", "epoch", k.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "epoch", "shard", "pos")
+    )

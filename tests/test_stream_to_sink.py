@@ -136,6 +136,58 @@ def test_manifest_stream_upsert_end_to_end(spark, sf_dir, tmp_path):
     }
 
 
+def test_stream_restart_from_checkpoint_processes_only_new_data(spark, sf_dir, tmp_path):
+    """Stop a checkpointed stream, land MORE source files, restart a
+    NEW query on the SAME checkpoint: the restart resumes batch ids
+    where the first run stopped, applies only the new files (nothing
+    reprocessed, nothing skipped), and the final table equals a
+    one-shot merge of everything — the streaming analogue of the
+    batch-pipeline restartability contract (ref: Pype.py:148)."""
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_upsert_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target, batch_id="seed")
+    stream_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return stream_upsert_manifest(
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/b*"),
+            table,
+            key_columns=("c_custkey",),
+            checkpoint_dir=ckpt,
+        )
+
+    parts = [updates.filter(F.pmod(F.col("c_custkey"), 4) == i) for i in range(4)]
+    # run 1: first two files, then the query terminates (availableNow)
+    for i in (0, 1):
+        parts[i].write.mode("overwrite").parquet(f"{stream_dir}/b{i}")
+    assert start().awaitTermination(300)
+    v_after_run1 = table.version()
+    assert v_after_run1 == 1 + 2  # seed + one commit per file
+
+    # land new data while "down", then restart from the same checkpoint
+    for i in (2, 3):
+        parts[i].write.mode("overwrite").parquet(f"{stream_dir}/b{i}")
+    assert start().awaitTermination(300)
+
+    # exactly two NEW commits — the first two files were not replayed
+    assert table.version() == v_after_run1 + 2
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    assert _canon(table.read(spark)) == expected
+    # batch ids continued from the checkpoint instead of restarting at 0
+    applied = sorted(
+        int(b.split("-")[1])
+        for b in table.applied_batch_ids()
+        if b.startswith("stream-")
+    )
+    assert applied == [0, 1, 2, 3]
+
+
 def test_cdc_stream_matches_one_shot_apply(spark, sf_dir, catalog):
     """A sequenced upsert/delete change log streamed in seq-ordered
     micro-batches (within-batch arrival order arbitrary — Debezium's

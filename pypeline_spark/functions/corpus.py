@@ -164,3 +164,64 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
     )
+
+
+HEAD_COVERAGE_BP = 5000  # head set must cover >= 50% of domain chars
+
+
+@query(
+    "q_coverage_topk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER w AS rk,
+               SUM(n_chars) OVER (PARTITION BY source) AS tot,
+               SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN 10000 * cum >= {HEAD_COVERAGE_BP} * tot
+                         THEN rk END) AS BIGINT) AS head_docs
+    FROM ranked GROUP BY source
+    """,
+)
+def q_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage selection per domain: the smallest prefix of
+    documents (largest first) whose characters cover >= 50% of the
+    domain — the concentration readout that tells a corpus curator
+    whether a domain is a few giant pages or a long tail, and sizes
+    head-only sampling strategies.
+
+    Scale: one shuffle keyed by source; both window passes (running
+    sum and domain total) reuse the same partitioning, and the rollup
+    collapses to one row per domain before anything leaves the
+    executors.  Integer basis-point comparison (10000*cum >= bp*tot)
+    keeps the threshold exact in both engines.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_chars").over(W.partitionBy("source")).alias("tot"),
+        F.sum("n_chars")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min(
+            F.when(
+                10000 * F.col("cum") >= HEAD_COVERAGE_BP * F.col("tot"),
+                F.col("rk"),
+            )
+        )
+        .cast("bigint")
+        .alias("head_docs"),
+    )

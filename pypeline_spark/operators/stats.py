@@ -686,6 +686,10 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup.
     """
     o = load_table(spark, sf_dir, "orders")
+    # The 1-row boundary relation joins as a broadcast nested loop by
+    # construction (Catalyst folds any literal equi-key away) — that is
+    # the scalar-subquery shape, O(n) with a 7-double build side, and
+    # q_equidepth_hist is on the plan sweep's INTENTIONAL list for it.
     bounds = o.agg(
         F.expr(f"percentile(o_totalprice, array({_EQ_FRACS}))").alias("b")
     )
@@ -703,5 +707,57 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.min(cents).alias("lo_cents"),
             F.max(cents).alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    # Clip bounds are interpolated quantile doubles (bit-identical
+    # across engines); sums run over FLOOR(x*100+0.5) integer cents so
+    # double-summation order can never flip the hash.
+    oracle="""
+    WITH b AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.05) AS lo,
+               quantile_cont(c_acctbal, 0.95) AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS raw_cents,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi)
+                                * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS wins_cents
+    FROM customer c JOIN b USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized totals per segment: clip account balances at the
+    in-group [p05, p95] before summing — the robust-statistics
+    treatment that stops a few extreme rows from owning a mean (the
+    additive counterpart of the MAD outlier filter in q_outliers_mad).
+
+    Scale: same two-pass shape as q_percentile_approx — one aggregate
+    for the clip bounds per group (percentile_approx at 100 TB), the
+    tiny bounds relation broadcast back over the fact table, clipping
+    map-side, one rollup.  No row-level sort anywhere.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    b = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    cents = lambda x: F.floor(x * 100 + 0.5).cast("bigint")  # noqa: E731
+    return (
+        c.join(F.broadcast(b), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("c_acctbal"))).cast("bigint").alias("raw_cents"),
+            F.sum(cents(clipped)).cast("bigint").alias("wins_cents"),
         )
     )

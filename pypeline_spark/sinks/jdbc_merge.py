@@ -49,12 +49,23 @@ def _q(col: str) -> str:
     return '"' + col.replace('"', '""') + '"'
 
 
+def _key_eq(k: str, string_keys: Sequence[str]) -> str:
+    """One ON-clause equality.  String keys compare as VARCHAR: some
+    dialects (Derby) store Spark strings as CLOB, and CLOB = CLOB is
+    not a supported comparison — the cast restores joinability (at the
+    cost of index use on text keys; prefer numeric surrogate keys)."""
+    if k in string_keys:
+        return f"CAST(t.{_q(k)} AS VARCHAR(32672)) = CAST(u.{_q(k)} AS VARCHAR(32672))"
+    return f"t.{_q(k)} = u.{_q(k)}"
+
+
 def merge_upsert_sql(
     table: str,
     stage: str,
     columns: Sequence[str],
     key_columns: Sequence[str],
     fields_excluded_from_update: Sequence[str] = (),
+    string_keys: Sequence[str] = (),
 ) -> str:
     """ANSI ``MERGE INTO`` for insert-or-update-by-key.
 
@@ -65,7 +76,7 @@ def merge_upsert_sql(
     keys = list(key_columns)
     skip = set(keys) | set(fields_excluded_from_update)
     set_cols = [c for c in columns if c not in skip]
-    on = " AND ".join(f"t.{_q(k)} = u.{_q(k)}" for k in keys)
+    on = " AND ".join(_key_eq(k, string_keys) for k in keys)
     sets = ", ".join(f"{_q(c)} = u.{_q(c)}" for c in set_cols)
     ins_cols = ", ".join(_q(c) for c in columns)
     ins_vals = ", ".join(f"u.{_q(c)}" for c in columns)
@@ -83,6 +94,7 @@ def merge_update_only_sql(
     columns: Sequence[str],
     key_columns: Sequence[str],
     fields_excluded_from_update: Sequence[str] = (),
+    string_keys: Sequence[str] = (),
 ) -> str:
     """ANSI MERGE with only the MATCHED branch — never inserts."""
     keys = list(key_columns)
@@ -90,13 +102,15 @@ def merge_update_only_sql(
     set_cols = [c for c in columns if c not in skip]
     if not set_cols:
         raise ValueError("update_only with no updatable columns")
-    on = " AND ".join(f"t.{_q(k)} = u.{_q(k)}" for k in keys)
+    on = " AND ".join(_key_eq(k, string_keys) for k in keys)
     sets = ", ".join(f"{_q(c)} = u.{_q(c)}" for c in set_cols)
     return f"MERGE INTO {table} t USING {stage} u ON {on} WHEN MATCHED THEN UPDATE SET {sets}"
 
 
-def merge_delete_sql(table: str, stage: str, identifier: str) -> str:
-    on = f"t.{_q(identifier)} = u.{_q(identifier)}"
+def merge_delete_sql(
+    table: str, stage: str, identifier: str, string_keys: Sequence[str] = ()
+) -> str:
+    on = _key_eq(identifier, string_keys)
     return f"MERGE INTO {table} t USING {stage} u ON {on} WHEN MATCHED THEN DELETE"
 
 
@@ -162,8 +176,13 @@ class JdbcMergeCatalog:
     def get(self, name: str) -> Optional[DataFrame]:
         if not self._table_exists(name):
             return None
+        opts = self._opts(name)
+        if self.driver and "derby" in self.driver.lower():
+            # Derby stores Spark strings as CLOB and cannot compare
+            # CLOB to a pushed-down literal — evaluate filters in Spark
+            opts["pushDownPredicate"] = "false"
         return read_source(
-            self.spark, "jdbc", self.url, options=self._opts(name), bulk_size=self.bulk_size
+            self.spark, "jdbc", self.url, options=opts, bulk_size=self.bulk_size
         )
 
     def put(self, name: str, df: DataFrame) -> None:
@@ -177,6 +196,14 @@ class JdbcMergeCatalog:
             df, "jdbc", self.url, mode="overwrite", options=self._opts(stage), bulk_size=self.bulk_size
         )
         return stage
+
+    @staticmethod
+    def _string_cols(df: DataFrame) -> list[str]:
+        from pyspark.sql import types as T
+
+        return [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        ]
 
     def _drop_stage(self, stage: str) -> None:
         self._execute(f"DROP TABLE {stage}")
@@ -198,7 +225,10 @@ class JdbcMergeCatalog:
         stage = self._stage(name, up)
         try:
             self._execute(
-                merge_upsert_sql(name, stage, up.columns, keys, fields_excluded_from_update)
+                merge_upsert_sql(
+                    name, stage, up.columns, keys, fields_excluded_from_update,
+                    string_keys=self._string_cols(up),
+                )
             )
         finally:
             self._drop_stage(stage)
@@ -218,7 +248,10 @@ class JdbcMergeCatalog:
         stage = self._stage(name, up)
         try:
             self._execute(
-                merge_update_only_sql(name, stage, up.columns, keys, fields_excluded_from_update)
+                merge_update_only_sql(
+                    name, stage, up.columns, keys, fields_excluded_from_update,
+                    string_keys=self._string_cols(up),
+                )
             )
         finally:
             self._drop_stage(stage)
@@ -226,8 +259,14 @@ class JdbcMergeCatalog:
     def merge_delete(self, name: str, keys_df: DataFrame, identifier: str) -> None:
         if not self._table_exists(name):
             raise ValueError(f"delete target {name!r} does not exist")
-        stage = self._stage(name, keys_df.select(identifier).distinct())
+        keys_only = keys_df.select(identifier).distinct()
+        stage = self._stage(name, keys_only)
         try:
-            self._execute(merge_delete_sql(name, stage, identifier))
+            self._execute(
+                merge_delete_sql(
+                    name, stage, identifier,
+                    string_keys=self._string_cols(keys_only),
+                )
+            )
         finally:
             self._drop_stage(stage)

@@ -122,6 +122,24 @@ class TestDerbyMergeParity:
         with pytest.raises(ValueError, match="does not exist"):
             cat.merge_update_only("ghost", updates, key_columns=["id"])
 
+    def test_string_key_merge_casts_clob(self, spark, cat):
+        """Derby stores Spark strings as CLOB; the ON clause must CAST
+        both sides to VARCHAR or the merge is a syntax error — pins the
+        string-surrogate-key path (the reference's uuid delete keys,
+        Pype.py:180, arrive as strings)."""
+        t = spark.createDataFrame(
+            [("u-1", 1.0), ("u-2", 2.0)], "uid string, v double"
+        )
+        u = spark.createDataFrame(
+            [("u-2", 20.0), ("u-3", 30.0)], "uid string, v double"
+        )
+        cat.put("t", t)
+        cat.merge_upsert("t", u, key_columns=["uid"])
+        got = {r.uid: r.v for r in cat.get("t").collect()}
+        assert got == {"u-1": 1.0, "u-2": 20.0, "u-3": 30.0}
+        cat.merge_delete("t", u.select("uid"), identifier="uid")
+        assert {r.uid for r in cat.get("t").collect()} == {"u-1"}
+
     def test_delete_matches_emulation(self, spark, cat, target):
         keys = spark.createDataFrame([(1,), (3,), (3,), (7,)], "id bigint")
         cat.put("t", target)

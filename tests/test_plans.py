@@ -261,7 +261,14 @@ class TestNoNestedLoopSweep:
     # q_knn_recall embeds the q_topk_cosine brute-force baseline as the
     # ground-truth side of the recall measurement (the LSH side it
     # grades is equi-joined and separately gated in test_llm_ops).
-    INTENTIONAL = {"q_join_cross", "q_topk_cosine", "q_knn_ivf", "q_knn_recall"}
+    # q_equidepth_hist broadcasts a 1-ROW boundary relation (the
+    # scalar-subquery shape — Catalyst folds any literal equi-key away,
+    # so it can only ever plan as a nested loop; O(n) with a 7-double
+    # build side).
+    INTENTIONAL = {
+        "q_join_cross", "q_topk_cosine", "q_knn_ivf", "q_knn_recall",
+        "q_equidepth_hist",
+    }
     # Streaming builders execute a real streaming job; their plans are
     # asserted in tests/test_streaming.py instead.
     STREAMING = {

@@ -191,6 +191,15 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Self-join within (band, band_key) buckets: shuffle keyed on the
     bucket, pairwise expansion only inside buckets (the LSH payoff).
+
+    Formulation note (measured, r5): the one-shuffle alternative —
+    groupBy bucket + collect_set + array-comprehension pair expansion —
+    is ~15% SLOWER here despite one fewer exchange: collect_set forces
+    ObjectHashAggregate out of whole-stage codegen, while AQE turns
+    this join's build side into a broadcast at observed sizes (one real
+    exchange either way).  At cluster scale with a corpus-sized bands
+    relation the aggregate variant halves shuffle volume and becomes
+    the right trade — switch there, keep the join under AQE here.
     """
     a = bands.alias("a")
     b = bands.alias("b")

@@ -156,3 +156,97 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total"),
     )
     return pk.unionByName(fk).unionByName(dom).unionByName(nn)
+
+
+DP_BOUND = 10  # noise drawn uniformly from [-DP_BOUND, +DP_BOUND]
+DP_SEED = "dp-r5-seed"
+
+
+@query(
+    "q_dp_counts",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS true_n,
+           CAST(CAST(('0x' || substr(md5('{DP_SEED}|' || c_mktsegment), 1, 8))
+                AS BIGINT) % {2 * DP_BOUND + 1} - {DP_BOUND} AS BIGINT) AS noise,
+           CAST(COUNT(*)
+                + CAST(('0x' || substr(md5('{DP_SEED}|' || c_mktsegment), 1, 8))
+                  AS BIGINT) % {2 * DP_BOUND + 1} - {DP_BOUND}
+                AS BIGINT) AS noisy_n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-added group counts — the privacy-release plumbing
+    (bounded additive noise per published aggregate) with the noise
+    drawn DETERMINISTICALLY from a seeded hash of the group key.
+
+    Honest caveat, stated not hidden: seeded hash noise is replayable
+    (that is what makes it differentially testable and what a release
+    pipeline's dry-run mode wants); actual differential privacy
+    requires fresh randomness and a calibrated mechanism — swap the
+    hash draw for a Laplace/geometric sampler at release time.  The
+    true count is emitted alongside for the audit tier; the published
+    projection drops it.
+
+    Scale: noise is a map-side expression over the aggregated rows —
+    cost is the groupBy that was already being paid.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    noise = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(DP_SEED + "|"), F.col("c_mktsegment"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % (2 * DP_BOUND + 1)
+        - DP_BOUND
+    ).cast("bigint")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("true_n"))
+        .select(
+            "c_mktsegment",
+            "true_n",
+            noise.alias("noise"),
+            (F.col("true_n") + noise).cast("bigint").alias("noisy_n"),
+        )
+    )
+
+
+K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+@query(
+    "q_kanon",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+    FROM g GROUP BY c_nationkey
+    """,
+)
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): per nation, how many QI groups exist,
+    how many fall below k=5 members, and how many rows those small
+    groups expose — the suppression worklist a privacy review runs
+    before any row-level data release.
+
+    Scale: two stacked aggregates, the second over group-level rows
+    (cardinality = |QI space|, tiny); nothing row-level leaves the
+    first shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    return g.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum((F.col("n") < K_ANON).cast("int")).cast("bigint").alias("n_small"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )

@@ -792,3 +792,55 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cases_df.groupBy("lang", "lang_guess").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@query(
+    "q_token_entropy",
+    # Shannon entropy in nats, rounded to 4 dp: the per-term p*ln(p)
+    # products are identical doubles in both engines; their sum can
+    # differ in the last ulps with aggregation order, which 4-dp
+    # rounding absorbs (same policy as the corr/stddev oracles).
+    oracle=r"""
+    WITH tok AS (
+        SELECT d.source, unnest(string_split_regex(trim(lower(d.text)), '\s+')) AS t
+        FROM documents d
+    ),
+    tf AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+    tot AS (SELECT source, SUM(c) AS n FROM tf GROUP BY source)
+    SELECT tf.source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
+           ROUND(-SUM((tf.c * 1.0 / tot.n) * LN(tf.c * 1.0 / tot.n)), 4)
+               AS entropy_nats
+    FROM tf JOIN tot USING (source)
+    GROUP BY tf.source
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source domain — the
+    diversity signal corpus curators read next to raw size: a domain
+    with huge token volume but low entropy is templated/boilerplate
+    text that contributes far less than its byte count suggests.
+
+    Scale: explode -> (source, term) count -> per-source rollup; the
+    term-frequency shuffle carries one row per DISTINCT (source, term)
+    after map-side partial aggregation, not one per token.  The total
+    joins back via the tiny per-source relation (broadcast).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )

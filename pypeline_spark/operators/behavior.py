@@ -1002,3 +1002,119 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    # All-integer arithmetic: value in cents, gaps in whole seconds
+    # (floor division of the micros delta), products and sums in
+    # BIGINT — the float-summation-order trap never opens.
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(SUM((next_us - us) // 1000000) AS BIGINT) AS total_s,
+           CAST(SUM(cents * ((next_us - us) // 1000000)) AS BIGINT)
+               AS weighted_sum,
+           CAST(SUM(cents * ((next_us - us) // 1000000))
+                // SUM((next_us - us) // 1000000) AS BIGINT) AS twa_cents
+    FROM pts
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM((next_us - us) // 1000000) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user — each observation
+    weighted by how long it was 'current' (until the next event), the
+    irregular-time-series mean that a plain AVG silently gets wrong
+    (TimescaleDB's time_weight, continuous-aggregate style).
+
+    Scale: one shuffle keyed by user_id serves the LEAD window and the
+    rollup; integer cents x whole-second gaps keep every engine's sum
+    bit-identical (a double formulation would hash-diverge on
+    summation order).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt_s = F.floor((F.col("next_us") - F.col("us")) / 1_000_000).cast("bigint")
+    agg = pts.groupBy("user_id").agg(
+        F.sum(dt_s).cast("bigint").alias("total_s"),
+        F.sum(F.col("cents") * dt_s).cast("bigint").alias("weighted_sum"),
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "total_s",
+        "weighted_sum",
+        F.floor(F.col("weighted_sum") / F.col("total_s")).cast("bigint").alias("twa_cents"),
+    )
+
+
+@query(
+    "q_ohlc",
+    # Deterministic open/close via a zero-padded (epoch-us, event_id)
+    # string key: min_by/arg_min need a totally-ordered tiebreak, and
+    # the composite doesn't fit a bigint without collision.
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+        FROM events WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT event_type, bar,
+           COUNT(*) AS n,
+           CAST(arg_min(cents, ord) AS BIGINT) AS open_c,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, ord) AS BIGINT) AS close_c
+    FROM pts GROUP BY event_type, bar
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    canonical time-series downsample, as ONE aggregate pass instead of
+    the window-rank-filter detour.
+
+    Scale: min_by/max_by fold the open/close inside the same partial
+    aggregate as min/max — one shuffle keyed by (type, hour), no
+    per-row window sort, no second pass.  Hour bars at whole-second
+    boundaries are timestamp-portable across engines (cf. q_time_rollup).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ordk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    pts = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        cents.alias("cents"),
+        ordk.alias("ord"),
+    )
+    return pts.groupBy("event_type", "bar").agg(
+        F.count("*").alias("n"),
+        F.min_by("cents", "ord").cast("bigint").alias("open_c"),
+        F.max("cents").cast("bigint").alias("high_c"),
+        F.min("cents").cast("bigint").alias("low_c"),
+        F.max_by("cents", "ord").cast("bigint").alias("close_c"),
+    )

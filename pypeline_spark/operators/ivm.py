@@ -110,3 +110,147 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = rollup_events(e.filter(F.to_date("ts") < cutoff))
     delta = rollup_events(e.filter(F.to_date("ts") >= cutoff))
     return ivm_merge(standing, delta)
+
+
+@query(
+    "q_merge_variance",
+    # Exact integer partials (n, sum_cents, sumsq_cents) merge across
+    # months; only the FINAL variance formula touches doubles — a
+    # handful of ops on exact integers, bit-identical in both engines.
+    # sumsq fits bigint: (1e7 cents)^2 * 6e6 rows ~ 6e20 would not, but
+    # extendedprice < 1e5 dollars => cents < 1e7, squared 1e14, summed
+    # over per-flag rows at any test SF stays < 2^63; at warehouse
+    # scale promote the partial to DECIMAL(38,0).
+    oracle="""
+    WITH parts AS (
+        SELECT l_returnflag,
+               date_trunc('month', l_shipdate) AS m,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS s,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS ss
+        FROM lineitem GROUP BY l_returnflag, m
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_partials,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(s) AS BIGINT) AS sum_cents,
+           ROUND((CAST(SUM(ss) AS DOUBLE)
+                  - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                    / CAST(SUM(n) AS DOUBLE))
+                 / (CAST(SUM(n) AS DOUBLE) - 1) / 10000.0, 2) AS var_dollars
+    FROM parts GROUP BY l_returnflag
+    """,
+)
+def q_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable variance: per-month partials (n, sum, sum-of-squares
+    in integer cents) combined upward to per-flag sample variance —
+    the IVM/continuous-aggregate treatment of a NON-additive statistic
+    (variance itself cannot be summed; its moment partials can).
+
+    Scale: this is how a maintained stats table works at 100 TB — each
+    maintenance batch updates a few (flag, month) partial rows, and any
+    coarser variance is a tiny rollup over partials instead of a raw
+    rescan.  Exactly the q_ivm_rollup contract extended to second
+    moments; the merged result provably equals the direct computation
+    (the oracle recomputes from raw rows through the same partials).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    parts = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    n, s, ss = (
+        F.sum("n").cast("double"),
+        F.sum("s").cast("double"),
+        F.sum("ss").cast("double"),
+    )
+    return parts.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_partials"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("s").cast("bigint").alias("sum_cents"),
+        F.round((ss - s * s / n) / (n - F.lit(1.0)) / 10000.0, 2).alias("var_dollars"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    # The oracle recomputes both snapshots directly from the source
+    # table (v1 = seed predicate, v2 = keyed upsert of the update
+    # batch), so the manifest table's commit + time-travel machinery is
+    # value-hashed against first principles.
+    # SF-relative predicates (key modulo, not absolute ranges) so all
+    # three change classes are populated at every fixture scale:
+    # v1 = keys not divisible by 3; update batch = even keys (+100).
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    v2 AS (
+        SELECT c_custkey,
+               CAST(FLOOR(
+                   CASE WHEN c_custkey % 2 = 0
+                        THEN c_acctbal + 100.0 ELSE c_acctbal END * 100 + 0.5
+               ) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0
+    )
+    SELECT CASE WHEN v1.c_custkey IS NULL THEN 'added'
+                WHEN v1.cents <> v2.cents THEN 'changed'
+                ELSE 'same' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v2.cents) AS BIGINT) AS sum_cents
+    FROM v2 LEFT JOIN v1 USING (c_custkey)
+    GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot diff: commit a seed version and a keyed
+    upsert to a real ManifestTable (atomic pointer-swap commits,
+    sinks/manifest.py), read BOTH versions back by version number, and
+    classify every current row as added / changed / same — the audit
+    query a lakehouse change review runs between two table versions.
+
+    Scale: the diff is one key-partitioned join of two snapshot scans;
+    each snapshot's file list is pinned by its manifest, so the join
+    reads exactly two immutable filesets regardless of concurrent
+    writers.  The commit machinery itself is exercised for real (two
+    versions written to a scratch dir per call).
+    """
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    table = ManifestTable(tempfile.mkdtemp(prefix="snapdiff_"))
+    table.commit_overwrite(
+        c.filter(F.col("c_custkey") % 3 != 0), batch_id="seed"
+    )
+    updates = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    v2_no = table.commit_merge(spark, updates, ["c_custkey"], batch_id="b1")
+    cents = lambda col: F.floor(col * 100 + 0.5).cast("bigint")  # noqa: E731
+    v1 = table.read(spark, version=v2_no - 1).select(
+        "c_custkey", cents(F.col("c_acctbal")).alias("cents_v1")
+    )
+    v2 = table.read(spark, version=v2_no).select(
+        "c_custkey", cents(F.col("c_acctbal")).alias("cents_v2")
+    )
+    diff = v2.join(v1, "c_custkey", "left_outer")
+    change = (
+        F.when(F.col("cents_v1").isNull(), "added")
+        .when(F.col("cents_v1") != F.col("cents_v2"), "changed")
+        .otherwise("same")
+    )
+    return diff.select(change.alias("change_type"), "cents_v2").groupBy(
+        "change_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents_v2").cast("bigint").alias("sum_cents"),
+    )

@@ -131,8 +131,9 @@ _DRIVER_WINDOW = (
 # q_top_terms q_lang_drift q_langid_confusion q_pipeline_dedup,
 # plus the round-5 additions: q_containment q_domain_cap
 # q_epoch_shuffle q_equidepth_hist q_winsorize q_coverage_topk
-# q_time_weighted_avg q_ohlc q_dp_counts q_kanon q_token_entropy.
-# All 39 fit one window; cumulative certified will then be 225/225.
+# q_time_weighted_avg q_ohlc q_dp_counts q_kanon q_token_entropy
+# q_bigram_lm q_merge_variance q_snapshot_diff.  All 42 fit one
+# window; cumulative certified will then be 228/228.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

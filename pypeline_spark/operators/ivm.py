@@ -178,7 +178,7 @@ def q_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_snapshot_diff",
+    "q_time_travel_diff",
     # The oracle recomputes both snapshots directly from the source
     # table (v1 = seed predicate, v2 = keyed upsert of the update
     # batch), so the manifest table's commit + time-travel machinery is
@@ -209,7 +209,7 @@ def q_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY change_type
     """,
 )
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel snapshot diff: commit a seed version and a keyed
     upsert to a real ManifestTable (atomic pointer-swap commits,
     sinks/manifest.py), read BOTH versions back by version number, and

@@ -43,6 +43,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
     def deco(fn: Builder) -> Builder:
         global _seq_counter
+        if name in QUERIES:
+            # A duplicate would silently SHADOW the earlier (possibly
+            # driver-certified) query — caught live in r5 when a new
+            # registration reused q_snapshot_diff.  Fail loudly instead.
+            raise ValueError(
+                f"query {name!r} already registered by "
+                f"{_MODULE_OF[name]}; rename the new one"
+            )
         QUERIES[name] = QueryCase(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
         _MODULE_OF[name] = fn.__module__
         _SEQ_OF[name] = _seq_counter
@@ -132,7 +140,7 @@ _DRIVER_WINDOW = (
 # plus the round-5 additions: q_containment q_domain_cap
 # q_epoch_shuffle q_equidepth_hist q_winsorize q_coverage_topk
 # q_time_weighted_avg q_ohlc q_dp_counts q_kanon q_token_entropy
-# q_bigram_lm q_merge_variance q_snapshot_diff.  All 42 fit one
+# q_bigram_lm q_merge_variance q_time_travel_diff.  All 42 fit one
 # window; cumulative certified will then be 228/228.
 
 _OPERATOR_MODULES = (

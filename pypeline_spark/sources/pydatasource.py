@@ -28,7 +28,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_SCHEMA = "doc_id bigint, text string, lang string"
@@ -66,8 +71,61 @@ class JsonlReader(DataSourceReader):
                 yield tuple(rec.get(name) for name in self.field_names)
 
 
+def _sorted_shards(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".jsonl", ".json")) and not f.startswith((".", "_"))
+        )
+    return [path]
+
+
+class JsonlStreamReader(DataSourceStreamReader):
+    """Micro-batch tail of a shard directory: the offset is the count
+    of files consumed in sorted-name order.
+
+    Contract (the standard log-directory one): producers land WHOLE
+    shard files with monotonically sorting names and never rewrite
+    them — exactly how training-corpus drops arrive.  Each micro-batch
+    covers files [start, end) with one InputPartition per file (same
+    task granularity as the batch reader), so a catch-up batch after
+    downtime parallelizes across every missed shard.  Offsets are
+    plain dicts checkpointed by Spark; restart replays nothing.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_sorted_shards(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _sorted_shards(self.path)[start["index"] : end["index"]]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in self.field_names)
+
+    def commit(self, end: dict) -> None:  # offsets live in Spark's checkpoint
+        pass
+
+
 class JsonlDataSource(DataSource):
-    """``spark.read.format("pypeline_jsonl").schema(...).load(dir)``."""
+    """``spark.read.format("pypeline_jsonl").schema(...).load(dir)`` —
+    and ``spark.readStream`` with the same format for the tailing
+    micro-batch variant."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +136,9 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlReader:
         return JsonlReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> JsonlStreamReader:
+        return JsonlStreamReader(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -198,3 +198,9 @@ class TestRunnerDelegation:
         assert _rows(jdbc_cat.get("acct")) == _rows(mem_cat.get("acct"))
         got = {r.id: r.bal for r in jdbc_cat.get("acct").collect()}
         assert got[1] == 15.0 and 9 not in got and 10 not in got
+        # rerunning the whole pipeline against the SAME live database is
+        # a no-op — the reference's crash-recovery contract (idempotent
+        # keyed loads, Pype.py:148) holds over real MERGE INTO too
+        before = _rows(jdbc_cat.get("acct"))
+        Pypeline(spark, config, catalog=jdbc_cat).run("p")
+        assert _rows(jdbc_cat.get("acct")) == before

@@ -43,6 +43,29 @@ class TestStreamBatchParity:
         assert set(canon_batch) <= set(canon_stream)
         assert set(canon_stream) <= set(_canon(tumbling_agg(load_table(spark, sf_dir, "events")), cols))
 
+    def test_tumbling_on_rocksdb_state_store(self, spark, sf_dir):
+        """Same tumbling aggregation on the RocksDB state store — the
+        backend a 100 TB deployment runs (state spills to local disk
+        instead of growing the executor heap) — must emit exactly what
+        the default HDFS-backed store emits."""
+        key = "spark.sql.streaming.stateStore.providerClass"
+        default_run = run_streaming_events(spark, sf_dir, tumbling_agg)
+        old = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            rocks_run = run_streaming_events(spark, sf_dir, tumbling_agg)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+        assert _canon(rocks_run, cols) == _canon(default_run, cols)
+
     def test_sliding(self, spark, sf_dir):
         cutoff = _watermark_cutoff(spark, sf_dir)
         batch = sliding_agg(load_table(spark, sf_dir, "events")).filter(

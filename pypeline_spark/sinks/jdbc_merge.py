@@ -158,11 +158,17 @@ class JdbcMergeCatalog:
             jvm.java.lang.Class.forName(self.driver)
         conn = jvm.java.sql.DriverManager.getConnection(self.url)
         try:
-            rs = conn.getMetaData().getTables(None, None, name.upper(), None)
-            try:
-                return bool(rs.next())
-            finally:
-                rs.close()
+            md = conn.getMetaData()
+            # unquoted identifiers fold UP in Derby/Oracle and DOWN in
+            # MySQL/PostgreSQL — probe both folds
+            for probe in (name.upper(), name.lower()):
+                rs = md.getTables(None, None, probe, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+            return False
         finally:
             conn.close()
 
@@ -206,7 +212,13 @@ class JdbcMergeCatalog:
         ]
 
     def _drop_stage(self, stage: str) -> None:
-        self._execute(f"DROP TABLE {stage}")
+        # best-effort cleanup from finally-blocks: a failed stage WRITE
+        # may have left no table, and raising here would mask the
+        # original merge/write error
+        try:
+            self._execute(f"DROP TABLE {stage}")
+        except Exception:  # noqa: BLE001
+            pass
 
     # -- keyed merges (in-place, transactional per statement) ----------
     def merge_upsert(

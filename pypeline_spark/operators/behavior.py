@@ -436,7 +436,7 @@ ANOM_Z = 2.5
     SELECT user_id, event_id, ts_us, cents,
            ROUND(mean_c, 4) AS mean_c,
            ROUND(std_c, 4)  AS std_c,
-           ROUND((cents - mean_c) / std_c, 4) AS z,
+           ROUND((cents - mean_c) / std_c, 4) + 0.0 AS z,
            (ABS((cents - mean_c) / std_c) > {ANOM_Z}) AS is_anomaly
     FROM stats
     """,
@@ -490,7 +490,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
             F.round(mean_c, 4).alias("mean_c"),
             F.round(std_c, 4).alias("std_c"),
-            F.round(z, 4).alias("z"),
+            # + 0.0 normalizes IEEE negative zero: the engines' ROUND
+            # implementations disagree on the SIGN of a tiny negative
+            # rounding to zero (observed at sf0.1: Spark -0.0 vs DuckDB
+            # 0.0 for z = -1.3e-5), and -0.0 != 0.0 under a string canon
+            (F.round(z, 4) + F.lit(0.0)).alias("z"),
             (F.abs(z) > ANOM_Z).alias("is_anomaly"),
         )
     )
@@ -536,7 +540,7 @@ AB_Z_CRIT = 1.96  # two-sided 95%
                          / ((n_a * 1.0) * (n_a - 1))) / n_a
                       + ((n_b * (s2_b * 1.0) - (s1_b * 1.0) * (s1_b * 1.0))
                          / ((n_b * 1.0) * (n_b - 1))) / n_b),
-                 4) AS z,
+                 4) + 0.0 AS z,
            ABS((s1_a * 1.0 / n_a - s1_b * 1.0 / n_b)
                / sqrt(((n_a * (s2_a * 1.0) - (s1_a * 1.0) * (s1_a * 1.0))
                        / ((n_a * 1.0) * (n_a - 1))) / n_a
@@ -609,7 +613,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(mean_a, 4).alias("mean_a"),
         F.round(mean_b, 4).alias("mean_b"),
-        F.round(z, 4).alias("z"),
+        # + 0.0: negative-zero normalization (see q_anomaly_zscore)
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
         (F.abs(z) > AB_Z_CRIT).alias("significant"),
     )
 

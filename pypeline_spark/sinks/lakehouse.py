@@ -16,6 +16,12 @@ construction (key predicate, excluded-column SET map, last-writer
 dedupe) is pure logic shared with the emulation and unit-tested without
 Delta, so the only untested-here surface is the Delta call itself.
 
+For a LIVE transactional MERGE exercised in this container, see
+``sinks/jdbc_merge.py`` — the same catalog interface bound to ANSI
+``MERGE INTO`` over JDBC (embedded Derby in tests; MySQL/PostgreSQL in
+production, the reference's actual targets).  The pipeline runner
+delegates keyed steps to either backend identically.
+
 Semantics parity with sinks/keyed.py (and the reference):
 - upsert: matched rows take the update's values EXCEPT key columns and
   ``fields_excluded_from_update`` (omitted from the SET map entirely —

@@ -148,6 +148,37 @@ def test_no_hugeint_oracle_columns(oracle_types):
     )
 
 
+def test_no_negative_zero_in_oracle_outputs(sf_dir):
+    """IEEE negative zero is a canon hazard: the engines' ROUND
+    implementations disagree on the SIGN of a tiny negative rounding
+    to zero (q_anomaly_zscore at sf0.1: Spark -0.0 vs DuckDB 0.0), and
+    '-0.0' != '0.0' under a string canon.  Executing every oracle in
+    DuckDB and scanning float cells catches the class on the cheap
+    side; queries that can emit signed zeros must normalize with
+    ``+ 0.0`` on BOTH sides.  (The Spark side is swept by the strict
+    differential harness at sf0.001/0.01/0.1.)"""
+    import math
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    bad = []
+    for name, case in load_all().items():
+        if case.oracle is None:
+            continue
+        for row in con.execute(case.oracle).fetchall():
+            if any(
+                isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0
+                for v in row
+            ):
+                bad.append(name)
+                break
+    con.close()
+    assert not bad, f"oracles emit IEEE -0.0 (normalize with + 0.0): {bad}"
+
+
 def test_oracle_numeric_kinds_match_spark(schemas, oracle_types):
     bad = []
     for name, cols in oracle_types.items():

@@ -94,8 +94,13 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_BARE"):
         from pyspark.sql import SparkSession
 
+        # SPARK_GRAFT_BARE_CPUS varies the parallelism for determinism
+        # sweeps: a query whose output depends on partition order
+        # (unsorted collect_list, underspecified row_number ties, ...)
+        # hash-mismatches the oracle at SOME parallelism.
+        cpus = os.environ.get("SPARK_GRAFT_BARE_CPUS", "8")
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("check_oracle_bare")
             .config("spark.ui.enabled", "false")
             .config("spark.driver.host", "127.0.0.1")

@@ -115,9 +115,30 @@ class TestDedupClusters:
 
 class TestANN:
     def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        """Raw IVF neighbor lists (ivf_topk) against the exact top-k;
+        the q_knn_ivf query now self-reports this as a band flag —
+        verify BOTH: the tighter 0.8 floor on raw lists here, and the
+        query's own summary row."""
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.functions.similarity import (
+            N_CELLS,
+            N_QUERIES,
+            ivf_topk,
+            kmeans_centroids,
+        )
+        from pypeline_spark.session import load_table
+
         cases = load_all()
         exact = cases["q_topk_cosine"].builder(spark, sf_dir).collect()
-        approx = cases["q_knn_ivf"].builder(spark, sf_dir).collect()
+        e = load_table(spark, sf_dir, "embeddings")
+        centroids = kmeans_centroids(e, k=N_CELLS, n_iter=3)
+        queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        approx = ivf_topk(
+            queries, e.select("vec_id", "embedding"), centroids
+        ).collect()
         exact_sets = {}
         for r in exact:
             exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
@@ -133,6 +154,8 @@ class TestANN:
         # 0.96 at sf0.1 (up from 0.58 with the pre-kmeans stand-in
         # centroids); floor at 0.8 with margin for fixture variation
         assert mean_recall >= 0.8, f"mean recall {mean_recall}"
+        summary = cases["q_knn_ivf"].builder(spark, sf_dir).collect()
+        assert len(summary) == 1 and summary[0].ivf_recall_ok == 1
 
     def test_ivf_recall_scales_with_probes(self, spark, sf_dir):
         """The n_probe knob must actually buy recall (measured 0.38 at

@@ -40,11 +40,13 @@ def test_rows_only_set_is_the_declared_policy():
     a new query accidentally registered without one should fail here."""
     cases = load_all()
     rows_only = {n for n, c in cases.items() if c.oracle is None}
-    # r5: q_approx_distinct / q_percentile_approx / q_hll_rollup gained
-    # tolerance-banded oracles (exact values hash-checked, sketch
-    # accuracy asserted via 1/0 band flags) and left this set.
+    # r5: q_approx_distinct / q_percentile_approx / q_hll_rollup /
+    # q_knn_ivf gained tolerance-banded oracles (exact twin columns
+    # hash-checked, approximation accuracy asserted via 1/0 band
+    # flags) and left this set.  What remains is genuinely
+    # non-oracle-able: the stubbed binary decode and the float
+    # featurizer whose outputs are engine-specific by nature.
     assert rows_only == {
-        "q_knn_ivf",
         "q_multimodal_decode",
         "q_feature_extract",
     }, rows_only

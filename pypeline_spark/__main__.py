@@ -49,7 +49,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--config", required=True, help="YAML pipeline config")
     ap.add_argument("--pipeline", required=True, help="pypeline name to run")
     ap.add_argument("--source-dir", required=True, help="dir of parquet tables -> temp views")
-    ap.add_argument("--target-dir", required=True, help="dir for merged target tables")
+    tgt = ap.add_mutually_exclusive_group(required=True)
+    tgt.add_argument("--target-dir", help="dir for merged target tables (parquet)")
+    tgt.add_argument(
+        "--target-jdbc-url",
+        help="JDBC URL of the target database — keyed steps run as "
+        "server-side MERGE INTO (the reference's conn_to deployment)",
+    )
+    ap.add_argument("--jdbc-driver", help="JDBC driver class for --target-jdbc-url")
     ap.add_argument(
         "--placeholder",
         action="append",
@@ -74,7 +81,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     views = _register_source_dir(spark, args.source_dir)
     print(f"registered source views: {', '.join(views) or '(none)'}")
 
-    catalog = ParquetCatalog(args.target_dir)
+    if args.target_jdbc_url:
+        from pypeline_spark.sinks.jdbc_merge import JdbcMergeCatalog
+
+        catalog = JdbcMergeCatalog(spark, args.target_jdbc_url, driver=args.jdbc_driver)
+    else:
+        catalog = ParquetCatalog(args.target_dir)
     pipeline = Pypeline(
         spark, config, catalog=catalog, placeholders=placeholders, debug=args.debug
     )

@@ -49,3 +49,51 @@ def test_cli_runs_pipeline_end_to_end(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(out / "dim_customer"))
     assert got.count() == 51  # c_custkey starts at 0
     assert got.filter("c_mktsegment = 'VIP'").count() == 11
+
+
+def test_cli_jdbc_target_runs_server_side_merges(spark, sf_dir, tmp_path):
+    """--target-jdbc-url drives the JdbcMergeCatalog: keyed steps land
+    as server-side MERGE INTO in a live database — the reference's
+    actual conn_to deployment from the shell."""
+    import textwrap
+
+    from pypeline_spark.sinks.jdbc_merge import JdbcMergeCatalog
+
+    cfg = tmp_path / "pipe.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            pypes:
+              seed_dim:
+                extract_query: >
+                  SELECT c_custkey AS id, c_acctbal
+                  FROM customer WHERE c_custkey <= {max_key}
+                target_table: dim_customer
+                type: upsert
+                key_columns: [id]
+              prune:
+                extract_query: SELECT id FROM dim_customer WHERE id >= 40
+                target_table: dim_customer
+                type: delete
+                identifier: id
+            pypelines:
+              demo: [seed_dim, prune]
+            """
+        )
+    )
+    url = f"jdbc:derby:{tmp_path}/clidb;create=true"
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--pipeline", "demo",
+            "--source-dir", sf_dir,
+            "--target-jdbc-url", url,
+            "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+            "--placeholder", "max_key=50",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    cat = JdbcMergeCatalog(spark, url, driver="org.apache.derby.jdbc.EmbeddedDriver")
+    got = cat.get("dim_customer")
+    assert got.count() == 40  # 0..39 survive the delete

@@ -39,6 +39,44 @@ def _register_source_dir(spark, source_dir: str) -> list[str]:
     return names
 
 
+def _register_source_jdbc(spark, url: str, driver: str | None) -> list[str]:
+    """Register every user table of a source database as a temp view
+    (lower-cased name) — the reference's ``conn_from`` surface: the
+    extract_query runs against these views exactly as it ran against
+    the MySQL connection (ref: Pype.py:34-36).  Views stay lazy; a
+    partitioned parallel extract is available via
+    ``sources.read_source`` options when a single table needs it."""
+    from pypeline_spark.sources.formats import read_source
+
+    jvm = spark._sc._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # JDBC wants a Java String[] for the table-type filter; a Python
+    # list would arrive as ArrayList and miss the overload
+    types = spark._sc._gateway.new_array(jvm.java.lang.String, 1)
+    types[0] = "TABLE"
+    names = []
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", types)
+        try:
+            while rs.next():
+                names.append(rs.getString("TABLE_NAME"))
+        finally:
+            rs.close()
+    finally:
+        conn.close()
+    opts_base = {"driver": driver} if driver else {}
+    out = []
+    for t in sorted(names):
+        view = t.lower()
+        read_source(
+            spark, "jdbc", url, options={**opts_base, "dbtable": t}
+        ).createOrReplaceTempView(view)
+        out.append(view)
+    return out
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     from pypeline_spark.pipeline.runner import Pypeline
     from pypeline_spark.pipeline.spec import PipelineConfig
@@ -48,7 +86,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m pypeline_spark")
     ap.add_argument("--config", required=True, help="YAML pipeline config")
     ap.add_argument("--pipeline", required=True, help="pypeline name to run")
-    ap.add_argument("--source-dir", required=True, help="dir of parquet tables -> temp views")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source-dir", help="dir of parquet tables -> temp views")
+    src.add_argument(
+        "--source-jdbc-url",
+        help="JDBC URL of the source database — every table becomes a "
+        "temp view the extract_query can reference (the reference's "
+        "conn_from deployment)",
+    )
     tgt = ap.add_mutually_exclusive_group(required=True)
     tgt.add_argument("--target-dir", help="dir for merged target tables (parquet)")
     tgt.add_argument(
@@ -56,7 +101,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="JDBC URL of the target database — keyed steps run as "
         "server-side MERGE INTO (the reference's conn_to deployment)",
     )
-    ap.add_argument("--jdbc-driver", help="JDBC driver class for --target-jdbc-url")
+    ap.add_argument(
+        "--jdbc-driver",
+        help="JDBC driver class for --source-jdbc-url / --target-jdbc-url",
+    )
     ap.add_argument(
         "--placeholder",
         action="append",
@@ -78,7 +126,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     owns_session = spark is None
     if owns_session:
         spark = get_spark("pypeline_cli")
-    views = _register_source_dir(spark, args.source_dir)
+    if args.source_jdbc_url:
+        views = _register_source_jdbc(spark, args.source_jdbc_url, args.jdbc_driver)
+    else:
+        views = _register_source_dir(spark, args.source_dir)
     print(f"registered source views: {', '.join(views) or '(none)'}")
 
     if args.target_jdbc_url:

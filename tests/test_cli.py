@@ -97,3 +97,65 @@ def test_cli_jdbc_target_runs_server_side_merges(spark, sf_dir, tmp_path):
     cat = JdbcMergeCatalog(spark, url, driver="org.apache.derby.jdbc.EmbeddedDriver")
     got = cat.get("dim_customer")
     assert got.count() == 40  # 0..39 survive the delete
+
+
+def test_cli_full_database_to_database_lifecycle(spark, sf_dir, tmp_path):
+    """--source-jdbc-url + --target-jdbc-url: the complete reference
+    deployment (extract from one live database, keyed-MERGE into
+    another) driven from the shell."""
+    import textwrap
+
+    from pypeline_spark.session import load_table
+    from pypeline_spark.sinks.jdbc_merge import JdbcMergeCatalog
+
+    derby_driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src_url = f"jdbc:derby:{tmp_path}/srcdb;create=true"
+    dst_url = f"jdbc:derby:{tmp_path}/dstdb;create=true"
+
+    # seed the SOURCE database with a customers table
+    src_cat = JdbcMergeCatalog(spark, src_url, driver=derby_driver)
+    src_cat.put(
+        "customers",
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .filter("c_custkey <= 30"),
+    )
+
+    cfg = tmp_path / "pipe.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            pypes:
+              load:
+                extract_query: >
+                  SELECT c_custkey AS id, c_acctbal + {bonus} AS bal
+                  FROM customers
+                target_table: accounts
+                type: upsert
+                key_columns: [id]
+            pypelines:
+              etl: [load]
+            """
+        )
+    )
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--pipeline", "etl",
+            "--source-jdbc-url", src_url,
+            "--target-jdbc-url", dst_url,
+            "--jdbc-driver", derby_driver,
+            "--placeholder", "bonus=100.0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    dst = JdbcMergeCatalog(spark, dst_url, driver=derby_driver)
+    got = {r.id: r.bal for r in dst.get("accounts").collect()}
+    want = {
+        r.c_custkey: r.c_acctbal + 100.0
+        for r in load_table(spark, sf_dir, "customer")
+        .filter("c_custkey <= 30")
+        .collect()
+    }
+    assert got == want

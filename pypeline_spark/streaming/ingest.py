@@ -40,6 +40,15 @@ def stream_upsert(
     """
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) take
+        # the batch as ONE in-place transactional MERGE — the streaming
+        # form of the reference's per-batch commit into a live database
+        # (ref: Pype.py:148); a replayed batch re-merges to a no-op.
+        if hasattr(catalog, "merge_upsert"):
+            catalog.merge_upsert(
+                table, batch_df, key_columns=key_columns, order_col=order_col
+            )
+            return
         target = catalog.get(table)
         if target is None:
             merged = _dedupe_last_writer(batch_df, list(key_columns), order_col)

@@ -226,3 +226,37 @@ def test_cdc_stream_matches_one_shot_apply(spark, sf_dir, catalog):
     # checkpoint-replay of the final batch: idempotent
     catalog.put("t", cdc_apply(catalog.get("t"), applied[-1], ["custkey"]))
     assert _canon(catalog.get("t")) == expected
+
+
+def test_stream_upsert_into_live_database(spark, sf_dir, tmp_path):
+    """stream_upsert with a JdbcMergeCatalog: each micro-batch lands as
+    one server-side MERGE into Derby — the streaming form of the
+    reference's per-batch commit into a live target (Pype.py:148) —
+    and the final table equals a one-shot merge."""
+    from pypeline_spark.sinks.jdbc_merge import JdbcMergeCatalog
+    from pypeline_spark.streaming.ingest import stream_upsert
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    cat = JdbcMergeCatalog(
+        spark,
+        f"jdbc:derby:{tmp_path}/streamdb;create=true",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    cat.put("customer", target)
+    stream_dir = str(tmp_path / "in")
+    for i in range(3):
+        updates.filter(F.pmod(F.col("c_custkey"), 3) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+    q = stream_upsert(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        cat,
+        "customer",
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    assert _canon(cat.get("customer")) == expected

@@ -70,6 +70,8 @@ def _register_source_jdbc(spark, url: str, driver: str | None) -> list[str]:
     out = []
     for t in sorted(names):
         view = t.lower()
+        if view == "pypeline_applied_batches" or view.endswith("__stage"):
+            continue  # engine bookkeeping, not source data
         read_source(
             spark, "jdbc", url, options={**opts_base, "dbtable": t}
         ).createOrReplaceTempView(view)

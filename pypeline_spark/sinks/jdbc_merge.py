@@ -137,18 +137,78 @@ class JdbcMergeCatalog:
         self.driver = driver
         self.bulk_size = bulk_size  # reference bulk_size -> JDBC batchsize
 
+    LEDGER = "pypeline_applied_batches"
+
     # -- raw statement execution over the JVM's DriverManager ----------
-    def _execute(self, sql: str) -> None:
+    def _connect(self):
         jvm = self.spark._sc._jvm
         if self.driver:
             jvm.java.lang.Class.forName(self.driver)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        return jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def _execute(self, sql: str) -> None:
+        conn = self._connect()
         try:
             stmt = conn.createStatement()
             try:
                 stmt.execute(sql)
             finally:
                 stmt.close()
+        finally:
+            conn.close()
+
+    def _ensure_ledger(self) -> None:
+        if not self._table_exists(self.LEDGER):
+            self._execute(
+                f"CREATE TABLE {self.LEDGER} "
+                "(batch_id VARCHAR(200) PRIMARY KEY)"
+            )
+
+    def _merge_with_ledger(self, merge_sql: str, batch_id: str) -> bool:
+        """Apply one merge and record its batch id in a SINGLE database
+        transaction — true exactly-once application: a replayed batch id
+        is skipped outright (at-most-once) regardless of whether the
+        merge itself would be idempotent, and a crash between merge and
+        ledger insert rolls BOTH back (at-least-once via the caller's
+        retry).  This is the reference's per-batch commit (Pype.py:148)
+        with the application ledger the reference leaves implicit.
+        Returns True if the batch was applied, False if skipped."""
+        self._ensure_ledger()
+        conn = self._connect()
+        try:
+            conn.setAutoCommit(False)
+            check = conn.prepareStatement(
+                f"SELECT 1 FROM {self.LEDGER} WHERE batch_id = ?"
+            )
+            try:
+                check.setString(1, batch_id)
+                rs = check.executeQuery()
+                try:
+                    if rs.next():
+                        conn.rollback()
+                        return False
+                finally:
+                    rs.close()
+            finally:
+                check.close()
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(merge_sql)
+            finally:
+                stmt.close()
+            ins = conn.prepareStatement(
+                f"INSERT INTO {self.LEDGER} (batch_id) VALUES (?)"
+            )
+            try:
+                ins.setString(1, batch_id)
+                ins.executeUpdate()
+            finally:
+                ins.close()
+            conn.commit()
+            return True
+        except Exception:
+            conn.rollback()
+            raise
         finally:
             conn.close()
 
@@ -228,20 +288,31 @@ class JdbcMergeCatalog:
         key_columns: Sequence[str] = ("id",),
         fields_excluded_from_update: Sequence[str] = (),
         order_col: Optional[str] = None,
+        batch_id: Optional[str] = None,
     ) -> None:
+        """Keyed upsert; with ``batch_id`` the merge and the ledger
+        insert commit in one database transaction (exactly-once
+        application — a replayed id is skipped outright)."""
         keys = list(key_columns)
         up = _dedupe_last_writer(updates, keys, order_col)
         if not self._table_exists(name):
-            self.put(name, up)
-            return
+            if batch_id is None:
+                self.put(name, up)
+                return
+            # exactly-once creation: make an EMPTY target, then apply
+            # the first batch through the same ledgered merge
+            self.put(name, up.limit(0))
+        sql_kwargs = dict(string_keys=self._string_cols(up))
         stage = self._stage(name, up)
         try:
-            self._execute(
-                merge_upsert_sql(
-                    name, stage, up.columns, keys, fields_excluded_from_update,
-                    string_keys=self._string_cols(up),
-                )
+            sql = merge_upsert_sql(
+                name, stage, up.columns, keys, fields_excluded_from_update,
+                **sql_kwargs,
             )
+            if batch_id is None:
+                self._execute(sql)
+            else:
+                self._merge_with_ledger(sql, batch_id)
         finally:
             self._drop_stage(stage)
 

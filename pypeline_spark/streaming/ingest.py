@@ -43,10 +43,17 @@ def stream_upsert(
         # merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) take
         # the batch as ONE in-place transactional MERGE — the streaming
         # form of the reference's per-batch commit into a live database
-        # (ref: Pype.py:148); a replayed batch re-merges to a no-op.
+        # (ref: Pype.py:148).  Catalogs with a batch ledger get the
+        # Spark batch id so application is exactly-once even for
+        # non-idempotent reruns; otherwise a replayed batch re-merges
+        # to a no-op (idempotence).
         if hasattr(catalog, "merge_upsert"):
+            kwargs = {}
+            if hasattr(catalog, "_merge_with_ledger"):
+                kwargs["batch_id"] = f"stream-{table}-{batch_id}"
             catalog.merge_upsert(
-                table, batch_df, key_columns=key_columns, order_col=order_col
+                table, batch_df, key_columns=key_columns, order_col=order_col,
+                **kwargs,
             )
             return
         target = catalog.get(table)

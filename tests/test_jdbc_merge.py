@@ -256,3 +256,32 @@ class TestJdbcMergeProperties:
             fields_excluded_from_update=["name"], order_col="seq",
         )
         assert _rows(cat.get("t")) == _rows(expected)
+
+
+class TestBatchLedger:
+    def test_replayed_batch_id_is_skipped_outright(self, spark, cat, target, updates):
+        """Exactly-once application: the ledger skips a replayed batch
+        id even when the replay carries DIFFERENT data — stronger than
+        merge idempotence, which only protects identical replays."""
+        cat.put("t", target)
+        cat.merge_upsert("t", updates, key_columns=["id"], order_col="bal",
+                         batch_id="b1")
+        after_first = _rows(cat.get("t"))
+        poisoned = updates.withColumn("bal", F.col("bal") + 1000.0)
+        cat.merge_upsert("t", poisoned, key_columns=["id"], order_col="bal",
+                         batch_id="b1")  # same id, different rows
+        assert _rows(cat.get("t")) == after_first
+        # a NEW batch id applies normally
+        cat.merge_upsert("t", poisoned, key_columns=["id"], order_col="bal",
+                         batch_id="b2")
+        assert _rows(cat.get("t")) != after_first
+
+    def test_first_batch_creation_is_ledgered(self, spark, cat, updates):
+        assert cat.get("t") is None
+        cat.merge_upsert("t", updates, key_columns=["id"], order_col="bal",
+                         batch_id="b0")
+        n = cat.get("t").count()
+        assert n == 2
+        cat.merge_upsert("t", updates, key_columns=["id"], order_col="bal",
+                         batch_id="b0")  # replay of the creating batch
+        assert cat.get("t").count() == n

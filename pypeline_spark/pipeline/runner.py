@@ -29,9 +29,13 @@ log = logging.getLogger("pypeline_spark")
 class StepMetrics:
     """Per-step observability (replaces the reference's per-batch log,
     ref: Pype.py:65-75; rss_mb mirrors the psutil RSS at Pype.py:73 —
-    driver-process resident set, read from /proc so no dependency)."""
+    driver-process resident set, read from /proc so no dependency).
+
+    ``rows_in`` (extract+transform output) and ``rows_out`` (merged
+    target) are debug-mode counts — production runs skip both actions."""
 
     name: str
+    rows_in: int = 0
     rows_out: int = 0
     extract_secs: float = 0.0
     transform_secs: float = 0.0
@@ -107,6 +111,14 @@ class Pypeline:
             chain = load_transformers(spec.transformers)
             df = apply_transform_chain(df, chain, spec.transformer_schema)
         m.transform_secs = time.time() - t0
+
+        # rows_in telemetry: debug-only explicit count (the reference's
+        # debug mode pays per-batch accounting too, Pype.py:65-75).
+        # Observation-API metrics were tried and rejected: the catalog's
+        # localCheckpoint severs the plan before any SQL action covers
+        # the CollectMetrics node, so the metric silently reads 0.
+        if self.debug or spec.debug:
+            m.rows_in = df.count()
 
         # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92).
         # Merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) get
@@ -238,8 +250,10 @@ class Pypeline:
             m.rows_out = self.catalog.get(spec.target_table).count()
             m.rss_mb = _rss_mb()
             log.info(
-                "pype %s: rows=%d extract=%.2fs transform=%.2fs load=%.2fs rss=%.1fMB",
+                "pype %s: rows_in=%d rows=%d extract=%.2fs transform=%.2fs "
+                "load=%.2fs rss=%.1fMB",
                 spec.name,
+                m.rows_in,
                 m.rows_out,
                 m.extract_secs,
                 m.transform_secs,

@@ -194,8 +194,12 @@ class TestRunner:
         result = p.run("customer_etl")
         assert len(result.steps) == 2
         # debug telemetry parity with the reference (Pype.py:65-75):
-        # per-step rows + wall-times + process RSS
-        assert all(s.rows_out > 0 and s.rss_mb > 0 for s in result.steps)
+        # per-step rows in/out + wall-times + process RSS; rows_in
+        # comes from the Observation API (rides the sink action)
+        assert all(
+            s.rows_in > 0 and s.rows_out > 0 and s.rss_mb > 0
+            for s in result.steps
+        )
         final = p.catalog.get("dim_customer")
         rows = {r.c_custkey: r for r in final.collect()}
         assert all(r.tier in ("HIGH", "LOW") for r in rows.values())

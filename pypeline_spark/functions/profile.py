@@ -250,3 +250,104 @@ def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_at_risk"),
     )
+
+
+# Cohorts split by day-of-month parity: both sides populated at every
+# fixture scale (a fixed date cutoff left one side empty at sf0.001).
+
+
+@query(
+    "q_schema_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CAST(day(CAST(ts AS DATE)) % 2 AS INT) AS late,
+               user_id, event_type, value
+        FROM events
+    ),
+    per AS (
+        SELECT c.col,
+               CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS early_n,
+               CAST(SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS late_n,
+               CAST(SUM(CASE WHEN late = 0 AND (CASE c.col
+                    WHEN 'user_id' THEN user_id IS NULL
+                    WHEN 'event_type' THEN event_type IS NULL
+                    ELSE value IS NULL END) THEN 1 ELSE 0 END) AS BIGINT) AS early_null,
+               CAST(SUM(CASE WHEN late = 1 AND (CASE c.col
+                    WHEN 'user_id' THEN user_id IS NULL
+                    WHEN 'event_type' THEN event_type IS NULL
+                    ELSE value IS NULL END) THEN 1 ELSE 0 END) AS BIGINT) AS late_null,
+               CAST(COUNT(DISTINCT CASE WHEN late = 0 THEN (CASE c.col
+                    WHEN 'user_id' THEN CAST(user_id AS VARCHAR)
+                    WHEN 'event_type' THEN event_type
+                    ELSE CAST(value AS VARCHAR) END) END) AS BIGINT) AS early_distinct,
+               CAST(COUNT(DISTINCT CASE WHEN late = 1 THEN (CASE c.col
+                    WHEN 'user_id' THEN CAST(user_id AS VARCHAR)
+                    WHEN 'event_type' THEN event_type
+                    ELSE CAST(value AS VARCHAR) END) END) AS BIGINT) AS late_distinct
+        FROM tagged CROSS JOIN (
+            SELECT unnest(['user_id', 'event_type', 'value']) AS col) c
+        GROUP BY c.col
+    )
+    SELECT col,
+           early_n, late_n, early_null, late_null,
+           early_distinct, late_distinct,
+           CAST(ABS((10000 * early_null) // early_n
+                    - (10000 * late_null) // late_n) AS BIGINT)
+               AS null_drift_bp
+    FROM per
+    """,
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift audit between two row cohorts (split by
+    day-of-month parity here; any period predicate in production): per
+    audited column, row/null/distinct counts per cohort plus the null-rate
+    shift in basis points — the check that catches an upstream producer
+    quietly starting to emit NULLs or collapsing a category's
+    cardinality (schema drift that type checks never see).
+
+    Scale: ONE scan — the period tag is a map-side flag and every
+    per-column stat is a conditional aggregate over the same pass
+    (values stringified into a common type for the distinct sketch; at
+    100 TB swap COUNT(DISTINCT ...) for approx_count_distinct with the
+    banded-oracle pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    late = (F.dayofmonth(F.to_date("ts")) % 2).cast("int")
+    tagged = e.select(
+        late.alias("late"),
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        F.col("value").cast("string").alias("value"),
+    )
+    rows = []
+    for col in ("user_id", "event_type", "value"):
+        c = F.col(col)
+        rows.append(
+            tagged.agg(
+                F.lit(col).alias("col"),
+                F.sum((F.col("late") == 0).cast("long")).cast("bigint").alias("early_n"),
+                F.sum((F.col("late") == 1).cast("long")).cast("bigint").alias("late_n"),
+                F.sum(((F.col("late") == 0) & c.isNull()).cast("long"))
+                .cast("bigint")
+                .alias("early_null"),
+                F.sum(((F.col("late") == 1) & c.isNull()).cast("long"))
+                .cast("bigint")
+                .alias("late_null"),
+                F.countDistinct(F.when(F.col("late") == 0, c))
+                .cast("bigint")
+                .alias("early_distinct"),
+                F.countDistinct(F.when(F.col("late") == 1, c))
+                .cast("bigint")
+                .alias("late_distinct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "null_drift_bp",
+        F.abs(
+            F.expr("(10000 * early_null) DIV early_n")
+            - F.expr("(10000 * late_null) DIV late_n")
+        ).cast("bigint"),
+    )

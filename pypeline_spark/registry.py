@@ -140,10 +140,11 @@ _DRIVER_WINDOW = (
 # plus the round-5 additions: q_containment q_domain_cap
 # q_epoch_shuffle q_equidepth_hist q_winsorize q_coverage_topk
 # q_time_weighted_avg q_ohlc q_dp_counts q_kanon q_token_entropy
-# q_bigram_lm q_merge_variance q_time_travel_diff — plus re-certify
+# q_bigram_lm q_merge_variance q_time_travel_diff q_schema_drift —
+# plus re-certify
 # q_knn_ivf, whose output changed from raw neighbor lists to the
-# banded recall summary in r5.  All 43 fit one window; cumulative
-# certified will then be 228/228.
+# banded recall summary in r5.  All 44 fit one window; cumulative
+# certified will then be 229/229.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

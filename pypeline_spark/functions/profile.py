@@ -319,31 +319,48 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("string").alias("value"),
     )
-    rows = []
-    for col in ("user_id", "event_type", "value"):
+    # ONE aggregate over one scan: all per-column conditional stats are
+    # computed side by side in a single .agg(), then unpivoted with
+    # stack() — previously this built one whole-table aggregate per
+    # audited column and unioned them (3 scans of events).
+    cols = ("user_id", "event_type", "value")
+    aggs = [
+        F.sum((F.col("late") == 0).cast("long")).cast("bigint").alias("early_n"),
+        F.sum((F.col("late") == 1).cast("long")).cast("bigint").alias("late_n"),
+    ]
+    for col in cols:
         c = F.col(col)
-        rows.append(
-            tagged.agg(
-                F.lit(col).alias("col"),
-                F.sum((F.col("late") == 0).cast("long")).cast("bigint").alias("early_n"),
-                F.sum((F.col("late") == 1).cast("long")).cast("bigint").alias("late_n"),
-                F.sum(((F.col("late") == 0) & c.isNull()).cast("long"))
-                .cast("bigint")
-                .alias("early_null"),
-                F.sum(((F.col("late") == 1) & c.isNull()).cast("long"))
-                .cast("bigint")
-                .alias("late_null"),
-                F.countDistinct(F.when(F.col("late") == 0, c))
-                .cast("bigint")
-                .alias("early_distinct"),
-                F.countDistinct(F.when(F.col("late") == 1, c))
-                .cast("bigint")
-                .alias("late_distinct"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        aggs += [
+            F.sum(((F.col("late") == 0) & c.isNull()).cast("long"))
+            .cast("bigint")
+            .alias(f"{col}__early_null"),
+            F.sum(((F.col("late") == 1) & c.isNull()).cast("long"))
+            .cast("bigint")
+            .alias(f"{col}__late_null"),
+            F.countDistinct(F.when(F.col("late") == 0, c))
+            .cast("bigint")
+            .alias(f"{col}__early_distinct"),
+            F.countDistinct(F.when(F.col("late") == 1, c))
+            .cast("bigint")
+            .alias(f"{col}__late_distinct"),
+        ]
+    wide = tagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__early_null, {col}__late_null, "
+        f"{col}__early_distinct, {col}__late_distinct"
+        for col in cols
+    )
+    out = wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, early_null, late_null, early_distinct, late_distinct)"
+        ),
+        "early_n",
+        "late_n",
+    ).select(
+        "col", "early_n", "late_n", "early_null", "late_null",
+        "early_distinct", "late_distinct",
+    )
     return out.withColumn(
         "null_drift_bp",
         F.abs(

@@ -135,10 +135,11 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_partials,
            CAST(SUM(n) AS BIGINT) AS n_rows,
            CAST(SUM(s) AS BIGINT) AS sum_cents,
-           ROUND((CAST(SUM(ss) AS DOUBLE)
+           CAST(FLOOR((CAST(SUM(ss) AS DOUBLE)
                   - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
                     / CAST(SUM(n) AS DOUBLE))
-                 / (CAST(SUM(n) AS DOUBLE) - 1) / 10000.0, 2) AS var_dollars
+                 / (CAST(SUM(n) AS DOUBLE) - 1) / 10000.0 * 100 + 0.5)
+               AS BIGINT) AS var_x100
     FROM parts GROUP BY l_returnflag
     """,
 )
@@ -169,11 +170,18 @@ def q_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("double"),
         F.sum("ss").cast("double"),
     )
+    # Integer emission (FLOOR(x*100+0.5), the repo-wide convention): the
+    # variance is derived from exact integer partials through identical
+    # IEEE double ops in both engines, but ROUND's decimal tie behavior
+    # diverges across engines on representable .xx5 midpoints — FLOOR of
+    # the scaled value is engine-independent.  Variance >= 0, so no
+    # negative-zero guard needed.
+    var = (ss - s * s / n) / (n - F.lit(1.0)) / 10000.0
     return parts.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_partials"),
         F.sum("n").cast("bigint").alias("n_rows"),
         F.sum("s").cast("bigint").alias("sum_cents"),
-        F.round((ss - s * s / n) / (n - F.lit(1.0)) / 10000.0, 2).alias("var_dollars"),
+        F.floor(var * 100 + 0.5).cast("bigint").alias("var_x100"),
     )
 
 
@@ -222,35 +230,46 @@ def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers.  The commit machinery itself is exercised for real (two
     versions written to a scratch dir per call).
     """
+    import shutil
     import tempfile
 
     from pypeline_spark.sinks.manifest import ManifestTable
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    table = ManifestTable(tempfile.mkdtemp(prefix="snapdiff_"))
-    table.commit_overwrite(
-        c.filter(F.col("c_custkey") % 3 != 0), batch_id="seed"
-    )
-    updates = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 100.0
-    )
-    v2_no = table.commit_merge(spark, updates, ["c_custkey"], batch_id="b1")
-    cents = lambda col: F.floor(col * 100 + 0.5).cast("bigint")  # noqa: E731
-    v1 = table.read(spark, version=v2_no - 1).select(
-        "c_custkey", cents(F.col("c_acctbal")).alias("cents_v1")
-    )
-    v2 = table.read(spark, version=v2_no).select(
-        "c_custkey", cents(F.col("c_acctbal")).alias("cents_v2")
-    )
-    diff = v2.join(v1, "c_custkey", "left_outer")
-    change = (
-        F.when(F.col("cents_v1").isNull(), "added")
-        .when(F.col("cents_v1") != F.col("cents_v2"), "changed")
-        .otherwise("same")
-    )
-    return diff.select(change.alias("change_type"), "cents_v2").groupBy(
-        "change_type"
-    ).agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.sum("cents_v2").cast("bigint").alias("sum_cents"),
-    )
+    # mkdtemp (unique per call, concurrency-safe across parallel sweep
+    # processes) + try/finally rmtree: the 3-row aggregate is eagerly
+    # localCheckpoint-ed before cleanup, so the returned DataFrame has no
+    # lineage into the scratch files and repeated harness runs leak
+    # nothing.
+    scratch = tempfile.mkdtemp(prefix="snapdiff_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 3 != 0), batch_id="seed"
+        )
+        updates = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        v2_no = table.commit_merge(spark, updates, ["c_custkey"], batch_id="b1")
+        cents = lambda col: F.floor(col * 100 + 0.5).cast("bigint")  # noqa: E731
+        v1 = table.read(spark, version=v2_no - 1).select(
+            "c_custkey", cents(F.col("c_acctbal")).alias("cents_v1")
+        )
+        v2 = table.read(spark, version=v2_no).select(
+            "c_custkey", cents(F.col("c_acctbal")).alias("cents_v2")
+        )
+        diff = v2.join(v1, "c_custkey", "left_outer")
+        change = (
+            F.when(F.col("cents_v1").isNull(), "added")
+            .when(F.col("cents_v1") != F.col("cents_v2"), "changed")
+            .otherwise("same")
+        )
+        out = diff.select(change.alias("change_type"), "cents_v2").groupBy(
+            "change_type"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents_v2").cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

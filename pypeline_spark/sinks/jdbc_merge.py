@@ -256,8 +256,19 @@ class JdbcMergeCatalog:
             df, "jdbc", self.url, mode="overwrite", options=self._opts(name), bulk_size=self.bulk_size
         )
 
-    def _stage(self, name: str, df: DataFrame) -> str:
-        stage = f"{name}__stage"
+    def _stage(self, name: str, df: DataFrame, batch_id: Optional[str] = None) -> str:
+        # Unique per invocation: a fixed f"{name}__stage" would let two
+        # concurrent writers targeting the same table (two pipelines, two
+        # streaming queries) overwrite each other's stage between load
+        # and MERGE — silently merging the wrong batch.  The suffix is
+        # the batch_id when one is given (deterministic, replay-friendly)
+        # else a fresh uuid; either way each writer merges exactly the
+        # rows it staged, and the finally-block drops its own stage.
+        import re
+        import uuid
+
+        suffix = re.sub(r"[^A-Za-z0-9_]", "_", batch_id) if batch_id else uuid.uuid4().hex[:12]
+        stage = f"{name}__stage_{suffix}"[:120]
         write_sink(
             df, "jdbc", self.url, mode="overwrite", options=self._opts(stage), bulk_size=self.bulk_size
         )
@@ -303,7 +314,7 @@ class JdbcMergeCatalog:
             # the first batch through the same ledgered merge
             self.put(name, up.limit(0))
         sql_kwargs = dict(string_keys=self._string_cols(up))
-        stage = self._stage(name, up)
+        stage = self._stage(name, up, batch_id=batch_id)
         try:
             sql = merge_upsert_sql(
                 name, stage, up.columns, keys, fields_excluded_from_update,

@@ -136,10 +136,17 @@ def delete_by_keys(
     """Delete rows whose identifier appears in keys_df (ref: Pype.py:179-186).
 
     The reference dedupes the key list with a set comprehension
-    (Pype.py:184) — here ``distinct()`` + broadcast left-anti join.
+    (Pype.py:184) — here ``distinct()`` + left-anti join.
+
+    No forced broadcast: a delete batch from a large extract can exceed
+    broadcast capacity at scale (the reference's ``set()`` analogue has
+    no such bound), so the join strategy is left to the optimizer —
+    stats/AQE broadcast a small key set and degrade a huge one to a
+    shuffled left-anti instead of OOMing the driver.  Both paths are
+    plan-asserted in tests/test_plans.py.
     """
     keys = keys_df.select(F.col(identifier)).distinct()
-    return target.join(F.broadcast(keys), [identifier], "left_anti")
+    return target.join(keys, [identifier], "left_anti")
 
 
 class MemoryCatalog:
@@ -187,8 +194,26 @@ class ParquetCatalog:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _recover(self, path: str) -> None:
+        """Heal a crash inside a prior put's directory swap.
+
+        The swap protocol (see put) renames the standing table ASIDE to
+        ``path.__old__`` before renaming tmp into place, so at every
+        instant a complete copy exists on disk.  Recovery cases:
+        - path missing, old present: crashed between rename-aside and
+          rename-into-place — the old dir IS the standing table; restore.
+        - path present, old present: crashed after the swap completed but
+          before cleanup — old is the superseded version; the NEW table
+          already stands, so just drop old (put's step 1 or any later
+          get will).
+        """
+        old = path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+
     def get(self, name: str) -> Optional[DataFrame]:
         path = self._path(name)
+        self._recover(path)
         if not os.path.exists(path):
             return None
         spark = SparkSession.getActiveSession()
@@ -200,17 +225,24 @@ class ParquetCatalog:
         # files (read-modify-write), so write ONCE to a temp dir, then
         # swap directories.  (A write-then-rewrite-to-final would double
         # sink I/O — at 100 TB that's the difference between one and two
-        # full passes over the target.)  A crash between rmtree and
-        # rename loses only the in-flight put; the rerun rewrites tmp
-        # from scratch, and the keyed merges feeding put are idempotent.
+        # full passes over the target.)  Crash-safe swap: the standing
+        # table is renamed ASIDE (path.__old__), never rmtree'd while it
+        # is the only copy — a crash at any point leaves either the old
+        # or the new version recoverable (_recover), and the keyed merges
+        # feeding put are idempotent so the rerun converges.
         import shutil
 
         path = self._path(name)
         tmp = path + ".__tmp__"
+        old = path + ".__old__"
+        self._recover(path)
         shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)  # stale from a completed put
+        if os.path.exists(path):
+            os.rename(path, old)  # aside, not rmtree: keep a complete copy
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,32 @@ class TestSqlBuilders:
         assert sql.endswith("WHEN MATCHED THEN DELETE")
 
 
+class TestStageIsolation:
+    def test_stage_names_unique_per_invocation(self, cat, updates):
+        """Two concurrent writers must never share a stage table: a
+        fixed name would let writer B's stage overwrite between writer
+        A's load and MERGE, silently merging the wrong batch."""
+        s1 = cat._stage("t", updates)
+        s2 = cat._stage("t", updates)
+        try:
+            assert s1 != s2
+            assert s1.startswith("t__stage_") and s2.startswith("t__stage_")
+        finally:
+            cat._drop_stage(s1)
+            cat._drop_stage(s2)
+
+    def test_stage_name_deterministic_for_batch_id(self, cat, updates):
+        """A ledgered batch stages under a batch_id-derived name (so a
+        replay of the same batch reuses — and overwrites — its own
+        stage, never a different batch's); hostile characters fold to
+        identifier-safe underscores."""
+        s = cat._stage("t", updates, batch_id="2024-02-01T00:00/run 1")
+        try:
+            assert s == "t__stage_2024_02_01T00_00_run_1"
+        finally:
+            cat._drop_stage(s)
+
+
 class TestDerbyMergeParity:
     def test_upsert_matches_join_emulation(self, cat, target, updates):
         cat.put("t", target)

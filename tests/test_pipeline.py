@@ -354,6 +354,46 @@ class TestRestartability:
         # rerun from the top over the partial state -> converges
         assert run_once(crash_root) == expected
 
+    def test_crash_inside_put_swap_never_loses_standing_table(self, spark, tmp_path):
+        """put() renames the standing table ASIDE (path.__old__) before
+        renaming tmp into place, so a crash at ANY point inside the swap
+        leaves a complete copy on disk.  Simulate each crash window's
+        on-disk state and assert get()/put() recover the table instead
+        of treating the batch as a first load (the failure the old
+        rmtree-then-rename protocol had)."""
+        import os
+        import shutil
+
+        from pypeline_spark.sinks.keyed import ParquetCatalog
+
+        root = str(tmp_path / "db")
+        cat = ParquetCatalog(root)
+        cat.put("t", spark.range(10).withColumnRenamed("id", "k"))
+        path = os.path.join(root, "t")
+
+        # window 1: crashed between rename-aside and rename-into-place
+        # (path missing, __old__ holds the only standing copy, __tmp__
+        # holds the half-committed batch)
+        os.rename(path, path + ".__old__")
+        shutil.copytree(path + ".__old__", path + ".__tmp__")
+        got = cat.get("t")
+        assert got is not None and got.count() == 10  # recovered, not None
+        assert os.path.exists(path) and not os.path.exists(path + ".__old__")
+
+        # and a subsequent read-modify-write put over the recovered state
+        cur = cat.get("t")
+        cat.put("t", cur.unionByName(spark.range(10, 12).withColumnRenamed("id", "k")))
+        assert cat.get("t").count() == 12
+
+        # window 2: crashed after rename-into-place but before cleanup
+        # (both path and __old__ present) — get() serves the NEW table
+        shutil.copytree(path, path + ".__old__")
+        assert cat.get("t").count() == 12
+        cat.put("t", spark.range(3).withColumnRenamed("id", "k"))
+        assert cat.get("t").count() == 3
+        assert not os.path.exists(path + ".__old__")
+        assert not os.path.exists(path + ".__tmp__")
+
 
 class TestMidChainSchemaEvolution:
     def test_schema_list_lets_row_run_reshape_before_native_step(self, spark, sf_dir):

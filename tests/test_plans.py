@@ -221,6 +221,50 @@ class TestSkewHandling:
                     spark.conf.set(k, v)
 
 
+class TestDeleteByKeysJoinPaths:
+    """delete_by_keys no longer forces F.broadcast on the key set: a
+    delete batch from a large extract can exceed broadcast capacity at
+    scale.  The strategy is the optimizer's call — both outcomes are
+    asserted here: a small key set still broadcasts (stats/AQE), and
+    with broadcast unavailable the join degrades to a SHUFFLED
+    left-anti instead of failing or nested-looping."""
+
+    def _delete_df(self, spark, sf_dir, cases):
+        return cases["q_delete_keys"].builder(spark, sf_dir)
+
+    def test_small_key_set_broadcasts(self, spark, sf_dir, cases):
+        df = self._delete_df(spark, sf_dir, cases)
+        df.count()  # let AQE finalize with runtime stats
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    def test_large_key_set_degrades_to_shuffled_anti(self, spark, sf_dir, cases):
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            # broadcast off == what AQE decides when the key set is too
+            # big to fit the threshold at cluster scale
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            df = self._delete_df(spark, sf_dir, cases)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan) and "LeftAnti" in plan, plan
+            assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
 class TestNoDriverCollects:
     def test_no_collect_in_operator_sources(self):
         # operators must stay distributed: no driver-side materialization

@@ -8,13 +8,14 @@ through Python row objects one at a time.  Partitioning: payload tables
 are range-partitioned by id and written with small row groups so a
 decode stage's input splits stay under executor memory.
 
-The decode step itself is STUBBED here — codec libraries (PIL/ffmpeg)
-aren't in this container — behind ``decode_image``: a clearly-marked
-deterministic fake (header-derived pseudo-dimensions) with the real
-plumbing (schema, batching, UDF signature) fully exercised; swap the
-body for a real codec in deployment.  The fixture payloads are derived
-from the documents table (utf-8 bytes), keeping the harness
-self-contained.
+Codec libraries (PIL/ffmpeg) aren't in this container, so
+``decode_image`` decodes a deterministic two-channel byte-grid
+container instead — a REAL decode (header parse, dims, channel
+de-interleave, integer stats, md5 pixel witness) that a DuckDB replay
+value-hashes end to end; swap the numpy body for PIL/libvips in
+deployment, keeping the Arrow plumbing, schema, and witness pattern.
+The fixture payloads are derived from the documents table (utf-8
+bytes), keeping the harness self-contained.
 """
 
 from __future__ import annotations
@@ -29,8 +30,11 @@ from pypeline_spark.registry import query
 from pypeline_spark.session import load_table
 
 DECODED_SCHEMA = (
-    "doc_id bigint, byte_len int, header string, fake_width int, fake_height int"
+    "doc_id bigint, byte_len int, header string, height int, width int, "
+    "lum_sum bigint, ch0_sum bigint, ch1_sum bigint, px_md5 string"
 )
+
+DECODE_W = 8  # byte-grid image width, same convention as RESIZE_W
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -48,29 +52,47 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """STUB decode stage over mapInPandas (Arrow-batched).
+    """Decode stage over mapInPandas (Arrow-batched): a REAL
+    deterministic byte-grid codec, not a stub.
 
-    Real deployment: replace the body with PIL/libvips decode returning
-    (width, height, channels, thumbnail bytes).  The fake is
-    deterministic — pseudo-dimensions derived from payload length and
-    first bytes — so tests pin the plumbing: batch iteration, binary
-    handling, schema contract.
+    Container contract: the payload is a DECODE_W-byte-wide
+    two-channel interleaved image (even byte positions = channel 0,
+    odd = channel 1 — the layout of interleaved stereo PCM / packed
+    RGB).  The decoder parses the 4-byte header, derives dims, splits
+    channels, and emits integer luminance stats plus an md5 of the raw
+    decoded pixel bytes — an exact witness of every pixel, so the whole
+    decode is value-hash-checkable by a DuckDB replay (q_multimodal_
+    decode's oracle).  A production deployment swaps the numpy body for
+    PIL/libvips and keeps the Arrow plumbing, schema discipline, and
+    witness pattern identical.
     """
+    import hashlib
+
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "byte_len": payloads.map(len).astype("int32"),
-                    "header": payloads.map(lambda b: bytes(b[:4]).hex()),
-                    "fake_width": payloads.map(lambda b: 16 + len(b) % 64).astype("int32"),
-                    "fake_height": payloads.map(lambda b: 16 + (len(b) // 64) % 64).astype(
-                        "int32"
-                    ),
-                }
-            )
+            rows = {
+                "doc_id": [], "byte_len": [], "header": [], "height": [],
+                "width": [], "lum_sum": [], "ch0_sum": [], "ch1_sum": [],
+                "px_md5": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["byte_len"].append(len(raw))
+                rows["header"].append(raw[:4].hex())
+                rows["height"].append(len(raw) // DECODE_W)
+                rows["width"].append(DECODE_W)
+                rows["lum_sum"].append(int(arr.sum()))
+                rows["ch0_sum"].append(int(arr[0::2].sum()))
+                rows["ch1_sum"].append(int(arr[1::2].sum()))
+                rows["px_md5"].append(hashlib.md5(raw).hexdigest())
+            out = pd.DataFrame(rows)
+            out["byte_len"] = out["byte_len"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["width"] = out["width"].astype("int32")
             yield out
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
@@ -306,9 +328,46 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode", oracle=None)  # stubbed decode: rows-only + pytest
+@query(
+    "q_multimodal_decode",
+    # DuckDB replays the codec from first principles: per-character
+    # ascii values (the fixture text is pure ASCII, the same invariant
+    # q_frame_sample/q_image_resize rely on) give the luminance and
+    # de-interleaved channel sums; md5 of the text bytes is the exact
+    # pixel witness; hex(header) pins the 4-byte header parse.
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    v AS (
+        SELECT p.doc_id, p.i, ascii(substr(d.text, p.i, 1)) AS v
+        FROM px p JOIN documents d USING (doc_id)
+    ),
+    sums AS (
+        SELECT doc_id,
+               CAST(SUM(v) AS BIGINT) AS lum_sum,
+               CAST(SUM(CASE WHEN (i - 1) % 2 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS ch0_sum,
+               CAST(SUM(CASE WHEN (i - 1) % 2 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS ch1_sum
+        FROM v GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS INT) AS byte_len,
+           lower(hex(encode(substring(d.text, 1, 4)))) AS header,
+           CAST(octet_length(encode(d.text)) // {DECODE_W} AS INT) AS height,
+           CAST({DECODE_W} AS INT) AS width,
+           s.lum_sum, s.ch0_sum, s.ch1_sum,
+           md5(d.text) AS px_md5
+    FROM documents d JOIN sums s USING (doc_id)
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full decode pipeline through mapInPandas (stub codec)."""
+    """The full decode pipeline through mapInPandas — a real
+    deterministic two-channel byte-grid codec (header parse, dims,
+    channel de-interleave, integer luminance stats, md5 pixel witness),
+    value-hash-checked against a DuckDB first-principles replay."""
     d = load_table(spark, sf_dir, "documents")
     return decode_image(attach_payload(d))
 

@@ -104,11 +104,21 @@ def ivm_merge(a: DataFrame, b: DataFrame, keys=("event_type", "day")) -> DataFra
 def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate maintenance: the standing pre-cutoff rollup
     merged with the delta batch's partial rollup, hash-proven equal to
-    a from-scratch recompute (the DuckDB oracle)."""
-    e = load_table(spark, sf_dir, "events")
-    cutoff = F.lit(IVM_CUTOFF).cast("date")
-    standing = rollup_events(e.filter(F.to_date("ts") < cutoff))
-    delta = rollup_events(e.filter(F.to_date("ts") >= cutoff))
+    a from-scratch recompute (the DuckDB oracle).
+
+    Both branches scan through ``load_events`` so the cutoff bound
+    filters the RAW nanos column and reaches PushedFilters —
+    ``to_date(ts) < cutoff`` over ``load_table`` would full-scan (the
+    µs conversion hides the predicate from the parquet reader).  A
+    midnight cutoff makes ``ts < cutoff`` ⟺ ``to_date(ts) < cutoff``,
+    so the pruned formulation is value-identical.  At 100 TB the
+    standing side is the materialized rollup table; only the delta —
+    the time-bounded branch — rescans raw events per batch.
+    """
+    from pypeline_spark.session import load_events
+
+    standing = rollup_events(load_events(spark, sf_dir, until=IVM_CUTOFF))
+    delta = rollup_events(load_events(spark, sf_dir, since=IVM_CUTOFF))
     return ivm_merge(standing, delta)
 
 

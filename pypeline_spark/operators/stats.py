@@ -712,6 +712,66 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_equidepth_hist_approx",
+    # Banded oracle (the q_percentile_approx pattern): the bucket
+    # boundaries come from percentile_approx, so per-bucket membership
+    # is not portably reproducible — what IS checkable is the
+    # equi-depth CONTRACT: 8 buckets present, the exact total row count
+    # hash-matched, and each bucket's depth within a generous band of
+    # n_total/8 (sketch rank error at accuracy 10000 is <= n/10000 per
+    # boundary; the 5% band also absorbs tie mass).
+    oracle=f"""
+    SELECT CAST(unnest(generate_series(0, {N_EQ_BUCKETS - 1})) AS INT) AS bucket,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
+           1 AS depth_ok
+    """,
+)
+def q_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram on the 100 TB path: bucket boundaries from
+    percentile_approx (constant-memory mergeable sketch) instead of the
+    exact interpolated percentile — q_equidepth_hist's exact boundary
+    pass holds each group's column in memory (SCALE.md flags it), this
+    twin is the formulation that survives arbitrary scale.
+
+    Scale: one partial-aggregated sketch pass for the 7 boundaries, the
+    1-row boundary array broadcast back, map-side bucket assignment via
+    an array fold, one 8-key rollup.  No global sort, no full column in
+    memory anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(i / N_EQ_BUCKETS) for i in range(1, N_EQ_BUCKETS)]), 10000
+        ).alias("b")
+    )
+    bucket = F.aggregate(
+        F.col("b"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("o_totalprice") > x, 1).otherwise(0),
+    ).cast("int")
+    per_bucket = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    n_total = F.sum("n").over(w)
+    return per_bucket.select(
+        "bucket",
+        n_total.cast("bigint").alias("n_total"),
+        (
+            F.abs(F.col("n") - n_total / N_EQ_BUCKETS)
+            <= n_total * 0.05 + F.lit(2)
+        )
+        .cast("int")
+        .alias("depth_ok"),
+    )
+
+
+@query(
     "q_winsorize",
     # Clip bounds are interpolated quantile doubles (bit-identical
     # across engines); sums run over FLOOR(x*100+0.5) integer cents so

@@ -34,13 +34,34 @@ class TestPushdown:
         assert "l_comment" not in read_schema
         assert "l_returnflag" not in read_schema  # not referenced by this query
 
+    # Every registry query whose events scan carries a time-range
+    # predicate — each must route through load_events so the bound
+    # filters the RAW nanos column and reaches the parquet scan.  At
+    # 100 TB an unpruned events scan is the single largest I/O cliff
+    # in the repo; a new time-bounded events query belongs here.
+    EVENTS_TIME_BOUNDED = (
+        "q_events_pruned",  # [since, until) both bounds
+        "q_time_rollup",    # [since, until)
+        "q_latency_bands",  # [since, until)
+        "q_ivm_rollup",     # standing: until; delta: since
+    )
+
     def test_events_time_bound_reaches_parquet_scan(self, spark, sf_dir, cases):
         """load_events filters the RAW nanos long, so the time bound
         must appear in PushedFilters — the micros-converted path can't
-        prune and would full-scan a 100 TB events table."""
+        prune and would full-scan a 100 TB events table.  Swept over
+        every time-bounded events query in the registry."""
+        for name in self.EVENTS_TIME_BOUNDED:
+            plan = plan_of(cases[name].builder(spark, sf_dir))
+            pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+            assert pushed, f"no PushedFilters line in {name} events plan"
+            assert any(
+                "GreaterThanOrEqual(ts" in l or "LessThan(ts" in l for l in pushed
+            ), (name, pushed)
+
+    def test_both_bounds_push_when_given(self, spark, sf_dir, cases):
         plan = plan_of(cases["q_events_pruned"].builder(spark, sf_dir))
         pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-        assert pushed, "no PushedFilters line in events plan"
         assert any(
             "GreaterThanOrEqual(ts" in l and "LessThan(ts" in l for l in pushed
         ), pushed
@@ -311,7 +332,7 @@ class TestNoNestedLoopSweep:
     # build side).
     INTENTIONAL = {
         "q_join_cross", "q_topk_cosine", "q_knn_ivf", "q_knn_recall",
-        "q_equidepth_hist",
+        "q_equidepth_hist", "q_equidepth_hist_approx",
     }
     # Streaming builders execute a real streaming job; their plans are
     # asserted in tests/test_streaming.py instead.

@@ -43,10 +43,12 @@ def test_rows_only_set_is_the_declared_policy():
     # r5: q_approx_distinct / q_percentile_approx / q_hll_rollup /
     # q_knn_ivf gained tolerance-banded oracles (exact twin columns
     # hash-checked, approximation accuracy asserted via 1/0 band
-    # flags) and left this set.  What remains is genuinely
-    # non-oracle-able: the stubbed binary decode and the float
-    # featurizer whose outputs are engine-specific by nature.
+    # flags) and left this set.  r6: q_multimodal_decode's stub codec
+    # became a real deterministic byte-grid decode with a DuckDB
+    # first-principles oracle and left too.  What remains is genuinely
+    # non-oracle-able: the float featurizer whose outputs are
+    # engine-specific by nature (its integer twin q_feature_hist IS
+    # oracled).
     assert rows_only == {
-        "q_multimodal_decode",
         "q_feature_extract",
     }, rows_only

@@ -195,6 +195,134 @@ def q_merge_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_manifest(spark: SparkSession, sf_dir: str):
+    """(scratch_dir, ManifestTable, customer projection) for the
+    manifest-backed queries: key-range-clustered commit with footer
+    stats on c_custkey so file pruning has disjoint ranges to skip."""
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest_prune_")
+    table = ManifestTable(scratch)
+    table.commit_overwrite(
+        c.repartitionByRange(8, "c_custkey"),
+        batch_id="seed",
+        stats_cols=["c_custkey"],
+    )
+    return scratch, table, c
+
+
+@query(
+    "q_manifest_prune",
+    # The oracle recomputes the filtered aggregate straight from the
+    # source table; the Spark side reads it through the manifest's
+    # stats-pruned path (files skipped by [min, max] metadata, never
+    # opened) — the hash match proves pruning is lossless.  Key range
+    # [10, 99] is populated at every fixture SF (custkey is dense
+    # from 0).
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM customer
+    WHERE c_custkey BETWEEN 10 AND 99
+    GROUP BY c_mktsegment
+    """,
+)
+def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned snapshot read: the manifest records per-file
+    [min, max] from the parquet footers (the Iceberg/Delta
+    data-skipping layout); a key-range read plans its file list from
+    that metadata alone and never opens non-overlapping files, then
+    applies the predicate within the survivors.
+
+    Scale: at 100 TB this is the difference between opening every
+    object and opening the handful whose stats overlap — file skipping
+    composes with row-group pushdown inside each survivor.  Pruning
+    effectiveness (files skipped > 0) is pinned in
+    tests/test_manifest.py; this query hash-proves losslessness.
+    """
+    import shutil
+
+    scratch, table, _ = _scratch_manifest(spark, sf_dir)
+    try:
+        pruned = table.read_pruned(spark, "c_custkey", 10, 99)
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+        out = pruned.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_merge_prune",
+    # The oracle applies the update predicate from first principles;
+    # the Spark side routes it through the FILE-PRUNED copy-on-write
+    # MERGE (only key-overlapping files read + rewritten, the rest
+    # carried over by manifest entry).  Hash match == the pruned merge
+    # is exactly the unpruned merge.
+    oracle="""
+    WITH v2 AS (
+        SELECT c_custkey,
+               CAST(FLOOR(
+                   CASE WHEN c_custkey BETWEEN 10 AND 99
+                        THEN c_acctbal + 50.0 ELSE c_acctbal END * 100 + 0.5
+               ) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM v2 GROUP BY bucket
+    """,
+)
+def q_manifest_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned lakehouse MERGE: a narrow update batch (keys 10-99)
+    against the key-clustered manifest table rewrites ONLY the files
+    whose stats overlap the batch's key range — every other file's
+    manifest entry carries over verbatim (asserted file-by-file in
+    tests/test_manifest.py).  This is the MERGE INTO + data-skipping
+    shape Delta/Iceberg run, executed end to end on the no-jar manifest
+    table; the DuckDB oracle recomputes the merged table from first
+    principles and the hash match proves the pruned merge exact.
+    """
+    import shutil
+
+    scratch, table, c = _scratch_manifest(spark, sf_dir)
+    try:
+        updates = c.filter(F.col("c_custkey").between(10, 99)).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 50.0
+        )
+        table.commit_merge(
+            spark,
+            updates,
+            ["c_custkey"],
+            batch_id="b1",
+            stats_cols=["c_custkey"],
+            prune_col="c_custkey",
+        )
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+        out = (
+            table.read(spark)
+            .groupBy(F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(cents).cast("bigint").alias("sum_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 @query(
     "q_time_travel_diff",
     # The oracle recomputes both snapshots directly from the source

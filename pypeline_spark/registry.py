@@ -62,89 +62,75 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# Rounds 1-4 certified 140 distinct queries (139 green + the
-# q_sessionize_sql HUGEINT-dtype red repaired in r5).  The round-5
-# window holds: the repaired red, the 3 rows-only queries upgraded to
-# tolerance-banded oracles in r5, the 5 oracles that carried the same
-# latent HUGEINT defect (CAST AS BIGINT applied r5), the 24 round-3
-# additions, the 14-query TPC-H completion set, and 3 round-4 as-of /
-# non-associative-scan additions — 50 total, all strict-canon green
-# locally at sf0.01 before pinning.
+# Rounds 1-5 certified 186 distinct queries, all green at their latest
+# check.  The round-6 window executes the rotation plan the r5 verdict
+# signed off on: the 28 never-driver-certified round-3/4 additions, the
+# 15 round-5 additions, q_knn_ivf's re-certification (output changed to
+# a banded recall summary in r5), the 4 round-6 oracle additions/
+# upgrades (real multimodal decode, equidepth approx twin, manifest
+# file-pruning pair), and re-certification of the 2 queries whose
+# PLANS changed in r6 (q_delete_keys lost its forced broadcast,
+# q_ivm_rollup moved to the pruned events scan) — 50 total, all
+# strict-canon green locally at sf0.01 before pinning.  Cumulative
+# driver-certified after this window: all 232 registered queries.
 _DRIVER_WINDOW = (
-    # repaired r4 red — certify the HUGEINT CAST fix
-    "q_sessionize_sql",
-    # rows-only -> tolerance-banded oracle upgrades (r5)
-    "q_approx_distinct",
-    "q_percentile_approx",
-    "q_hll_rollup",
-    # latent HUGEINT oracles, CAST AS BIGINT in r5 — certify
-    "q_span_dup_share",
-    "q_lsh_efficiency",
-    "q_knn_recall",
-    "q_embedding_centroids",
-    "q_benford",
-    # round-3 additions, never driver-checked
-    "q_gopher_rules",
-    "q_url_extract",
-    "q_boilerplate",
-    "q_anomaly_zscore",
-    "q_cdc_apply",
-    "q_semantic_dedup",
-    "q_bm25",
-    "q_pagerank",
-    "q_bfs_hops",
-    "q_key_skew",
-    "q_recursive_cte",
-    "q_large_orders",
-    "q_priority_lateness",
-    "q_dedup_recall",
-    "q_dedup_url",
-    "q_bpe_apply",
-    "q_batch_inference",
-    "q_quality_deciles",
-    "q_record_linkage",
-    "q_ab_test",
-    "q_variant_props",
-    "q_pipeline_cdc",
+    # never driver-certified (round-3/4 additions)
+    "q_span_dedup",
+    "q_jaccard_prefix",
+    "q_cluster_sizes",
+    "q_knn_lsh",
+    "q_image_resize",
+    "q_audio_energy",
+    "q_image_phash",
+    "q_session_rollup",
+    "q_cms_users",
+    "q_sample_weighted",
+    "q_period_growth",
+    "q_union_evolve",
+    "q_heavy_hitters_cms",
+    "q_linear_trend",
+    "q_mode",
+    "q_latency_bands",
+    "q_train_val_split",
+    "q_shard_balance",
+    "q_attribution",
+    "q_weekday_profile",
+    "q_pattern_match",
+    "q_pattern_var",
+    "q_outliers_mad",
+    "q_mixture_temperature",
+    "q_top_terms",
+    "q_lang_drift",
+    "q_langid_confusion",
+    "q_pipeline_dedup",
+    # never driver-certified (round-5 additions)
+    "q_containment",
+    "q_domain_cap",
+    "q_epoch_shuffle",
+    "q_equidepth_hist",
+    "q_winsorize",
+    "q_coverage_topk",
+    "q_time_weighted_avg",
+    "q_ohlc",
+    "q_dp_counts",
+    "q_kanon",
+    "q_token_entropy",
+    "q_bigram_lm",
+    "q_merge_variance",
+    "q_time_travel_diff",
+    "q_schema_drift",
+    # output changed r5 (banded recall summary) — re-certify
+    "q_knn_ivf",
+    # round-6 oracle additions / upgrades
+    "q_multimodal_decode",
+    "q_equidepth_hist_approx",
+    "q_manifest_prune",
+    "q_manifest_merge_prune",
+    # plans changed r6 (un-broadcast delete; pruned events scan) —
+    # outputs unchanged, re-certify anyway
+    "q_delete_keys",
     "q_ivm_rollup",
-    "q_pit_join",
-    # round-4 TPC-H completion set, never driver-checked
-    "q_min_cost_supplier",
-    "q_nation_volume",
-    "q_product_profit",
-    "q_value_concentration",
-    "q_shipmode_priority",
-    "q_order_count_distribution",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_supplier_part_counts",
-    "q_small_qty_revenue",
-    "q_disjunctive_pred",
-    "q_excess_suppliers",
-    "q_waiting_orders",
-    "q_sales_opportunity",
-    # round-4 operator additions: as-of variants + non-associative scan
-    "q_capped_running",
-    "q_asof_forward",
-    "q_asof_nearest",
 )
-
-# Round-6 rotation candidates — the 28 still-never-certified queries:
-# q_span_dedup q_jaccard_prefix q_cluster_sizes q_knn_lsh
-# q_image_resize q_audio_energy q_image_phash q_session_rollup
-# q_cms_users q_sample_weighted q_period_growth q_union_evolve
-# q_heavy_hitters_cms q_linear_trend q_mode q_latency_bands
-# q_train_val_split q_shard_balance q_attribution q_weekday_profile
-# q_pattern_match q_pattern_var q_outliers_mad q_mixture_temperature
-# q_top_terms q_lang_drift q_langid_confusion q_pipeline_dedup,
-# plus the round-5 additions: q_containment q_domain_cap
-# q_epoch_shuffle q_equidepth_hist q_winsorize q_coverage_topk
-# q_time_weighted_avg q_ohlc q_dp_counts q_kanon q_token_entropy
-# q_bigram_lm q_merge_variance q_time_travel_diff q_schema_drift —
-# plus re-certify
-# q_knn_ivf, whose output changed from raw neighbor lists to the
-# banded recall summary in r5.  All 44 fit one window; cumulative
-# certified will then be 229/229.
 
 _OPERATOR_MODULES = (
     "pypeline_spark.sinks.keyed",

@@ -56,7 +56,7 @@ class ManifestTable:
 
     def _read_manifest(self) -> dict:
         if not os.path.exists(self._pointer):
-            return {"version": 0, "files": [], "batch_ids": []}
+            return {"version": 0, "files": [], "batch_ids": [], "stats": {}}
         with open(self._pointer) as fh:
             return json.load(fh)
 
@@ -88,14 +88,7 @@ class ManifestTable:
         """Snapshot read: the file list is fixed the moment the manifest
         is parsed; concurrent commits can't change what this DataFrame
         scans (immutable files + explicit paths = snapshot isolation)."""
-        if version is None:
-            m = self._read_manifest()
-        else:
-            vfile = os.path.join(self.root, f"_manifest.v{version}.json")
-            if not os.path.exists(vfile):
-                raise ValueError(f"version {version} not found (vacuumed?)")
-            with open(vfile) as fh:
-                m = json.load(fh)
+        m = self._manifest_at(version)
         if not m["files"]:
             return None
         paths = [os.path.join(self.data_dir, f) for f in m["files"]]
@@ -103,32 +96,139 @@ class ManifestTable:
 
     # -- write path -----------------------------------------------------------
 
-    def _write_fileset(self, df: DataFrame) -> list[str]:
+    def _write_fileset(
+        self, df: DataFrame, stats_cols: Sequence[str] = ()
+    ) -> tuple[list[str], dict]:
         """Write df as a NEW set of immutable files in data/ and return
-        their names.  Files are invisible until a manifest names them."""
+        (names, per-file column stats).  Files are invisible until a
+        manifest names them.
+
+        ``stats_cols``: columns whose per-file [min, max] are read from
+        the parquet FOOTERS and recorded in the manifest — the Iceberg/
+        Delta data-skipping layout: the stats live in metadata, so a
+        reader prunes files without opening them."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        names = []
+        names: list[str] = []
+        stats: dict = {}
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(staging, f), os.path.join(self.data_dir, name))
+            src = os.path.join(staging, f)
+            if stats_cols:
+                s = self._footer_stats(src, stats_cols)
+                if s:
+                    stats[name] = s
+            os.replace(src, os.path.join(self.data_dir, name))
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
-        return names
+        return names, stats
 
-    def commit_overwrite(self, df: DataFrame, batch_id: Optional[str] = None) -> int:
+    @staticmethod
+    def _footer_stats(path: str, cols: Sequence[str]) -> dict:
+        """Per-column [min, max] from the parquet footer's row-group
+        statistics (no data pages read).  A column with missing stats
+        in any row group is omitted — readers treat a missing stat as
+        'unknown, cannot prune' (conservative)."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        out: dict = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                out[col] = [lo, hi]
+        return out
+
+    # -- stats-based file pruning ----------------------------------------
+
+    def _overlaps(self, m: dict, name: str, col: str, lo, hi) -> bool:
+        """True when file ``name`` may contain rows with col in [lo, hi]
+        — missing stats mean 'unknown' and the file is kept (pruning
+        must be conservative, exactly like Iceberg's inclusive
+        projection)."""
+        s = m.get("stats", {}).get(name, {}).get(col)
+        if s is None:
+            return True
+        fmin, fmax = s
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    def prune_plan(
+        self, col: str, lo=None, hi=None, version: Optional[int] = None
+    ) -> tuple[list[str], int]:
+        """(files that may match [lo, hi], total file count) for a
+        version — metadata-only, no data files opened."""
+        m = self._manifest_at(version)
+        keep = [f for f in m["files"] if self._overlaps(m, f, col, lo, hi)]
+        return keep, len(m["files"])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Snapshot read of rows with col in [lo, hi]: files are pruned
+        by manifest stats FIRST (skipped files are never opened), then
+        the predicate applies within the surviving files — file-level
+        skipping composed with ordinary row-group pushdown."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.prune_plan(col, lo, hi, version)
+        if not keep:
+            full = self.read(spark, version)
+            return None if full is None else full.limit(0)
+        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
+
+    def _manifest_at(self, version: Optional[int]) -> dict:
+        if version is None:
+            return self._read_manifest()
+        vfile = os.path.join(self.root, f"_manifest.v{version}.json")
+        if not os.path.exists(vfile):
+            raise ValueError(f"version {version} not found (vacuumed?)")
+        with open(vfile) as fh:
+            return json.load(fh)
+
+    def commit_overwrite(
+        self,
+        df: DataFrame,
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
         """Replace the table contents; returns the new version (or the
         current one when batch_id was already applied)."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
-        files = self._write_fileset(df)
+        files, stats = self._write_fileset(df, stats_cols)
         new = {
             "version": m["version"] + 1,
             "files": files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "stats": stats,
         }
         self._publish(new)
         return new["version"]
@@ -139,31 +239,69 @@ class ManifestTable:
         updates: DataFrame,
         key_columns: Sequence[str],
         batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+        prune_col: Optional[str] = None,
     ) -> int:
         """Copy-on-write keyed upsert: read the current snapshot, merge,
         publish the merged result as a new version.  Idempotent both by
         batch_id (replay skipped outright) and by merge semantics (the
         keyed upsert is last-writer-wins).
 
-        Scale note: copy-on-write rewrites the table per commit — right
-        for batch cadence; a high-frequency sink would keep per-batch
-        DELTA files in the manifest and compact on read or on a
-        schedule (merge-on-read), same protocol, more files per
-        version.
+        With ``prune_col`` (a key column with recorded manifest stats),
+        the merge is FILE-PRUNED — the lakehouse MERGE INTO shape: only
+        files whose [min, max] on that column overlaps the update
+        batch's key range are read and rewritten; every other file's
+        manifest entry (name + stats) carries over verbatim, so a
+        narrow update batch against a wide table rewrites a sliver of
+        it.  Correctness: a non-overlapping file can contain no updated
+        key, so carrying it over unchanged is exact; update keys
+        matching nothing insert through the merged slice.
+
+        Scale note: copy-on-write rewrite per commit is right for batch
+        cadence; a high-frequency sink would keep per-batch DELTA files
+        in the manifest and compact on read or on a schedule
+        (merge-on-read), same protocol, more files per version.
         """
         from pypeline_spark.sinks.keyed import upsert
 
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
-        current = self.read(spark)
+
+        carried: list[str] = []
+        if prune_col is not None and m["files"] and m.get("stats"):
+            from pyspark.sql import functions as F
+
+            b = updates.agg(
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            ).first()
+            if b.lo is not None:
+                carried = [
+                    f
+                    for f in m["files"]
+                    if not self._overlaps(m, f, prune_col, b.lo, b.hi)
+                ]
+        touched = [f for f in m["files"] if f not in carried]
+
+        if not m["files"]:
+            current = None
+        elif touched:
+            current = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in touched]
+            )
+        else:
+            current = None  # nothing overlaps: the whole batch inserts
         merged = updates if current is None else upsert(current, updates, key_columns)
         # materialize BEFORE the old files could ever be vacuumed
-        files = self._write_fileset(merged)
+        files, stats = self._write_fileset(merged, stats_cols)
         new = {
             "version": m["version"] + 1,
-            "files": files,
+            "files": carried + files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "stats": {
+                **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
+                **stats,
+            },
         }
         self._publish(new)
         return new["version"]

@@ -97,3 +97,74 @@ def test_vacuum_drops_only_unreferenced(spark, table, customers):
                 live.update(json.load(fh)["files"])
     on_disk = set(os.listdir(table.data_dir))
     assert on_disk == live
+
+
+class TestFilePruning:
+    """Manifest column stats + stats-pruned reads and merges — the
+    Iceberg/Delta data-skipping layout on the plain-filesystem table."""
+
+    @pytest.fixture()
+    def seeded(self, spark, table, customers):
+        # range-cluster on the key so per-file [min, max] are disjoint
+        # and pruning has something to skip
+        v = table.commit_overwrite(
+            customers.repartitionByRange(8, "c_custkey"),
+            stats_cols=["c_custkey"],
+        )
+        return table, v
+
+    def test_stats_recorded_per_file(self, seeded):
+        table, _ = seeded
+        m = table._read_manifest()
+        assert m["files"] and m["stats"]
+        for f in m["files"]:
+            lo, hi = m["stats"][f]["c_custkey"]
+            assert lo <= hi
+
+    def test_pruned_read_skips_files_and_matches_full_filter(self, spark, seeded, customers):
+        table, _ = seeded
+        keep, total = table.prune_plan("c_custkey", 10, 99)
+        assert total >= 4 and len(keep) < total  # real skipping happened
+        got = table.read_pruned(spark, "c_custkey", 10, 99)
+        expected = customers.filter(F.col("c_custkey").between(10, 99))
+        assert _canon(got) == _canon(expected)
+
+    def test_pruned_read_with_no_overlap_is_empty(self, spark, seeded):
+        table, _ = seeded
+        got = table.read_pruned(spark, "c_custkey", 10**9, 2 * 10**9)
+        assert got.count() == 0
+
+    def test_pruned_merge_carries_untouched_files_verbatim(self, spark, seeded, customers):
+        table, _ = seeded
+        before = table._read_manifest()
+        updates = customers.filter(F.col("c_custkey").between(10, 99)).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 50.0
+        )
+        table.commit_merge(
+            spark, updates, ["c_custkey"],
+            stats_cols=["c_custkey"], prune_col="c_custkey",
+        )
+        after = table._read_manifest()
+        untouched_before = {
+            f for f in before["files"]
+            if not table._overlaps(before, f, "c_custkey", 10, 99)
+        }
+        # every non-overlapping file carried over by NAME (not rewritten)
+        assert untouched_before and untouched_before <= set(after["files"])
+        assert all(after["stats"][f] == before["stats"][f] for f in untouched_before)
+        # and the merged table equals the unpruned-merge semantics
+        from pypeline_spark.sinks.keyed import upsert
+
+        expected = upsert(customers, updates, ["c_custkey"])
+        assert _canon(table.read(spark)) == _canon(expected)
+
+    def test_pruned_merge_inserts_keys_outside_all_ranges(self, spark, seeded, customers):
+        table, _ = seeded
+        inserts = spark.createDataFrame(
+            [(10**7, "new", 1.5)], "c_custkey bigint, c_name string, c_acctbal double"
+        )
+        table.commit_merge(
+            spark, inserts, ["c_custkey"],
+            stats_cols=["c_custkey"], prune_col="c_custkey",
+        )
+        assert table.read(spark).count() == customers.count() + 1

@@ -749,11 +749,21 @@ def q_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + F.when(F.col("o_totalprice") > x, 1).otherwise(0),
     ).cast("int")
-    per_bucket = (
+    counts = (
         o.crossJoin(F.broadcast(bounds))
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
+    )
+    # Join the counts onto a full 0..N-1 bucket spine: duplicate
+    # percentile_approx boundaries (tie-heavy or tiny data) make a
+    # bucket index unreachable, and emitting only non-empty buckets
+    # would then row-count-mismatch the oracle's fixed 8-row contract.
+    # The spine is N_EQ_BUCKETS rows — both join sides are tiny
+    # aggregates, so this costs nothing at any scale.
+    spine = spark.range(N_EQ_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    per_bucket = spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("n")
     )
     from pyspark.sql import Window as W
 

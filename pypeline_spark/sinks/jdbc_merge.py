@@ -268,7 +268,16 @@ class JdbcMergeCatalog:
         import uuid
 
         suffix = re.sub(r"[^A-Za-z0-9_]", "_", batch_id) if batch_id else uuid.uuid4().hex[:12]
-        stage = f"{name}__stage_{suffix}"[:120]
+        stage = f"{name}__stage_{suffix}"
+        if len(stage) > 120:
+            # Prefix truncation would collide two long batch_ids that
+            # share a prefix — recreating exactly the concurrent-stage
+            # overwrite the unique suffix exists to prevent.  A content
+            # hash of the full suffix stays unique AND deterministic
+            # per batch_id (replay-friendly, like the plain suffix).
+            import hashlib
+
+            stage = f"{name}__stage_{hashlib.sha1(suffix.encode()).hexdigest()[:12]}"
         write_sink(
             df, "jdbc", self.url, mode="overwrite", options=self._opts(stage), bulk_size=self.bulk_size
         )

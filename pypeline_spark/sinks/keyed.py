@@ -185,6 +185,15 @@ class ParquetCatalog:
     Read-modify-write per merge; the production analogue is Delta/
     Iceberg MERGE (transactional + file pruning), bound behind the
     same get/put interface when those jars are present.
+
+    Concurrency contract: SINGLE WRITER per table (the reference's
+    per-pipeline target model).  Readers in other processes are safe
+    against a writer's crash window — ``get`` falls back to the
+    rename-aside copy WITHOUT mutating the directory layout; only
+    ``put`` (the writer) heals it.  A reader that renamed the aside
+    copy back into place could race the writer's own swap and make the
+    writer's final rename fail — the read path must never mutate state
+    the write path depends on.
     """
 
     def __init__(self, root: str) -> None:
@@ -194,28 +203,17 @@ class ParquetCatalog:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _recover(self, path: str) -> None:
-        """Heal a crash inside a prior put's directory swap.
-
-        The swap protocol (see put) renames the standing table ASIDE to
-        ``path.__old__`` before renaming tmp into place, so at every
-        instant a complete copy exists on disk.  Recovery cases:
-        - path missing, old present: crashed between rename-aside and
-          rename-into-place — the old dir IS the standing table; restore.
-        - path present, old present: crashed after the swap completed but
-          before cleanup — old is the superseded version; the NEW table
-          already stands, so just drop old (put's step 1 or any later
-          get will).
-        """
-        old = path + ".__old__"
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
-
     def get(self, name: str) -> Optional[DataFrame]:
         path = self._path(name)
-        self._recover(path)
         if not os.path.exists(path):
-            return None
+            # Crash window of a prior put (table renamed aside, new one
+            # not yet in place): READ the aside copy, don't rename it —
+            # get() must not mutate the swap state put() depends on
+            # (see class docstring).  The writer's next put heals.
+            old = path + ".__old__"
+            if not os.path.exists(old):
+                return None
+            path = old
         spark = SparkSession.getActiveSession()
         assert spark is not None
         return spark.read.parquet(path)
@@ -235,12 +233,17 @@ class ParquetCatalog:
         path = self._path(name)
         tmp = path + ".__tmp__"
         old = path + ".__old__"
-        self._recover(path)
         shutil.rmtree(tmp, ignore_errors=True)
+        # df may lazily read `path` (normal read-modify-write) OR `old`
+        # (get() fell back to the aside copy after a prior crash inside
+        # the swap window) — neither is touched until tmp stands, so
+        # the write always has its complete source.
         df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)  # stale from a completed put
         if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)  # stale from a completed put
             os.rename(path, old)  # aside, not rmtree: keep a complete copy
+        # else: a prior put crashed mid-swap and `old` already IS the
+        # aside copy — keep it standing until the new table is in place.
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
 

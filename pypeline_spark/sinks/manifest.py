@@ -272,6 +272,16 @@ class ManifestTable:
         if prune_col is not None and m["files"] and m.get("stats"):
             from pyspark.sql import functions as F
 
+            # The bounds job and the merge job must see the SAME rows: a
+            # non-deterministic updates plan (sample(), uuid(), a
+            # shuffle-order-dependent limit) re-evaluated by the merge
+            # could emit keys outside the sampled [lo, hi] — a file
+            # holding such a key would be carried over verbatim while
+            # the update row also inserts through the merged slice:
+            # silent duplicate keys.  Lazy localCheckpoint materializes
+            # the updates at the bounds action and every later job reads
+            # those same blocks (the MemoryCatalog.put discipline).
+            updates = updates.localCheckpoint(eager=False)
             b = updates.agg(
                 F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
             ).first()

@@ -377,13 +377,19 @@ class TestRestartability:
         os.rename(path, path + ".__old__")
         shutil.copytree(path + ".__old__", path + ".__tmp__")
         got = cat.get("t")
-        assert got is not None and got.count() == 10  # recovered, not None
-        assert os.path.exists(path) and not os.path.exists(path + ".__old__")
+        assert got is not None and got.count() == 10  # served, not None
+        # get() serves the aside copy WITHOUT renaming it back: a reader
+        # in another process racing a live writer's swap window must not
+        # mutate the layout the writer's final rename depends on.  Only
+        # put() (the single writer) heals the directory state.
+        assert not os.path.exists(path) and os.path.exists(path + ".__old__")
 
-        # and a subsequent read-modify-write put over the recovered state
+        # a read-modify-write put over the aside copy converges AND heals
         cur = cat.get("t")
         cat.put("t", cur.unionByName(spark.range(10, 12).withColumnRenamed("id", "k")))
         assert cat.get("t").count() == 12
+        assert os.path.exists(path) and not os.path.exists(path + ".__old__")
+        assert not os.path.exists(path + ".__tmp__")
 
         # window 2: crashed after rename-into-place but before cleanup
         # (both path and __old__ present) — get() serves the NEW table

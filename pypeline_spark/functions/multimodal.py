@@ -288,21 +288,109 @@ def q_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_feature_extract", oracle=None)  # Python featurizer: rows-only + pytest parity
-def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram features for every payload (the media featurizer
-    plumbing; numpy-parity and shape pinned in tests/test_llm_ops.py).
+def extract_features_quantized(df: DataFrame) -> DataFrame:
+    """The featurizer's driver-certifiable contract: the same Arrow-
+    batched binary→fixed-width-vector stage as ``extract_features``,
+    with the L1 normalization carried out in INTEGER parts-per-million
+    (n * 10^6 // total) plus two derived vector descriptors — dominant
+    bin (argmax, lowest index on ties) and nonzero-bin count.  Every
+    output is exact integer arithmetic, so a DuckDB replay value-hashes
+    the whole stage end to end (the q_multimodal_decode discipline);
+    the float-normalized production shape stays available as
+    ``extract_features`` with numpy-parity pinned in pytest.
+    """
+    import numpy as np
 
-    The float vector ships comma-joined: even rows-only checks fail if
-    the canonicalizer can't hash the column (r2/r3 driver crash), and
-    the string form is deterministic here (float32→float renders
-    identically across replays of the same engine).
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ppm, top, nnz = [], [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_FEATURE_BINS)[:N_FEATURE_BINS]
+                total = int(arr.size)
+                q = (hist.astype(np.int64) * 1_000_000) // total if total else hist
+                ppm.append(q.astype("int32").tolist())
+                top.append(int(np.argmax(hist)))  # first max = lowest bin
+                nnz.append(int((hist > 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features_ppm": ppm,
+                    "top_bin": pd.array(top, dtype="int32"),
+                    "n_nonzero": pd.array(nnz, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, features_ppm array<int>, top_bin int, n_nonzero int",
+    )
+
+
+@query(
+    "q_feature_extract",
+    # First-principles replay of the quantized featurizer: the fixture
+    # text is pure ASCII (invariant pinned by tests/
+    # test_fixture_invariants.py), so byte nibbles == ascii(char) // 16
+    # and the ppm vector, argmax bin (ROW_NUMBER tie-broken to the
+    # lowest bin, matching numpy argmax), and nonzero count are all
+    # exact integer arithmetic on both engines.
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    chars AS (SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin FROM pos),
+    bins AS (SELECT unnest(range({N_FEATURE_BINS})) AS bin),
+    counts AS (
+        SELECT d.doc_id, b.bin, COUNT(c.bin) AS cnt
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN bins b
+        LEFT JOIN chars c ON c.doc_id = d.doc_id AND c.bin = b.bin
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, bin, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, bin ASC
+               ) AS rk
+        FROM counts
+    ),
+    tot AS (SELECT doc_id, length(text) AS total FROM documents)
+    SELECT c.doc_id,
+           array_to_string(
+               list(CAST(c.cnt * 1000000 // t.total AS INT) ORDER BY c.bin),
+               ',') AS features_ppm,
+           CAST(MIN(r.bin) AS INT) AS top_bin,
+           CAST(COUNT(*) FILTER (WHERE c.cnt > 0) AS INT) AS n_nonzero
+    FROM counts c
+    JOIN tot t USING (doc_id)
+    JOIN ranked r ON r.doc_id = c.doc_id AND r.rk = 1
+    GROUP BY c.doc_id, t.total
+    """,
+)
+def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized feature extraction for every payload — the media
+    featurizer surface (binary in, fixed-width vector out) made
+    driver-certifiable: integer ppm normalization plus argmax/nnz
+    vector descriptors, value-hash-checked against a DuckDB
+    first-principles replay.  The float production shape is
+    ``extract_features`` (numpy parity in tests/test_llm_ops.py).
+
+    The ppm vector ships comma-joined (string): array columns crash
+    the driver's pandas canonicalizer (r2/r3 red rows); the integer
+    values are unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    out = extract_features(attach_payload(d))
+    out = extract_features_quantized(attach_payload(d))
     return out.select(
         "doc_id",
-        F.array_join(F.col("features").cast("array<string>"), ",").alias("features"),
+        F.array_join(F.col("features_ppm").cast("array<string>"), ",").alias(
+            "features_ppm"
+        ),
+        "top_bin",
+        "n_nonzero",
     )
 
 

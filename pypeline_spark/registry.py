@@ -62,74 +62,72 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# Rounds 1-5 certified 186 distinct queries, all green at their latest
-# check.  The round-6 window executes the rotation plan the r5 verdict
-# signed off on: the 28 never-driver-certified round-3/4 additions, the
-# 15 round-5 additions, q_knn_ivf's re-certification (output changed to
-# a banded recall summary in r5), the 4 round-6 oracle additions/
-# upgrades (real multimodal decode, equidepth approx twin, manifest
-# file-pruning pair), and re-certification of the 2 queries whose
-# PLANS changed in r6 (q_delete_keys lost its forced broadcast,
-# q_ivm_rollup moved to the pruned events scan) — 50 total, all
-# strict-canon green locally at sf0.01 before pinning.  Cumulative
-# driver-certified after this window: all 232 registered queries.
+# Cumulative driver record after round 6: 231 of 232 registered queries
+# green at their latest check (the one exception was rows-only
+# q_feature_extract, which gained a first-principles integer oracle in
+# r7 and sits in this window).  The round-7 window is the STALENESS
+# rotation the r6 verdict directed: the latest-green histogram was
+# r1=48 / r3=39 / r4=45 / r5=49 / r6=50, so the 48 queries whose only
+# driver-green row is round 1 (six rounds of session/catalog churn on
+# top of those certs) are re-certified here, plus q_feature_extract
+# (new oracle) and q_equidepth_hist_approx (plan changed in r7: bucket
+# counts now join a full 0..7 spine so tie-heavy boundary collisions
+# can't drop rows) — 50 total, all strict-canon green locally at
+# sf0.01 before pinning.
 _DRIVER_WINDOW = (
-    # never driver-certified (round-3/4 additions)
-    "q_span_dedup",
-    "q_jaccard_prefix",
-    "q_cluster_sizes",
-    "q_knn_lsh",
-    "q_image_resize",
-    "q_audio_energy",
-    "q_image_phash",
-    "q_session_rollup",
-    "q_cms_users",
-    "q_sample_weighted",
-    "q_period_growth",
-    "q_union_evolve",
-    "q_heavy_hitters_cms",
-    "q_linear_trend",
-    "q_mode",
-    "q_latency_bands",
-    "q_train_val_split",
-    "q_shard_balance",
-    "q_attribution",
-    "q_weekday_profile",
-    "q_pattern_match",
-    "q_pattern_var",
-    "q_outliers_mad",
-    "q_mixture_temperature",
-    "q_top_terms",
-    "q_lang_drift",
-    "q_langid_confusion",
-    "q_pipeline_dedup",
-    # never driver-certified (round-5 additions)
-    "q_containment",
-    "q_domain_cap",
-    "q_epoch_shuffle",
-    "q_equidepth_hist",
-    "q_winsorize",
-    "q_coverage_topk",
-    "q_time_weighted_avg",
-    "q_ohlc",
-    "q_dp_counts",
-    "q_kanon",
-    "q_token_entropy",
-    "q_bigram_lm",
-    "q_merge_variance",
-    "q_time_travel_diff",
-    "q_schema_drift",
-    # output changed r5 (banded recall summary) — re-certify
-    "q_knn_ivf",
-    # round-6 oracle additions / upgrades
-    "q_multimodal_decode",
+    # new oracle r7 (was the single rows-only entry)
+    "q_feature_extract",
+    # plan changed r7 (bucket spine join) — re-certify
     "q_equidepth_hist_approx",
-    "q_manifest_prune",
-    "q_manifest_merge_prune",
-    # plans changed r6 (un-broadcast delete; pruned events scan) —
-    # outputs unchanged, re-certify anyway
-    "q_delete_keys",
-    "q_ivm_rollup",
+    # staleness rotation: only driver-green row is round 1
+    "q_agg_distinct",
+    "q_agg_pricing",
+    "q_agg_stats",
+    "q_anti",
+    "q_arg_minmax",
+    "q_array_ops",
+    "q_case_coalesce",
+    "q_cte",
+    "q_cube",
+    "q_except",
+    "q_except_all",
+    "q_exists_subquery",
+    "q_explode",
+    "q_filter_project",
+    "q_having",
+    "q_in_subquery",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_right",
+    "q_json_props",
+    "q_limit_offset",
+    "q_map_ops",
+    "q_pivot",
+    "q_predicates",
+    "q_rollup",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_str",
+    "q_scalar_subquery",
+    "q_scan",
+    "q_semi",
+    "q_to_json",
+    "q_topk",
+    "q_try_cast",
+    "q_union_all",
+    "q_union_distinct",
+    "q_window_distribution",
+    "q_window_first_last",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running",
+    "q_window_topn",
 )
 
 _OPERATOR_MODULES = (

@@ -35,20 +35,14 @@ def test_every_query_has_builder_and_doc():
         assert name.startswith("q_"), name
 
 
-def test_rows_only_set_is_the_declared_policy():
-    """Only approximate/stubbed/float-featurizer ops may skip oracles;
-    a new query accidentally registered without one should fail here."""
+def test_rows_only_set_is_empty():
+    """EVERY registered query carries a DuckDB oracle; a new query
+    accidentally registered without one fails here.  History: r5 gave
+    the approximate ops tolerance-banded oracles, r6 made the decode
+    stub a real oracled codec, and r7 quantized the last holdout —
+    q_feature_extract — to integer ppm with a first-principles replay
+    (the float featurizer survives as extract_features with numpy
+    parity in pytest; the driver-certifiable contract is integer)."""
     cases = load_all()
     rows_only = {n for n, c in cases.items() if c.oracle is None}
-    # r5: q_approx_distinct / q_percentile_approx / q_hll_rollup /
-    # q_knn_ivf gained tolerance-banded oracles (exact twin columns
-    # hash-checked, approximation accuracy asserted via 1/0 band
-    # flags) and left this set.  r6: q_multimodal_decode's stub codec
-    # became a real deterministic byte-grid decode with a DuckDB
-    # first-principles oracle and left too.  What remains is genuinely
-    # non-oracle-able: the float featurizer whose outputs are
-    # engine-specific by nature (its integer twin q_feature_hist IS
-    # oracled).
-    assert rows_only == {
-        "q_feature_extract",
-    }, rows_only
+    assert rows_only == set(), rows_only

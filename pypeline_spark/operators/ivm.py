@@ -324,6 +324,86 @@ def q_manifest_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_mor",
+    # The oracle composes the three delta batches last-writer-wins from
+    # first principles (CASE ordered newest batch first: each batch's
+    # rows were derived from the ORIGINAL table, and resolution picks
+    # the latest batch's row wholesale).  The Spark side routes them
+    # through merge-on-read delta commits + single-shuffle resolution,
+    # then COMPACTS and re-aggregates from the folded base files — the
+    # duplicated column pair hash-proves read_resolved == compact ==
+    # the first-principles merge in one query.
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey,
+               CAST(FLOOR(
+                   CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+                        WHEN c_custkey BETWEEN 10 AND 99
+                             THEN c_acctbal + 50.0
+                        WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                        ELSE c_acctbal END * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_compacted,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents_compacted
+    FROM v GROUP BY bucket
+    """,
+)
+def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lakehouse upserts: three overlapping update
+    batches land as DELTA commits (O(batch) append, zero base-file
+    rewrites — the high-frequency-sink shape copy-on-write can't
+    afford), the resolved view merges base ∪ deltas with ONE shuffle
+    on the key, and scheduled compaction folds the deltas back into
+    base files.  The query aggregates the resolved view AND the
+    post-compaction table; the DuckDB oracle recomputes the
+    last-writer-wins composition from first principles, so the hash
+    match proves merge-on-read ≡ compaction ≡ copy-on-write semantics
+    (the q_manifest_merge_prune discipline, applied to the MOR path).
+    """
+    import shutil
+
+    scratch, table, c = _scratch_manifest(spark, sf_dir)
+    try:
+        batches = (
+            c.filter(F.col("c_custkey") % 5 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 10.0
+            ),
+            c.filter(F.col("c_custkey").between(10, 99)).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 50.0
+            ),
+            c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100.0
+            ),
+        )
+        for i, b in enumerate(batches, 1):
+            table.commit_delta(
+                b, ["c_custkey"], batch_id=f"d{i}", stats_cols=["c_custkey"]
+            )
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+
+        def agg(df: DataFrame, suffix: str = "") -> DataFrame:
+            return df.groupBy(
+                F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket")
+            ).agg(
+                F.count("*").cast("bigint").alias(f"n_rows{suffix}"),
+                F.sum(cents).cast("bigint").alias(f"sum_cents{suffix}"),
+            )
+
+        live = agg(table.read_resolved(spark)).localCheckpoint(eager=True)
+        table.compact(spark, stats_cols=["c_custkey"])
+        compacted = agg(table.read(spark), "_compacted").localCheckpoint(
+            eager=True
+        )
+        return live.join(compacted, "bucket")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_time_travel_diff",
     # The oracle recomputes both snapshots directly from the source
     # table (v1 = seed predicate, v2 = keyed upsert of the update

@@ -85,9 +85,13 @@ class ManifestTable:
     # -- read path ------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
-        """Snapshot read: the file list is fixed the moment the manifest
-        is parsed; concurrent commits can't change what this DataFrame
-        scans (immutable files + explicit paths = snapshot isolation)."""
+        """Snapshot read of the BASE files: the file list is fixed the
+        moment the manifest is parsed; concurrent commits can't change
+        what this DataFrame scans (immutable files + explicit paths =
+        snapshot isolation).  A table with outstanding merge-on-read
+        deltas is read via ``read_resolved`` — this raw view
+        deliberately exposes the un-merged base (compaction debugging,
+        time travel)."""
         m = self._manifest_at(version)
         if not m["files"]:
             return None
@@ -267,6 +271,13 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        if m.get("deltas"):
+            # the copy-on-write merge reads BASE files only; merging
+            # over un-compacted deltas would silently drop their rows
+            raise ValueError(
+                "outstanding merge-on-read deltas: compact() before "
+                "switching to copy-on-write commits"
+            )
 
         carried: list[str] = []
         if prune_col is not None and m["files"] and m.get("stats"):
@@ -316,6 +327,154 @@ class ManifestTable:
         self._publish(new)
         return new["version"]
 
+    # -- merge-on-read --------------------------------------------------------
+    #
+    # commit_merge above is COPY-ON-WRITE: every commit rewrites its key-
+    # overlapping slice, which is right at batch cadence but makes a
+    # high-frequency or wide-overlap update stream pay a rewrite per
+    # commit.  The merge-on-read path below is the standard alternative
+    # (Hudi MOR / Iceberg v2 read-merging): a commit just APPENDS the
+    # batch as delta files and bumps the manifest — O(batch) write cost,
+    # zero base-file rewrites — and readers resolve last-writer-wins at
+    # scan time.  Compaction folds the deltas back into base files on a
+    # schedule, restoring read cost.  Same atomic pointer-swap protocol,
+    # same batch_id exactly-once ledger; deletes would ride the same
+    # shape as tombstone rows (not needed for reference parity, whose
+    # delete path is the keyed sink).
+
+    def commit_delta(
+        self,
+        updates: DataFrame,
+        key_columns: Sequence[str],
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """Merge-on-read keyed upsert: append the batch as DELTA files
+        — no base file is read or rewritten.  ``key_columns`` is
+        recorded in the manifest on first use (readers need it to
+        resolve) and must stay identical across commits.  Caller
+        contract (same as the copy-on-write upsert): at most one row
+        per key within a batch.
+        """
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        keys = list(key_columns)
+        if m.get("key_columns") not in (None, keys):
+            raise ValueError(
+                f"key_columns {keys} != recorded {m['key_columns']}"
+            )
+        files, stats = self._write_fileset(updates, stats_cols)
+        new = {
+            "version": m["version"] + 1,
+            "files": m["files"],
+            "deltas": m.get("deltas", []) + [files],
+            "key_columns": keys,
+            "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "stats": {**m.get("stats", {}), **stats},
+        }
+        self._publish(new)
+        return new["version"]
+
+    def read_resolved(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        prune: Optional[tuple] = None,
+    ) -> Optional[DataFrame]:
+        """Snapshot read with delta resolution: base ∪ deltas, latest
+        commit wins per key.  Resolution is a SINGLE shuffle on the key
+        columns regardless of how many delta commits are outstanding —
+        each fileset is tagged with its commit rank and one row_number
+        window keeps the highest rank per key (k sequential upserts
+        would instead shuffle k times).
+
+        ``prune``: optional ``(col, lo, hi)`` stats-based file skipping
+        composed with resolution.  Only sound when ``col`` is a KEY
+        column: then every row of a given key shares the column's
+        value, so all of that key's base+delta rows live in overlapping
+        files and the surviving rows resolve completely.  (For a
+        non-key column a key's latest delta row could be filtered out
+        while its stale base row survives — asserted against.)
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        m = self._manifest_at(version)
+        deltas = m.get("deltas", [])
+        if not deltas:
+            if prune is not None:
+                return self.read_pruned(spark, *prune, version=version)
+            return self.read(spark, version)
+        keys = m["key_columns"]
+        col = lo = hi = None
+        if prune is not None:
+            col, lo, hi = prune
+            if col not in keys:
+                raise ValueError(
+                    f"prune column {col!r} must be a key column {keys} "
+                    "for merge-on-read pruning to be exact"
+                )
+        filesets = [m["files"]] + list(deltas)
+        parts = []
+        for rank, names in enumerate(filesets):
+            if col is not None:
+                names = [
+                    f for f in names if self._overlaps(m, f, col, lo, hi)
+                ]
+            if not names:
+                continue
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in names]
+            )
+            parts.append(df.withColumn("__rank__", F.lit(rank)))
+        if not parts:
+            full = self.read(spark, version)
+            return None if full is None else full.limit(0)
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        w = Window.partitionBy(*keys).orderBy(F.col("__rank__").desc())
+        resolved = (
+            unioned.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rank__", "__rn__")
+        )
+        if col is not None:
+            if lo is not None:
+                resolved = resolved.filter(F.col(col) >= lo)
+            if hi is not None:
+                resolved = resolved.filter(F.col(col) <= hi)
+        return resolved
+
+    def compact(
+        self,
+        spark: SparkSession,
+        stats_cols: Sequence[str] = (),
+        batch_id: Optional[str] = None,
+    ) -> int:
+        """Fold outstanding deltas into new base files (scheduled
+        compaction): materialize the resolved view, publish it as the
+        new base, clear the delta list.  Old base+delta files stay
+        readable for time travel until vacuum."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if not m.get("deltas"):
+            return m["version"]
+        resolved = self.read_resolved(spark)
+        files, stats = self._write_fileset(resolved, stats_cols)
+        new = {
+            "version": m["version"] + 1,
+            "files": files,
+            "deltas": [],
+            "key_columns": m.get("key_columns"),
+            "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "stats": stats,
+        }
+        self._publish(new)
+        return new["version"]
+
     # -- retention ------------------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> int:
@@ -331,7 +490,12 @@ class ManifestTable:
                 continue
             v = int(f[len("_manifest.v"):-len(".json")])
             with open(os.path.join(self.root, f)) as fh:
-                files = json.load(fh)["files"]
+                mf = json.load(fh)
+            # delta files are as live as base files: a retained
+            # merge-on-read version needs both to resolve
+            files = list(mf["files"]) + [
+                n for fs in mf.get("deltas", []) for n in fs
+            ]
             if v >= keep_from:
                 live.update(files)
             else:

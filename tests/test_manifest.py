@@ -168,3 +168,125 @@ class TestFilePruning:
             stats_cols=["c_custkey"], prune_col="c_custkey",
         )
         assert table.read(spark).count() == customers.count() + 1
+
+
+class TestMergeOnRead:
+    """commit_delta / read_resolved / compact — the merge-on-read path:
+    O(batch) appends, single-shuffle last-writer-wins resolution,
+    scheduled compaction; all under the same atomic-pointer-swap and
+    batch_id exactly-once protocol as the copy-on-write commits."""
+
+    @pytest.fixture()
+    def seeded(self, spark, table, customers):
+        base = customers.filter(F.col("c_custkey") <= 400)
+        table.commit_overwrite(
+            base.repartitionByRange(4, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )
+        return table, base
+
+    def _upd(self, customers, lo, hi, bump):
+        return customers.filter(F.col("c_custkey").between(lo, hi)).withColumn(
+            "c_acctbal", F.col("c_acctbal") + bump
+        )
+
+    def test_delta_commit_appends_without_touching_base(self, spark, seeded, customers):
+        table, _ = seeded
+        base_files = list(table._read_manifest()["files"])
+        v = table.commit_delta(
+            self._upd(customers, 10, 50, 5.0), ["c_custkey"], batch_id="d1"
+        )
+        m = table._read_manifest()
+        assert v == 2
+        assert m["files"] == base_files  # zero base rewrites
+        assert len(m["deltas"]) == 1 and m["deltas"][0]
+        assert m["key_columns"] == ["c_custkey"]
+
+    def test_resolution_is_last_writer_wins_across_overlapping_deltas(
+        self, spark, seeded, customers
+    ):
+        table, base = seeded
+        table.commit_delta(self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1")
+        table.commit_delta(self._upd(customers, 40, 80, 9.0), ["c_custkey"], "d2")
+        got = {
+            r.c_custkey: round(r.c_acctbal, 2)
+            for r in table.read_resolved(spark).collect()
+        }
+        for r in base.collect():
+            k, bal = r.c_custkey, round(r.c_acctbal, 2)
+            if 40 <= k <= 80:
+                assert got[k] == round(bal + 9.0, 2)  # d2 beats d1
+            elif 10 <= k <= 60:
+                assert got[k] == round(bal + 5.0, 2)
+            else:
+                assert got[k] == bal
+        assert set(got) == {r.c_custkey for r in base.collect()}
+
+    def test_delta_inserts_new_keys(self, spark, seeded, customers):
+        table, base = seeded
+        novel = customers.filter(F.col("c_custkey").between(401, 420))
+        table.commit_delta(novel, ["c_custkey"], "d1")
+        n_base, n_novel = base.count(), novel.count()
+        assert table.read_resolved(spark).count() == n_base + n_novel
+
+    def test_delta_replay_is_skipped(self, spark, seeded, customers):
+        table, _ = seeded
+        v1 = table.commit_delta(self._upd(customers, 10, 50, 5.0), ["c_custkey"], "d1")
+        v2 = table.commit_delta(self._upd(customers, 10, 50, 5.0), ["c_custkey"], "d1")
+        assert v1 == v2 == table.version()
+        assert len(table._read_manifest()["deltas"]) == 1
+
+    def test_compact_folds_deltas_and_preserves_content(self, spark, seeded, customers):
+        table, _ = seeded
+        table.commit_delta(self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1")
+        table.commit_delta(self._upd(customers, 40, 80, 9.0), ["c_custkey"], "d2")
+        before = _canon(table.read_resolved(spark))
+        v = table.compact(spark, stats_cols=["c_custkey"])
+        m = table._read_manifest()
+        assert v == 4 and m["deltas"] == []
+        assert _canon(table.read(spark)) == before  # folded base == resolved view
+        assert _canon(table.read_resolved(spark)) == before  # and resolved is now trivial
+        # pre-compaction versions still time-travel (files retained)
+        assert _canon(table.read_resolved(spark, version=3)) == before
+
+    def test_mor_equals_copy_on_write(self, spark, tmp_path, customers):
+        base = customers.filter(F.col("c_custkey") <= 400)
+        upd = self._upd(customers, 20, 120, 7.5)
+        cow = ManifestTable(str(tmp_path / "cow"))
+        cow.commit_overwrite(base, batch_id="seed")
+        cow.commit_merge(spark, upd, ["c_custkey"], batch_id="b1")
+        mor = ManifestTable(str(tmp_path / "mor"))
+        mor.commit_overwrite(base, batch_id="seed")
+        mor.commit_delta(upd, ["c_custkey"], batch_id="b1")
+        assert _canon(mor.read_resolved(spark)) == _canon(cow.read(spark))
+
+    def test_resolved_pruned_read_matches_full_filter(self, spark, seeded, customers):
+        table, _ = seeded
+        table.commit_delta(
+            self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1",
+            stats_cols=["c_custkey"],
+        )
+        full = table.read_resolved(spark).filter(F.col("c_custkey").between(30, 70))
+        pruned = table.read_resolved(spark, prune=("c_custkey", 30, 70))
+        assert _canon(pruned) == _canon(full)
+
+    def test_resolved_prune_requires_key_column(self, spark, seeded, customers):
+        table, _ = seeded
+        table.commit_delta(self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1")
+        with pytest.raises(ValueError, match="key column"):
+            table.read_resolved(spark, prune=("c_acctbal", 0, 100))
+
+    def test_cow_merge_refuses_over_outstanding_deltas(self, spark, seeded, customers):
+        table, _ = seeded
+        table.commit_delta(self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1")
+        with pytest.raises(ValueError, match="compact"):
+            table.commit_merge(spark, self._upd(customers, 10, 60, 1.0), ["c_custkey"])
+
+    def test_vacuum_keeps_delta_files_of_retained_versions(self, spark, seeded, customers):
+        table, _ = seeded
+        table.commit_delta(self._upd(customers, 10, 60, 5.0), ["c_custkey"], "d1")
+        before = _canon(table.read_resolved(spark))
+        # keep the current (delta-bearing) version only
+        table.vacuum(keep_versions=1)
+        assert _canon(table.read_resolved(spark)) == before

@@ -101,3 +101,39 @@ def stream_upsert_manifest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_delta_manifest(
+    stream_df: DataFrame,
+    table: "ManifestTable",
+    key_columns: Sequence[str],
+    checkpoint_dir: Optional[str] = None,
+    stats_cols: Sequence[str] = (),
+):
+    """Merge-on-read streaming ingestion: each micro-batch lands as a
+    DELTA commit (``ManifestTable.commit_delta``) — O(batch) append,
+    zero base-file rewrites — which is the commit shape a
+    high-frequency stream needs (``stream_upsert_manifest``'s
+    copy-on-write merge rewrites its overlap slice every trigger).
+    Readers use ``read_resolved`` (single-shuffle last-writer-wins);
+    ``table.compact(spark)`` runs on the maintenance schedule, not in
+    the hot path.  Exactly-once exactly as the copy-on-write variant:
+    Spark's checkpoint replays are skipped by the batch-id ledger, and
+    every commit is one atomic manifest swap.
+    """
+    from pyspark.sql import SparkSession
+
+    def _delta_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        assert spark is not None
+        table.commit_delta(
+            batch_df,
+            key_columns,
+            batch_id=f"stream-{batch_id}",
+            stats_cols=stats_cols,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_delta_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -260,3 +260,45 @@ def test_stream_upsert_into_live_database(spark, sf_dir, tmp_path):
     assert q.awaitTermination(300), "stream did not finish in time"
     expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
     assert _canon(cat.get("customer")) == expected
+
+
+def test_manifest_stream_delta_merge_on_read_end_to_end(spark, sf_dir, tmp_path):
+    """Stream -> foreachBatch -> merge-on-read delta commits: base
+    files are never rewritten while the stream runs, the resolved view
+    equals a one-shot merge, and a scheduled compaction folds the
+    deltas without changing content — the high-frequency-sink shape
+    copy-on-write cannot afford."""
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target, batch_id="seed")
+    base_files = list(table._read_manifest()["files"])
+
+    stream_dir = str(tmp_path / "in")
+    for i in range(3):
+        updates.filter(F.pmod(F.col("c_custkey"), 3) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+
+    q = stream_delta_manifest(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+    m = table._read_manifest()
+    assert m["files"] == base_files  # zero base rewrites during ingestion
+    assert len(m["deltas"]) == 3  # one O(batch) append per micro-batch
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    assert _canon(table.read_resolved(spark)) == expected
+
+    # maintenance-schedule compaction: content identical, deltas folded
+    table.compact(spark)
+    assert table._read_manifest()["deltas"] == []
+    assert _canon(table.read(spark)) == expected

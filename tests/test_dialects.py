@@ -101,3 +101,17 @@ def test_single_json_parameter_shape():
     for stmt in (postgres_load_statement(SPEC), postgres_update_statement(SPEC)):
         assert stmt.count("%s") == 1
         assert "json_populate_recordset(null::public.customers, %s)" in stmt
+
+
+def test_statements_compose_with_placeholder_hydration():
+    """The reference hydrates its statement templates before execution
+    (Pype.py:102 build_load_query -> hydrate_query); the generated
+    literals must round-trip through our hydrate without disturbing
+    the DB-API %s parameter."""
+    from pypeline_spark.pipeline.hydrate import hydrate_query
+
+    spec = MergeSpec("{schema}.customers", ("id", "name"), "id", ())
+    stmt = hydrate_query(postgres_load_statement(spec), {"schema": "analytics"})
+    assert stmt.startswith("INSERT INTO analytics.customers ")
+    assert "json_populate_recordset(null::analytics.customers, %s)" in stmt
+    assert stmt.count("%s") == 1  # the bind parameter survives hydration

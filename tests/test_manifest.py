@@ -290,3 +290,37 @@ class TestMergeOnRead:
         # keep the current (delta-bearing) version only
         table.vacuum(keep_versions=1)
         assert _canon(table.read_resolved(spark)) == before
+
+
+def test_pruned_merge_computes_bounds_on_materialized_updates(spark, table, customers):
+    """The prune-bounds job and the merge job must read the SAME rows:
+    commit_merge materializes the updates (localCheckpoint) before the
+    bounds aggregate, so a non-deterministic updates plan cannot emit
+    keys outside the sampled [lo, hi] during the merge (which would
+    duplicate them past carried-over files).  White-box pin: the
+    DataFrame handed to the file writer scans the checkpointed RDD,
+    not the original lineage."""
+    base = customers.filter(F.col("c_custkey") <= 400)
+    table.commit_overwrite(
+        base.repartitionByRange(4, "c_custkey"),
+        batch_id="seed",
+        stats_cols=["c_custkey"],
+    )
+    captured = {}
+    orig = table._write_fileset
+
+    def spy(df, stats_cols=()):
+        captured["plan"] = df._jdf.queryExecution().optimizedPlan().toString()
+        return orig(df, stats_cols)
+
+    table._write_fileset = spy
+    upd = customers.filter(F.col("c_custkey").between(10, 60)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+    table.commit_merge(
+        spark, upd, ["c_custkey"], batch_id="b1",
+        stats_cols=["c_custkey"], prune_col="c_custkey",
+    )
+    # the merged plan's updates side is the checkpointed block scan
+    # (LogicalRDD), not a re-executable parquet+filter lineage of upd
+    assert "LogicalRDD" in captured["plan"], captured["plan"][:500]

@@ -431,9 +431,12 @@ class ManifestTable:
         if not parts:
             full = self.read(spark, version)
             return None if full is None else full.limit(0)
+        # allowMissingColumns: additive schema evolution across commits
+        # (a delta batch may carry a new column; base rows resolve with
+        # NULL there — the Iceberg/Delta mergeSchema read behavior)
         unioned = parts[0]
         for p in parts[1:]:
-            unioned = unioned.unionByName(p)
+            unioned = unioned.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(*keys).orderBy(F.col("__rank__").desc())
         resolved = (
             unioned.withColumn("__rn__", F.row_number().over(w))

@@ -324,3 +324,28 @@ def test_pruned_merge_computes_bounds_on_materialized_updates(spark, table, cust
     # the merged plan's updates side is the checkpointed block scan
     # (LogicalRDD), not a re-executable parquet+filter lineage of upd
     assert "LogicalRDD" in captured["plan"], captured["plan"][:500]
+
+
+def test_merge_on_read_additive_schema_evolution(spark, table, customers):
+    """A delta batch carrying a NEW column resolves: winning delta rows
+    show the new value, untouched base rows show NULL (the
+    mergeSchema read behavior), and compaction bakes the widened
+    schema into the new base files."""
+    base = customers.filter(F.col("c_custkey") <= 100)
+    table.commit_overwrite(base, batch_id="seed")
+    upd = (
+        customers.filter(F.col("c_custkey").between(50, 120))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 5.0)
+        .withColumn("tier", F.lit("gold"))
+    )
+    table.commit_delta(upd, ["c_custkey"], batch_id="d1")
+    got = table.read_resolved(spark)
+    assert "tier" in got.columns
+    rows = {r.c_custkey: r.tier for r in got.collect()}
+    assert rows[75] == "gold" and rows[10] is None
+    assert set(rows) == {r.c_custkey for r in base.collect()} | {
+        r.c_custkey for r in upd.collect()
+    }
+    table.compact(spark)
+    assert "tier" in table.read(spark).columns
+    assert table.read(spark).filter(F.col("tier") == "gold").count() == upd.count()

@@ -338,6 +338,14 @@ EWMA_ALPHA = 0.3
 
 @query(
     "q_ewma_smooth",
+    # List-carrying recursion: the naive form (recursion re-JOINING the
+    # full ordered CTE each level to fetch rn+1) is O(n·depth) — >560 s
+    # for the oracle alone at sf0.1 (r7 sweep finding) while the engine
+    # side is linear.  Carrying the per-type value list in the
+    # recursion state makes each level O(types); measured 17 s at
+    # sf0.1, and the per-step expression `a*vals[rn+1] + b*ewma` is the
+    # IDENTICAL IEEE operation order, verified bit-for-bit equal to the
+    # join form at sf0.01 before the swap.
     oracle=f"""
     WITH RECURSIVE ordered AS (
         SELECT event_id, event_type, value,
@@ -345,16 +353,24 @@ EWMA_ALPHA = 0.3
                                   ORDER BY ts, event_id) AS rn
         FROM events
     ),
+    lists AS (
+        SELECT event_type,
+               list(value ORDER BY rn) AS vals,
+               list(event_id ORDER BY rn) AS ids,
+               COUNT(*) AS n
+        FROM ordered GROUP BY event_type
+    ),
     r AS (
-        SELECT event_id, event_type, value, rn, value AS ewma
-        FROM ordered WHERE rn = 1
+        SELECT event_type, vals, ids, n, 1 AS rn, vals[1] AS ewma
+        FROM lists
         UNION ALL
-        SELECT o.event_id, o.event_type, o.value, o.rn,
-               {EWMA_ALPHA} * o.value + {1 - EWMA_ALPHA} * r.ewma
-        FROM ordered o JOIN r
-          ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        SELECT event_type, vals, ids, n, rn + 1,
+               {EWMA_ALPHA} * vals[rn + 1] + {1 - EWMA_ALPHA} * ewma
+        FROM r WHERE rn < n
     )
-    SELECT event_id, event_type, value, ROUND(ewma, 6) AS ewma FROM r
+    SELECT ids[rn] AS event_id, event_type, vals[rn] AS value,
+           ROUND(ewma, 6) AS ewma
+    FROM r
     """,
 )
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:

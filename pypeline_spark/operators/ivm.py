@@ -404,6 +404,90 @@ def q_manifest_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_zorder",
+    # The oracle recomputes the doubly-filtered aggregate straight from
+    # the source table; the Spark side reads it through a Z-ORDER
+    # clustered manifest commit pruned on BOTH dimensions at once
+    # (conjunctive inclusive projection over per-file [min,max] stats).
+    # The hash match proves two-column file skipping is lossless; the
+    # skipping EFFECTIVENESS (either single-column predicate alone
+    # skips files on the z-ordered layout, unlike a one-key layout) is
+    # pinned in tests/test_manifest.py.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 99
+      AND FLOOR(o_totalprice * 100 + 0.5) BETWEEN 1000000 AND 2000000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional data skipping: the orders table is committed to
+    a ManifestTable clustered by the Morton (Z-order) interleave of
+    (custkey, price-bucket) — every file's stats envelope is narrow in
+    BOTH columns — and a conjunctive range read prunes files on the
+    two dimensions simultaneously from manifest metadata alone (the
+    lakehouse `OPTIMIZE ... ZORDER BY` + inclusive-projection shape,
+    end to end without jars).
+
+    Scale: the clustering costs ONE range shuffle at write (identical
+    to a global sort); after that, predicates on either hot column
+    skip files for every reader — a single-key layout prunes only its
+    own key and full-scans on the other.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.operators.multidim import zbucket, zvalue
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    # both dims scaled into the z domain from their data bounds (one
+    # broadcast 1-row min/max aggregate — the OPTIMIZE-command shape);
+    # the z column is layout-only: stats and predicates use the REAL
+    # columns
+    b = o.agg(
+        F.min("o_custkey").alias("ck_lo"), F.max("o_custkey").alias("ck_hi"),
+        F.min("cents").alias("c_lo"), F.max("cents").alias("c_hi"),
+    )
+    z = zvalue(
+        zbucket(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")),
+        zbucket(F.col("cents"), F.col("c_lo"), F.col("c_hi")),
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest_zorder_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            o.crossJoin(F.broadcast(b))
+            .withColumn("__z", z)
+            .drop("ck_lo", "ck_hi", "c_lo", "c_hi")
+            .repartitionByRange(16, "__z")
+            .sortWithinPartitions("__z"),
+            batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        pruned = table.read_pruned_multi(
+            spark,
+            {"o_custkey": (10, 99), "cents": (1_000_000, 2_000_000)},
+        )
+        out = pruned.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_time_travel_diff",
     # The oracle recomputes both snapshots directly from the source
     # table (v1 = seed predicate, v2 = keyed upsert of the update

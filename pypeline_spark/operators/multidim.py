@@ -48,6 +48,20 @@ def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
     return out
 
 
+def zbucket(v: Column, lo: Column, hi: Column, bits: int = Z_BITS) -> Column:
+    """Scale a value into the z-key's ``bits``-bit domain from its
+    [lo, hi] data bounds: floor((v - lo) * 2^bits / (hi - lo + 1)).
+
+    This is the pre-bucketing ``zvalue`` requires for wide domains — a
+    plain ``& mask`` WRAPS (the bucket cycles through the range), which
+    destroys the per-file envelope on the raw column and with it the
+    whole point of the clustering.  ``lo``/``hi`` normally come from a
+    broadcast 1-row min/max aggregate (the same shape the lakehouse
+    OPTIMIZE command computes before clustering)."""
+    span = hi - lo + 1
+    return ((v - lo) * (1 << bits) / span).cast("int")
+
+
 def _zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     """The same interleave in portable SQL (DuckDB `<<`/`>>`/`&`)."""
     terms = []

@@ -178,8 +178,27 @@ class ManifestTable:
     ) -> tuple[list[str], int]:
         """(files that may match [lo, hi], total file count) for a
         version — metadata-only, no data files opened."""
+        return self.prune_plan_multi({col: (lo, hi)}, version)
+
+    def prune_plan_multi(
+        self, bounds: dict, version: Optional[int] = None
+    ) -> tuple[list[str], int]:
+        """Multi-predicate file pruning: ``bounds`` maps column ->
+        (lo, hi); a file survives only when its stats overlap EVERY
+        bound (Iceberg's inclusive projection over a conjunction).
+        This is what a Z-order-clustered layout exists for — each
+        file's envelope is narrow in ALL clustered dimensions, so a
+        predicate on either (or both) columns skips files; a layout
+        clustered on one key prunes only that key."""
         m = self._manifest_at(version)
-        keep = [f for f in m["files"] if self._overlaps(m, f, col, lo, hi)]
+        keep = [
+            f
+            for f in m["files"]
+            if all(
+                self._overlaps(m, f, col, lo, hi)
+                for col, (lo, hi) in bounds.items()
+            )
+        ]
         return keep, len(m["files"])
 
     def read_pruned(
@@ -194,17 +213,30 @@ class ManifestTable:
         by manifest stats FIRST (skipped files are never opened), then
         the predicate applies within the surviving files — file-level
         skipping composed with ordinary row-group pushdown."""
+        return self.read_pruned_multi(spark, {col: (lo, hi)}, version)
+
+    def read_pruned_multi(
+        self,
+        spark: SparkSession,
+        bounds: dict,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Snapshot read under a CONJUNCTION of range predicates:
+        manifest-stats file skipping on every bounded column, then the
+        predicates apply within the survivors (and reach the parquet
+        row groups via ordinary pushdown)."""
         from pyspark.sql import functions as F
 
-        keep, _total = self.prune_plan(col, lo, hi, version)
+        keep, _total = self.prune_plan_multi(bounds, version)
         if not keep:
             full = self.read(spark, version)
             return None if full is None else full.limit(0)
         df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
-        if lo is not None:
-            df = df.filter(F.col(col) >= lo)
-        if hi is not None:
-            df = df.filter(F.col(col) <= hi)
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
         return df
 
     def _manifest_at(self, version: Optional[int]) -> dict:

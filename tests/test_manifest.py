@@ -349,3 +349,69 @@ def test_merge_on_read_additive_schema_evolution(spark, table, customers):
     table.compact(spark)
     assert "tier" in table.read(spark).columns
     assert table.read(spark).filter(F.col("tier") == "gold").count() == upd.count()
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
+    """The point of Z-order clustering: on a z-clustered manifest
+    commit, a range predicate on EITHER column alone skips files, and
+    the conjunction skips at least as many as either side — while a
+    layout range-partitioned on one key alone cannot skip on the other
+    column.  Content equality with the full-scan filter is the
+    lossless-ness check (the hash proof is q_manifest_zorder)."""
+    from pypeline_spark.operators.multidim import zbucket, zvalue
+    from pypeline_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("ck_lo"), F.max("o_custkey").alias("ck_hi"),
+        F.min("cents").alias("c_lo"), F.max("cents").alias("c_hi"),
+    )
+    z = zvalue(
+        zbucket(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")),
+        zbucket(F.col("cents"), F.col("c_lo"), F.col("c_hi")),
+    )
+
+    zt = ManifestTable(str(tmp_path / "ztbl"))
+    zt.commit_overwrite(
+        o.crossJoin(F.broadcast(b))
+        .withColumn("__z", z)
+        .drop("ck_lo", "ck_hi", "c_lo", "c_hi")
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z"),
+        batch_id="seed",
+        stats_cols=["o_custkey", "cents"],
+    )
+    kt = ManifestTable(str(tmp_path / "ktbl"))  # one-key layout: custkey only
+    kt.commit_overwrite(
+        o.repartitionByRange(16, "o_custkey"),
+        batch_id="seed",
+        stats_cols=["o_custkey", "cents"],
+    )
+
+    ck, price = ("o_custkey", (10, 99)), ("cents", (1_000_000, 2_000_000))
+    z_by_ck, total = zt.prune_plan_multi(dict([ck]))
+    z_by_price, _ = zt.prune_plan_multi(dict([price]))
+    z_both, _ = zt.prune_plan_multi(dict([ck, price]))
+    assert total == 16
+    assert len(z_by_ck) < total  # custkey predicate skips files
+    assert len(z_by_price) < total  # price predicate ALSO skips files
+    assert len(z_both) <= min(len(z_by_ck), len(z_by_price))
+
+    # the single-key layout prunes its own key but NOT the other column
+    k_by_ck, k_total = kt.prune_plan_multi(dict([ck]))
+    k_by_price, _ = kt.prune_plan_multi(dict([price]))
+    assert len(k_by_ck) < k_total
+    assert len(k_by_price) == k_total  # every file overlaps the price range
+
+    # losslessness: doubly-pruned read == full-scan filter
+    full = (
+        zt.read(spark)
+        .filter(F.col("o_custkey").between(10, 99))
+        .filter(F.col("cents").between(1_000_000, 2_000_000))
+    )
+    pruned = zt.read_pruned_multi(spark, dict([ck, price]))
+    assert _canon(pruned.drop("__z")) == _canon(full.drop("__z"))

@@ -488,6 +488,66 @@ def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_bloom",
+    # The oracle recomputes the point lookup from first principles
+    # (self-join on the probe document's content hash); the Spark side
+    # routes it through the manifest's per-file BLOOM index — the
+    # equality-skipping shape for hashed keys whose [min, max] envelope
+    # spans the whole keyspace and range-prunes nothing.  Hash match ==
+    # bloom skipping is lossless; skipping effectiveness (and the
+    # min/max-can't-help contrast) is pinned in tests/test_manifest.py.
+    oracle="""
+    SELECT d.doc_id, md5(d.text) AS fingerprint,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE md5(d.text) = (SELECT md5(text) FROM documents WHERE doc_id = 42)
+    """,
+)
+def q_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup: the documents table is committed
+    hash-partitioned on a content fingerprint (md5 — a key whose
+    per-file min/max envelope covers the whole keyspace, so range
+    stats skip NOTHING), with a per-file Bloom bitset recorded in the
+    manifest at write time.  An equality probe then opens only the
+    file(s) whose bloom may contain the key — the Iceberg-puffin /
+    Delta bloom-index shape, end to end without jars.
+
+    Scale: the index costs one single-column read per file at write
+    and 1 KiB of manifest metadata per file per column; the lookup is
+    O(files) bit-tests on the driver plus ~1 opened file, versus a
+    full-table scan for any engine relying on min/max alone.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest_bloom_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            d.repartition(16, "fingerprint"),
+            batch_id="seed",
+            stats_cols=["fingerprint"],
+            bloom_cols=["fingerprint"],
+        )
+        probe = (
+            d.filter(F.col("doc_id") == 42).select("fingerprint").first()[0]
+        )
+        out = table.read_pruned_eq(spark, "fingerprint", probe)
+        return out.select("doc_id", "fingerprint", "n_chars").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_time_travel_diff",
     # The oracle recomputes both snapshots directly from the source
     # table (v1 = seed predicate, v2 = keyed upsert of the update

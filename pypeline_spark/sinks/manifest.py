@@ -101,7 +101,8 @@ class ManifestTable:
     # -- write path -----------------------------------------------------------
 
     def _write_fileset(
-        self, df: DataFrame, stats_cols: Sequence[str] = ()
+        self, df: DataFrame, stats_cols: Sequence[str] = (),
+        bloom_cols: Sequence[str] = (),
     ) -> tuple[list[str], dict]:
         """Write df as a NEW set of immutable files in data/ and return
         (names, per-file column stats).  Files are invisible until a
@@ -110,7 +111,14 @@ class ManifestTable:
         ``stats_cols``: columns whose per-file [min, max] are read from
         the parquet FOOTERS and recorded in the manifest — the Iceberg/
         Delta data-skipping layout: the stats live in metadata, so a
-        reader prunes files without opening them."""
+        reader prunes files without opening them.
+
+        ``bloom_cols``: columns additionally indexed with a per-file
+        Bloom bitset (stored under the file's ``"bloom"`` stats key) —
+        equality-probe skipping for hash/uuid/string keys whose
+        per-file [min, max] envelope spans the whole keyspace and
+        prunes nothing.  Built at write time from one single-column
+        read per file (the Iceberg puffin / Delta bloom-index shape)."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         names: list[str] = []
@@ -120,10 +128,16 @@ class ManifestTable:
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
             src = os.path.join(staging, f)
+            entry: dict = {}
             if stats_cols:
-                s = self._footer_stats(src, stats_cols)
-                if s:
-                    stats[name] = s
+                entry.update(self._footer_stats(src, stats_cols))
+            if bloom_cols:
+                blooms = {
+                    c: self._build_bloom(src, c) for c in bloom_cols
+                }
+                entry["bloom"] = {c: b for c, b in blooms.items() if b}
+            if entry:
+                stats[name] = entry
             os.replace(src, os.path.join(self.data_dir, name))
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
@@ -155,6 +169,89 @@ class ManifestTable:
             if ok and lo is not None:
                 out[col] = [lo, hi]
         return out
+
+    # -- bloom file index -------------------------------------------------
+
+    _BLOOM_BITS = 8192  # m: 1 KiB bitset per file per column
+    _BLOOM_K = 4  # hash functions; fp ≈ (1 - e^(-k·n/m))^k
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[int]:
+        """k deterministic bit positions for a value — md5 of the
+        value's canonical string form with a per-hash seed, so the
+        index is engine- and replay-portable (no process-seeded
+        hashing)."""
+        import hashlib
+
+        s = str(value)
+        return [
+            int.from_bytes(
+                hashlib.md5(f"{s}|{i}".encode()).digest()[:8], "big"
+            )
+            % cls._BLOOM_BITS
+            for i in range(cls._BLOOM_K)
+        ]
+
+    @classmethod
+    def _build_bloom(cls, path: str, col: str) -> Optional[str]:
+        """Hex bitset over the file's values of ``col`` (one
+        single-column pyarrow read — index build cost is paid at write,
+        like every lakehouse bloom index)."""
+        import pyarrow.parquet as pq
+
+        try:
+            table = pq.read_table(path, columns=[col])
+        except Exception:  # noqa: BLE001 — column absent: no index
+            return None
+        bits = bytearray(cls._BLOOM_BITS // 8)
+        for v in table.column(col).to_pylist():
+            if v is None:
+                continue
+            for pos in cls._bloom_positions(v):
+                bits[pos // 8] |= 1 << (pos % 8)
+        return bytes(bits).hex()
+
+    def _bloom_may_contain(self, m: dict, name: str, col: str, value) -> bool:
+        """False only when the file's bloom PROVES the value absent;
+        missing index → True (conservative, like missing min/max)."""
+        b = m.get("stats", {}).get(name, {}).get("bloom", {}).get(col)
+        if b is None:
+            return True
+        bits = bytes.fromhex(b)
+        return all(
+            bits[pos // 8] & (1 << (pos % 8))
+            for pos in self._bloom_positions(value)
+        )
+
+    def prune_plan_eq(
+        self, col: str, value, version: Optional[int] = None
+    ) -> tuple[list[str], int]:
+        """(files that may contain col == value, total) — combines the
+        [min, max] envelope with the bloom bitset, metadata-only."""
+        m = self._manifest_at(version)
+        keep = [
+            f
+            for f in m["files"]
+            if self._overlaps(m, f, col, value, value)
+            and self._bloom_may_contain(m, f, col, value)
+        ]
+        return keep, len(m["files"])
+
+    def read_pruned_eq(
+        self, spark: SparkSession, col: str, value, version: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Equality-probe read: bloom + stats file skipping, then the
+        exact predicate inside the survivors.  The point lookup shape —
+        at warehouse scale this opens ~1 file (+ false positives)
+        instead of every file whose min/max spans a hashed keyspace."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.prune_plan_eq(col, value, version)
+        if not keep:
+            full = self.read(spark, version)
+            return None if full is None else full.limit(0)
+        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
+        return df.filter(F.col(col) == value)
 
     # -- stats-based file pruning ----------------------------------------
 
@@ -253,13 +350,14 @@ class ManifestTable:
         df: DataFrame,
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
+        bloom_cols: Sequence[str] = (),
     ) -> int:
         """Replace the table contents; returns the new version (or the
         current one when batch_id was already applied)."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
-        files, stats = self._write_fileset(df, stats_cols)
+        files, stats = self._write_fileset(df, stats_cols, bloom_cols)
         new = {
             "version": m["version"] + 1,
             "files": files,

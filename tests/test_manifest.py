@@ -415,3 +415,61 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
     )
     pruned = zt.read_pruned_multi(spark, dict([ck, price]))
     assert _canon(pruned.drop("__z")) == _canon(full.drop("__z"))
+
+
+class TestBloomIndex:
+    @pytest.fixture()
+    def seeded(self, spark, tmp_path, sf_dir):
+        from pypeline_spark.session import load_table
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.col("text")).alias("fp")
+        )
+        t = ManifestTable(str(tmp_path / "btbl"))
+        t.commit_overwrite(
+            d.repartition(16, "fp"),
+            batch_id="seed",
+            stats_cols=["fp"],
+            bloom_cols=["fp"],
+        )
+        return t, d
+
+    def test_bloom_skips_where_minmax_cannot(self, spark, seeded):
+        """On a hashed key, every file's [min, max] envelope spans the
+        keyspace (range pruning keeps ALL files); the bloom keeps ~1."""
+        t, d = seeded
+        probe = d.filter(F.col("doc_id") == 7).select("fp").first()[0]
+        by_range, total = t.prune_plan("fp", probe, probe)
+        by_bloom, _ = t.prune_plan_eq("fp", probe)
+        assert len(by_range) == total  # min/max is useless on md5 keys
+        assert len(by_bloom) < total // 2  # bloom actually skips
+        # losslessness: the probed doc is in the surviving files
+        got = t.read_pruned_eq(spark, "fp", probe)
+        assert {r.doc_id for r in got.collect()} >= {7}
+
+    def test_bloom_proves_absence_for_foreign_keys(self, spark, seeded):
+        """Keys that were never written should (almost always) prune to
+        zero files — and the read contract still returns an empty
+        DataFrame with the table schema, never an error."""
+        t, _ = seeded
+        kept = sum(
+            len(t.prune_plan_eq("fp", f"absent-key-{i}")[0]) for i in range(50)
+        )
+        # 50 absent probes over 16 files: expected ~fp_rate*16*50 ≈ a
+        # handful; a broken index would keep 800
+        assert kept < 80
+        empty = t.read_pruned_eq(spark, "fp", "absent-key-0")
+        assert empty.count() == 0 and "doc_id" in empty.columns
+
+    def test_bloom_never_false_negatives(self, spark, seeded):
+        """Every present key's file survives its own probe — across a
+        50-key sample (the one property a bloom filter must never
+        break)."""
+        t, d = seeded
+        for r in d.limit(50).collect():
+            keep, _ = t.prune_plan_eq("fp", r.fp)
+            assert keep, f"bloom false-negative for doc {r.doc_id}"
+            assert any(
+                rr.doc_id == r.doc_id
+                for rr in t.read_pruned_eq(spark, "fp", r.fp).collect()
+            )

@@ -1,0 +1,133 @@
+"""The no-jar lakehouse surface end to end on the fixtures.
+
+    python examples/lakehouse.py [sf_dir]
+
+ManifestTable gives plain parquet the lakehouse commit protocol —
+atomic manifest-swap commits, snapshot isolation, time travel, vacuum,
+exactly-once batch ledger — plus the data-skipping tiers:
+
+1. footer-stats file pruning + file-pruned copy-on-write MERGE;
+2. merge-on-read delta commits (O(batch) appends), single-shuffle
+   last-writer-wins resolution, scheduled compaction;
+3. Z-order clustering + conjunctive multi-column pruning;
+4. per-file Bloom indexes for equality probes on hashed keys.
+
+Each stage prints what was skipped/rewritten so the scale story is
+visible on fixture data.
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pypeline_spark.operators.multidim import zbucket, zvalue
+from pypeline_spark.session import get_spark, load_table
+from pypeline_spark.sinks.manifest import ManifestTable
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("lakehouse_example")
+    root = tempfile.mkdtemp(prefix="lakehouse_example_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+
+        # -- 1. copy-on-write with file pruning -------------------------
+        cow = ManifestTable(os.path.join(root, "cow"))
+        cow.commit_overwrite(
+            o.repartitionByRange(8, "o_orderkey"),
+            batch_id="seed",
+            stats_cols=["o_orderkey"],
+        )
+        upd = o.filter(F.col("o_orderkey") < 100).withColumn(
+            "cents", F.col("cents") + 1
+        )
+        before = set(cow._read_manifest()["files"])
+        cow.commit_merge(
+            spark, upd, ["o_orderkey"], batch_id="b1",
+            stats_cols=["o_orderkey"], prune_col="o_orderkey",
+        )
+        after = cow._read_manifest()["files"]
+        carried = sum(1 for f in after if f in before)
+        print(f"1. COW merge: {carried}/{len(after)} files carried over "
+              f"verbatim (only the key-overlapping slice was rewritten)")
+
+        # -- 2. merge-on-read + compaction ------------------------------
+        mor = ManifestTable(os.path.join(root, "mor"))
+        mor.commit_overwrite(o, batch_id="seed")
+        for i in range(3):
+            batch = o.filter(F.col("o_orderkey") % 3 == i).withColumn(
+                "cents", F.col("cents") + 10 * (i + 1)
+            )
+            mor.commit_delta(batch, ["o_orderkey"], batch_id=f"d{i}")
+        m = mor._read_manifest()
+        print(f"2. MOR: 3 delta commits, base untouched "
+              f"({len(m['deltas'])} delta filesets); resolved rows ="
+              f" {mor.read_resolved(spark).count()}")
+        mor.compact(spark)
+        print(f"   compacted: deltas={mor._read_manifest()['deltas']}, "
+              f"rows={mor.read(spark).count()}")
+
+        # -- 3. Z-order + two-dimensional pruning -----------------------
+        b = o.agg(
+            F.min("o_custkey").alias("ck_lo"), F.max("o_custkey").alias("ck_hi"),
+            F.min("cents").alias("c_lo"), F.max("cents").alias("c_hi"),
+        )
+        z = zvalue(
+            zbucket(F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi")),
+            zbucket(F.col("cents"), F.col("c_lo"), F.col("c_hi")),
+        )
+        zt = ManifestTable(os.path.join(root, "zorder"))
+        zt.commit_overwrite(
+            o.crossJoin(F.broadcast(b)).withColumn("__z", z)
+            .drop("ck_lo", "ck_hi", "c_lo", "c_hi")
+            .repartitionByRange(16, "__z").sortWithinPartitions("__z"),
+            batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        for bounds, label in (
+            ({"o_custkey": (10, 99)}, "custkey only"),
+            ({"cents": (1_000_000, 2_000_000)}, "price only"),
+            ({"o_custkey": (10, 99), "cents": (1_000_000, 2_000_000)}, "both"),
+        ):
+            keep, total = zt.prune_plan_multi(bounds)
+            print(f"3. z-order prune [{label}]: open {len(keep)}/{total} files")
+
+        # -- 4. bloom point lookup --------------------------------------
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        bt = ManifestTable(os.path.join(root, "bloom"))
+        bt.commit_overwrite(
+            d.repartition(16, "fp"), batch_id="seed",
+            stats_cols=["fp"], bloom_cols=["fp"],
+        )
+        probe = d.filter(F.col("doc_id") == 7).select("fp").first()[0]
+        by_range, total = bt.prune_plan("fp", probe, probe)
+        by_bloom, _ = bt.prune_plan_eq("fp", probe)
+        print(f"4. bloom lookup on md5 key: range stats keep "
+              f"{len(by_range)}/{total} files, bloom keeps {len(by_bloom)}; "
+              f"matching rows = {bt.read_pruned_eq(spark, 'fp', probe).count()}")
+
+        # -- time travel + vacuum ---------------------------------------
+        v_now = cow.version()
+        n_v1 = cow.read(spark, version=1).count()
+        removed = cow.vacuum(keep_versions=1)
+        print(f"5. time travel: v1 had {n_v1} rows (current v{v_now}); "
+              f"vacuum(keep=1) removed {removed} unreferenced files")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -273,11 +273,16 @@ class JdbcMergeCatalog:
             # Prefix truncation would collide two long batch_ids that
             # share a prefix — recreating exactly the concurrent-stage
             # overwrite the unique suffix exists to prevent.  A content
-            # hash of the full suffix stays unique AND deterministic
-            # per batch_id (replay-friendly, like the plain suffix).
+            # hash stays unique AND deterministic per batch_id
+            # (replay-friendly, like the plain suffix).  The NAME part
+            # is bounded too (a ~100+-char table name would otherwise
+            # push the result back over Derby's identifier limit), and
+            # the hash covers the FULL (name, suffix) pair so two long
+            # names sharing a 100-char prefix still get distinct stages.
             import hashlib
 
-            stage = f"{name}__stage_{hashlib.sha1(suffix.encode()).hexdigest()[:12]}"
+            digest = hashlib.sha1(f"{name}|{suffix}".encode()).hexdigest()[:12]
+            stage = f"{name[:100]}__stage_{digest}"
         write_sink(
             df, "jdbc", self.url, mode="overwrite", options=self._opts(stage), bulk_size=self.bulk_size
         )

@@ -175,6 +175,32 @@ class ManifestTable:
     _BLOOM_BITS = 8192  # m: 1 KiB bitset per file per column
     _BLOOM_K = 4  # hash functions; fp ≈ (1 - e^(-k·n/m))^k
 
+    @staticmethod
+    def _bloom_canon(value) -> str:
+        """Canonical string form of a value for bloom hashing.
+
+        Numeric types are normalized so equal values hash identically
+        regardless of Python type: an int column built from pyarrow
+        (``42``) probed with ``42.0`` or ``Decimal('42')`` must hit the
+        same bits — ``str()`` alone gives ``'42'`` vs ``'42.0'``, a
+        silent bloom FALSE NEGATIVE that drops matching rows even
+        though min/max pruning (numeric comparison) would keep the
+        file.  Integral numbers canonicalize to their integer string;
+        other reals to ``repr(float)`` (exact round-trip).  bool is
+        excluded from the numeric path (``True == 1`` but a bool
+        column is its own domain).  Non-numerics keep ``str(value)``.
+        """
+        import numbers
+
+        if isinstance(value, numbers.Number) and not isinstance(value, bool):
+            try:
+                if value == int(value):
+                    return str(int(value))
+            except (OverflowError, ValueError):
+                pass  # nan / inf: fall through to repr
+            return repr(float(value))
+        return str(value)
+
     @classmethod
     def _bloom_positions(cls, value) -> list[int]:
         """k deterministic bit positions for a value — md5 of the
@@ -183,7 +209,7 @@ class ManifestTable:
         hashing)."""
         import hashlib
 
-        s = str(value)
+        s = cls._bloom_canon(value)
         return [
             int.from_bytes(
                 hashlib.md5(f"{s}|{i}".encode()).digest()[:8], "big"
@@ -246,12 +272,27 @@ class ManifestTable:
         instead of every file whose min/max spans a hashed keyspace."""
         from pyspark.sql import functions as F
 
+        self._require_no_deltas(version, "read_pruned_eq")
         keep, _total = self.prune_plan_eq(col, value, version)
         if not keep:
             full = self.read(spark, version)
             return None if full is None else full.limit(0)
         df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
         return df.filter(F.col(col) == value)
+
+    def _require_no_deltas(self, version: Optional[int], caller: str) -> None:
+        """The pruned readers scan BASE files only; on a table with
+        outstanding merge-on-read deltas they would silently return
+        stale pre-delta rows (``commit_merge`` refuses for the same
+        reason).  Fail loudly and point at the resolving reader."""
+        m = self._manifest_at(version)
+        if m.get("deltas"):
+            raise ValueError(
+                f"{caller} reads base files only but this version has "
+                f"{len(m['deltas'])} outstanding merge-on-read delta "
+                "commit(s): use read_resolved(spark, prune=(col, lo, hi)) "
+                "or compact() first"
+            )
 
     # -- stats-based file pruning ----------------------------------------
 
@@ -321,9 +362,14 @@ class ManifestTable:
         """Snapshot read under a CONJUNCTION of range predicates:
         manifest-stats file skipping on every bounded column, then the
         predicates apply within the survivors (and reach the parquet
-        row groups via ordinary pushdown)."""
+        row groups via ordinary pushdown).
+
+        Raises on a table with outstanding merge-on-read deltas — a
+        base-only read there would return stale pre-delta rows; use
+        ``read_resolved`` (key-column pruning) or ``compact`` first."""
         from pyspark.sql import functions as F
 
+        self._require_no_deltas(version, "read_pruned_multi")
         keep, _total = self.prune_plan_multi(bounds, version)
         if not keep:
             full = self.read(spark, version)
@@ -353,16 +399,24 @@ class ManifestTable:
         bloom_cols: Sequence[str] = (),
     ) -> int:
         """Replace the table contents; returns the new version (or the
-        current one when batch_id was already applied)."""
+        current one when batch_id was already applied).
+
+        ``bloom_cols`` is persisted in the manifest as a table property
+        (like a lakehouse bloom-index table property), so later
+        ``commit_merge``/``compact`` rebuilds keep the index alive
+        without re-stating the column list; passing a non-empty list
+        here updates the property."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
-        files, stats = self._write_fileset(df, stats_cols, bloom_cols)
+        bloom = list(bloom_cols) or m.get("bloom_cols", [])
+        files, stats = self._write_fileset(df, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": stats,
+            "bloom_cols": bloom,
         }
         self._publish(new)
         return new["version"]
@@ -443,8 +497,11 @@ class ManifestTable:
         else:
             current = None  # nothing overlaps: the whole batch inserts
         merged = updates if current is None else upsert(current, updates, key_columns)
-        # materialize BEFORE the old files could ever be vacuumed
-        files, stats = self._write_fileset(merged, stats_cols)
+        # materialize BEFORE the old files could ever be vacuumed;
+        # rewritten files rebuild the table's recorded bloom index
+        # (carried files keep theirs via the stats carry-over below)
+        bloom = m.get("bloom_cols", [])
+        files, stats = self._write_fileset(merged, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": carried + files,
@@ -453,6 +510,7 @@ class ManifestTable:
                 **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
                 **stats,
             },
+            "bloom_cols": bloom,
         }
         self._publish(new)
         return new["version"]
@@ -494,7 +552,8 @@ class ManifestTable:
             raise ValueError(
                 f"key_columns {keys} != recorded {m['key_columns']}"
             )
-        files, stats = self._write_fileset(updates, stats_cols)
+        bloom = m.get("bloom_cols", [])
+        files, stats = self._write_fileset(updates, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": m["files"],
@@ -502,6 +561,7 @@ class ManifestTable:
             "key_columns": keys,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": {**m.get("stats", {}), **stats},
+            "bloom_cols": bloom,
         }
         self._publish(new)
         return new["version"]
@@ -585,18 +645,28 @@ class ManifestTable:
         spark: SparkSession,
         stats_cols: Sequence[str] = (),
         batch_id: Optional[str] = None,
+        bloom_cols: Sequence[str] = (),
     ) -> int:
         """Fold outstanding deltas into new base files (scheduled
         compaction): materialize the resolved view, publish it as the
         new base, clear the delta list.  Old base+delta files stay
-        readable for time travel until vacuum."""
+        readable for time travel until vacuum.
+
+        The table's recorded ``bloom_cols`` property is rebuilt on the
+        new base files by default (pass a non-empty ``bloom_cols`` to
+        override/update it) — without the rebuild a compaction would
+        silently drop the per-file Bloom indexes, degrading
+        equality-probe skipping to opening every file.  Rebuild cost is
+        one single-column read per new file per indexed column, paid
+        here at compaction time like any lakehouse bloom index."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
         if not m.get("deltas"):
             return m["version"]
+        bloom = list(bloom_cols) or m.get("bloom_cols", [])
         resolved = self.read_resolved(spark)
-        files, stats = self._write_fileset(resolved, stats_cols)
+        files, stats = self._write_fileset(resolved, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -604,6 +674,7 @@ class ManifestTable:
             "key_columns": m.get("key_columns"),
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": stats,
+            "bloom_cols": bloom,
         }
         self._publish(new)
         return new["version"]

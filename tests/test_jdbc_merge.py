@@ -96,6 +96,31 @@ class TestStageIsolation:
         finally:
             cat._drop_stage(s)
 
+    def test_stage_name_bounded_for_long_table_names(self, cat, updates):
+        """ADVICE r7: the hashed-suffix fallback capped the batch_id
+        part but not the table-name part — a ~100+-char table name
+        still pushed the stage name past Derby's identifier limit.
+        The name portion is now bounded too, and the hash covers the
+        FULL (name, batch_id) pair so two long names sharing a
+        truncated prefix still stage under distinct names."""
+        long_a = "t" * 110 + "_a"
+        long_b = "t" * 110 + "_b"  # same 100-char prefix as long_a
+        batch = "batch_" + "x" * 150  # identifier-safe: sanitize is a no-op
+        sa = cat._stage(long_a, updates, batch_id=batch)
+        sb = cat._stage(long_b, updates, batch_id=batch)
+        try:
+            assert len(sa) <= 120 and len(sb) <= 120
+            assert sa != sb  # prefix-sharing names must not collide
+            # deterministic per (name, batch_id): a replay reuses its
+            # own stage (name computed, not re-staged, to avoid a write)
+            import hashlib
+
+            digest = hashlib.sha1(f"{long_a}|{batch}".encode()).hexdigest()[:12]
+            assert sa == f"{long_a[:100]}__stage_{digest}"
+        finally:
+            cat._drop_stage(sa)
+            cat._drop_stage(sb)
+
 
 class TestDerbyMergeParity:
     def test_upsert_matches_join_emulation(self, cat, target, updates):

@@ -309,9 +309,9 @@ def test_pruned_merge_computes_bounds_on_materialized_updates(spark, table, cust
     captured = {}
     orig = table._write_fileset
 
-    def spy(df, stats_cols=()):
+    def spy(df, stats_cols=(), bloom_cols=()):
         captured["plan"] = df._jdf.queryExecution().optimizedPlan().toString()
-        return orig(df, stats_cols)
+        return orig(df, stats_cols, bloom_cols)
 
     table._write_fileset = spy
     upd = customers.filter(F.col("c_custkey").between(10, 60)).withColumn(
@@ -473,3 +473,141 @@ class TestBloomIndex:
                 rr.doc_id == r.doc_id
                 for rr in t.read_pruned_eq(spark, "fp", r.fp).collect()
             )
+
+
+class TestBloomTypeCanonicalization:
+    """ADVICE r7 (medium): bloom positions hashed str(value), so an int
+    column probed with 42.0 or Decimal('42') gave '42.0'/'42' string
+    mismatches — silent bloom FALSE NEGATIVES that dropped matching
+    rows even though min/max pruning (numeric comparison) kept the
+    file.  Values are now canonicalized before hashing."""
+
+    def test_canonical_forms_unify_numeric_types(self):
+        from decimal import Decimal
+
+        c = ManifestTable._bloom_canon
+        assert c(42) == c(42.0) == c(Decimal("42"))
+        assert c(0.5) == c(Decimal("0.5"))
+        assert c(True) != c(1)  # bool is its own domain, not the int 1
+        assert c("abc") == "abc"  # non-numerics pass through
+        c(float("nan")), c(float("inf"))  # no crash on non-finite
+
+    def test_int_column_probed_with_float_keeps_the_file(self, spark, tmp_path, customers):
+        from decimal import Decimal
+
+        t = ManifestTable(str(tmp_path / "ints"))
+        t.commit_overwrite(
+            customers.repartition(8, "c_custkey"),
+            stats_cols=["c_custkey"],
+            bloom_cols=["c_custkey"],
+        )
+        keep_int, total = t.prune_plan_eq("c_custkey", 7)
+        assert keep_int and len(keep_int) < total
+        for probe in (7.0, Decimal("7")):
+            keep, _ = t.prune_plan_eq("c_custkey", probe)
+            assert keep == keep_int, (
+                f"bloom false-negative probing int column with "
+                f"{type(probe).__name__}"
+            )
+            got = t.read_pruned_eq(spark, "c_custkey", probe)
+            assert got.count() == 1
+
+
+class TestPrunedReadersOverDeltas:
+    def test_pruned_reads_refuse_outstanding_deltas(self, spark, tmp_path, customers):
+        """ADVICE r7: the base-only pruned readers silently returned
+        stale pre-delta rows on a merge-on-read table; they now raise
+        and point at read_resolved, like commit_merge does."""
+        t = ManifestTable(str(tmp_path / "mor"))
+        t.commit_overwrite(customers, batch_id="seed", stats_cols=["c_custkey"])
+        upd = customers.filter(F.col("c_custkey").between(5, 9)).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 5.0
+        )
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1", stats_cols=["c_custkey"])
+        with pytest.raises(ValueError, match="read_resolved"):
+            t.read_pruned(spark, "c_custkey", 5, 9)
+        with pytest.raises(ValueError, match="read_resolved"):
+            t.read_pruned_multi(spark, {"c_custkey": (5, 9)})
+        with pytest.raises(ValueError, match="read_resolved"):
+            t.read_pruned_eq(spark, "c_custkey", 7)
+        # time travel to the pre-delta version still prunes (that
+        # snapshot has no deltas to miss)
+        assert t.read_pruned(spark, "c_custkey", 5, 9, version=1).count() == 5
+        # compaction folds the deltas and restores the pruned readers
+        t.compact(spark, stats_cols=["c_custkey"])
+        got = {
+            r.c_custkey: round(r.c_acctbal, 2)
+            for r in t.read_pruned(spark, "c_custkey", 5, 9).collect()
+        }
+        want = {r.c_custkey: round(r.c_acctbal, 2) for r in upd.collect()}
+        assert got == want
+
+
+class TestBloomIndexSurvivesRewrites:
+    """ADVICE r7: compact() had no bloom_cols path, so compacting a
+    bloom-indexed table silently dropped its per-file Bloom indexes
+    (reads stayed correct — missing bloom is conservative — but
+    equality-probe skipping degraded to opening every file).  The
+    bloom column list is now a persisted table property reused by
+    compact(), commit_merge(), and commit_delta()."""
+
+    @pytest.fixture()
+    def docs(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.col("text")).alias("fp")
+        )
+
+    def test_compact_rebuilds_recorded_bloom_index(self, spark, tmp_path, docs):
+        t = ManifestTable(str(tmp_path / "bt"))
+        t.commit_overwrite(
+            docs.repartition(16, "fp"),
+            batch_id="seed",
+            stats_cols=["fp"],
+            bloom_cols=["fp"],
+        )
+        assert t._read_manifest()["bloom_cols"] == ["fp"]
+        upd = docs.filter(F.col("doc_id") < 20).withColumn(
+            "fp", F.md5(F.concat(F.col("fp"), F.lit("v2")))
+        )
+        t.commit_delta(upd, ["doc_id"], batch_id="d1", stats_cols=["fp"])
+        t.compact(spark, stats_cols=["fp"])
+        m = t._read_manifest()
+        assert m["deltas"] == [] and m["bloom_cols"] == ["fp"]
+        # every post-compaction file carries a rebuilt bloom bitset
+        assert all("bloom" in m["stats"][f] for f in m["files"])
+        # and equality probes still skip: an ABSENT key prunes below
+        # total, which only a live bloom can do (min/max envelopes on
+        # md5 keys span the whole keyspace and keep every file) — note
+        # compaction may coalesce to few files, so probe absence rather
+        # than asserting a present key skips
+        probe = upd.filter(F.col("doc_id") == 7).first().fp
+        keep, total = t.prune_plan_eq("fp", probe)
+        assert keep  # present key survives (no false negative)
+        absent = sum(
+            len(t.prune_plan_eq("fp", f"absent-{i}")[0]) for i in range(20)
+        )
+        assert absent < 20 * total  # a dropped index would keep all, always
+        assert {r.doc_id for r in t.read_pruned_eq(spark, "fp", probe).collect()} == {7}
+
+    def test_cow_merge_rebuilds_bloom_on_rewritten_slice(self, spark, tmp_path, docs):
+        t = ManifestTable(str(tmp_path / "cb"))
+        t.commit_overwrite(
+            docs.repartition(8, "fp"),
+            batch_id="seed",
+            stats_cols=["fp"],
+            bloom_cols=["fp"],
+        )
+        upd = docs.filter(F.col("doc_id") < 10).withColumn(
+            "fp", F.md5(F.concat(F.col("fp"), F.lit("v2")))
+        )
+        t.commit_merge(spark, upd, ["doc_id"], batch_id="b1", stats_cols=["fp"])
+        m = t._read_manifest()
+        assert m["bloom_cols"] == ["fp"]
+        assert all("bloom" in m["stats"][f] for f in m["files"])
+        probe = upd.filter(F.col("doc_id") == 3).first().fp
+        keep, total = t.prune_plan_eq("fp", probe)
+        assert keep  # present key survives in the rewritten slice
+        absent = sum(
+            len(t.prune_plan_eq("fp", f"absent-{i}")[0]) for i in range(20)
+        )
+        assert absent < 20 * total  # rewritten files' blooms prove absence

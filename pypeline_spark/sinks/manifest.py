@@ -114,13 +114,27 @@ class ManifestTable:
         reader prunes files without opening them.
 
         ``bloom_cols``: columns additionally indexed with a per-file
-        Bloom bitset (stored under the file's ``"bloom"`` stats key) —
+        Bloom bitset (stored under the file's ``"bloom"`` stats key,
+        stamped with the bloom scheme version ``"bloom_v"``) —
         equality-probe skipping for hash/uuid/string keys whose
         per-file [min, max] envelope spans the whole keyspace and
-        prunes nothing.  Built at write time from one single-column
-        read per file (the Iceberg puffin / Delta bloom-index shape)."""
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        prunes nothing.  Built at write time DISTRIBUTED: one Spark
+        job over the staged files computes partial bitsets
+        executor-side and the driver only OR-combines and stores the
+        1 KiB results (the Iceberg puffin / Delta bloom-index shape —
+        index build cost scales with the cluster, not the driver)."""
+        # NOT underscore-prefixed: Hadoop path listings treat "_*" as
+        # hidden, and the distributed bloom build reads this directory
+        # back — a hidden-path filter would silently drop the scan.
+        # Invisibility comes from the manifest protocol (nothing
+        # references staged files), not from the name.
+        staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
+        blooms: dict = {}
+        if bloom_cols:
+            blooms = self._build_blooms_distributed(
+                df.sparkSession, staging, bloom_cols
+            )
         names: list[str] = []
         stats: dict = {}
         for f in sorted(os.listdir(staging)):
@@ -132,10 +146,11 @@ class ManifestTable:
             if stats_cols:
                 entry.update(self._footer_stats(src, stats_cols))
             if bloom_cols:
-                blooms = {
-                    c: self._build_bloom(src, c) for c in bloom_cols
-                }
-                entry["bloom"] = {c: b for c, b in blooms.items() if b}
+                entry["bloom"] = blooms.get(f, {})
+                if entry["bloom"]:
+                    entry["bloom_v"] = self._BLOOM_V
+                else:
+                    del entry["bloom"]
             if entry:
                 stats[name] = entry
             os.replace(src, os.path.join(self.data_dir, name))
@@ -174,6 +189,15 @@ class ManifestTable:
 
     _BLOOM_BITS = 8192  # m: 1 KiB bitset per file per column
     _BLOOM_K = 4  # hash functions; fp ≈ (1 - e^(-k·n/m))^k
+    # Bloom SCHEME version, stamped per file entry ("bloom_v").  The
+    # hash input changed in r8 (str(value) -> canonical numeric form),
+    # so a bitset persisted by the old scheme probed with the new canon
+    # is a silent FALSE NEGATIVE (bits set for '42.0', probed with
+    # '42').  Readers trust a bitset only when its recorded version
+    # matches; unversioned/older bitsets are treated as ABSENT
+    # (conservative — the file is kept and scanned) until the next
+    # rewrite/compaction rebuilds them under the current scheme.
+    _BLOOM_V = 2
 
     @staticmethod
     def _bloom_canon(value) -> str:
@@ -220,9 +244,12 @@ class ManifestTable:
 
     @classmethod
     def _build_bloom(cls, path: str, col: str) -> Optional[str]:
-        """Hex bitset over the file's values of ``col`` (one
-        single-column pyarrow read — index build cost is paid at write,
-        like every lakehouse bloom index)."""
+        """Hex bitset over the file's values of ``col`` — the
+        REFERENCE builder: one single-column pyarrow read, driver-side.
+        The production write path uses ``_build_blooms_distributed``
+        (same positions, executor-side); this single-file form defines
+        the scheme and pins bit-for-bit equality in
+        ``tests/test_manifest.py``."""
         import pyarrow.parquet as pq
 
         try:
@@ -237,10 +264,114 @@ class ManifestTable:
                 bits[pos // 8] |= 1 << (pos % 8)
         return bytes(bits).hex()
 
+    @classmethod
+    def _build_blooms_distributed(
+        cls, spark: SparkSession, staging: str, cols: Sequence[str]
+    ) -> dict:
+        """Per-file Bloom bitsets for every staged parquet file,
+        computed DISTRIBUTED: one Spark job maps Arrow batches to
+        partial bitsets executor-side (``mapInArrow`` keeps values in
+        Arrow — no pandas dtype coercion, so an int64 column with
+        nulls hashes as ints, bit-for-bit the reference builder); the
+        driver OR-combines the partials.  Driver work is O(files ×
+        1 KiB) index metadata — the same class as the parquet footer
+        stats read — never O(rows).  Returns
+        ``{staged_basename: {col: hex_bitset}}`` with an all-zero
+        bitset for a zero-row file (proves every probe absent, exactly
+        like the reference builder)."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        staged = [
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        ]
+        if not staged:
+            return {}
+        sdf = spark.read.parquet(staging)
+        present = [c for c in cols if c in sdf.columns]
+        if not present:
+            return {}
+        nbytes = cls._BLOOM_BITS // 8
+        positions = cls._bloom_positions
+        canon = cls._bloom_canon
+
+        def partial(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                files = tbl.column("__file__").to_pylist()
+                by_file: dict = {}
+                for i, f in enumerate(files):
+                    by_file.setdefault(f, []).append(i)
+                for fpath, idxs in by_file.items():
+                    fname = os.path.basename(unquote(urlparse(fpath).path))
+                    sub = tbl.take(idxs)
+                    out_files, out_cols, out_bits = [], [], []
+                    for c in present:
+                        bits = bytearray(nbytes)
+                        seen = set()
+                        for v in sub.column(c).to_pylist():
+                            if v is None:
+                                continue
+                            # the canon string IS the hash input: equal
+                            # canon => identical positions, so it's the
+                            # exact dedup key
+                            key = canon(v)
+                            if key in seen:
+                                continue
+                            seen.add(key)
+                            for pos in positions(v):
+                                bits[pos // 8] |= 1 << (pos % 8)
+                        out_files.append(fname)
+                        out_cols.append(c)
+                        out_bits.append(bytes(bits))
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(out_files, pa.string()),
+                            pa.array(out_cols, pa.string()),
+                            pa.array(out_bits, pa.binary()),
+                        ],
+                        names=["file", "col", "bits"],
+                    )
+
+        rows = (
+            sdf.select(F.input_file_name().alias("__file__"), *present)
+            .mapInArrow(partial, "file string, col string, bits binary")
+            # O(partitions × cols) 1 KiB partial bitsets — bounded index
+            # metadata, not table data (the one sanctioned driver
+            # materialization; see the test_plans static gate allowlist)
+            .toArrow()
+        )
+        merged: dict = {
+            f: {c: bytearray(nbytes) for c in present} for f in staged
+        }
+        for fname, c, b in zip(
+            rows.column("file").to_pylist(),
+            rows.column("col").to_pylist(),
+            rows.column("bits").to_pylist(),
+        ):
+            acc = merged.setdefault(fname, {}).setdefault(c, bytearray(nbytes))
+            for i, byte in enumerate(b):
+                acc[i] |= byte
+        return {
+            f: {c: bytes(bits).hex() for c, bits in d.items()}
+            for f, d in merged.items()
+        }
+
     def _bloom_may_contain(self, m: dict, name: str, col: str, value) -> bool:
         """False only when the file's bloom PROVES the value absent;
-        missing index → True (conservative, like missing min/max)."""
-        b = m.get("stats", {}).get(name, {}).get("bloom", {}).get(col)
+        missing index → True (conservative, like missing min/max).  A
+        bitset whose recorded scheme version (``bloom_v``) doesn't
+        match the current ``_BLOOM_V`` is treated as absent: probing
+        an old-scheme bitset with new-scheme positions would be a
+        silent false NEGATIVE, the one failure bloom pruning must
+        never have."""
+        entry = m.get("stats", {}).get(name, {})
+        if entry.get("bloom_v") != self._BLOOM_V:
+            return True
+        b = entry.get("bloom", {}).get(col)
         if b is None:
             return True
         bits = bytes.fromhex(b)
@@ -396,7 +527,7 @@ class ManifestTable:
         df: DataFrame,
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
-        bloom_cols: Sequence[str] = (),
+        bloom_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Replace the table contents; returns the new version (or the
         current one when batch_id was already applied).
@@ -404,12 +535,14 @@ class ManifestTable:
         ``bloom_cols`` is persisted in the manifest as a table property
         (like a lakehouse bloom-index table property), so later
         ``commit_merge``/``compact`` rebuilds keep the index alive
-        without re-stating the column list; passing a non-empty list
-        here updates the property."""
+        without re-stating the column list.  ``None`` (the default)
+        INHERITS the recorded property; any explicit sequence SETS it —
+        including an empty one, which CLEARS the property so the table
+        stops paying the per-file index rebuild on every commit."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
-        bloom = list(bloom_cols) or m.get("bloom_cols", [])
+        bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         files, stats = self._write_fileset(df, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
@@ -586,6 +719,13 @@ class ManifestTable:
         files and the surviving rows resolve completely.  (For a
         non-key column a key's latest delta row could be filtered out
         while its stale base row survives — asserted against.)
+
+        A POINT prune (``lo == hi``) additionally consults the
+        per-file Bloom bitsets on base AND delta files — the
+        merge-on-read point-lookup shape: ``commit_delta`` indexes
+        each delta batch at write time, so a single-key read opens
+        only the handful of files whose bloom admits the key instead
+        of every delta whose [min, max] envelope spans the keyspace.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -594,6 +734,10 @@ class ManifestTable:
         deltas = m.get("deltas", [])
         if not deltas:
             if prune is not None:
+                pcol, plo, phi = prune
+                if plo is not None and plo == phi:
+                    # bloom + stats point lookup on the compacted base
+                    return self.read_pruned_eq(spark, pcol, plo, version=version)
                 return self.read_pruned(spark, *prune, version=version)
             return self.read(spark, version)
         keys = m["key_columns"]
@@ -605,6 +749,7 @@ class ManifestTable:
                     f"prune column {col!r} must be a key column {keys} "
                     "for merge-on-read pruning to be exact"
                 )
+        point = lo is not None and lo == hi
         filesets = [m["files"]] + list(deltas)
         parts = []
         for rank, names in enumerate(filesets):
@@ -612,6 +757,12 @@ class ManifestTable:
                 names = [
                     f for f in names if self._overlaps(m, f, col, lo, hi)
                 ]
+                if point:
+                    names = [
+                        f
+                        for f in names
+                        if self._bloom_may_contain(m, f, col, lo)
+                    ]
             if not names:
                 continue
             df = spark.read.parquet(
@@ -645,7 +796,7 @@ class ManifestTable:
         spark: SparkSession,
         stats_cols: Sequence[str] = (),
         batch_id: Optional[str] = None,
-        bloom_cols: Sequence[str] = (),
+        bloom_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Fold outstanding deltas into new base files (scheduled
         compaction): materialize the resolved view, publish it as the
@@ -653,18 +804,18 @@ class ManifestTable:
         readable for time travel until vacuum.
 
         The table's recorded ``bloom_cols`` property is rebuilt on the
-        new base files by default (pass a non-empty ``bloom_cols`` to
-        override/update it) — without the rebuild a compaction would
-        silently drop the per-file Bloom indexes, degrading
-        equality-probe skipping to opening every file.  Rebuild cost is
-        one single-column read per new file per indexed column, paid
-        here at compaction time like any lakehouse bloom index."""
+        new base files by default — without the rebuild a compaction
+        would silently drop the per-file Bloom indexes, degrading
+        equality-probe skipping to opening every file.  Pass an
+        explicit sequence to override the property (an empty one
+        CLEARS it; ``None`` inherits).  The rebuild runs distributed
+        at compaction time like any lakehouse bloom index."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
         if not m.get("deltas"):
             return m["version"]
-        bloom = list(bloom_cols) or m.get("bloom_cols", [])
+        bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         resolved = self.read_resolved(spark)
         files, stats = self._write_fileset(resolved, stats_cols, bloom)
         new = {

@@ -390,7 +390,13 @@ class TestNoDriverCollects:
         import pypeline_spark
 
         root = os.path.dirname(pypeline_spark.__file__)
-        banned = (".collect()", ".toPandas()", ".toLocalIterator()")
+        banned = (".collect()", ".toPandas()", ".toLocalIterator()", ".toArrow()")
+        # The ONE sanctioned driver materialization: the manifest's
+        # distributed bloom-index build brings back O(partitions × cols)
+        # 1 KiB partial bitsets — bounded index METADATA (same class as
+        # its parquet-footer stats reads), never table rows.  Scoped to
+        # (file, marker) so any second use still fails loudly.
+        allowed = {("sinks/manifest.py", ".toArrow()")}
         offenders = []
         for dirpath, _, files in os.walk(root):
             for fn in files:
@@ -401,7 +407,10 @@ class TestNoDriverCollects:
                     src = fh.read()
                 for b in banned:
                     if b in src:
-                        offenders.append((os.path.relpath(path, root), b))
+                        rel = os.path.relpath(path, root)
+                        if (rel, b) in allowed and src.count(b) == 1:
+                            continue
+                        offenders.append((rel, b))
         assert not offenders, f"driver-side materialization in: {offenders}"
 
     def test_builders_return_lazy_dataframes(self, spark, sf_dir, cases):

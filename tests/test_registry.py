@@ -2,14 +2,44 @@
 queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
-Round-5 rotation: rounds 1-4 driver-certified 140 distinct queries.
-The window now holds the repaired q_sessionize_sql, the 3 tolerance-
-band oracle upgrades, the 5 re-CAST HUGEINT oracles, and 41 of the
-remaining never-driver-checked queries — pinned one-to-one against
-``registry._DRIVER_WINDOW`` so any drift is a loud failure.
+Round-9 rotation: the window holds the 3 never-driver-certified
+lakehouse queries, q_ewma_smooth (oracle changed r7 after its r4
+cert), the 39-query r3-stale cohort, and 7 r4 picks — pinned
+one-to-one against ``registry._DRIVER_WINDOW`` so any drift is a loud
+failure.  ``test_driver_window_covers_stale_certifications`` makes the
+round-8 process failure (a planned rotation that was never pinned)
+mechanically impossible: it parses every CORRECTNESS_r0*.json the
+driver has recorded and goes red when any registered query's latest
+driver-green round is absent or too stale while the pinned window
+doesn't schedule it for re-certification.
 """
 
+import json
+import re
+from pathlib import Path
+
 from pypeline_spark.registry import _DRIVER_WINDOW, load_all
+
+REPO = Path(__file__).resolve().parent.parent
+
+# A certification older than this many rounds behind the newest
+# CORRECTNESS record is "stale" and must be queued in _DRIVER_WINDOW.
+# With a 50-slot window over a 235-query registry, a full sweep takes
+# 5 rounds — so 5 is the tightest bound the rotation can guarantee.
+MAX_CERT_AGE_ROUNDS = 5
+
+
+def _latest_driver_green() -> tuple[dict[str, int], int]:
+    """(query -> latest driver-green round, newest recorded round)."""
+    latest: dict[str, int] = {}
+    newest = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r0*.json")):
+        rnd = int(re.search(r"r0*(\d+)", f.name).group(1))
+        newest = max(newest, rnd)
+        for q, v in json.loads(f.read_text()).items():
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                latest[q] = rnd
+    return latest, newest
 
 
 def test_driver_window_is_exactly_the_pinned_rotation():
@@ -33,6 +63,32 @@ def test_every_query_has_builder_and_doc():
     for name, case in cases.items():
         assert callable(case.builder), name
         assert name.startswith("q_"), name
+
+
+def test_driver_window_covers_stale_certifications():
+    """Every registered query must either hold a recent driver-green
+    row or sit in the pinned window for re-certification.  This is the
+    guard the r8 verdict directed: in round 8 a planned rotation was
+    never pinned, so three queries sat with zero driver certifications
+    while the driver re-certified fresh ones.  Red here means: rotate
+    ``_DRIVER_WINDOW`` before the round ends."""
+    latest, newest = _latest_driver_green()
+    if newest == 0:  # no driver records yet (fresh clone)
+        return
+    window = set(_DRIVER_WINDOW)
+    overdue = []
+    for name in load_all():
+        cert = latest.get(name)
+        if name in window:
+            continue  # queued for re-certification this round
+        if cert is None:
+            overdue.append(f"{name} (never driver-certified)")
+        elif newest - cert >= MAX_CERT_AGE_ROUNDS:
+            overdue.append(f"{name} (latest cert r{cert}, newest record r{newest})")
+    assert not overdue, (
+        "queries overdue for driver certification and not in _DRIVER_WINDOW: "
+        + ", ".join(overdue)
+    )
 
 
 def test_rows_only_set_is_empty():

@@ -62,77 +62,87 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-9 window is the staleness rotation the r8 verdict directed.
-# Cumulative driver record after round 8: 232 of 235 registered queries
-# ever driver-green; latest-cert histogram r3=39 / r4=45 / r5=49 /
-# r6=49 / r8=50.  This window pins (a) the three queries with ZERO
-# driver-green rows ever (q_manifest_mor / q_manifest_zorder /
-# q_manifest_bloom, added late r7 when the r8 rotation was never
-# pinned), (b) q_ewma_smooth (oracle text changed in r7, latest cert
-# r4), (c) the entire 39-query r3-stale cohort (five rounds of
-# session/catalog churn on top of those certs), and (d) 7 r4 picks on
-# paths touched since r4 (as-of join, pruned events scan, bucketed and
-# salted joins, applyInPandas sessionizer, streaming tumbling window,
-# Z-order layout) — 50 total, all strict-canon green locally at sf0.01
-# (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
-# tests/test_registry.py enforces the rotation invariant mechanically:
-# any registered query whose latest driver-green round is absent or
-# stale must sit in this window.
+# The round-10 window is the staleness rotation the r9 verdict
+# directed.  Cumulative driver record after round 9: 235 of 235
+# registered queries ever driver-green (never-certified set EMPTY);
+# latest-cert histogram r4=37 / r5=49 / r6=49 / r8=50 / r9=50.  This
+# window pins (a) the complete 37-query r4-certified cohort — the
+# export/composition tier (shards, packing, chunks, vocab, mixture,
+# quantize), the behavioral tier (funnel, cohort retention, RFM,
+# market basket, rolling DAU), TPC-H Q3/Q5/Q8/Q10 and the remaining
+# agg/window/profile entries — whose certs hit the staleness bound now
+# that CORRECTNESS_r09 is the newest record, and (b) 13 r5 picks
+# front-loaded so the 49-query r5 cohort drains across two windows:
+# the as-of pair, CDC apply + pipeline, the dedup/ANN meta-evals
+# (recall, LSH efficiency, URL, semantic, span share), recursive CTE,
+# VARIANT extraction, and the non-associative capped running scan.
+# All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
+# tools/check_oracle.py) before pinning.
+#
+# Rotation runway (keeps tests/test_registry.py's staleness guard
+# satisfiable at every step; cohort sizes from the histogram above):
+#   r10 window = 37 r4 + 13 r5   -> after r10: r5 cohort 36 remain
+#   r11 window = 36 r5 + 14 r6   -> after r11: r6 cohort 35 remain
+#   r12 window = 35 r6 + 15 r8   -> after r12: r8 cohort 35 remain
+#   r13 window = 35 r8 + 15 r9   -> histogram flat at <=50 per round
+# Steady state re-certifies every query at most 6 rounds apart, inside
+# the guard's >MAX_CERT_AGE_ROUNDS bound (235 queries / 50 slots).
+# tests/test_registry.py enforces the invariant mechanically: any
+# registered query whose latest driver-green round is absent or stale
+# must sit in this window.
 _DRIVER_WINDOW = (
-    # never driver-certified (added late r7)
-    "q_manifest_mor",
-    "q_manifest_zorder",
-    "q_manifest_bloom",
-    # oracle changed r7; latest cert r4
-    "q_ewma_smooth",
-    # staleness rotation: latest driver-green row is round 3
-    "q_agg_salted",
-    "q_click_gaps",
-    "q_corpus_pipeline",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_embedding_stats",
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_multimodal_meta",
-    "q_multimodal_pointers",
-    "q_ngram_jaccard",
-    "q_pii_scrub",
-    "q_pipeline_etl",
-    "q_quality_score",
-    "q_range_join",
-    "q_repetition",
-    "q_running_totals",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scd2",
-    "q_session",
-    "q_simhash",
-    "q_sliding",
-    "q_snapshot_diff",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_text_stats",
-    "q_token_count",
-    "q_topk_cosine",
-    "q_udf_token_count",
-    "q_update_only",
-    "q_upsert",
-    "q_upsert_excluded",
-    # r4 picks: paths touched since certification
-    "q_asof_join",
-    "q_events_pruned",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_sessionize_pandas",
-    "q_tumbling",
-    "q_zorder",
+    # staleness rotation: latest driver-green row is round 4
+    "q_bpe_pairs",
+    "q_cohort_retention",
+    "q_column_profile",
+    "q_conditional_agg",
+    "q_corr",
+    "q_corr_matrix",
+    "q_date_gap_fill",
+    "q_doc_chunks",
+    "q_dq_checks",
+    "q_embedding_quantize",
+    "q_feature_hist",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_interpolate",
+    "q_lateral",
+    "q_lm_quality",
+    "q_market_basket",
+    "q_market_share",
+    "q_median_iqr",
+    "q_mixture_sample",
+    "q_not_in_nulls",
+    "q_nullsafe_join",
+    "q_outliers",
+    "q_pack_sequences",
+    "q_percentile",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_rfm",
+    "q_rolling_dau",
+    "q_shipping_priority",
+    "q_stream_enrich",
+    "q_string_agg",
+    "q_time_rollup",
+    "q_train_shards",
+    "q_unpivot",
+    "q_vocab_stats",
+    # r5 picks: front-loading the 49-query r5 cohort (36 remain for r11)
+    "q_asof_forward",
+    "q_asof_nearest",
+    "q_capped_running",
+    "q_cdc_apply",
+    "q_dedup_recall",
+    "q_dedup_url",
+    "q_knn_recall",
+    "q_lsh_efficiency",
+    "q_pipeline_cdc",
+    "q_recursive_cte",
+    "q_semantic_dedup",
+    "q_span_dup_share",
+    "q_variant_props",
 )
 
 _OPERATOR_MODULES = (

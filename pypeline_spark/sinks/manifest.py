@@ -135,6 +135,11 @@ class ManifestTable:
             blooms = self._build_blooms_distributed(
                 df.sparkSession, staging, bloom_cols
             )
+        footer: dict = {}
+        if stats_cols:
+            footer = self._footer_stats_distributed(
+                df.sparkSession, staging, stats_cols
+            )
         names: list[str] = []
         stats: dict = {}
         for f in sorted(os.listdir(staging)):
@@ -144,7 +149,7 @@ class ManifestTable:
             src = os.path.join(staging, f)
             entry: dict = {}
             if stats_cols:
-                entry.update(self._footer_stats(src, stats_cols))
+                entry.update(footer.get(f, {}))
             if bloom_cols:
                 entry["bloom"] = blooms.get(f, {})
                 if entry["bloom"]:
@@ -184,6 +189,69 @@ class ManifestTable:
             if ok and lo is not None:
                 out[col] = [lo, hi]
         return out
+
+    @staticmethod
+    def _collect_index_metadata(df: DataFrame):
+        """The package's ONE sanctioned driver materialization (the
+        ``tests/test_plans.py`` no-collect gate allowlists exactly this
+        call site): both index-build jobs — bloom partial bitsets and
+        per-file footer [min, max] rows — funnel their results through
+        here.  Input is always bounded O(files × cols) index METADATA
+        (1 KiB bitsets / JSON stat rows), never table rows."""
+        return df.toArrow()
+
+    @classmethod
+    def _footer_stats_distributed(
+        cls, spark: SparkSession, staging: str, cols: Sequence[str]
+    ) -> dict:
+        """Per-staged-file [min, max] column stats, computed
+        DISTRIBUTED: one Spark job fans the staged file list out
+        (one path per partition) and each executor runs the SAME
+        ``_footer_stats`` parquet-footer reader on its files —
+        bit-identical to the serial driver loop by construction, with
+        the per-file results shipped back as JSON (lossless for every
+        manifest-persistable stat type: the manifest itself is
+        ``json.dump``-ed, so int/float/str round-trip exactly).
+        Driver work is O(files × cols) small rows — the same metadata
+        class as the bloom partials.  Same shared-filesystem
+        requirement as the bloom build: executors read ``staging`` by
+        path (HDFS/S3/NFS on a real cluster; local disk on local[k]).
+        Returns ``{staged_basename: {col: [min, max]}}``."""
+        staged = [
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        ]
+        if not staged or not cols:
+            return {}
+        footer = cls._footer_stats
+        cols_t = tuple(cols)
+
+        def read_footers(batches):
+            import json as _json
+
+            import pyarrow as pa
+
+            for batch in batches:
+                names, blobs = [], []
+                for p in batch.column(0).to_pylist():
+                    names.append(os.path.basename(p))
+                    blobs.append(_json.dumps(footer(p, cols_t)))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(names, pa.string()), pa.array(blobs, pa.string())],
+                    names=["name", "stats"],
+                )
+
+        paths = spark.createDataFrame(
+            [(os.path.join(staging, f),) for f in staged], "path string"
+        ).repartition(len(staged))
+        rows = cls._collect_index_metadata(
+            paths.mapInArrow(read_footers, "name string, stats string")
+        )
+        return {
+            n: json.loads(s)
+            for n, s in zip(
+                rows.column("name").to_pylist(), rows.column("stats").to_pylist()
+            )
+        }
 
     # -- bloom file index -------------------------------------------------
 
@@ -275,7 +343,12 @@ class ManifestTable:
         nulls hashes as ints, bit-for-bit the reference builder); the
         driver OR-combines the partials.  Driver work is O(files ×
         1 KiB) index metadata — the same class as the parquet footer
-        stats read — never O(rows).  Returns
+        stats read — never O(rows).  NOTE: the executor-side scan
+        reads ``staging`` by path, so on a real multi-node cluster the
+        staging dir must live on storage every executor can reach
+        (HDFS/S3/NFS) — the same shared-filesystem assumption the rest
+        of this module (os.listdir/os.replace commit swap) already
+        makes; on local[k] the local disk satisfies it.  Returns
         ``{staged_basename: {col: hex_bitset}}`` with an all-zero
         bitset for a zero-row file (proves every probe absent, exactly
         like the reference builder)."""
@@ -336,13 +409,11 @@ class ManifestTable:
                         names=["file", "col", "bits"],
                     )
 
-        rows = (
+        rows = cls._collect_index_metadata(
             sdf.select(F.input_file_name().alias("__file__"), *present)
             .mapInArrow(partial, "file string, col string, bits binary")
             # O(partitions × cols) 1 KiB partial bitsets — bounded index
-            # metadata, not table data (the one sanctioned driver
-            # materialization; see the test_plans static gate allowlist)
-            .toArrow()
+            # metadata, not table data
         )
         merged: dict = {
             f: {c: bytearray(nbytes) for c in present} for f in staged

@@ -2,13 +2,13 @@
 queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
-Round-9 rotation: the window holds the 3 never-driver-certified
-lakehouse queries, q_ewma_smooth (oracle changed r7 after its r4
-cert), the 39-query r3-stale cohort, and 7 r4 picks — pinned
-one-to-one against ``registry._DRIVER_WINDOW`` so any drift is a loud
-failure.  ``test_driver_window_covers_stale_certifications`` makes the
-round-8 process failure (a planned rotation that was never pinned)
-mechanically impossible: it parses every CORRECTNESS_r0*.json the
+Round-10 rotation: the window holds the complete 37-query r4-stale
+cohort plus 13 r5 picks (front-loading the 49-query r5 cohort so it
+drains across the r10/r11 windows) — pinned one-to-one against
+``registry._DRIVER_WINDOW`` so any drift is a loud failure.
+``test_driver_window_covers_stale_certifications`` makes the round-8
+process failure (a planned rotation that was never pinned)
+mechanically impossible: it parses every CORRECTNESS_r*.json the
 driver has recorded and goes red when any registered query's latest
 driver-green round is absent or too stale while the pinned window
 doesn't schedule it for re-certification.
@@ -22,10 +22,17 @@ from pypeline_spark.registry import _DRIVER_WINDOW, load_all
 
 REPO = Path(__file__).resolve().parent.parent
 
-# A certification older than this many rounds behind the newest
+# A certification MORE than this many rounds behind the newest
 # CORRECTNESS record is "stale" and must be queued in _DRIVER_WINDOW.
-# With a 50-slot window over a 235-query registry, a full sweep takes
-# 5 rounds — so 5 is the tightest bound the rotation can guarantee.
+# The comparison is strict (newest - cert > bound): a query certified
+# at round c is flagged once the newest record reaches c+6, so it must
+# sit in the window pinned for round c+7 at the latest — a 6-to-7
+# round re-certification interval.  That needs ceil(235/6) = 40 slots
+# per 50-slot window in steady state, so a skewed backlog (two >=49
+# cohorts going stale back-to-back, as after r9) can drain over two
+# windows without the guard becoming unsatisfiable.  (The r9 guard
+# used >=, which demanded ceil(235/5) = 47 slots and left no slack —
+# flagged by the r9 advisor as structurally fragile.)
 MAX_CERT_AGE_ROUNDS = 5
 
 
@@ -33,7 +40,9 @@ def _latest_driver_green() -> tuple[dict[str, int], int]:
     """(query -> latest driver-green round, newest recorded round)."""
     latest: dict[str, int] = {}
     newest = 0
-    for f in sorted(REPO.glob("CORRECTNESS_r0*.json")):
+    # r*.json, not r0*.json: the latter stops matching at round 10
+    # (the regex below already parses both r09 and r10 forms).
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", f.name).group(1))
         newest = max(newest, rnd)
         for q, v in json.loads(f.read_text()).items():
@@ -83,7 +92,7 @@ def test_driver_window_covers_stale_certifications():
             continue  # queued for re-certification this round
         if cert is None:
             overdue.append(f"{name} (never driver-certified)")
-        elif newest - cert >= MAX_CERT_AGE_ROUNDS:
+        elif newest - cert > MAX_CERT_AGE_ROUNDS:
             overdue.append(f"{name} (latest cert r{cert}, newest record r{newest})")
     assert not overdue, (
         "queries overdue for driver certification and not in _DRIVER_WINDOW: "

@@ -87,6 +87,27 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 #   r13 window = 35 r8 + 15 r9   -> histogram flat at <=50 per round
 # Steady state re-certifies every query at most 6 rounds apart, inside
 # the guard's >MAX_CERT_AGE_ROUNDS bound (235 queries / 50 slots).
+#
+# Planned r11 window, pre-computed so the next rotation is mechanical
+# (re-derive against CORRECTNESS_r10 before pinning, then pre-verify
+# all 50 driver-strict at sf0.01 per the standing recipe).
+# The 36 remaining r5-certified queries:
+#   q_ab_test q_anomaly_zscore q_approx_distinct q_batch_inference
+#   q_benford q_bfs_hops q_bm25 q_boilerplate q_bpe_apply
+#   q_disjunctive_pred q_embedding_centroids q_excess_suppliers
+#   q_gopher_rules q_hll_rollup q_key_skew q_large_orders
+#   q_min_cost_supplier q_nation_volume q_order_count_distribution
+#   q_pagerank q_percentile_approx q_pit_join q_priority_lateness
+#   q_product_profit q_promo_revenue q_quality_deciles
+#   q_record_linkage q_sales_opportunity q_sessionize_sql
+#   q_shipmode_priority q_small_qty_revenue q_supplier_part_counts
+#   q_top_supplier q_url_extract q_value_concentration
+#   q_waiting_orders
+# plus 14 r6 picks (first of the 49-query r6 cohort, alphabetical):
+#   q_attribution q_audio_energy q_bigram_lm q_cluster_sizes
+#   q_cms_users q_containment q_coverage_topk q_delete_keys
+#   q_domain_cap q_dp_counts q_epoch_shuffle q_equidepth_hist
+#   q_heavy_hitters_cms q_image_phash
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.

@@ -689,6 +689,14 @@ class TestDistributedFooterStats:
             # the stats must be the real envelope, not a placeholder
             assert "fp" in serial and "no_such_col" not in serial
 
+    def test_empty_inputs_return_empty(self, spark, tmp_path):
+        empty = str(tmp_path / "empty")
+        os.makedirs(empty)
+        assert ManifestTable._footer_stats_distributed(spark, empty, ["a"]) == {}
+        staged = str(tmp_path / "staged")
+        spark.range(5).write.parquet(staged)
+        assert ManifestTable._footer_stats_distributed(spark, staged, []) == {}
+
     def test_write_fileset_records_identical_stats(self, spark, tmp_path, customers):
         # end-to-end: the manifest entry written through the
         # distributed job equals what the serial loop would have put

@@ -41,6 +41,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Ambient host load BEFORE Spark spins up: sampled at the end it
+    # would mostly measure the bench's own executors.  Recorded in the
+    # output line for adjudicating run-to-run deltas — concurrent load
+    # inflates totals ~10-25% uniformly (the recurring noise signature
+    # in SCALE.md), so a reader can separate host noise from a real
+    # regression without needing a separate idle replay.
+    try:
+        ambient_load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        ambient_load = None
     cases = load_all()
     spark = get_spark("pypeline_spark_bench")
     # The localCheckpoint-backed queries emit benign "Failed to update
@@ -89,6 +99,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ambient_load is not None:
+        out["load_avg_start"] = ambient_load
     print(json.dumps(out))
 
 

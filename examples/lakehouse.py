@@ -118,11 +118,19 @@ def main(sf_dir: str) -> None:
               f"{len(by_range)}/{total} files, bloom keeps {len(by_bloom)}; "
               f"matching rows = {bt.read_pruned_eq(spark, 'fp', probe).count()}")
 
-        # -- time travel + vacuum ---------------------------------------
+        # -- 5. bin-packing OPTIMIZE ------------------------------------
+        frag = len(bt._read_manifest()["files"])
+        bt.optimize(spark, target_rows=2000, stats_cols=["fp"])
+        m = bt._read_manifest()
+        print(f"5. OPTIMIZE: {frag} -> {len(m['files'])} files "
+              f"(bloom index rebuilt: "
+              f"{all('bloom' in m['stats'][f] for f in m['files'])})")
+
+        # -- 6. time travel + vacuum ------------------------------------
         v_now = cow.version()
         n_v1 = cow.read(spark, version=1).count()
         removed = cow.vacuum(keep_versions=1)
-        print(f"5. time travel: v1 had {n_v1} rows (current v{v_now}); "
+        print(f"6. time travel: v1 had {n_v1} rows (current v{v_now}); "
               f"vacuum(keep=1) removed {removed} unreferenced files")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -635,3 +635,161 @@ def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_optimize",
+    # The oracle recomputes the content aggregate straight from the
+    # source table and the post-OPTIMIZE file count from the same
+    # bin-packing arithmetic (ceil(rows / target)); the Spark side
+    # reads the table back through the rewritten manifest and reports
+    # the ACTUAL file count — the hash match proves the bin-packing
+    # rewrite is content-lossless AND lands exactly the predicted
+    # number of files at every fixture scale.
+    oracle="""
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST((SELECT CEIL(COUNT(*) / 500.0) FROM customer) AS BIGINT)
+               AS n_files
+    FROM customer
+    GROUP BY bucket
+    """,
+)
+def q_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file bin-packing (the lakehouse ``OPTIMIZE`` command):
+    the customer table is committed deliberately fragmented (24-way
+    round-robin — the shape a high-frequency ingest leaves behind),
+    then ``ManifestTable.optimize`` rewrites it to
+    ceil(rows / target_rows) evenly sized files.  The query aggregates
+    the post-OPTIMIZE table and reports the manifest's actual file
+    count; the oracle predicts both from first principles.
+
+    Scale: file count is the unit of planning cost and scan
+    parallelism — without scheduled bin-packing a CDC/streaming ingest
+    degrades a 100 TB table into millions of KB files.  The rewrite is
+    one round-robin shuffle; stats/bloom index rebuilds run as
+    distributed jobs (index preservation pinned in
+    tests/test_manifest.py).
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="manifest_opt_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.repartition(24), batch_id="seed", stats_cols=["c_custkey"]
+        )
+        table.optimize(
+            spark, target_rows=500, batch_id="opt", stats_cols=["c_custkey"]
+        )
+        n_files = len(table._read_manifest()["files"])
+        out = (
+            table.read(spark)
+            .groupBy(F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .withColumn("n_files", F.lit(n_files).cast("bigint"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_vacuum",
+    # The oracle recomputes the two RETAINED snapshots from first
+    # principles (v2 = full table, v3 = even keys only) and pins the
+    # retained-manifest count at the vacuum's keep_versions=2; the
+    # Spark side reads one snapshot by time travel and one as current
+    # AFTER vacuuming the oldest version's files — the hash match
+    # proves retention removes only what no retained version
+    # references.  Physical file deletion and the vacuumed-version
+    # read refusal are pinned in tests/test_manifest.py.
+    oracle="""
+    WITH v2 AS (
+        SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ),
+    v3 AS (
+        SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT 'previous' AS snapshot, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(2 AS BIGINT) AS n_manifests
+    FROM v2 GROUP BY bucket
+    UNION ALL
+    SELECT 'current' AS snapshot, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(2 AS BIGINT) AS n_manifests
+    FROM v3 GROUP BY bucket
+    """,
+)
+def q_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum: three overwrite commits build a version
+    history, ``vacuum(keep_versions=2)`` physically removes the data
+    files referenced only by the expired oldest version, and the query
+    aggregates BOTH retained snapshots — the newest read as current,
+    the prior one by time travel — proving reads of every retained
+    version survive the cleanup intact.
+
+    Scale: vacuum cost is O(manifests × files) pure metadata — set
+    arithmetic over file-name lists, no data I/O — so retention on a
+    100 TB table is a driver-side sweep plus unlink calls that object
+    stores batch; readers are never blocked because retained manifests
+    pin immutable file sets (the Delta VACUUM / Iceberg
+    expire_snapshots contract).
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="manifest_vac_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 3 != 0), batch_id="v1"
+        )
+        table.commit_overwrite(c, batch_id="v2")
+        v3 = table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 2 == 0), batch_id="v3"
+        )
+        table.vacuum(keep_versions=2)
+        n_manifests = sum(
+            1
+            for f in _os.listdir(scratch)
+            if f.startswith("_manifest.v") and f.endswith(".json")
+        )
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+
+        def snap(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy(
+                F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket")
+            ).agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(cents).cast("bigint").alias("sum_cents"),
+            ).select(F.lit(tag).alias("snapshot"), "*")
+
+        out = snap(table.read(spark, version=v3 - 1), "previous").unionByName(
+            snap(table.read(spark), "current")
+        ).withColumn("n_manifests", F.lit(n_manifests).cast("bigint"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

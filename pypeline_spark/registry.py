@@ -71,27 +71,36 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # quantize), the behavioral tier (funnel, cohort retention, RFM,
 # market basket, rolling DAU), TPC-H Q3/Q5/Q8/Q10 and the remaining
 # agg/window/profile entries — whose certs hit the staleness bound now
-# that CORRECTNESS_r09 is the newest record, and (b) 13 r5 picks
+# that CORRECTNESS_r09 is the newest record, (b) 10 r5 picks
 # front-loaded so the 49-query r5 cohort drains across two windows:
 # the as-of pair, CDC apply + pipeline, the dedup/ANN meta-evals
-# (recall, LSH efficiency, URL, semantic, span share), recursive CTE,
-# VARIANT extraction, and the non-associative capped running scan.
+# (recall, LSH efficiency, URL), recursive CTE, and the
+# non-associative capped running scan, and (c) first-certification
+# slots for the three operators ADDED mid-round-10 — manifest
+# bin-packing OPTIMIZE, retention VACUUM, and the runtime
+# Bloom-prefiltered join (operators/runtime_filter.py) — which the
+# staleness guard would otherwise flag as never-certified the moment
+# they registered.  Their slots come from deferring q_semantic_dedup /
+# q_span_dup_share / q_variant_props (cert r5, age 5 at the r10
+# record — still inside the strict >5 bound) to the r11 window.
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; cohort sizes from the histogram above):
-#   r10 window = 37 r4 + 13 r5   -> after r10: r5 cohort 36 remain
-#   r11 window = 36 r5 + 14 r6   -> after r11: r6 cohort 35 remain
-#   r12 window = 35 r6 + 15 r8   -> after r12: r8 cohort 35 remain
-#   r13 window = 35 r8 + 15 r9   -> histogram flat at <=50 per round
+# satisfiable at every step; registry 238 after the r10 additions):
+#   r10 window = 37 r4 + 10 r5 + 3 new -> after r10: 39 r5 remain
+#   r11 window = 39 r5 + 11 r6         -> after r11: 38 r6 remain
+#   r12 window = 38 r6 + 12 r8         -> after r12: 38 r8 remain
+#   r13 window = 38 r8 + 12 r9         -> after r13: 38 r9 remain
+#   r14 window = 38 r9 + 12 r10        -> histogram flat at <=50/round
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (235 queries / 50 slots).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (238 queries / 50 slots —
+# ceil(238/6) = 40 needed, 10 slack per window).
 #
 # Planned r11 window, pre-computed so the next rotation is mechanical
 # (re-derive against CORRECTNESS_r10 before pinning, then pre-verify
 # all 50 driver-strict at sf0.01 per the standing recipe).
-# The 36 remaining r5-certified queries:
+# The 39 remaining r5-certified queries:
 #   q_ab_test q_anomaly_zscore q_approx_distinct q_batch_inference
 #   q_benford q_bfs_hops q_bm25 q_boilerplate q_bpe_apply
 #   q_disjunctive_pred q_embedding_centroids q_excess_suppliers
@@ -99,15 +108,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 #   q_min_cost_supplier q_nation_volume q_order_count_distribution
 #   q_pagerank q_percentile_approx q_pit_join q_priority_lateness
 #   q_product_profit q_promo_revenue q_quality_deciles
-#   q_record_linkage q_sales_opportunity q_sessionize_sql
-#   q_shipmode_priority q_small_qty_revenue q_supplier_part_counts
-#   q_top_supplier q_url_extract q_value_concentration
+#   q_record_linkage q_sales_opportunity q_semantic_dedup
+#   q_sessionize_sql q_shipmode_priority q_small_qty_revenue
+#   q_span_dup_share q_supplier_part_counts q_top_supplier
+#   q_url_extract q_value_concentration q_variant_props
 #   q_waiting_orders
-# plus 14 r6 picks (first of the 49-query r6 cohort, alphabetical):
+# plus 11 r6 picks (first of the 49-query r6 cohort, alphabetical):
 #   q_attribution q_audio_energy q_bigram_lm q_cluster_sizes
 #   q_cms_users q_containment q_coverage_topk q_delete_keys
-#   q_domain_cap q_dp_counts q_epoch_shuffle q_equidepth_hist
-#   q_heavy_hitters_cms q_image_phash
+#   q_domain_cap q_dp_counts q_epoch_shuffle
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
@@ -161,9 +170,13 @@ _DRIVER_WINDOW = (
     "q_lsh_efficiency",
     "q_pipeline_cdc",
     "q_recursive_cte",
-    "q_semantic_dedup",
-    "q_span_dup_share",
-    "q_variant_props",
+    # first certification slots for the three operators added mid-r10
+    # (a never-certified query outside the window trips the staleness
+    # guard immediately — new operators MUST take window slots, paid
+    # for by deferring three r5 picks to r11; runway above re-derived)
+    "q_manifest_optimize",
+    "q_manifest_vacuum",
+    "q_bloom_join",
 )
 
 _OPERATOR_MODULES = (
@@ -199,6 +212,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.graph",
     "pypeline_spark.functions.inference",
     "pypeline_spark.operators.ivm",
+    "pypeline_spark.operators.runtime_filter",
 )
 
 

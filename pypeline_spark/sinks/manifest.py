@@ -901,6 +901,70 @@ class ManifestTable:
         self._publish(new)
         return new["version"]
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_rows: int,
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+        bloom_cols: Optional[Sequence[str]] = None,
+    ) -> int:
+        """Bin-packing compaction (the lakehouse ``OPTIMIZE`` shape):
+        rewrite the table — outstanding merge-on-read deltas folded in —
+        as ``ceil(rows / target_rows)`` evenly sized files, clearing the
+        small-file debt that frequent commits accumulate.  Old versions
+        stay readable for time travel until :meth:`vacuum`.
+
+        Differs from :meth:`compact` (which only folds deltas and keeps
+        the incoming partitioning): ``optimize`` re-buckets round-robin
+        to the target file count, so a table fragmented by many narrow
+        commits comes back to scan-efficient file sizes.  The round-robin
+        repartition guarantees evenly filled output files and an exact,
+        predictable file count whenever rows >= file count.
+
+        The table's recorded ``bloom_cols`` property is rebuilt on the
+        new files by default (``None`` inherits, a sequence overrides,
+        an empty one clears) — same contract as :meth:`compact`, so an
+        OPTIMIZE never silently drops the equality-skipping index.
+
+        Scale: this is the maintenance operation that keeps a 100 TB
+        manifest table healthy — file count is the unit of both planning
+        cost (O(files) manifest entries) and scan parallelism, and
+        without periodic bin-packing a streaming or CDC ingest degrades
+        into millions of KB-sized files.  The rewrite is one round-robin
+        shuffle sized by the data, the index rebuilds run distributed,
+        and the driver handles only O(files) metadata.  A selective
+        variant (only rewrite files below a size floor, carry the rest
+        like commit_merge's pruned path) rides the same manifest
+        carry-over machinery if rewrite amplification ever matters."""
+        if target_rows < 1:
+            raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if not m["files"] and not m.get("deltas"):
+            return m["version"]  # nothing to rewrite
+        current = (
+            self.read_resolved(spark) if m.get("deltas") else self.read(spark)
+        )
+        total = current.count()
+        n_files = max(1, -(-total // target_rows))  # ceil division
+        bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
+        files, stats = self._write_fileset(
+            current.repartition(n_files), stats_cols, bloom
+        )
+        new = {
+            "version": m["version"] + 1,
+            "files": files,
+            "deltas": [],
+            "key_columns": m.get("key_columns"),
+            "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "stats": stats,
+            "bloom_cols": bloom,
+        }
+        self._publish(new)
+        return new["version"]
+
     # -- retention ------------------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> int:

@@ -863,3 +863,73 @@ class TestMergeOnReadPointLookup:
         full = t.read_resolved(spark).filter(F.col("fp") >= "8").filter(F.col("fp") <= "9")
         pruned = t.read_resolved(spark, prune=("fp", "8", "9"))
         assert _canon(pruned) == _canon(full)
+
+
+class TestOptimize:
+    """Bin-packing OPTIMIZE: small-file compaction to a target file
+    count with content, index, and protocol invariants preserved."""
+
+    def test_bin_packs_to_ceil_rows_over_target(self, spark, table, customers):
+        base = customers.filter(F.col("c_custkey") <= 120)
+        n = base.count()
+        table.commit_overwrite(base.repartition(12))  # fragmented seed
+        assert len(table._read_manifest()["files"]) == 12
+        v = table.optimize(spark, target_rows=50)
+        m = table._read_manifest()
+        assert m["version"] == v == 2
+        assert len(m["files"]) == -(-n // 50)  # ceil
+        assert _canon(table.read(spark)) == _canon(base)
+        # the pre-optimize version stays time-travel readable
+        assert _canon(table.read(spark, version=1)) == _canon(base)
+
+    def test_folds_outstanding_deltas_last_writer_wins(
+        self, spark, table, customers
+    ):
+        base = customers.filter(F.col("c_custkey") <= 100)
+        table.commit_overwrite(base.repartition(6))
+        upd = base.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 99.0
+        )
+        table.commit_delta(upd, ["c_custkey"], batch_id="d1")
+        expected = _canon(table.read_resolved(spark))
+        table.optimize(spark, target_rows=1000)
+        m = table._read_manifest()
+        assert m["deltas"] == []
+        assert len(m["files"]) == 1
+        assert _canon(table.read(spark)) == expected
+        # key_columns survive: a later delta commit still resolves
+        upd2 = base.filter(F.col("c_custkey") <= 10).withColumn(
+            "c_acctbal", F.lit(0.0)
+        )
+        table.commit_delta(upd2, ["c_custkey"], batch_id="d2")
+        got = {
+            r.c_custkey: r.c_acctbal
+            for r in table.read_resolved(spark).collect()
+        }
+        assert all(got[k] == 0.0 for k in got if k <= 10)
+
+    def test_rebuilds_recorded_bloom_index(self, spark, table, customers):
+        d = customers.select(
+            "c_custkey", F.md5(F.col("c_name")).alias("fp")
+        ).filter(F.col("c_custkey") <= 100)
+        table.commit_overwrite(
+            d.repartition(8), stats_cols=["fp"], bloom_cols=["fp"]
+        )
+        table.optimize(spark, target_rows=25, stats_cols=["fp"])
+        m = table._read_manifest()
+        assert m["bloom_cols"] == ["fp"]  # property inherited
+        for f in m["files"]:
+            assert "fp" in m["stats"][f]["bloom"], f
+            assert m["stats"][f]["bloom_v"] == ManifestTable._BLOOM_V
+        probe = d.filter(F.col("c_custkey") == 7).first().fp
+        hit = table.read_pruned_eq(spark, "fp", probe)
+        assert [r.c_custkey for r in hit.collect()] == [7]
+
+    def test_replay_empty_and_bad_target(self, spark, table, customers):
+        assert table.optimize(spark, target_rows=10) == 0  # empty: no-op
+        table.commit_overwrite(customers.limit(20).repartition(4))
+        v = table.optimize(spark, target_rows=100, batch_id="opt1")
+        assert table.optimize(spark, target_rows=100, batch_id="opt1") == v
+        assert table.version() == v  # replay did not publish
+        with pytest.raises(ValueError):
+            table.optimize(spark, target_rows=0)

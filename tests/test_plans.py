@@ -433,9 +433,14 @@ class TestNoNestedLoopSweep:
     # scalar-subquery shape — Catalyst folds any literal equi-key away,
     # so it can only ever plan as a nested loop; O(n) with a 7-double
     # build side).
+    # q_bloom_join broadcasts a 1-ROW bitset relation onto the fact
+    # (same scalar-subquery shape as q_equidepth_hist's boundary row:
+    # no equi-key exists, so Catalyst can only plan a nested loop with
+    # a 1-row build side — O(n), and the whole point is the map-side
+    # prefilter it enables).
     INTENTIONAL = {
         "q_join_cross", "q_topk_cosine", "q_knn_ivf", "q_knn_recall",
-        "q_equidepth_hist", "q_equidepth_hist_approx",
+        "q_equidepth_hist", "q_equidepth_hist_approx", "q_bloom_join",
     }
     # Streaming builders execute a real streaming job; their plans are
     # asserted in tests/test_streaming.py instead.

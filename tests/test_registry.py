@@ -3,8 +3,10 @@ queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
 Round-10 rotation: the window holds the complete 37-query r4-stale
-cohort plus 13 r5 picks (front-loading the 49-query r5 cohort so it
-drains across the r10/r11 windows) — pinned one-to-one against
+cohort, 10 r5 picks (front-loading the 49-query r5 cohort so it
+drains across the r10/r11 windows), and first-certification slots for
+the three operators added mid-round-10 (manifest OPTIMIZE / VACUUM +
+the runtime bloom-prefiltered join) — pinned one-to-one against
 ``registry._DRIVER_WINDOW`` so any drift is a loud failure.
 ``test_driver_window_covers_stale_certifications`` makes the round-8
 process failure (a planned rotation that was never pinned)

@@ -908,6 +908,7 @@ class ManifestTable:
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
         bloom_cols: Optional[Sequence[str]] = None,
+        small_file_bytes: Optional[int] = None,
     ) -> int:
         """Bin-packing compaction (the lakehouse ``OPTIMIZE`` shape):
         rewrite the table — outstanding merge-on-read deltas folded in —
@@ -933,10 +934,21 @@ class ManifestTable:
         without periodic bin-packing a streaming or CDC ingest degrades
         into millions of KB-sized files.  The rewrite is one round-robin
         shuffle sized by the data, the index rebuilds run distributed,
-        and the driver handles only O(files) metadata.  A selective
-        variant (only rewrite files below a size floor, carry the rest
-        like commit_merge's pruned path) rides the same manifest
-        carry-over machinery if rewrite amplification ever matters."""
+        and the driver handles only O(files) metadata.
+
+        ``small_file_bytes`` makes the rewrite SELECTIVE (the shape
+        real OPTIMIZE implementations use to bound rewrite
+        amplification): only files under the size floor are read and
+        bin-packed; every right-sized file's manifest entry (name +
+        stats + bloom) carries over verbatim, exactly like
+        commit_merge's pruned path.  Correct because base files
+        partition the rows — carrying a file unchanged preserves its
+        rows bit-for-bit, and the rewritten set is the complement.
+        The size check is one os.stat per file: O(files) driver
+        metadata, the same class as the manifest read itself.
+        Selective mode refuses outstanding merge-on-read deltas
+        (resolution needs every base row; fold them first with a full
+        ``optimize``/``compact``)."""
         if target_rows < 1:
             raise ValueError(f"target_rows must be >= 1, got {target_rows}")
         m = self._read_manifest()
@@ -944,9 +956,29 @@ class ManifestTable:
             return m["version"]
         if not m["files"] and not m.get("deltas"):
             return m["version"]  # nothing to rewrite
-        current = (
-            self.read_resolved(spark) if m.get("deltas") else self.read(spark)
-        )
+        carried: list[str] = []
+        if small_file_bytes is not None:
+            if m.get("deltas"):
+                raise ValueError(
+                    "outstanding merge-on-read deltas: selective optimize "
+                    "cannot fold them — run optimize without "
+                    "small_file_bytes (full rewrite) or compact() first"
+                )
+            carried = [
+                f
+                for f in m["files"]
+                if os.path.getsize(os.path.join(self.data_dir, f))
+                >= small_file_bytes
+            ]
+            if len(carried) == len(m["files"]):
+                return m["version"]  # nothing under the floor: no-op
+        touched = [f for f in m["files"] if f not in carried]
+        if m.get("deltas"):
+            current = self.read_resolved(spark)
+        else:
+            current = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in touched]
+            )
         total = current.count()
         n_files = max(1, -(-total // target_rows))  # ceil division
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
@@ -955,11 +987,14 @@ class ManifestTable:
         )
         new = {
             "version": m["version"] + 1,
-            "files": files,
+            "files": carried + files,
             "deltas": [],
             "key_columns": m.get("key_columns"),
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
-            "stats": stats,
+            "stats": {
+                **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
+                **stats,
+            },
             "bloom_cols": bloom,
         }
         self._publish(new)

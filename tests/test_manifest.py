@@ -933,3 +933,57 @@ class TestOptimize:
         assert table.version() == v  # replay did not publish
         with pytest.raises(ValueError):
             table.optimize(spark, target_rows=0)
+
+    def test_selective_rewrites_only_small_files(self, spark, table, customers):
+        """small_file_bytes: right-sized files carry over verbatim
+        (name + stats + bloom), only the small tail is bin-packed."""
+        d = customers.select(
+            "c_custkey", F.md5(F.col("c_name")).alias("fp")
+        )
+        big = d.filter(F.col("c_custkey") <= 100).coalesce(1)
+        small = d.filter(F.col("c_custkey") > 100).repartition(6)
+        table.commit_overwrite(
+            big.unionByName(small).repartition(7, "c_custkey"),
+            stats_cols=["fp"], bloom_cols=["fp"],
+        )
+        # make a genuinely bimodal layout: one big commit + small deltas
+        # is refused in selective mode, so build it as one fileset where
+        # sizes differ by content volume instead
+        m0 = table._read_manifest()
+        import os as _os
+        sizes = {
+            f: _os.path.getsize(_os.path.join(table.data_dir, f))
+            for f in m0["files"]
+        }
+        floor = sorted(sizes.values())[len(sizes) // 2]  # median as floor
+        expect_carried = sorted(f for f, s in sizes.items() if s >= floor)
+        before = _canon(table.read(spark))
+        v = table.optimize(
+            spark, target_rows=10_000, stats_cols=["fp"],
+            small_file_bytes=floor,
+        )
+        m = table._read_manifest()
+        assert m["version"] == v
+        # carried files kept their names AND their stats/bloom entries
+        assert set(expect_carried) <= set(m["files"])
+        for f in expect_carried:
+            assert m["stats"][f] == m0["stats"][f], f
+        # the small tail was folded into ceil(rows/target)=1 new file
+        assert len(m["files"]) == len(expect_carried) + 1
+        # content is bit-identical
+        assert _canon(table.read(spark)) == before
+
+    def test_selective_noop_when_nothing_is_small(self, spark, table, customers):
+        table.commit_overwrite(customers.repartition(4))
+        v0 = table.version()
+        assert table.optimize(spark, target_rows=10, small_file_bytes=1) == v0
+        assert table.version() == v0  # no version published
+
+    def test_selective_refuses_outstanding_deltas(self, spark, table, customers):
+        base = customers.filter(F.col("c_custkey") <= 50)
+        table.commit_overwrite(base)
+        table.commit_delta(
+            base.withColumn("c_acctbal", F.lit(1.0)), ["c_custkey"], batch_id="d"
+        )
+        with pytest.raises(ValueError, match="selective optimize"):
+            table.optimize(spark, target_rows=10, small_file_bytes=10**9)

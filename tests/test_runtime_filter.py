@@ -109,3 +109,62 @@ def test_fact_side_filter_adds_no_shuffle(spark, lineitem, orders):
     n_build, _ = shuffles(keyset_bloom(dim, "o_orderkey"))
     assert n_pre == n_build, plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset broadcast
+
+
+# -- bit-exactness against a pure-Python reference model ----------------
+#
+# Same discipline as the manifest bloom builder's reference pin: the
+# JVM-expression bitset (md5 hex slices -> pmod -> bit_or words) must
+# equal a from-first-principles Python computation bit for bit, so a
+# refactor that silently changes the hash family (and with it every
+# persisted/broadcast bitset) fails loudly.
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_bloom(values, num_bits):
+    words = [0] * ((num_bits + 63) // 64)
+    for v in values:
+        if v is None:
+            continue
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        for i in range(4):
+            pos = int(h[8 * i : 8 * i + 8], 16) % num_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    # Spark bigint is signed: normalize python's unbounded ints
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-(10**12), 10**12), st.none()),
+        min_size=0, max_size=30,
+    )
+)
+def test_bitset_matches_python_reference_ints(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys] or [(None,)], "k bigint")
+    if not keys:
+        df = df.limit(0)
+    got = keyset_bloom(df, "k", num_bits=512).first()["__bloom_words"]
+    assert list(got) == _py_bloom(keys, 512)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(
+        st.text(alphabet=st.characters(codec="ascii",
+                                       categories=("L", "N", "P")),
+                min_size=0, max_size=12),
+        min_size=1, max_size=30,
+    )
+)
+def test_bitset_matches_python_reference_strings(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = keyset_bloom(df, "k", num_bits=512).first()["__bloom_words"]
+    assert list(got) == _py_bloom(keys, 512)

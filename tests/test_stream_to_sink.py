@@ -302,3 +302,54 @@ def test_manifest_stream_delta_merge_on_read_end_to_end(spark, sf_dir, tmp_path)
     table.compact(spark)
     assert table._read_manifest()["deltas"] == []
     assert _canon(table.read(spark)) == expected
+
+
+def test_streaming_ingest_then_optimize_maintenance(spark, sf_dir, tmp_path):
+    """The full small-file lifecycle: streaming ingestion fragments the
+    table (one delta fileset per micro-batch — the layout debt every
+    high-frequency sink accrues), a scheduled ``optimize`` folds deltas
+    AND bin-packs the whole table to ceil(rows/target) files, and
+    ingestion resumes afterwards with the batch-id ledger intact."""
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target.repartition(5), batch_id="seed")
+
+    stream_dir = str(tmp_path / "in")
+    for i in range(3):
+        updates.filter(F.pmod(F.col("c_custkey"), 3) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+    q = stream_delta_manifest(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    assert len(table._read_manifest()["deltas"]) == 3
+
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    n_rows = len(expected)
+    target_rows = max(1, n_rows // 2)
+    table.optimize(spark, target_rows=target_rows, batch_id="maint1")
+    m = table._read_manifest()
+    assert m["deltas"] == []
+    assert len(m["files"]) == -(-n_rows // target_rows)  # bin-packed
+    assert _canon(table.read(spark)) == expected
+
+    # ingestion resumes: key_columns survived, ledger still exact-once
+    # (keys <= 5 exist at every fixture SF; the `updates` range does not)
+    late = target.filter(F.col("c_custkey") <= 5).withColumn(
+        "c_acctbal", F.lit(-1.0)
+    )
+    n_late = late.count()
+    assert n_late > 0
+    v = table.commit_delta(late, ["c_custkey"], batch_id="late1")
+    assert table.commit_delta(late, ["c_custkey"], batch_id="late1") == v
+    resolved = {r.c_custkey: r.c_acctbal for r in table.read_resolved(spark).collect()}
+    assert sum(1 for b in resolved.values() if b == -1.0) == n_late

@@ -6,7 +6,8 @@ as an exact IN-list, compress it into a fixed-size Bloom bitset,
 broadcast THAT, and drop non-matching fact rows map-side BEFORE the
 join shuffle.  False positives are scrubbed by the exact join that
 follows, so the composition is lossless; false negatives are
-impossible (``tests/test_runtime_filter.py`` pins both).
+impossible (``tests/test_runtime_filter.py`` pins both, including
+across numeric types — see the canonicalization notes below).
 
 Spark's optimizer applies this internally (runtime row-level
 filtering, ``spark.sql.optimizer.runtime.bloomFilter.enabled``), but
@@ -15,89 +16,216 @@ the public function path in this build — and an engine-level operator
 wants the semantics under test control.  This implementation stays
 ENTIRELY inside built-in JVM expressions on both sides:
 
-- build: key -> 4 positions from md5 hex slices -> ``explode`` ->
-  per-word ``bit_or`` partial aggregation (map-side combined) ->
-  ONE 1-row DataFrame holding the bitset as ``array<bigint>``;
+- build: key -> canonical string -> 4 positions from md5 hex slices
+  -> ``explode`` -> per-word ``bit_or`` partial aggregation (map-side
+  combined) -> ONE 1-row DataFrame holding the bitset as
+  ``array<bigint>`` plus its own size (``__bloom_bits``);
 - probe: the 1-row bitset is broadcast onto the fact and each row
   tests its 4 positions with ``element_at``/``shiftright``/``&`` —
-  whole-stage-codegen arithmetic, no Python, no UDF.
+  whole-stage-codegen arithmetic, no Python, no UDF.  The modulus
+  comes from the bitset row itself, so a probe can never index with
+  a size the build didn't use.
 
-Scale: the bitset costs ``num_bits/8`` bytes regardless of key count
-(size it at ~10 bits per expected distinct key for ~1% false
-positives: 2**27 bits = 16 MiB covers ~13M keys).  The fact-side scan
-does 4 integer hashes per row and the join shuffle afterwards carries
-only rows that might match — at a 5% match rate that is a ~20x
-shuffle-volume cut for one broadcast of KBs..MBs.  The build side is
-one partial-aggregated pass over the dimension keys.
+Canonicalization: keys are hashed through a canonical string form,
+NOT a raw ``CAST(col AS STRING)``.  Raw casts render the same number
+differently per type (bigint ``5`` -> ``'5'``, double -> ``'5.0'``,
+decimal(10,2) -> ``'5.00'``), so a bitset built on one numeric type
+probed with another would set/test DIFFERENT bits — silent false
+negatives, the one failure the operator promises is impossible.  The
+scheme mirrors the manifest bloom index's ``_bloom_canon``
+(sinks/manifest.py): integral-valued numbers hash as their integer
+string, other reals as their double string; non-numeric types keep
+the plain string cast.  A numeric build probed by a non-numeric
+column (or vice versa) cannot be made consistent, so
+:func:`bloom_prefilter` raises on a category mismatch instead of
+silently dropping rows (the bitset carries its key category in
+column metadata).
+
+Sizing: by default the build derives ``num_bits`` from the dimension
+side itself — an ``approx_count_distinct`` subquery feeds
+``~BITS_PER_KEY`` bits per expected key (~1-2% false positives at 4
+hashes), clamped to [``BLOOM_BITS``, ``MAX_BLOOM_BITS``].  The sizing
+is computed INSIDE the plan (a 1-row aggregate broadcast onto the
+build), so no driver-side action runs.  Scale: the bitset costs
+``num_bits/8`` bytes regardless of key count (2**27 bits = 16 MiB
+covers ~13M keys at 10 bits/key).  The fact-side scan does 4 integer
+hashes per row and the join shuffle afterwards carries only rows
+that might match — at a 5% match rate that is a ~20x shuffle-volume
+cut for one broadcast of KBs..MBs.  The build side is one
+partial-aggregated pass over the dimension keys plus the sizing
+aggregate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-BLOOM_BITS = 8192  # default sized for test-scale key sets (~1k keys)
+BLOOM_BITS = 8192  # auto-size floor (also the test-scale default)
+MAX_BLOOM_BITS = 1 << 27  # 16 MiB broadcast ceiling (~13M keys)
+BITS_PER_KEY = 10  # ~1.2% FP at 4 hashes (load 0.4 per hash)
 _N_HASHES = 4
 _WORDS_COL = "__bloom_words"
+_BITS_COL = "__bloom_bits"
+_KIND_META = "pypeline.bloom.kind"
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
 
 
-def _positions(col: str, num_bits: int) -> list[Column]:
-    """4 bit positions per key from independent md5 hex slices (the
-    manifest bloom index uses the same hash family; this module keeps
-    its own copy so the broadcast filter and the file index can
-    version independently)."""
-    h = F.md5(F.col(col).cast("string"))
+def _kind(dtype: T.DataType) -> str:
+    """Key category for build/probe compatibility: all numeric types
+    share one canonical form ('num'); everything else is its own
+    category keyed by the Spark type name."""
+    if isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+        return "num"
+    return dtype.simpleString()
+
+
+def _canon(col: Column, dtype: T.DataType) -> Column:
+    """Canonical string form of a key for bloom hashing (the Spark-
+    expression mirror of ``ManifestTable._bloom_canon``): integral
+    values -> integer string, other reals -> double string, non-
+    numerics -> plain string cast.  ``try_cast`` keeps the integral
+    probe ANSI-safe (overflow/NaN/Inf fall through to the double
+    branch instead of raising)."""
+    if isinstance(dtype, _INTEGRAL):
+        return col.cast("bigint").cast("string")
+    if isinstance(dtype, _FRACTIONAL):
+        as_big = col.try_cast("bigint")
+        return F.when(
+            as_big.isNotNull() & (as_big.cast("double") == col.cast("double")),
+            as_big.cast("string"),
+        ).otherwise(col.cast("double").cast("string"))
+    return col.cast("string")
+
+
+def _positions(canon: Column, bits: Column) -> list[Column]:
+    """4 bit positions per key from independent md5 hex slices of the
+    canonical key string (the manifest bloom index uses the same hash
+    family; this module keeps its own copy so the broadcast filter
+    and the file index can version independently)."""
+    h = F.md5(canon)
     return [
         F.pmod(
             F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint"),
-            F.lit(num_bits),
+            bits,
         )
         for i in range(_N_HASHES)
     ]
 
 
-def keyset_bloom(df: DataFrame, col: str, num_bits: int = BLOOM_BITS) -> DataFrame:
+def keyset_bloom(
+    df: DataFrame, col: str, num_bits: int | None = None
+) -> DataFrame:
     """ONE-row DataFrame whose ``__bloom_words`` column is a dense
     ``array<bigint>`` Bloom bitset over ``df[col]`` (nulls ignored —
-    an equi-join never matches them anyway).  Built fully distributed:
-    per-word partial ``bit_or`` aggregates combine map-side, and only
-    ``num_bits/64`` (word, bits) pairs reach the final assembly."""
-    n_words = (num_bits + 63) // 64
+    an equi-join never matches them anyway) and whose
+    ``__bloom_bits`` column records the bitset size the probe must
+    use.  Built fully distributed: per-word partial ``bit_or``
+    aggregates combine map-side, and only ``num_bits/64``
+    (word, bits) pairs reach the final assembly.
+
+    ``num_bits=None`` (default) auto-sizes from the build side: an
+    in-plan ``approx_count_distinct`` allocates ``BITS_PER_KEY`` bits
+    per expected key, clamped to [BLOOM_BITS, MAX_BLOOM_BITS] and
+    rounded up to a whole word.  Pass an explicit ``num_bits`` to pin
+    the size (reproducibility / the reference-model tests)."""
+    dtype = df.schema[col].dataType
+    keys = df.where(F.col(col).isNotNull()).select(
+        _canon(F.col(col), dtype).alias("__k")
+    )
+    if num_bits is None:
+        sizing = keys.agg(F.approx_count_distinct("__k").alias("n")).select(
+            F.greatest(
+                F.lit(BLOOM_BITS),
+                F.least(
+                    F.lit(MAX_BLOOM_BITS),
+                    (F.ceil(F.col("n") * BITS_PER_KEY / F.lit(64.0)) * 64)
+                    .cast("int"),
+                ),
+            ).alias(_BITS_COL)
+        )
+    else:
+        sizing = df.sparkSession.range(1).select(
+            F.lit(int(num_bits)).alias(_BITS_COL)
+        )
+    bits_col = F.col(_BITS_COL)
     bits = (
-        df.where(F.col(col).isNotNull())
-        .select(F.explode(F.array(*_positions(col, num_bits))).alias("pos"))
+        keys.crossJoin(F.broadcast(sizing))
+        .select(
+            F.explode(F.array(*_positions(F.col("__k"), bits_col))).alias(
+                "pos"
+            )
+        )
         .select(
             F.floor(F.col("pos") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
     )
-    # assemble the dense word array in index order; absent words are 0
-    return bits.groupBy().agg(
-        F.map_from_arrays(F.collect_list("w"), F.collect_list("word")).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            # try_element_at: NULL (not an ANSI error) on absent words
-            lambda i: F.coalesce(
-                F.try_element_at(F.col("m"), i), F.lit(0).cast("bigint")
-            ),
-        ).alias(_WORDS_COL)
+    # assemble the dense word array in index order; absent words are 0.
+    # groupBy().agg on an empty input still yields one row (empty map),
+    # so an empty key set produces an all-zero bitset, not zero rows.
+    return (
+        bits.groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("m")
+        )
+        .crossJoin(F.broadcast(sizing))
+        .select(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"CAST(({_BITS_COL} + 63) DIV 64 AS INT) - 1"),
+                ),
+                # try_element_at: NULL (not an ANSI error) on absent words
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("m"), i), F.lit(0).cast("bigint")
+                ),
+            ).alias(_WORDS_COL, metadata={_KIND_META: _kind(dtype)}),
+            bits_col,
+        )
     )
 
 
-def bloom_prefilter(
-    fact: DataFrame, bloom: DataFrame, col: str, num_bits: int = BLOOM_BITS
-) -> DataFrame:
+def bloom_prefilter(fact: DataFrame, bloom: DataFrame, col: str) -> DataFrame:
     """Keep only fact rows whose ``col`` MIGHT be in the key set behind
     ``bloom`` (a :func:`keyset_bloom` result).  Superset of the exact
     semi-join (no false negatives); rows with a null key are dropped,
     matching equi-join semantics.  The 1-row bitset is broadcast, so
-    the filter runs map-side with zero added shuffle."""
+    the filter runs map-side with zero added shuffle.  The modulus is
+    read from the bitset row itself (``__bloom_bits``), so probe and
+    build can never disagree on the bit space.
+
+    Raises ``ValueError`` when the fact column's key category differs
+    from the one the bitset was built on (numeric vs non-numeric —
+    their canonical forms are unrelated, so probing would silently
+    produce false negatives instead of a superset)."""
+    dtype = fact.schema[col].dataType
+    built_kind = (
+        bloom.schema[_WORDS_COL].metadata.get(_KIND_META)
+        if _WORDS_COL in bloom.columns
+        else None
+    )
+    if built_kind is not None and built_kind != _kind(dtype):
+        raise ValueError(
+            f"bloom_prefilter: bitset was built on a {built_kind!r} key "
+            f"but probe column {col!r} is {_kind(dtype)!r} "
+            f"({dtype.simpleString()}); canonical forms differ, which "
+            "would cause silent false negatives"
+        )
     out = fact.crossJoin(F.broadcast(bloom))
     pos_cols = [f"__bp{i}" for i in range(_N_HASHES)]
-    for name, p in zip(pos_cols, _positions(col, num_bits)):
+    for name, p in zip(
+        pos_cols, _positions(_canon(F.col(col), dtype), F.col(_BITS_COL))
+    ):
         out = out.withColumn(name, p)
     cond = None
     for name in pos_cols:
@@ -106,7 +234,7 @@ def bloom_prefilter(
             f" CAST({name} % 64 AS INT)) & 1) = 1"
         )
         cond = hit if cond is None else cond & hit
-    return out.filter(cond).drop(_WORDS_COL, *pos_cols)
+    return out.filter(cond).drop(_WORDS_COL, _BITS_COL, *pos_cols)
 
 
 from pyspark.sql import SparkSession  # noqa: E402  (query section)
@@ -137,10 +265,11 @@ from pypeline_spark.session import load_table  # noqa: E402
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filtered fact join: a selective orders predicate
     (URGENT + finished) defines the key set, :func:`keyset_bloom`
-    compresses it to one broadcastable bitset, and lineitem is
-    bloom-prefiltered MAP-SIDE before the exact equi-join and revenue
-    aggregate.  Result is identical to the plain join (oracle); only
-    the shuffle volume changes.
+    compresses it to one broadcastable bitset (auto-sized from the
+    key cardinality), and lineitem is bloom-prefiltered MAP-SIDE
+    before the exact equi-join and revenue aggregate.  Result is
+    identical to the plain join (oracle); only the shuffle volume
+    changes.
 
     Scale: at 100 TB the fact shuffle is the dominant cost of a
     selective dim join; the bitset stays KBs..MBs however many keys

@@ -103,10 +103,20 @@ class ManifestTable:
     def _write_fileset(
         self, df: DataFrame, stats_cols: Sequence[str] = (),
         bloom_cols: Sequence[str] = (),
-    ) -> tuple[list[str], dict]:
+    ) -> tuple[list[str], dict, dict]:
         """Write df as a NEW set of immutable files in data/ and return
-        (names, per-file column stats).  Files are invisible until a
-        manifest names them.
+        (names, per-file column stats, per-file metadata).  Files are
+        invisible until a manifest names them.
+
+        The third element is ``{name: {"bytes": b, "rows": n}}`` —
+        byte size and footer row count captured AT WRITE TIME (the
+        Delta/Iceberg file-entry shape) and persisted in the manifest
+        under ``"filemeta"``, so maintenance operations size and plan
+        from metadata the manifest already holds instead of re-stating
+        files (one object-store round-trip each) or re-counting rows
+        (a data pass).  Bytes come from the one ``os.stat`` the rename
+        loop already implies; rows ride the same distributed footer
+        job as the column stats.
 
         ``stats_cols``: columns whose per-file [min, max] are read from
         the parquet FOOTERS and recorded in the manifest — the Iceberg/
@@ -135,21 +145,21 @@ class ManifestTable:
             blooms = self._build_blooms_distributed(
                 df.sparkSession, staging, bloom_cols
             )
-        footer: dict = {}
-        if stats_cols:
-            footer = self._footer_stats_distributed(
-                df.sparkSession, staging, stats_cols
-            )
+        footer = self._footer_stats_distributed(
+            df.sparkSession, staging, stats_cols, with_rows=True
+        )
         names: list[str] = []
         stats: dict = {}
+        filemeta: dict = {}
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
             name = f"{uuid.uuid4().hex}.parquet"
             src = os.path.join(staging, f)
+            info = footer.get(f, {})
             entry: dict = {}
             if stats_cols:
-                entry.update(footer.get(f, {}))
+                entry.update(info.get("cols", {}))
             if bloom_cols:
                 entry["bloom"] = blooms.get(f, {})
                 if entry["bloom"]:
@@ -158,10 +168,14 @@ class ManifestTable:
                     del entry["bloom"]
             if entry:
                 stats[name] = entry
+            filemeta[name] = {
+                "bytes": os.path.getsize(src),
+                "rows": info.get("rows"),
+            }
             os.replace(src, os.path.join(self.data_dir, name))
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
-        return names, stats
+        return names, stats, filemeta
 
     @staticmethod
     def _footer_stats(path: str, cols: Sequence[str]) -> dict:
@@ -202,7 +216,11 @@ class ManifestTable:
 
     @classmethod
     def _footer_stats_distributed(
-        cls, spark: SparkSession, staging: str, cols: Sequence[str]
+        cls,
+        spark: SparkSession,
+        staging: str,
+        cols: Sequence[str],
+        with_rows: bool = False,
     ) -> dict:
         """Per-staged-file [min, max] column stats, computed
         DISTRIBUTED: one Spark job fans the staged file list out
@@ -216,11 +234,18 @@ class ManifestTable:
         class as the bloom partials.  Same shared-filesystem
         requirement as the bloom build: executors read ``staging`` by
         path (HDFS/S3/NFS on a real cluster; local disk on local[k]).
-        Returns ``{staged_basename: {col: [min, max]}}``."""
+        Returns ``{staged_basename: {col: [min, max]}}``.
+
+        ``with_rows=True`` (the write-path mode) wraps each payload as
+        ``{"cols": {col: [min, max]}, "rows": n}`` so one job returns
+        both the stats envelope AND the footer row count — the per-file
+        row counts the manifest persists so later maintenance
+        (``optimize`` target sizing) never re-scans data for a number
+        the footer already knew at commit time."""
         staged = [
             f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
         ]
-        if not staged or not cols:
+        if not staged or (not cols and not with_rows):
             return {}
         footer = cls._footer_stats
         cols_t = tuple(cols)
@@ -229,12 +254,21 @@ class ManifestTable:
             import json as _json
 
             import pyarrow as pa
+            import pyarrow.parquet as _pq
 
             for batch in batches:
                 names, blobs = [], []
                 for p in batch.column(0).to_pylist():
                     names.append(os.path.basename(p))
-                    blobs.append(_json.dumps(footer(p, cols_t)))
+                    st = footer(p, cols_t) if cols_t else {}
+                    if with_rows:
+                        payload = {
+                            "cols": st,
+                            "rows": _pq.ParquetFile(p).metadata.num_rows,
+                        }
+                    else:
+                        payload = st
+                    blobs.append(_json.dumps(payload))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(names, pa.string()), pa.array(blobs, pa.string())],
                     names=["name", "stats"],
@@ -614,12 +648,13 @@ class ManifestTable:
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
-        files, stats = self._write_fileset(df, stats_cols, bloom)
+        files, stats, filemeta = self._write_fileset(df, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": stats,
+            "filemeta": filemeta,
             "bloom_cols": bloom,
         }
         self._publish(new)
@@ -690,7 +725,8 @@ class ManifestTable:
                     for f in m["files"]
                     if not self._overlaps(m, f, prune_col, b.lo, b.hi)
                 ]
-        touched = [f for f in m["files"] if f not in carried]
+        carried_set = set(carried)
+        touched = [f for f in m["files"] if f not in carried_set]
 
         if not m["files"]:
             current = None
@@ -705,7 +741,8 @@ class ManifestTable:
         # rewritten files rebuild the table's recorded bloom index
         # (carried files keep theirs via the stats carry-over below)
         bloom = m.get("bloom_cols", [])
-        files, stats = self._write_fileset(merged, stats_cols, bloom)
+        files, stats, filemeta = self._write_fileset(merged, stats_cols, bloom)
+        old_meta = m.get("filemeta", {})
         new = {
             "version": m["version"] + 1,
             "files": carried + files,
@@ -713,6 +750,10 @@ class ManifestTable:
             "stats": {
                 **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
                 **stats,
+            },
+            "filemeta": {
+                **{f: old_meta[f] for f in carried if f in old_meta},
+                **filemeta,
             },
             "bloom_cols": bloom,
         }
@@ -757,7 +798,7 @@ class ManifestTable:
                 f"key_columns {keys} != recorded {m['key_columns']}"
             )
         bloom = m.get("bloom_cols", [])
-        files, stats = self._write_fileset(updates, stats_cols, bloom)
+        files, stats, filemeta = self._write_fileset(updates, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": m["files"],
@@ -765,6 +806,7 @@ class ManifestTable:
             "key_columns": keys,
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": {**m.get("stats", {}), **stats},
+            "filemeta": {**m.get("filemeta", {}), **filemeta},
             "bloom_cols": bloom,
         }
         self._publish(new)
@@ -888,7 +930,7 @@ class ManifestTable:
             return m["version"]
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         resolved = self.read_resolved(spark)
-        files, stats = self._write_fileset(resolved, stats_cols, bloom)
+        files, stats, filemeta = self._write_fileset(resolved, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -896,6 +938,7 @@ class ManifestTable:
             "key_columns": m.get("key_columns"),
             "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
             "stats": stats,
+            "filemeta": filemeta,
             "bloom_cols": bloom,
         }
         self._publish(new)
@@ -909,6 +952,7 @@ class ManifestTable:
         stats_cols: Sequence[str] = (),
         bloom_cols: Optional[Sequence[str]] = None,
         small_file_bytes: Optional[int] = None,
+        cluster_by: Optional[Sequence] = None,
     ) -> int:
         """Bin-packing compaction (the lakehouse ``OPTIMIZE`` shape):
         rewrite the table — outstanding merge-on-read deltas folded in —
@@ -944,11 +988,37 @@ class ManifestTable:
         commit_merge's pruned path.  Correct because base files
         partition the rows — carrying a file unchanged preserves its
         rows bit-for-bit, and the rewritten set is the complement.
-        The size check is one os.stat per file: O(files) driver
-        metadata, the same class as the manifest read itself.
-        Selective mode refuses outstanding merge-on-read deltas
-        (resolution needs every base row; fold them first with a full
-        ``optimize``/``compact``)."""
+        Sizes come from the manifest's per-file ``filemeta`` recorded
+        at commit time (pure metadata, no filesystem round-trips); a
+        legacy entry without recorded bytes falls back to one
+        ``os.stat``.  Selective mode refuses outstanding merge-on-read
+        deltas (resolution needs every base row; fold them first with
+        a full ``optimize``/``compact``).
+
+        The target file count likewise comes from manifest metadata —
+        the sum of the touched files' recorded row counts — so a
+        no-delta OPTIMIZE plans with ZERO data passes before the one
+        rewrite shuffle.  Only the merge-on-read path still counts:
+        key resolution (last writer wins) changes cardinality in a way
+        metadata cannot know; there the resolved view is
+        lazily-checkpointed so the count materializes the SAME blocks
+        the write then reuses — one resolution pass, not two.
+
+        ``cluster_by=(x, y)`` replaces the round-robin re-bucketing
+        with a Morton (Z-order) range clustering over two numeric
+        columns — the ``OPTIMIZE ... ZORDER BY`` shape: without it a
+        rewrite of a previously Z-ordered table destroys the
+        clustering and widens every per-file stats envelope, trading
+        skipping for file count.  Each dimension is scaled into the
+        z domain from its data bounds (taken from the manifest's
+        recorded per-file stats when every touched file has them —
+        metadata only — else one broadcast min/max aggregate folded
+        into the plan), then one ``repartitionByRange`` on the
+        interleave + an in-partition sort: identical cost shape to
+        the round-robin shuffle, but the output files come back
+        z-disjoint with narrow envelopes in BOTH columns (pinned in
+        tests/test_manifest.py).  The z key is layout-only and never
+        written — the table schema is unchanged."""
         if target_rows < 1:
             raise ValueError(f"target_rows must be >= 1, got {target_rows}")
         m = self._read_manifest()
@@ -956,6 +1026,16 @@ class ManifestTable:
             return m["version"]
         if not m["files"] and not m.get("deltas"):
             return m["version"]  # nothing to rewrite
+        filemeta = m.get("filemeta", {})
+
+        def _size(f: str) -> int:
+            b = filemeta.get(f, {}).get("bytes")
+            return (
+                b
+                if b is not None
+                else os.path.getsize(os.path.join(self.data_dir, f))
+            )
+
         carried: list[str] = []
         if small_file_bytes is not None:
             if m.get("deltas"):
@@ -964,27 +1044,35 @@ class ManifestTable:
                     "cannot fold them — run optimize without "
                     "small_file_bytes (full rewrite) or compact() first"
                 )
-            carried = [
-                f
-                for f in m["files"]
-                if os.path.getsize(os.path.join(self.data_dir, f))
-                >= small_file_bytes
-            ]
+            carried = [f for f in m["files"] if _size(f) >= small_file_bytes]
             if len(carried) == len(m["files"]):
                 return m["version"]  # nothing under the floor: no-op
-        touched = [f for f in m["files"] if f not in carried]
+        carried_set = set(carried)
+        touched = [f for f in m["files"] if f not in carried_set]
         if m.get("deltas"):
-            current = self.read_resolved(spark)
+            # cardinality after last-writer-wins resolution is not
+            # metadata-derivable; checkpoint lazily so the sizing count
+            # materializes the blocks the rewrite below then reuses
+            current = self.read_resolved(spark).localCheckpoint(eager=False)
+            total = current.count()
         else:
             current = spark.read.parquet(
                 *[os.path.join(self.data_dir, f) for f in touched]
             )
-        total = current.count()
+            rows = [filemeta.get(f, {}).get("rows") for f in touched]
+            if all(r is not None for r in rows):
+                total = sum(rows)  # pure metadata: zero data passes
+            else:
+                total = current.count()  # legacy manifest without rows
         n_files = max(1, -(-total // target_rows))  # ceil division
+        if cluster_by is not None:
+            rewrite = self._cluster_for_rewrite(
+                current, cluster_by, n_files, m, touched
+            )
+        else:
+            rewrite = current.repartition(n_files)
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
-        files, stats = self._write_fileset(
-            current.repartition(n_files), stats_cols, bloom
-        )
+        files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
         new = {
             "version": m["version"] + 1,
             "files": carried + files,
@@ -995,10 +1083,72 @@ class ManifestTable:
                 **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
                 **stats,
             },
+            "filemeta": {
+                **{f: filemeta[f] for f in carried if f in filemeta},
+                **new_meta,
+            },
             "bloom_cols": bloom,
         }
         self._publish(new)
         return new["version"]
+
+    def _cluster_for_rewrite(
+        self,
+        current: DataFrame,
+        cluster_by: Sequence,
+        n_files: int,
+        m: dict,
+        touched: Sequence[str],
+    ) -> DataFrame:
+        """The clustered-rewrite plan for :meth:`optimize`: Morton-
+        interleave the two ``cluster_by`` columns (scaled to the z
+        domain from their data bounds) and range-partition on the
+        result so every output file gets a narrow [min, max] envelope
+        in BOTH dimensions.  Bounds prefer the manifest's recorded
+        stats (min of mins / max of maxes over the touched files —
+        metadata, no scan); a table without full stats coverage folds
+        a broadcast 1-row min/max aggregate into the plan instead
+        (lazy — still no driver action)."""
+        from pyspark.sql import functions as F
+
+        from pypeline_spark.operators.multidim import zbucket, zvalue
+
+        x, y = cluster_by
+        stats = m.get("stats", {})
+
+        def _manifest_bounds(col: str):
+            los, his = [], []
+            for f in touched:
+                ent = stats.get(f, {}).get(col)
+                if not isinstance(ent, (list, tuple)) or len(ent) != 2:
+                    return None
+                los.append(ent[0])
+                his.append(ent[1])
+            return (min(los), max(his)) if los else None
+
+        bx, by = _manifest_bounds(x), _manifest_bounds(y)
+        if bx is not None and by is not None:
+            bounds = current.sparkSession.range(1).select(
+                F.lit(bx[0]).alias("__xlo"), F.lit(bx[1]).alias("__xhi"),
+                F.lit(by[0]).alias("__ylo"), F.lit(by[1]).alias("__yhi"),
+            )
+        else:
+            bounds = current.agg(
+                F.min(x).alias("__xlo"), F.max(x).alias("__xhi"),
+                F.min(y).alias("__ylo"), F.max(y).alias("__yhi"),
+            )
+        z = zvalue(
+            zbucket(F.col(x), F.col("__xlo"), F.col("__xhi")),
+            zbucket(F.col(y), F.col("__ylo"), F.col("__yhi")),
+        )
+        return (
+            current.crossJoin(F.broadcast(bounds))
+            .withColumn("__zopt", z)
+            .drop("__xlo", "__xhi", "__ylo", "__yhi")
+            .repartitionByRange(n_files, F.col("__zopt"))
+            .sortWithinPartitions("__zopt")
+            .drop("__zopt")
+        )
 
     # -- retention ------------------------------------------------------------
 

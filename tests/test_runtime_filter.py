@@ -27,8 +27,29 @@ def test_bitset_shape(spark, orders):
     row = keyset_bloom(orders.select("o_orderkey"), "o_orderkey").collect()
     assert len(row) == 1
     words = row[0]["__bloom_words"]
-    assert len(words) == BLOOM_BITS // 64
+    bits = row[0]["__bloom_bits"]
+    # auto-sized: at least the floor, a whole number of words, and the
+    # dense array length must agree with the recorded size
+    assert bits >= BLOOM_BITS and bits % 64 == 0
+    assert len(words) == bits // 64
     assert any(w != 0 for w in words)
+
+
+def test_explicit_num_bits_is_pinned(spark, orders):
+    row = keyset_bloom(orders.select("o_orderkey"), "o_orderkey",
+                       num_bits=BLOOM_BITS).first()
+    assert row["__bloom_bits"] == BLOOM_BITS
+    assert len(row["__bloom_words"]) == BLOOM_BITS // 64
+
+
+def test_auto_size_tracks_cardinality(spark):
+    """10 bits/key: 100k distinct keys must get ~1M bits (clamped to a
+    whole word), far above the floor — the sizing really reads the
+    build side, not a constant."""
+    dim = spark.range(100_000).select(F.col("id").alias("k"))
+    bits = keyset_bloom(dim, "k").first()["__bloom_bits"]
+    assert 800_000 <= bits <= 1_400_000  # approx_count_distinct slack
+    assert bits % 64 == 0
 
 
 def test_no_false_negatives(spark, orders, lineitem):
@@ -109,6 +130,61 @@ def test_fact_side_filter_adds_no_shuffle(spark, lineitem, orders):
     n_build, _ = shuffles(keyset_bloom(dim, "o_orderkey"))
     assert n_pre == n_build, plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset broadcast
+
+
+def test_cross_numeric_type_no_false_negatives(spark):
+    """The ADVICE-flagged failure class: a bitset built on BIGINT keys
+    probed with DOUBLE (or DECIMAL) keys of the same values must pass
+    every true match — raw CAST-to-string would hash '5' vs '5.0' and
+    silently drop all of them."""
+    dim = spark.createDataFrame([(k,) for k in range(1, 50)], "k bigint")
+    bloom = keyset_bloom(dim, "k")
+    fact_d = spark.createDataFrame(
+        [(float(k), f"v{k}") for k in range(1, 50)], "k double, v string"
+    )
+    assert bloom_prefilter(fact_d, bloom, "k").count() == 49
+    fact_dec = spark.sql(
+        "SELECT CAST(id AS DECIMAL(10,2)) AS k FROM range(1, 50)"
+    )
+    assert bloom_prefilter(fact_dec, bloom, "k").count() == 49
+    # and the mirror: build on double, probe with bigint
+    dim_d = spark.createDataFrame([(float(k),) for k in range(1, 50)],
+                                  "k double")
+    fact_i = spark.range(1, 50).select(F.col("id").alias("k"))
+    assert bloom_prefilter(fact_i, keyset_bloom(dim_d, "k"), "k").count() == 49
+
+
+def test_fractional_keys_hash_consistently(spark):
+    """Non-integral values (double 2.5 vs decimal 2.50) share the
+    double-string canonical form."""
+    dim = spark.createDataFrame([(2.5,), (7.25,)], "k double")
+    bloom = keyset_bloom(dim, "k")
+    fact = spark.sql(
+        "SELECT CAST(k AS DECIMAL(6,3)) AS k FROM VALUES (2.5),(7.25),(9.125) t(k)"
+    )
+    passed = {float(r.k) for r in bloom_prefilter(fact, bloom, "k").collect()}
+    assert {2.5, 7.25} <= passed
+
+
+def test_kind_mismatch_raises(spark):
+    """Numeric-vs-string canonical forms are unrelated: probing must
+    raise instead of silently returning false negatives."""
+    dim = spark.createDataFrame([("a",), ("b",)], "k string")
+    bloom = keyset_bloom(dim, "k")
+    fact = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="built on"):
+        bloom_prefilter(fact, bloom, "k")
+
+
+def test_false_positive_rate_under_bound(spark):
+    """Auto-sizing at BITS_PER_KEY=10 with 4 hashes predicts
+    (1-e^-0.4)^4 ~ 1.2% FPs; pin a 3% ceiling so a sizing regression
+    (or a broken hash family) fails loudly."""
+    dim = spark.range(5_000).select(F.col("id").alias("k"))
+    bloom = keyset_bloom(dim, "k")
+    probe = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    fp = bloom_prefilter(probe, bloom, "k").count()
+    assert fp / 20_000 < 0.03, fp
 
 
 # -- bit-exactness against a pure-Python reference model ----------------

@@ -706,6 +706,88 @@ def q_manifest_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_optimize_zorder",
+    # The oracle recomputes the doubly-filtered aggregate straight from
+    # the source table; the Spark side first FRAGMENTS the table
+    # (arrival-ordered 24-way commit), then OPTIMIZEs it with
+    # cluster_by — the `OPTIMIZE ... ZORDER BY` shape — and reads it
+    # back through a conjunctive two-column prune over the rewritten
+    # manifest.  The hash match proves the clustered rewrite is
+    # content-lossless AND that two-dimensional pruning over the
+    # post-OPTIMIZE stats envelopes is exact; skipping EFFECTIVENESS
+    # (either single-column predicate alone skips files after the
+    # clustered rewrite, while a round-robin rewrite skips on neither)
+    # is pinned in tests/test_manifest.py::TestClusteredOptimize.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 99
+      AND FLOOR(o_totalprice * 100 + 0.5) BETWEEN 1000000 AND 2000000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_manifest_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered OPTIMIZE (``OPTIMIZE ... ZORDER BY``): the orders
+    table is committed deliberately fragmented and arrival-ordered —
+    the layout a high-frequency ingest leaves behind, where every
+    file's stats envelope spans both domains and no predicate skips
+    anything — then ``ManifestTable.optimize(cluster_by=(custkey,
+    cents))`` bin-packs it with a Morton-interleaved range clustering.
+    The query reads the rewritten table through a conjunctive
+    two-column manifest prune and aggregates.
+
+    Scale: this is the maintenance pairing a 100 TB table needs —
+    plain round-robin OPTIMIZE fixes the file count but DESTROYS any
+    clustering (every rewritten envelope goes wide, trading skipping
+    for compaction); cluster_by makes the same single range-shuffle
+    rewrite restore both.  The cluster bounds come from the manifest's
+    recorded per-file stats (pure metadata — no extra scan before the
+    rewrite shuffle), and the z key is layout-only: the table schema
+    is unchanged.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest_optz_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            o.repartition(24),
+            batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        table.optimize(
+            spark,
+            target_rows=500,
+            batch_id="optz",
+            stats_cols=["o_custkey", "cents"],
+            cluster_by=("o_custkey", "cents"),
+        )
+        pruned = table.read_pruned_multi(
+            spark,
+            {"o_custkey": (10, 99), "cents": (1_000_000, 2_000_000)},
+        )
+        out = pruned.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_manifest_vacuum",
     # The oracle recomputes the two RETAINED snapshots from first
     # principles (v2 = full table, v3 = even keys only) and pins the

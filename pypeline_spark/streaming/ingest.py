@@ -109,17 +109,38 @@ def stream_delta_manifest(
     key_columns: Sequence[str],
     checkpoint_dir: Optional[str] = None,
     stats_cols: Sequence[str] = (),
+    max_delta_filesets: Optional[int] = None,
+    compact_target_rows: Optional[int] = None,
 ):
     """Merge-on-read streaming ingestion: each micro-batch lands as a
     DELTA commit (``ManifestTable.commit_delta``) — O(batch) append,
     zero base-file rewrites — which is the commit shape a
     high-frequency stream needs (``stream_upsert_manifest``'s
     copy-on-write merge rewrites its overlap slice every trigger).
-    Readers use ``read_resolved`` (single-shuffle last-writer-wins);
-    ``table.compact(spark)`` runs on the maintenance schedule, not in
-    the hot path.  Exactly-once exactly as the copy-on-write variant:
-    Spark's checkpoint replays are skipped by the batch-id ledger, and
-    every commit is one atomic manifest swap.
+    Readers use ``read_resolved`` (single-shuffle last-writer-wins).
+    Exactly-once exactly as the copy-on-write variant: Spark's
+    checkpoint replays are skipped by the batch-id ledger, and every
+    commit is one atomic manifest swap.
+
+    ``max_delta_filesets`` is the AUTO-COMPACTION policy (the Delta
+    autoCompact / Hudi inline-compaction shape): when the number of
+    outstanding delta filesets reaches the threshold, the batch loop
+    folds them before the next trigger — ``optimize(target_rows=
+    compact_target_rows)`` when a bin-packing target is given (the
+    full small-file repair: deltas folded AND the table re-packed to
+    ceil(rows/target) files), plain ``compact`` otherwise.  Without a
+    policy an UNATTENDED stream accumulates one fileset per trigger
+    forever — resolution cost and manifest size grow without bound;
+    with it both are capped at ``max_delta_filesets`` no matter how
+    long the stream runs (pinned in tests/test_stream_to_sink.py
+    across every retained version, not just the final one).
+
+    Crash safety: the maintenance commit carries its own batch id
+    derived from the TRIGGERING micro-batch, so a replay that finds
+    the compaction already applied skips it through the same ledger
+    the delta commits use; a crash BETWEEN delta commit and
+    compaction replays into a skipped delta + a fresh compaction.
+    The policy check itself is one manifest read — O(metadata).
     """
     from pyspark.sql import SparkSession
 
@@ -132,6 +153,22 @@ def stream_delta_manifest(
             batch_id=f"stream-{batch_id}",
             stats_cols=stats_cols,
         )
+        if max_delta_filesets is None:
+            return
+        outstanding = table._read_manifest().get("deltas", [])
+        if len(outstanding) >= max_delta_filesets:
+            maint_id = f"stream-maint-{batch_id}"
+            if compact_target_rows is not None:
+                table.optimize(
+                    spark,
+                    target_rows=compact_target_rows,
+                    batch_id=maint_id,
+                    stats_cols=stats_cols,
+                )
+            else:
+                table.compact(
+                    spark, stats_cols=stats_cols, batch_id=maint_id
+                )
 
     writer = stream_df.writeStream.foreachBatch(_delta_batch).trigger(availableNow=True)
     if checkpoint_dir:

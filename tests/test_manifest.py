@@ -987,3 +987,232 @@ class TestOptimize:
         )
         with pytest.raises(ValueError, match="selective optimize"):
             table.optimize(spark, target_rows=10, small_file_bytes=10**9)
+
+
+class TestFileMetadataPlanning:
+    """r10 VERDICT nits #1/#2: OPTIMIZE derived its target file count
+    from an extra count() pass and sized the selective split with one
+    os.stat per file — both numbers the write path already knew.  Every
+    commit now records per-file {bytes, rows} in the manifest
+    ("filemeta", the Delta/Iceberg file-entry shape) and OPTIMIZE plans
+    from that metadata alone; these tests pin the recording, the
+    metadata-only code paths (by making the old I/O impossible), and
+    the legacy fallback."""
+
+    def test_commits_record_bytes_and_rows(self, spark, table, customers):
+        base = customers.filter(F.col("c_custkey") <= 200)
+        table.commit_overwrite(base.repartition(5), stats_cols=["c_custkey"])
+        m = table._read_manifest()
+        assert set(m["filemeta"]) == set(m["files"])
+        for f in m["files"]:
+            path = os.path.join(table.data_dir, f)
+            assert m["filemeta"][f]["bytes"] == os.path.getsize(path), f
+        assert sum(m["filemeta"][f]["rows"] for f in m["files"]) == base.count()
+        # delta commits extend the map without touching base entries
+        upd = base.limit(10).withColumn("c_acctbal", F.lit(0.0))
+        table.commit_delta(upd, ["c_custkey"], batch_id="d1")
+        m2 = table._read_manifest()
+        delta_files = [n for fs in m2["deltas"] for n in fs]
+        assert set(m2["filemeta"]) == set(m2["files"]) | set(delta_files)
+        for f in m2["files"]:
+            assert m2["filemeta"][f] == m["filemeta"][f], f
+
+    def test_selective_optimize_never_stats_data_files(
+        self, spark, table, customers, monkeypatch
+    ):
+        """The selective split must read sizes from the manifest: any
+        os.stat against a COMMITTED data file fails the test (staging
+        files are exempt — the write path legitimately stats what it
+        just wrote)."""
+        import pypeline_spark.sinks.manifest as mmod
+
+        table.commit_overwrite(
+            customers.repartition(6, "c_custkey"), stats_cols=["c_custkey"]
+        )
+        before = _canon(table.read(spark))
+        real = os.path.getsize
+        data_dir = os.path.abspath(table.data_dir)
+
+        def guarded(path):
+            if os.path.abspath(path).startswith(data_dir):
+                raise AssertionError(f"os.stat on committed file: {path}")
+            return real(path)
+
+        monkeypatch.setattr(mmod.os.path, "getsize", guarded)
+        sizes = [m["bytes"] for m in table._read_manifest()["filemeta"].values()]
+        floor = sorted(sizes)[len(sizes) // 2]
+        v = table.optimize(
+            spark, target_rows=10_000, stats_cols=["c_custkey"],
+            small_file_bytes=floor,
+        )
+        assert table.version() == v
+        assert _canon(table.read(spark)) == before
+
+    def test_full_optimize_plans_without_a_count_pass(
+        self, spark, table, customers, monkeypatch
+    ):
+        """No deltas + full filemeta coverage: the ceil(rows/target)
+        sizing must come from the manifest — a count() anywhere in
+        optimize fails the test."""
+        from pyspark.sql import DataFrame
+
+        base = customers.filter(F.col("c_custkey") <= 120)
+        n = base.count()
+        table.commit_overwrite(base.repartition(12))
+        before = _canon(table.read(spark))
+
+        def boom(self_df):
+            raise AssertionError("optimize ran a count() pass")
+
+        monkeypatch.setattr(DataFrame, "count", boom)
+        table.optimize(spark, target_rows=50)
+        monkeypatch.undo()
+        m = table._read_manifest()
+        assert len(m["files"]) == -(-n // 50)
+        assert _canon(table.read(spark)) == before
+
+    def test_legacy_manifest_without_filemeta_falls_back(
+        self, spark, table, customers
+    ):
+        """Tables written before filemeta existed must still optimize:
+        sizes fall back to os.stat, the target count to count()."""
+        import json as _json
+
+        base = customers.filter(F.col("c_custkey") <= 120)
+        n = base.count()
+        table.commit_overwrite(base.repartition(8))
+        # strip filemeta in place, as a pre-upgrade manifest would look
+        for fname in os.listdir(table.root):
+            if fname.startswith("_manifest") and fname.endswith(".json"):
+                p = os.path.join(table.root, fname)
+                with open(p) as fh:
+                    m = _json.load(fh)
+                m.pop("filemeta", None)
+                with open(p, "w") as fh:
+                    _json.dump(m, fh)
+        v = table.optimize(spark, target_rows=50, small_file_bytes=1)
+        assert v == 1  # every file is >= 1 byte: selective no-op
+        table.optimize(spark, target_rows=50)
+        m = table._read_manifest()
+        assert len(m["files"]) == -(-n // 50)
+        assert _canon(table.read(spark)) == _canon(base)
+
+
+class TestClusteredOptimize:
+    """r10 VERDICT #3: round-robin OPTIMIZE destroys Z-order clustering
+    and widens every per-file stats envelope — an optimized table
+    traded skipping for file count.  cluster_by=(x, y) range-partitions
+    the rewrite on the Morton interleave instead, so the compacted
+    files keep narrow envelopes in BOTH dimensions."""
+
+    @pytest.fixture()
+    def orders2d(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    def _skips(self, t, n_expected_total):
+        # narrow probes: with ~12 clustered files each dimension splits
+        # into a handful of blocks, so a range covering <~40% of either
+        # domain must leave some files disjoint
+        ck, price = ("o_custkey", (10, 60)), ("cents", (1_000_000, 2_000_000))
+        by_ck, total = t.prune_plan_multi(dict([ck]))
+        by_price, _ = t.prune_plan_multi(dict([price]))
+        assert total == n_expected_total
+        return len(by_ck), len(by_price), total
+
+    def test_cluster_by_restores_two_dim_skipping(
+        self, spark, tmp_path, orders2d
+    ):
+        # fragmented, arrival-ordered seed: no envelope is narrow
+        t = ManifestTable(str(tmp_path / "clustered"))
+        t.commit_overwrite(
+            orders2d.repartition(24), batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        before = _canon(t.read(spark))
+        n = orders2d.count()
+        target = -(-n // 12)  # ~12 files
+        t.optimize(
+            spark, target_rows=target, stats_cols=["o_custkey", "cents"],
+            cluster_by=("o_custkey", "cents"),
+        )
+        m = t._read_manifest()
+        assert _canon(t.read(spark)) == before  # content-lossless
+        by_ck, by_price, total = self._skips(t, len(m["files"]))
+        assert by_ck < total  # custkey predicate skips files
+        assert by_price < total  # price predicate ALSO skips files
+        # control: the same rewrite round-robin skips on neither
+        rr = ManifestTable(str(tmp_path / "roundrobin"))
+        rr.commit_overwrite(
+            orders2d.repartition(24), batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        rr.optimize(
+            spark, target_rows=target, stats_cols=["o_custkey", "cents"]
+        )
+        rr_ck, rr_price, rr_total = self._skips(
+            rr, len(rr._read_manifest()["files"])
+        )
+        assert rr_ck == rr_total and rr_price == rr_total
+
+    def test_cluster_bounds_come_from_manifest_stats(
+        self, spark, tmp_path, orders2d, monkeypatch
+    ):
+        """With full stats coverage on both cluster columns the bounds
+        are metadata (min of mins / max of maxes) — no bounds aggregate
+        runs; without coverage the in-plan fallback still clusters."""
+        import pypeline_spark.sinks.manifest as mmod
+
+        t = ManifestTable(str(tmp_path / "statbounds"))
+        t.commit_overwrite(
+            orders2d.repartition(8), batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        seen = {}
+        orig = mmod.ManifestTable._cluster_for_rewrite
+
+        def spy(self, current, cluster_by, n_files, m, touched):
+            out = orig(self, current, cluster_by, n_files, m, touched)
+            seen["plan"] = out._jdf.queryExecution().optimizedPlan().toString()
+            return out
+
+        monkeypatch.setattr(mmod.ManifestTable, "_cluster_for_rewrite", spy)
+        t.optimize(
+            spark, target_rows=10_000, stats_cols=["o_custkey", "cents"],
+            cluster_by=("o_custkey", "cents"),
+        )
+        # metadata bounds: the plan has no Aggregate under the bounds side
+        assert "Aggregate" not in seen["plan"], seen["plan"][:800]
+
+        # no stats at seed -> the fallback folds a min/max aggregate in
+        t2 = ManifestTable(str(tmp_path / "aggbounds"))
+        t2.commit_overwrite(orders2d.repartition(8), batch_id="seed")
+        before = _canon(t2.read(spark))
+        t2.optimize(
+            spark, target_rows=10_000, stats_cols=["o_custkey", "cents"],
+            cluster_by=("o_custkey", "cents"),
+        )
+        assert "Aggregate" in seen["plan"]
+        assert _canon(t2.read(spark)) == before
+
+    def test_cluster_by_folds_deltas_too(self, spark, tmp_path, orders2d):
+        t = ManifestTable(str(tmp_path / "clusterdelta"))
+        base = orders2d.filter(F.col("o_orderkey") <= 3000)
+        t.commit_overwrite(base.repartition(6), batch_id="seed")
+        upd = base.filter(F.col("o_custkey") % 5 == 0).withColumn(
+            "cents", F.col("cents") + 1
+        )
+        t.commit_delta(upd, ["o_orderkey"], batch_id="d1")
+        expected = _canon(t.read_resolved(spark))
+        t.optimize(
+            spark, target_rows=1_000, stats_cols=["o_custkey", "cents"],
+            cluster_by=("o_custkey", "cents"),
+        )
+        m = t._read_manifest()
+        assert m["deltas"] == []
+        assert _canon(t.read(spark)) == expected

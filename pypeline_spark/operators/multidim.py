@@ -22,6 +22,8 @@ Reference connection: delegated-SQL surface made native
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,9 +59,43 @@ def zbucket(v: Column, lo: Column, hi: Column, bits: int = Z_BITS) -> Column:
     destroys the per-file envelope on the raw column and with it the
     whole point of the clustering.  ``lo``/``hi`` normally come from a
     broadcast 1-row min/max aggregate (the same shape the lakehouse
-    OPTIMIZE command computes before clustering)."""
+    OPTIMIZE command computes before clustering).
+
+    Values OUTSIDE [lo, hi] clamp to the domain edges instead of
+    producing a negative / overflowing bucket whose bits would wrap
+    inside the interleave (ADVICE r11: a merge-on-read OPTIMIZE that
+    took bounds from base-file stats could feed delta rows past the
+    recorded range).  Clamping only coarsens the envelope of the edge
+    buckets; in-range values bucket exactly as before."""
     span = hi - lo + 1
-    return ((v - lo) * (1 << bits) / span).cast("int")
+    raw = ((v - lo) * (1 << bits) / span).cast("int")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), raw))
+
+
+def zvalue_n(buckets: Sequence[Column], bits: int = Z_BITS) -> Column:
+    """K-dimensional Morton interleave of already-bucketed non-negative
+    ints (the ``OPTIMIZE ... ZORDER BY (c1, .., ck)`` key): bit i of
+    dimension j lands at z-bit ``k*i + j``, so ``zvalue_n([x, y])``
+    produces exactly :func:`zvalue`'s 2-D layout.  Buckets are widened
+    to bigint before shifting — k*bits z-bits overflow a 32-bit shift
+    at k >= 4 — and the whole expression stays shiftleft/shiftright/&
+    arithmetic inside WholeStageCodegen, no UDF."""
+    k = len(buckets)
+    if k == 0:
+        raise ValueError("zvalue_n needs at least one bucketed dimension")
+    terms = []
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b.cast("bigint"), i).bitwiseAND(1),
+                    k * i + j,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:

@@ -41,6 +41,24 @@ column (or vice versa) cannot be made consistent, so
 silently dropping rows (the bitset carries its key category in
 column metadata).
 
+One subtlety keeps the no-false-negative contract true above 2^53:
+Spark coerces an exact-vs-fractional equi-join (bigint==double,
+decimal==double) to DOUBLE, so bigint ``2^53+1`` JOIN-matches double
+``9007199254740992.0`` even though their exact integer strings
+differ.  Hashing only the exact form would drop that fact row.  So
+every numeric key contributes TWO canonical forms — its exact form
+and its double-coerced form (the bigint the value rounds to through
+a double, or the double string when it exceeds bigint range) — and
+the build sets bits for both whenever they differ (only values with
+magnitude > 2^53, i.e. never at typical key scales).  The probe
+tests its exact form OR, when its own two forms differ, its coerced
+form.  Whatever coercion the downstream join applies (exact-exact
+stays exact, anything-vs-fractional goes through double), the form
+the join effectively compares is present on both sides, so the
+prefilter remains a superset of the exact join for every numeric
+type pair.  ``tests/test_runtime_filter.py`` pins the >2^53 cases
+in both directions.
+
 Sizing: by default the build derives ``num_bits`` from the dimension
 side itself — an ``approx_count_distinct`` subquery feeds
 ``~BITS_PER_KEY`` bits per expected key (~1-2% false positives at 4
@@ -101,6 +119,42 @@ def _canon(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+def _canon_coerced(col: Column, dtype: T.DataType) -> Column:
+    """The DOUBLE-COERCED canonical form: the key as the exact join
+    would see it after Spark widens an exact-vs-fractional comparison
+    to double.  Integral-valued doubles that fit a bigint render as
+    that bigint's string; everything else as the double string.  For
+    values below 2^53 this coincides with :func:`_canon`; above it
+    the two forms differ, and build/probe handle both (see module
+    docstring)."""
+    if not isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+        return col.cast("string")
+    as_dbl = col.cast("double")
+    rt = as_dbl.try_cast("bigint")
+    return F.when(
+        rt.isNotNull() & (rt.cast("double") == as_dbl), rt.cast("string")
+    ).otherwise(as_dbl.cast("string"))
+
+
+def _auto_bits(n: Column) -> Column:
+    """Bitset size (int) from an expected-distinct-key count:
+    ``BITS_PER_KEY`` bits per key rounded up to a whole 64-bit word,
+    clamped to [``BLOOM_BITS``, ``MAX_BLOOM_BITS``].  The clamp runs
+    ENTIRELY in bigint and only the already-clamped value (<= 2^27)
+    casts down to int — a pre-clamp int cast would overflow above
+    ~214M distinct keys and, outside ANSI mode, wrap negative so the
+    ``greatest`` floor silently collapsed the bitset to 8192 bits
+    (~100% FP).  Pinned in tests/test_runtime_filter.py at n=10^10."""
+    raw = F.ceil(n.cast("bigint") * BITS_PER_KEY / F.lit(64.0)) * 64
+    return (
+        F.greatest(
+            F.lit(BLOOM_BITS).cast("bigint"),
+            F.least(F.lit(MAX_BLOOM_BITS).cast("bigint"), raw.cast("bigint")),
+        )
+        .cast("int")
+    )
+
+
 def _positions(canon: Column, bits: Column) -> list[Column]:
     """4 bit positions per key from independent md5 hex slices of the
     canonical key string (the manifest bloom index uses the same hash
@@ -134,31 +188,29 @@ def keyset_bloom(
     the size (reproducibility / the reference-model tests)."""
     dtype = df.schema[col].dataType
     keys = df.where(F.col(col).isNotNull()).select(
-        _canon(F.col(col), dtype).alias("__k")
+        _canon(F.col(col), dtype).alias("__k"),
+        _canon_coerced(F.col(col), dtype).alias("__kc"),
     )
     if num_bits is None:
         sizing = keys.agg(F.approx_count_distinct("__k").alias("n")).select(
-            F.greatest(
-                F.lit(BLOOM_BITS),
-                F.least(
-                    F.lit(MAX_BLOOM_BITS),
-                    (F.ceil(F.col("n") * BITS_PER_KEY / F.lit(64.0)) * 64)
-                    .cast("int"),
-                ),
-            ).alias(_BITS_COL)
+            _auto_bits(F.col("n")).alias(_BITS_COL)
         )
     else:
         sizing = df.sparkSession.range(1).select(
             F.lit(int(num_bits)).alias(_BITS_COL)
         )
     bits_col = F.col(_BITS_COL)
+    # each key sets its exact-form positions, plus its double-coerced
+    # form's positions when the two differ (|value| > 2^53 only) — the
+    # dual emission that keeps cross-type probes false-negative-free.
+    exact_pos = F.array(*_positions(F.col("__k"), bits_col))
+    coerced_pos = F.when(
+        F.col("__kc") != F.col("__k"),
+        F.array(*_positions(F.col("__kc"), bits_col)),
+    ).otherwise(F.array().cast(T.ArrayType(T.LongType())))
     bits = (
         keys.crossJoin(F.broadcast(sizing))
-        .select(
-            F.explode(F.array(*_positions(F.col("__k"), bits_col))).alias(
-                "pos"
-            )
-        )
+        .select(F.explode(F.concat(exact_pos, coerced_pos)).alias("pos"))
         .select(
             F.floor(F.col("pos") / 64).cast("int").alias("w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
@@ -221,20 +273,42 @@ def bloom_prefilter(fact: DataFrame, bloom: DataFrame, col: str) -> DataFrame:
             f"({dtype.simpleString()}); canonical forms differ, which "
             "would cause silent false negatives"
         )
-    out = fact.crossJoin(F.broadcast(bloom))
-    pos_cols = [f"__bp{i}" for i in range(_N_HASHES)]
-    for name, p in zip(
-        pos_cols, _positions(_canon(F.col(col), dtype), F.col(_BITS_COL))
-    ):
-        out = out.withColumn(name, p)
-    cond = None
-    for name in pos_cols:
-        hit = F.expr(
-            f"(shiftright(element_at({_WORDS_COL}, CAST({name} DIV 64 AS INT) + 1),"
-            f" CAST({name} % 64 AS INT)) & 1) = 1"
+    out = fact.crossJoin(F.broadcast(bloom)).withColumns(
+        {
+            "__ke": _canon(F.col(col), dtype),
+            "__kc": _canon_coerced(F.col(col), dtype),
+        }
+    )
+    exact_cols = [f"__bp{i}" for i in range(_N_HASHES)]
+    coerced_cols = [f"__bq{i}" for i in range(_N_HASHES)]
+    out = out.withColumns(
+        dict(
+            zip(exact_cols, _positions(F.col("__ke"), F.col(_BITS_COL)))
         )
-        cond = hit if cond is None else cond & hit
-    return out.filter(cond).drop(_WORDS_COL, _BITS_COL, *pos_cols)
+        | dict(
+            zip(coerced_cols, _positions(F.col("__kc"), F.col(_BITS_COL)))
+        )
+    )
+
+    def _all_hit(names: list[str]) -> Column:
+        cond = None
+        for name in names:
+            hit = F.expr(
+                f"(shiftright(element_at({_WORDS_COL}, CAST({name} DIV 64 AS INT) + 1),"
+                f" CAST({name} % 64 AS INT)) & 1) = 1"
+            )
+            cond = hit if cond is None else cond & hit
+        return cond
+
+    # exact-form hit, OR — only when the probe value's coerced form
+    # differs (|value| > 2^53) — a coerced-form hit.  The inequality
+    # guard short-circuits the second 4-bit test for ordinary keys.
+    cond = _all_hit(exact_cols) | (
+        (F.col("__kc") != F.col("__ke")) & _all_hit(coerced_cols)
+    )
+    return out.filter(cond).drop(
+        _WORDS_COL, _BITS_COL, "__ke", "__kc", *exact_cols, *coerced_cols
+    )
 
 
 from pyspark.sql import SparkSession  # noqa: E402  (query section)

@@ -205,6 +205,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.functions.inference",
     "pypeline_spark.operators.ivm",
     "pypeline_spark.operators.runtime_filter",
+    "pypeline_spark.streaming.ingest",
 )
 
 

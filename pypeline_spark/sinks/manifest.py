@@ -1004,20 +1004,22 @@ class ManifestTable:
         lazily-checkpointed so the count materializes the SAME blocks
         the write then reuses — one resolution pass, not two.
 
-        ``cluster_by=(x, y)`` replaces the round-robin re-bucketing
-        with a Morton (Z-order) range clustering over two numeric
-        columns — the ``OPTIMIZE ... ZORDER BY`` shape: without it a
-        rewrite of a previously Z-ordered table destroys the
-        clustering and widens every per-file stats envelope, trading
-        skipping for file count.  Each dimension is scaled into the
-        z domain from its data bounds (taken from the manifest's
-        recorded per-file stats when every touched file has them —
-        metadata only — else one broadcast min/max aggregate folded
-        into the plan), then one ``repartitionByRange`` on the
-        interleave + an in-partition sort: identical cost shape to
-        the round-robin shuffle, but the output files come back
-        z-disjoint with narrow envelopes in BOTH columns (pinned in
-        tests/test_manifest.py).  The z key is layout-only and never
+        ``cluster_by=(c1, .., ck)`` replaces the round-robin
+        re-bucketing with a Morton (Z-order) range clustering over k
+        numeric columns — the ``OPTIMIZE ... ZORDER BY`` shape:
+        without it a rewrite of a previously Z-ordered table destroys
+        the clustering and widens every per-file stats envelope,
+        trading skipping for file count.  Each dimension is scaled
+        into the z domain from its data bounds (taken from the
+        manifest's recorded per-file stats — base AND delta files —
+        when coverage is complete — metadata only — else one
+        broadcast min/max aggregate folded into the plan), then one
+        ``repartitionByRange`` on the interleave + an in-partition
+        sort: identical cost shape to the round-robin shuffle, but
+        the output files come back z-disjoint with narrow envelopes
+        in EVERY clustered column (2-D and 3-D pinned in
+        tests/test_manifest.py; a single column degenerates to plain
+        range clustering).  The z key is layout-only and never
         written — the table schema is unchanged."""
         if target_rows < 1:
             raise ValueError(f"target_rows must be >= 1, got {target_rows}")
@@ -1101,24 +1103,43 @@ class ManifestTable:
         touched: Sequence[str],
     ) -> DataFrame:
         """The clustered-rewrite plan for :meth:`optimize`: Morton-
-        interleave the two ``cluster_by`` columns (scaled to the z
-        domain from their data bounds) and range-partition on the
+        interleave the k ``cluster_by`` columns (each scaled to the z
+        domain from its data bounds) and range-partition on the
         result so every output file gets a narrow [min, max] envelope
-        in BOTH dimensions.  Bounds prefer the manifest's recorded
-        stats (min of mins / max of maxes over the touched files —
-        metadata, no scan); a table without full stats coverage folds
-        a broadcast 1-row min/max aggregate into the plan instead
-        (lazy — still no driver action)."""
+        in EVERY clustered dimension — the ``OPTIMIZE .. ZORDER BY
+        (c1, .., ck)`` shape; a single column degenerates to plain
+        range clustering on the raw value (exact envelopes, no
+        bucketing loss).  Bounds prefer the manifest's recorded stats
+        (min of mins / max of maxes — metadata, no scan) and, on a
+        merge-on-read table, fold the DELTA files' recorded stats in
+        too: ``current`` is the resolved view, so delta rows outside
+        the base range would otherwise bucket past the z domain
+        (ADVICE r11 — ``zbucket`` additionally clamps, so even a
+        legacy manifest can no longer wrap).  A table without full
+        stats coverage folds a broadcast 1-row min/max aggregate into
+        the plan instead (lazy — still no driver action)."""
         from pyspark.sql import functions as F
 
-        from pypeline_spark.operators.multidim import zbucket, zvalue
+        from pypeline_spark.operators.multidim import zbucket, zvalue_n
 
-        x, y = cluster_by
+        cols = list(cluster_by)
+        if not cols:
+            raise ValueError("cluster_by needs at least one column")
+        if len(cols) == 1:
+            return (
+                current.repartitionByRange(n_files, F.col(cols[0]))
+                .sortWithinPartitions(cols[0])
+            )
         stats = m.get("stats", {})
+        # delta rows are part of the resolved view being rewritten, so
+        # their recorded stats belong in the bounds alongside the bases
+        stat_files = list(touched) + [
+            n for fs in m.get("deltas", []) for n in fs
+        ]
 
         def _manifest_bounds(col: str):
             los, his = [], []
-            for f in touched:
+            for f in stat_files:
                 ent = stats.get(f, {}).get(col)
                 if not isinstance(ent, (list, tuple)) or len(ent) != 2:
                     return None
@@ -1126,25 +1147,35 @@ class ManifestTable:
                 his.append(ent[1])
             return (min(los), max(his)) if los else None
 
-        bx, by = _manifest_bounds(x), _manifest_bounds(y)
-        if bx is not None and by is not None:
+        lo_his = [_manifest_bounds(c) for c in cols]
+        names = [(f"__c{i}lo", f"__c{i}hi") for i in range(len(cols))]
+        if all(b is not None for b in lo_his):
             bounds = current.sparkSession.range(1).select(
-                F.lit(bx[0]).alias("__xlo"), F.lit(bx[1]).alias("__xhi"),
-                F.lit(by[0]).alias("__ylo"), F.lit(by[1]).alias("__yhi"),
+                *[
+                    e
+                    for (lo, hi), (nl, nh) in zip(lo_his, names)
+                    for e in (F.lit(lo).alias(nl), F.lit(hi).alias(nh))
+                ]
             )
         else:
             bounds = current.agg(
-                F.min(x).alias("__xlo"), F.max(x).alias("__xhi"),
-                F.min(y).alias("__ylo"), F.max(y).alias("__yhi"),
+                *[
+                    e
+                    for c, (nl, nh) in zip(cols, names)
+                    for e in (F.min(c).alias(nl), F.max(c).alias(nh))
+                ]
             )
-        z = zvalue(
-            zbucket(F.col(x), F.col("__xlo"), F.col("__xhi")),
-            zbucket(F.col(y), F.col("__ylo"), F.col("__yhi")),
+        z = zvalue_n(
+            [
+                zbucket(F.col(c), F.col(nl), F.col(nh))
+                for c, (nl, nh) in zip(cols, names)
+            ]
         )
+        drop_cols = [n for pair in names for n in pair]
         return (
             current.crossJoin(F.broadcast(bounds))
             .withColumn("__zopt", z)
-            .drop("__xlo", "__xhi", "__ylo", "__yhi")
+            .drop(*drop_cols)
             .repartitionByRange(n_files, F.col("__zopt"))
             .sortWithinPartitions("__zopt")
             .drop("__zopt")

@@ -144,6 +144,13 @@ def stream_delta_manifest(
     """
     from pyspark.sql import SparkSession
 
+    if max_delta_filesets is not None and max_delta_filesets < 1:
+        # 0 / negative would make every trigger a full compaction —
+        # the exact hot-path rewrite the delta commit shape avoids
+        raise ValueError(
+            f"max_delta_filesets must be >= 1, got {max_delta_filesets}"
+        )
+
     def _delta_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = SparkSession.getActiveSession()
         assert spark is not None
@@ -174,3 +181,120 @@ def stream_delta_manifest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# -- driver-certifiable query ------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypeline_spark.registry import query  # noqa: E402
+from pypeline_spark.session import load_table  # noqa: E402
+
+
+@query(
+    "q_stream_autocompact",
+    # The oracle recomputes the post-stream content from first
+    # principles (every key%3==0 customer carries the +100 update —
+    # batches are keyed DISJOINTLY, so the final state is independent
+    # of micro-batch order) and pins the policy's bookkeeping as
+    # constants derived from the threshold arithmetic: 5 delta commits
+    # at max_delta_filesets=2 fire maintenance after batches 2 and 4
+    # (outstanding 1,2->0,1,2->0,1), leaving exactly 1 outstanding
+    # fileset and exactly 2 maintenance commits no matter how the
+    # file source orders the triggers.  The hash match proves the
+    # auto-compaction policy bounds the fileset count mid-stream
+    # WITHOUT disturbing exactly-once content; the per-version bound
+    # and replay-skip are pinned in tests/test_stream_to_sink.py.
+    oracle="""
+    WITH merged AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN CAST(FLOOR((c_acctbal + 100) * 100 + 0.5) AS BIGINT)
+                    ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               END AS cents
+        FROM customer
+    )
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(1 AS BIGINT) AS n_outstanding_filesets,
+           CAST(2 AS BIGINT) AS n_maintenance_commits
+    FROM merged GROUP BY bucket
+    """,
+)
+def q_stream_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-on-read ingest with the AUTO-COMPACTION policy
+    (``max_delta_filesets`` — the Delta autoCompact / Hudi inline-
+    compaction shape): five keyed micro-batches stream through
+    :func:`stream_delta_manifest` with a threshold of 2, so the batch
+    loop folds outstanding deltas MID-STREAM twice; the query reads
+    the resolved table back, aggregates, and reports the final
+    outstanding-fileset count plus the number of maintenance commits
+    the ledger recorded.
+
+    Scale: an unattended 100 TB stream lands one delta fileset per
+    trigger forever — read_resolved cost and manifest size grow
+    without bound; the policy caps both at the threshold with one
+    O(metadata) manifest check per trigger, and crash replays skip
+    the maintenance commit through the same batch-id ledger the delta
+    commits use.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="stream_autocompact_")
+    try:
+        table = ManifestTable(scratch + "/tbl")
+        table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 3 != 0), batch_id="seed"
+        )
+        updates = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        for i in range(5):  # disjoint key slices: order-independent
+            updates.filter(F.pmod(F.col("c_custkey"), 5) == i).write.mode(
+                "overwrite"
+            ).parquet(f"{scratch}/in/b{i}")
+        q = stream_delta_manifest(
+            spark.readStream.schema(updates.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/b*"),
+            table,
+            key_columns=("c_custkey",),
+            checkpoint_dir=f"{scratch}/ckpt",
+            max_delta_filesets=2,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("auto-compaction stream did not finish")
+        m = table._read_manifest()
+        n_outstanding = len(m.get("deltas", []))
+        n_maint = sum(
+            1 for b in m["batch_ids"] if b.startswith("stream-maint-")
+        )
+        out = (
+            table.read_resolved(spark)
+            .groupBy(
+                F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+            )
+            .withColumn(
+                "n_outstanding_filesets", F.lit(n_outstanding).cast("bigint")
+            )
+            .withColumn(
+                "n_maintenance_commits", F.lit(n_maint).cast("bigint")
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -1216,3 +1216,159 @@ class TestClusteredOptimize:
         m = t._read_manifest()
         assert m["deltas"] == []
         assert _canon(t.read(spark)) == expected
+
+    def test_cluster_by_three_columns_skips_in_every_dim(
+        self, spark, tmp_path, orders2d
+    ):
+        """r11 VERDICT #5: Delta's ZORDER accepts N columns but
+        cluster_by hard-unpacked a pair.  A 3-column Morton rewrite
+        must keep narrow envelopes in ALL THREE dimensions — each
+        single-dimension range probe skips files — and stay
+        content-lossless."""
+        t = ManifestTable(str(tmp_path / "clustered3"))
+        cols = ["o_custkey", "cents", "o_orderkey"]
+        t.commit_overwrite(
+            orders2d.repartition(24), batch_id="seed", stats_cols=cols
+        )
+        before = _canon(t.read(spark))
+        n = orders2d.count()
+        t.optimize(
+            spark, target_rows=-(-n // 16), stats_cols=cols,
+            cluster_by=tuple(cols),
+        )
+        assert _canon(t.read(spark)) == before
+        total = len(t._read_manifest()["files"])
+        # narrow probes (~5-10% of each domain): 16 z-clustered files
+        # give every dimension a few disjoint blocks
+        lo_hi = {
+            "o_custkey": (10, 40),
+            "cents": (1_000_000, 1_500_000),
+            "o_orderkey": (100, 400),
+        }
+        for col, rng in lo_hi.items():
+            files, tot = t.prune_plan_multi({col: rng})
+            assert tot == total
+            assert len(files) < total, f"no skipping on {col}"
+
+    def test_cluster_by_single_column_is_plain_range(
+        self, spark, tmp_path, orders2d
+    ):
+        """One column degenerates to range clustering on the raw value:
+        exact envelopes (no z-bucketing loss), content-lossless, and
+        the clustered column's range probes skip."""
+        t = ManifestTable(str(tmp_path / "clustered1"))
+        t.commit_overwrite(
+            orders2d.repartition(24), batch_id="seed", stats_cols=["cents"]
+        )
+        before = _canon(t.read(spark))
+        n = orders2d.count()
+        t.optimize(
+            spark, target_rows=-(-n // 12), stats_cols=["cents"],
+            cluster_by=("cents",),
+        )
+        assert _canon(t.read(spark)) == before
+        total = len(t._read_manifest()["files"])
+        files, tot = t.prune_plan_multi({"cents": (1_000_000, 1_500_000)})
+        assert tot == total and len(files) < total
+
+    def test_mor_cluster_bounds_fold_delta_stats(
+        self, spark, tmp_path, orders2d, monkeypatch
+    ):
+        """ADVICE r11: a merge-on-read clustered OPTIMIZE used to take
+        z bounds from BASE-file stats only while rewriting the resolved
+        view — delta rows past the base range bucketed out of the z
+        domain and wrapped.  Bounds must now fold the delta files'
+        recorded stats (still pure metadata: no bounds aggregate in the
+        plan), stay content-lossless, and keep the clustering useful —
+        the extreme delta rows land in files whose envelopes don't
+        poison in-range probes."""
+        import pypeline_spark.sinks.manifest as mmod
+
+        t = ManifestTable(str(tmp_path / "mordelta"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(
+            orders2d.repartition(8), batch_id="seed", stats_cols=cols
+        )
+        # delta rows FAR outside the base cents range
+        upd = orders2d.filter(F.col("o_custkey") % 7 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(10_000_000_000)
+        )
+        t.commit_delta(upd, ["o_orderkey"], batch_id="d1", stats_cols=cols)
+        expected = _canon(t.read_resolved(spark))
+
+        seen = {}
+        orig = mmod.ManifestTable._cluster_for_rewrite
+
+        def spy(self, current, cluster_by, n_files, m, touched):
+            out = orig(self, current, cluster_by, n_files, m, touched)
+            seen["plan"] = out._jdf.queryExecution().optimizedPlan().toString()
+            return out
+
+        monkeypatch.setattr(mmod.ManifestTable, "_cluster_for_rewrite", spy)
+        n = orders2d.count()
+        t.optimize(
+            spark, target_rows=-(-n // 12), stats_cols=cols,
+            cluster_by=tuple(cols),
+        )
+        # bounds stayed metadata-only even though deltas were folded
+        assert "plan" in seen and "Aggregate" not in seen["plan"]
+        assert t._read_manifest()["deltas"] == []
+        assert _canon(t.read(spark)) == expected
+        # the extreme delta rows cluster to the top of the z range:
+        # an in-base-range cents probe still skips files
+        total = len(t._read_manifest()["files"])
+        files, tot = t.prune_plan_multi({"cents": (1_000_000, 1_500_000)})
+        assert tot == total and len(files) < total
+
+
+class TestZBucketClamp:
+    """zbucket must clamp out-of-bounds values to the domain edges
+    instead of producing negative / overflowing buckets whose bits wrap
+    inside the Morton interleave (ADVICE r11)."""
+
+    def test_out_of_range_values_clamp_to_edges(self, spark):
+        from pypeline_spark.operators.multidim import Z_BITS, zbucket
+
+        df = spark.createDataFrame(
+            [(-500,), (0,), (50,), (100,), (9_999,)], "v bigint"
+        ).select(
+            "v",
+            zbucket(F.col("v"), F.lit(0), F.lit(100)).alias("b"),
+        )
+        got = {r.v: r.b for r in df.collect()}
+        assert got[-500] == 0  # below lo: clamps, never negative
+        assert got[9_999] == (1 << Z_BITS) - 1  # above hi: clamps
+        assert 0 <= got[0] <= got[50] <= got[100] <= (1 << Z_BITS) - 1
+
+    def test_zvalue_n_matches_two_dim_zvalue(self, spark):
+        from pypeline_spark.operators.multidim import zvalue, zvalue_n
+
+        df = spark.createDataFrame(
+            [(x, y) for x in (0, 1, 7, 200, 255) for y in (0, 3, 129, 255)],
+            "x int, y int",
+        ).select(
+            zvalue(F.col("x"), F.col("y")).alias("z2"),
+            zvalue_n([F.col("x"), F.col("y")]).alias("zn"),
+        )
+        assert all(r.z2 == r.zn for r in df.collect())
+
+    def test_zvalue_n_three_dims_interleaves(self, spark):
+        """bit i of dim j lands at z-bit 3i+j: spot-check against a
+        pure-Python interleave."""
+        from pypeline_spark.operators.multidim import zvalue_n
+
+        def py_z(vals, bits=8):
+            k = len(vals)
+            z = 0
+            for i in range(bits):
+                for j, v in enumerate(vals):
+                    z |= ((v >> i) & 1) << (k * i + j)
+            return z
+
+        rows = [(3, 200, 255), (0, 0, 0), (255, 255, 255), (17, 4, 99)]
+        df = spark.createDataFrame(rows, "a int, b int, c int").select(
+            "a", "b", "c",
+            zvalue_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
+        )
+        for r in df.collect():
+            assert r.z == py_z([r.a, r.b, r.c])

@@ -166,6 +166,68 @@ def test_fractional_keys_hash_consistently(spark):
     assert {2.5, 7.25} <= passed
 
 
+def test_auto_bits_clamps_on_bigint_before_int_cast(spark):
+    """ADVICE r11 (medium): the sizing expression must clamp in BIGINT
+    and only cast the already-clamped value to int — a pre-clamp int
+    cast overflows above ~214M distinct keys (10 bits/key * 2^31/10),
+    raising under ANSI or wrapping negative and collapsing the bitset
+    to the 8192-bit floor otherwise.  Pin the expression directly at
+    n=10^10 (no need to build 10B keys): it must yield exactly the
+    MAX_BLOOM_BITS ceiling, positive, as int."""
+    from pypeline_spark.operators.runtime_filter import (
+        MAX_BLOOM_BITS,
+        _auto_bits,
+    )
+
+    rows = spark.createDataFrame(
+        [(0,), (1,), (100_000,), (250_000_000,), (10_000_000_000,)],
+        "n bigint",
+    ).select(F.col("n"), _auto_bits(F.col("n")).alias("bits")).collect()
+    got = {r.n: r.bits for r in rows}
+    assert got[0] == BLOOM_BITS  # floor
+    assert got[1] == BLOOM_BITS
+    assert got[100_000] == ((100_000 * 10 + 63) // 64) * 64
+    assert got[250_000_000] == MAX_BLOOM_BITS  # past the int32 overflow point
+    assert got[10_000_000_000] == MAX_BLOOM_BITS
+    assert all(b > 0 for b in got.values())
+
+
+def test_above_2p53_cross_type_no_false_negatives(spark):
+    """ADVICE r11 (low): Spark coerces bigint==double to DOUBLE, so
+    bigint 2^53+1 join-matches double 9007199254740992.0.  The dual
+    canonical-form scheme must keep such rows in BOTH directions —
+    and exact-exact probes above 2^53 must still hit via the exact
+    form (bigint==bigint / bigint==decimal never go through double)."""
+    big = (1 << 53) + 1  # rounds to 2^53 as a double
+    dim = spark.createDataFrame([(big,), (7,)], "k bigint")
+    bloom = keyset_bloom(dim, "k")
+
+    # double probe carrying the coerced value: the exact join matches
+    # (CAST(2^53+1 AS DOUBLE) == 9007199254740992.0), so must we
+    fact_d = spark.createDataFrame([(float(1 << 53), "hi")],
+                                   "k double, v string")
+    assert bloom_prefilter(fact_d, bloom, "k").count() == 1
+
+    # exact bigint probe of the same key: still hits via the exact form
+    fact_i = spark.createDataFrame([(big, "x")], "k bigint, v string")
+    assert bloom_prefilter(fact_i, bloom, "k").count() == 1
+
+    # decimal probe (exact coercion path) of the exact value
+    fact_dec = spark.sql(f"SELECT CAST({big} AS DECIMAL(20,0)) AS k")
+    assert bloom_prefilter(fact_dec, bloom, "k").count() == 1
+
+    # mirror: build on the DOUBLE side, probe with the bigint — the
+    # probe's coerced form must reach the double-built bits
+    dim_d = spark.createDataFrame([(float(1 << 53),)], "k double")
+    bloom_d = keyset_bloom(dim_d, "k")
+    assert bloom_prefilter(fact_i, bloom_d, "k").count() == 1
+
+    # and a superset sanity: a genuinely absent huge key still filters
+    miss = spark.createDataFrame([((1 << 60) + 12345, "no")],
+                                 "k bigint, v string")
+    assert bloom_prefilter(miss, bloom, "k").count() == 0
+
+
 def test_kind_mismatch_raises(spark):
     """Numeric-vs-string canonical forms are unrelated: probing must
     raise instead of silently returning false negatives."""

@@ -304,6 +304,125 @@ def test_manifest_stream_delta_merge_on_read_end_to_end(spark, sf_dir, tmp_path)
     assert _canon(table.read(spark)) == expected
 
 
+def test_stream_autocompact_bounds_filesets_every_version(spark, sf_dir, tmp_path):
+    """The auto-compaction policy (``max_delta_filesets``): streaming 5
+    micro-batches with a threshold of 2 must fire the maintenance
+    commit MID-STREAM (twice, after batches 1 and 3), keep the
+    outstanding-fileset count <= 2 across EVERY retained version (not
+    just the final one — an unattended stream's resolution cost is the
+    max, not the end state), preserve ledger/key_columns/stats through
+    the maintenance commits, and skip a simulated checkpoint replay of
+    both the delta and the maintenance commit via their ledger ids."""
+    import json
+    import os
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target, batch_id="seed", stats_cols=("c_custkey",))
+
+    stream_dir = str(tmp_path / "in")
+    for i in range(5):
+        updates.filter(F.pmod(F.col("c_custkey"), 5) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+
+    q = stream_delta_manifest(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stats_cols=("c_custkey",),
+        max_delta_filesets=2,
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+    # policy fired mid-stream: after batches 1 and 3 the outstanding
+    # count hit the threshold, so exactly those maintenance ids exist
+    applied = set(table.applied_batch_ids())
+    assert {"stream-maint-1", "stream-maint-3"} <= applied
+    assert "stream-maint-0" not in applied  # below threshold: no fire
+    assert "stream-maint-4" not in applied
+
+    # the bound holds across EVERY retained version, not just the tip
+    per_version = {}
+    for f in os.listdir(str(tmp_path / "mtbl")):
+        if f.startswith("_manifest.v") and f.endswith(".json"):
+            with open(str(tmp_path / "mtbl" / f)) as fh:
+                mf = json.load(fh)
+            per_version[mf["version"]] = len(mf.get("deltas", []))
+    assert per_version, "no retained manifest versions found"
+    assert max(per_version.values()) <= 2, per_version
+    # 5 delta commits + 2 maintenance commits on top of the seed
+    assert table.version() == max(per_version)
+    assert len(per_version) == 1 + 5 + 2
+
+    # content unharmed; key_columns and per-file stats survived
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    assert _canon(table.read_resolved(spark)) == expected
+    m = table._read_manifest()
+    assert m["key_columns"] == ["c_custkey"]
+    assert all(
+        "c_custkey" in m["stats"].get(f, {}) for f in m["files"]
+    ), "maintenance rewrite dropped the recorded stats"
+
+    # simulated checkpoint replay of the trigger that fired the policy:
+    # both the delta commit and the maintenance commit are ledger-skipped
+    v = table.version()
+    batch3 = spark.read.parquet(f"{stream_dir}/b3")
+    assert table.commit_delta(batch3, ["c_custkey"], batch_id="stream-3") == v
+    assert table.compact(spark, batch_id="stream-maint-3") == v
+    assert table.version() == v
+    assert _canon(table.read_resolved(spark)) == expected
+
+
+def test_stream_autocompact_optimize_variant_and_validation(spark, sf_dir, tmp_path):
+    """``compact_target_rows`` upgrades the policy's maintenance commit
+    to a bin-packing OPTIMIZE (deltas folded AND the table re-packed);
+    a threshold below 1 is rejected at entry — 0 would turn every
+    trigger into a full rewrite."""
+    import pytest as _pytest
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+    target, updates = _target_and_updates(spark, sf_dir)
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    table.commit_overwrite(target.repartition(4), batch_id="seed")
+
+    with _pytest.raises(ValueError, match="max_delta_filesets"):
+        stream_delta_manifest(
+            updates, table, key_columns=("c_custkey",), max_delta_filesets=0
+        )
+
+    stream_dir = str(tmp_path / "in")
+    for i in range(2):
+        updates.filter(F.pmod(F.col("c_custkey"), 2) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+    expected = _canon(upsert(target, updates, key_columns=("c_custkey",)))
+    target_rows = max(1, len(expected) // 2)
+    q = stream_delta_manifest(
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("c_custkey",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_delta_filesets=2,
+        compact_target_rows=target_rows,
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    m = table._read_manifest()
+    assert m["deltas"] == []  # policy fired on the second trigger
+    assert len(m["files"]) == -(-len(expected) // target_rows)  # bin-packed
+    assert _canon(table.read(spark)) == expected
+
+
 def test_streaming_ingest_then_optimize_maintenance(spark, sf_dir, tmp_path):
     """The full small-file lifecycle: streaming ingestion fragments the
     table (one delta fileset per micro-batch — the layout debt every

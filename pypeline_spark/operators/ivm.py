@@ -875,3 +875,190 @@ def q_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_analyze",
+    # The oracle recomputes the profile's EXACT fields (row count, null
+    # count, min, max) from first principles per analyzed column; the
+    # Spark side commits the table, runs ANALYZE (one distributed
+    # aggregation pass persisted as a metadata-only manifest commit),
+    # and emits the PERSISTED profile back as literals — the hash
+    # match proves the stats in the manifest are the true table stats.
+    # The approximate NDV is certified as a banded boolean (within 10%
+    # of the exact distinct count, computed distributed); both sides
+    # assert TRUE.  Metadata-only-ness (no new data files, version
+    # bump, carry/invalidation rules, suggest_bloom_bits arithmetic)
+    # is pinned in tests/test_manifest.py::TestAnalyze.
+    oracle="""
+    SELECT 'c_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_v,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_v,
+           TRUE AS ndv_within_10pct
+    FROM customer
+    UNION ALL
+    SELECT 'cents' AS col,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(MIN(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_v,
+           CAST(MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_v,
+           TRUE AS ndv_within_10pct
+    FROM customer
+    """,
+)
+def q_manifest_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS`` over a
+    manifest table: one distributed aggregation pass computes
+    per-column NDV / null count / min / max plus the row count and
+    persists them as a METADATA-ONLY commit; the query reads the
+    persisted profile back and certifies the exact fields against a
+    first-principles oracle (the approximate NDV as a 10% band vs the
+    exact distinct count).
+
+    Scale: the profile turns downstream planning from data passes
+    into manifest reads — ``suggest_bloom_bits`` sizes a runtime
+    bloom filter for a 100 TB join from the persisted NDV instead of
+    an in-plan sizing aggregate, and null/min/max feed the same
+    decisions engine catalogs (Delta/Iceberg column stats, CBO) make.
+    The ANALYZE itself is one map-side-combined aggregate; the driver
+    handles a single row of numbers.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest_analyze_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(c.repartition(8), batch_id="seed")
+        table.analyze(spark, ["c_custkey", "cents"], batch_id="an1")
+        cs = table.column_stats()
+        exact = c.agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count_distinct("c_custkey").alias("e_custkey"),
+            F.count_distinct("cents").alias("e_cents"),
+        )
+
+        def profile_row(col: str, exact_ndv_col: str) -> DataFrame:
+            p = cs["columns"][col]
+            band = (
+                F.abs(F.lit(p["ndv"]) - F.col(exact_ndv_col))
+                <= 0.1 * F.col(exact_ndv_col)
+            )
+            return exact.select(
+                F.lit(col).alias("col"),
+                F.lit(cs["row_count"]).cast("bigint").alias("row_count"),
+                F.lit(p["nulls"]).cast("bigint").alias("n_nulls"),
+                F.lit(p["min"]).cast("bigint").alias("min_v"),
+                F.lit(p["max"]).cast("bigint").alias("max_v"),
+                band.alias("ndv_within_10pct"),
+            )
+
+        out = profile_row("c_custkey", "e_custkey").unionByName(
+            profile_row("cents", "e_cents")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_partition_evolution",
+    # The oracle recomputes the content aggregate straight from the
+    # source and pins the evolution bookkeeping from first principles:
+    # a 24-file arrival-ordered table re-clustered at
+    # max_files_per_step=10 converges in exactly ceil(24/10) = 3
+    # bounded commits rewriting all 24 original files once each (newly
+    # written files carry the clustering tag, so no file is ever
+    # rewritten twice), and a 4th call is a metadata no-op.  The hash
+    # match proves every intermediate snapshot stayed content-lossless
+    # while the table was re-clustered LIVE; skipping effectiveness
+    # after convergence is pinned in
+    # tests/test_manifest.py::TestPartitionEvolution.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(3 AS BIGINT) AS n_steps,
+           CAST(24 AS BIGINT) AS files_rewritten,
+           TRUE AS converged
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution: re-cluster a LIVE manifest table onto a new
+    (custkey, cents) Z-order key in bounded maintenance steps instead
+    of one stop-the-world rewrite.  A 24-file arrival-ordered commit
+    evolves at ``max_files_per_step=10``: each call rewrites at most
+    10 not-yet-clustered files (decided from the per-file ``clustered``
+    filemeta tag — pure metadata) and carries the rest verbatim, so
+    readers keep snapshot isolation throughout and the rewrite
+    amplification per commit is capped.  The query reports the
+    converged table's aggregate plus the step/rewrite counts.
+
+    Scale: a one-shot re-cluster of 100 TB is a full-table shuffle no
+    maintenance window tolerates, and a crash burns the whole attempt;
+    evolution amortizes the same work into crash-isolated commits of
+    bounded size — the Iceberg partition-evolution / incremental-ZORDER
+    operational shape — while z-bounds taken from WHOLE-table manifest
+    stats keep buckets comparable across steps.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="partition_evolution_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            o.repartition(24),
+            batch_id="seed",
+            stats_cols=["o_custkey", "cents"],
+        )
+        n = o.count()
+        target = max(1, -(-n // 12))
+        steps = 0
+        rewritten = 0
+        while True:
+            _, k = table.evolve_clustering(
+                spark,
+                ("o_custkey", "cents"),
+                target_rows=target,
+                batch_id=f"evolve-{steps}",
+                max_files_per_step=10,
+                stats_cols=["o_custkey", "cents"],
+            )
+            if k == 0:
+                break
+            steps += 1
+            rewritten += k
+        out = (
+            table.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .withColumn("n_steps", F.lit(steps).cast("bigint"))
+            .withColumn("files_rewritten", F.lit(rewritten).cast("bigint"))
+            .withColumn("converged", F.lit(steps > 0) & F.lit(rewritten == 24))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

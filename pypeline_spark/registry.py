@@ -62,113 +62,101 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-11 window is the staleness rotation the r10 verdict
-# directed.  Cumulative driver record after round 10: 238 of 238
+# The round-12 window is the staleness rotation the r11 verdict
+# directed.  Cumulative driver record after round 11: 239 of 239
 # registered queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram r5=39 / r6=49 / r8=50 / r9=50 / r10=50
-# (re-derived from CORRECTNESS_r01..r10 before pinning, per the
+# latest-cert histogram r6=39 / r8=50 / r9=50 / r10=50 / r11=50
+# (re-derived from CORRECTNESS_r01..r11 before pinning, per the
 # standing instruction).  This window pins (a) the COMPLETE 39-query
-# remaining r5 cohort — whose certs hit the staleness bound now that
-# CORRECTNESS_r10 is the newest record, and which includes the three
-# r10 deferrals (q_semantic_dedup / q_span_dup_share /
-# q_variant_props) at their LAST admissible window — (b) the first 10
-# of the 49-query r6 cohort (alphabetical), and (c) one
-# first-certification slot for the operator ADDED in round 11:
-# clustered OPTIMIZE (`q_manifest_optimize_zorder`,
-# ManifestTable.optimize(cluster_by=...) — the r10 verdict's directive
-# #3).  Its slot comes from deferring the 11th r6 pick
-# (q_epoch_shuffle) to r12, whose cohort has ample runway.
+# remaining r6 cohort — whose certs hit the staleness bound now that
+# CORRECTNESS_r11 is the newest record, including the r11-deferred
+# q_epoch_shuffle — (b) the first 8 of the 50-query r8 cohort
+# (alphabetical), and (c) three first-certification slots for the
+# operators ADDED in round 12: the streaming auto-compaction policy
+# cert (`q_stream_autocompact`, the r11 verdict's directive #2),
+# manifest ANALYZE (`q_manifest_analyze`, directive #7a) and partition
+# evolution (`q_partition_evolution`, directive #7b).  Their slots
+# come from deferring three r8 picks, whose cohort has runway through
+# the r14 window.
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 239 after the r11 addition):
-#   r11 window = 39 r5 + 10 r6 + 1 new -> after r11: 39 r6 remain
-#   r12 window = 39 r6 + 11 r8         -> after r12: 39 r8 remain
-#   r13 window = 39 r8 + 11 r9         -> after r13: 39 r9 remain
-#   r14 window = 39 r9 + 11 r10        -> after r14: 39 r10 remain
-#   r15 window = 39 r10 + 11 r11       -> histogram flat at <=50/round
+# satisfiable at every step; registry 242 after the r12 additions):
+#   r12 window = 39 r6 + 8 r8 + 3 new  -> after r12: 42 r8 remain
+#   r13 window = 42 r8 + 8 r9          -> after r13: 42 r9 remain
+#   r14 window = 42 r9 + 8 r10         -> after r14: 42 r10 remain
+#   r15 window = 42 r10 + 8 r11        -> after r15: 42 r11 remain
+#   r16 window = 42 r11 + 8 r12        -> histogram flat at <=50/round
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (239 queries / 50 slots —
-# ceil(239/6) = 40 needed, 10 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (242 queries / 50 slots —
+# ceil(242/6) = 41 needed, 9 slack per window).
 #
-# Planned r12 window, pre-computed so the next rotation is mechanical
-# (re-derive against CORRECTNESS_r11 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe).
-# The 39 remaining r6-certified queries (49-cohort minus the 10 below):
-#   q_epoch_shuffle q_equidepth_hist q_heavy_hitters_cms q_image_phash
-#   q_image_resize q_ivm_rollup q_jaccard_prefix q_json_props q_kanon
-#   q_lang_drift q_lang_filter q_lang_id q_langid_confusion
-#   q_latency_bands q_linear_trend q_manifest_prune q_map_ops
-#   q_merge_variance q_mixture_temperature q_mode q_multimodal_decode
-#   q_multimodal_meta q_multimodal_pointers q_ngram_jaccard q_ohlc
-#   q_outliers_mad q_pattern_match q_pattern_var q_period_growth
-#   q_pii_scrub q_pipeline_dedup q_quality_score q_sample_stratified
-#   q_sample_weighted q_session_rollup q_simhash q_span_dedup
-#   q_time_weighted_avg q_union_evolve
-#   (re-derive: the list above is 38 names + whichever r6 queries the
-#   r11 driver run did NOT re-certify; count against CORRECTNESS_r11)
-# plus 11 r8 picks (first of the r8 cohort, alphabetical).
+# Planned r13 window, pre-computed so the next rotation is mechanical
+# (re-derive against CORRECTNESS_r12 before pinning, then pre-verify
+# all 50 driver-strict at sf0.01 per the standing recipe): the 42
+# remaining r8-certified queries (the 50-query r8 cohort minus the 8
+# picks below) + the first 8 of the r9 cohort (alphabetical).
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # staleness rotation: latest driver-green row is round 5 (complete
+    # staleness rotation: latest driver-green row is round 6 (complete
     # 39-query cohort — at the strict bound, non-negotiable this round)
-    "q_ab_test",
-    "q_anomaly_zscore",
-    "q_approx_distinct",
-    "q_batch_inference",
-    "q_benford",
-    "q_bfs_hops",
-    "q_bm25",
-    "q_boilerplate",
-    "q_bpe_apply",
-    "q_disjunctive_pred",
-    "q_embedding_centroids",
-    "q_excess_suppliers",
-    "q_gopher_rules",
-    "q_hll_rollup",
-    "q_key_skew",
-    "q_large_orders",
-    "q_min_cost_supplier",
-    "q_nation_volume",
-    "q_order_count_distribution",
-    "q_pagerank",
-    "q_percentile_approx",
-    "q_pit_join",
-    "q_priority_lateness",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_quality_deciles",
-    "q_record_linkage",
-    "q_sales_opportunity",
-    "q_semantic_dedup",
-    "q_sessionize_sql",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_span_dup_share",
-    "q_supplier_part_counts",
-    "q_top_supplier",
-    "q_url_extract",
-    "q_value_concentration",
-    "q_variant_props",
-    "q_waiting_orders",
-    # r6 picks: front-loading the 49-query r6 cohort (39 remain for r12)
-    "q_attribution",
-    "q_audio_energy",
-    "q_bigram_lm",
-    "q_cluster_sizes",
-    "q_cms_users",
-    "q_containment",
-    "q_coverage_topk",
-    "q_delete_keys",
-    "q_domain_cap",
-    "q_dp_counts",
-    # first certification slot for the operator added mid-round-11
-    # (a never-certified query outside the window trips the staleness
-    # guard immediately — new operators MUST take window slots)
-    "q_manifest_optimize_zorder",
+    "q_epoch_shuffle",
+    "q_equidepth_hist",
+    "q_heavy_hitters_cms",
+    "q_image_phash",
+    "q_image_resize",
+    "q_ivm_rollup",
+    "q_jaccard_prefix",
+    "q_kanon",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_lang_drift",
+    "q_langid_confusion",
+    "q_latency_bands",
+    "q_linear_trend",
+    "q_manifest_merge_prune",
+    "q_manifest_prune",
+    "q_merge_variance",
+    "q_mixture_temperature",
+    "q_mode",
+    "q_multimodal_decode",
+    "q_ohlc",
+    "q_outliers_mad",
+    "q_pattern_match",
+    "q_pattern_var",
+    "q_period_growth",
+    "q_pipeline_dedup",
+    "q_sample_weighted",
+    "q_schema_drift",
+    "q_session_rollup",
+    "q_shard_balance",
+    "q_span_dedup",
+    "q_time_travel_diff",
+    "q_time_weighted_avg",
+    "q_token_entropy",
+    "q_top_terms",
+    "q_train_val_split",
+    "q_union_evolve",
+    "q_weekday_profile",
+    "q_winsorize",
+    # r8 picks: front-loading the 50-query r8 cohort (42 remain for r13)
+    "q_agg_distinct",
+    "q_agg_pricing",
+    "q_agg_stats",
+    "q_anti",
+    "q_arg_minmax",
+    "q_array_ops",
+    "q_case_coalesce",
+    "q_cte",
+    # first-certification slots for the three operators added in
+    # round 12 (a never-certified query outside the window trips the
+    # staleness guard immediately — new operators MUST take window slots)
+    "q_stream_autocompact",
+    "q_manifest_analyze",
+    "q_partition_evolution",
 )
 
 _OPERATOR_MODULES = (

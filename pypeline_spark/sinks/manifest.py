@@ -649,6 +649,8 @@ class ManifestTable:
             return m["version"]  # replay detected: no-op
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         files, stats, filemeta = self._write_fileset(df, stats_cols, bloom)
+        # NO colstats carry: replaced content invalidates the ANALYZE
+        # profile outright (re-run analyze() on the new contents)
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -756,6 +758,9 @@ class ManifestTable:
                 **filemeta,
             },
             "bloom_cols": bloom,
+            # the ANALYZE profile rides along (provenance kept for
+            # staleness detection); only an overwrite invalidates it
+            **({"colstats": m["colstats"]} if "colstats" in m else {}),
         }
         self._publish(new)
         return new["version"]
@@ -808,6 +813,9 @@ class ManifestTable:
             "stats": {**m.get("stats", {}), **stats},
             "filemeta": {**m.get("filemeta", {}), **filemeta},
             "bloom_cols": bloom,
+            # the ANALYZE profile rides along (provenance kept for
+            # staleness detection); only an overwrite invalidates it
+            **({"colstats": m["colstats"]} if "colstats" in m else {}),
         }
         self._publish(new)
         return new["version"]
@@ -940,6 +948,9 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
+            # the ANALYZE profile rides along (provenance kept for
+            # staleness detection); only an overwrite invalidates it
+            **({"colstats": m["colstats"]} if "colstats" in m else {}),
         }
         self._publish(new)
         return new["version"]
@@ -1075,6 +1086,15 @@ class ManifestTable:
             rewrite = current.repartition(n_files)
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
+        if cluster_by is not None:
+            # tag the rewritten files with their clustering key so
+            # evolve_clustering can tell converged files from pending
+            # ones by METADATA alone (round-robin output stays untagged
+            # — the rewrite genuinely destroyed any clustering)
+            for f in files:
+                new_meta.setdefault(f, {})["clustered"] = [
+                    str(c) for c in cluster_by
+                ]
         new = {
             "version": m["version"] + 1,
             "files": carried + files,
@@ -1090,9 +1110,120 @@ class ManifestTable:
                 **new_meta,
             },
             "bloom_cols": bloom,
+            # the ANALYZE profile rides along (provenance kept for
+            # staleness detection); only an overwrite invalidates it
+            **({"colstats": m["colstats"]} if "colstats" in m else {}),
         }
         self._publish(new)
         return new["version"]
+
+    def evolve_clustering(
+        self,
+        spark: SparkSession,
+        cluster_by: Sequence,
+        target_rows: int,
+        batch_id: Optional[str] = None,
+        max_files_per_step: Optional[int] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> tuple[int, int]:
+        """PARTITION EVOLUTION: re-cluster a live table onto a new key
+        WITHOUT a stop-the-world rewrite.  Each call is ONE bounded
+        maintenance commit: up to ``max_files_per_step`` files not yet
+        clustered by ``cluster_by`` (decided by the per-file
+        ``clustered`` tag in filemeta — pure metadata) are read, Morton-range-
+        clustered via the same machinery as ``optimize(cluster_by=..)``
+        and republished; every already-converged file's manifest entry
+        carries over verbatim.  Returns ``(version, files_rewritten)``;
+        ``files_rewritten == 0`` means converged (no commit happens).
+        Repeated calls — e.g. one per maintenance window between
+        streaming compactions — converge the whole table.
+
+        Correctness: base files partition the rows, so rewriting a
+        subset losslessly and carrying the complement is exact (the
+        selective-OPTIMIZE argument).  z-bounds are derived from the
+        WHOLE table's stats (not just the step's slice) so buckets are
+        comparable across steps; per-file envelopes narrow step by
+        step, and readers prune against whatever stats each file
+        currently has — evolution never degrades a query, it only
+        improves skipping monotonically.
+
+        Refuses outstanding merge-on-read deltas (resolution needs
+        every base row — fold them with ``compact``/``optimize``
+        first), mirroring selective OPTIMIZE.
+
+        Scale: re-clustering 100 TB in one shot is a full-table
+        shuffle no maintenance window tolerates (and a crash burns the
+        whole attempt); evolution amortizes it into commits of
+        ``max_files_per_step`` files each with snapshot-isolated
+        readers throughout — the Iceberg partition-evolution /
+        Delta incremental-ZORDER operational shape."""
+        if target_rows < 1:
+            raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+        if max_files_per_step is not None and max_files_per_step < 1:
+            raise ValueError(
+                f"max_files_per_step must be >= 1, got {max_files_per_step}"
+            )
+        cols = [str(c) for c in cluster_by]
+        if not cols:
+            raise ValueError("cluster_by needs at least one column")
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"], 0
+        if m.get("deltas"):
+            raise ValueError(
+                "outstanding merge-on-read deltas: evolve_clustering "
+                "rewrites file subsets and cannot resolve keys — fold "
+                "them with compact()/optimize() first"
+            )
+        filemeta = m.get("filemeta", {})
+        pending = [
+            f
+            for f in m["files"]
+            if filemeta.get(f, {}).get("clustered") != cols
+        ]
+        if not pending:
+            return m["version"], 0  # converged: no commit
+        if max_files_per_step is not None:
+            pending = pending[:max_files_per_step]
+        pending_set = set(pending)
+        carried = [f for f in m["files"] if f not in pending_set]
+        current = spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in pending]
+        )
+        rows = [filemeta.get(f, {}).get("rows") for f in pending]
+        total = (
+            sum(rows) if all(r is not None for r in rows) else current.count()
+        )
+        n_files = max(1, -(-total // target_rows))
+        # bounds from the WHOLE table (m["files"]) so z-buckets are
+        # comparable across evolution steps, not per-slice
+        rewrite = self._cluster_for_rewrite(
+            current, cols, n_files, m, m["files"]
+        )
+        bloom = m.get("bloom_cols", [])
+        files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
+        for f in files:
+            new_meta.setdefault(f, {})["clustered"] = cols
+        new = {
+            "version": m["version"] + 1,
+            "files": carried + files,
+            "deltas": [],
+            "key_columns": m.get("key_columns"),
+            "batch_ids": m["batch_ids"]
+            + ([batch_id] if batch_id is not None else []),
+            "stats": {
+                **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
+                **stats,
+            },
+            "filemeta": {
+                **{f: filemeta[f] for f in carried if f in filemeta},
+                **new_meta,
+            },
+            "bloom_cols": bloom,
+            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+        }
+        self._publish(new)
+        return new["version"], len(pending)
 
     def _cluster_for_rewrite(
         self,
@@ -1216,3 +1347,133 @@ class ManifestTable:
                         removed += 1
             os.remove(os.path.join(self.root, mf))
         return removed
+
+    # -- table statistics (ANALYZE) --------------------------------------------
+
+    def analyze(
+        self,
+        spark: SparkSession,
+        cols: Sequence[str],
+        batch_id: Optional[str] = None,
+    ) -> int:
+        """``ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS``: ONE
+        distributed aggregation pass over the current snapshot
+        (delta-resolved when merge-on-read commits are outstanding)
+        computing a per-column table-level profile — approximate NDV
+        (HLL sketch), exact null count, exact min/max — plus the exact
+        row count, persisted in the manifest as ``colstats``.  The
+        commit is METADATA-ONLY: no data file is written or rewritten,
+        the file list is untouched, and the version bump goes through
+        the same atomic swap / batch-id ledger as every other commit.
+
+        Later content commits CARRY the profile forward (with its
+        ``analyzed_version``/``analyzed_rows`` provenance, so consumers
+        can detect and scale for staleness); ``commit_overwrite``
+        DROPS it — replaced content invalidates the profile outright.
+
+        Scale: the profile is what turns several downstream planning
+        decisions from data passes into manifest reads —
+        :meth:`suggest_bloom_bits` sizes a runtime bloom filter from
+        the persisted NDV (the metadata-fed alternative to
+        ``keyset_bloom``'s in-plan sizing aggregate), and the exact
+        null/min/max feed the same pruning decisions engine catalogs
+        (Delta/Iceberg column stats, Spark CBO) make.  Cost is one
+        map-side-combined aggregate over the table per ANALYZE — the
+        driver handles a single row of numbers."""
+        from pyspark.sql import functions as F
+
+        cols = list(cols)
+        if not cols:
+            raise ValueError("analyze needs at least one column")
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        current = (
+            self.read_resolved(spark) if m.get("deltas") else self.read(spark)
+        )
+        if current is None:
+            raise ValueError("nothing to analyze: table has no data")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"__ndv__{c}"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls__{c}"),
+                F.min(c).alias(f"__min__{c}"),
+                F.max(c).alias(f"__max__{c}"),
+            ]
+        row = current.agg(*aggs).first()  # ONE row of metadata
+
+        def _json_safe(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        profile = {
+            c: {
+                "ndv": int(row[f"__ndv__{c}"]),
+                "nulls": int(row[f"__nulls__{c}"] or 0),
+                "min": _json_safe(row[f"__min__{c}"]),
+                "max": _json_safe(row[f"__max__{c}"]),
+            }
+            for c in cols
+        }
+        new = {
+            **m,
+            "version": m["version"] + 1,
+            "batch_ids": m["batch_ids"]
+            + ([batch_id] if batch_id is not None else []),
+            "colstats": {
+                "columns": profile,
+                "row_count": int(row["__rows"]),
+                "analyzed_version": m["version"],
+                "analyzed_rows": int(row["__rows"]),
+            },
+        }
+        self._publish(new)
+        return new["version"]
+
+    def column_stats(self, col: Optional[str] = None) -> Optional[dict]:
+        """The persisted ANALYZE profile (or one column's slice of it);
+        ``None`` when the table was never analyzed or the profile was
+        invalidated by an overwrite."""
+        cs = self._read_manifest().get("colstats")
+        if cs is None or col is None:
+            return cs
+        return cs["columns"].get(col)
+
+    def suggest_bloom_bits(self, col: str) -> Optional[int]:
+        """Runtime-bloom bitset size for ``col`` from the persisted
+        ANALYZE profile — ZERO data passes (pass the result as
+        ``keyset_bloom(dim, col, num_bits=...)`` to skip its in-plan
+        sizing aggregate).  Mirrors ``runtime_filter._auto_bits``
+        arithmetic exactly (BITS_PER_KEY per key, whole words, clamped
+        to [BLOOM_BITS, MAX_BLOOM_BITS]); when the table has grown
+        since the ANALYZE (current filemeta row count vs
+        ``analyzed_rows``), the NDV is scaled up proportionally —
+        an overestimate only ever costs bitset bytes, never false
+        positives above the design rate.  ``None`` when the column
+        was never analyzed (callers fall back to in-plan sizing)."""
+        from pypeline_spark.operators.runtime_filter import (
+            BITS_PER_KEY,
+            BLOOM_BITS,
+            MAX_BLOOM_BITS,
+        )
+
+        m = self._read_manifest()
+        cs = m.get("colstats")
+        if cs is None or col not in cs.get("columns", {}):
+            return None
+        ndv = cs["columns"][col]["ndv"]
+        analyzed_rows = cs.get("analyzed_rows") or 0
+        filemeta = m.get("filemeta", {})
+        rows_now = sum(
+            fm.get("rows") or 0
+            for f in m.get("files", [])
+            for fm in (filemeta.get(f, {}),)
+        )
+        for fs in m.get("deltas", []):
+            rows_now += sum(
+                filemeta.get(f, {}).get("rows") or 0 for f in fs
+            )
+        if analyzed_rows and rows_now > analyzed_rows:
+            ndv = -(-ndv * rows_now // analyzed_rows)  # ceil scale-up
+        raw = -(-ndv * BITS_PER_KEY // 64) * 64
+        return max(BLOOM_BITS, min(MAX_BLOOM_BITS, raw))

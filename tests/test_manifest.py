@@ -1321,6 +1321,249 @@ class TestClusteredOptimize:
         assert tot == total and len(files) < total
 
 
+class TestPartitionEvolution:
+    """evolve_clustering: live re-clustering in bounded commits —
+    metadata-decided pending set, per-step rewrite cap, monotone
+    convergence, lossless at every intermediate version, and the usual
+    ledger/delta guards."""
+
+    @pytest.fixture()
+    def orders2d(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+
+    def test_converges_in_bounded_steps_losslessly(
+        self, spark, tmp_path, orders2d
+    ):
+        t = ManifestTable(str(tmp_path / "evo"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(
+            orders2d.repartition(24), batch_id="seed", stats_cols=cols
+        )
+        before = _canon(t.read(spark))
+        n = orders2d.count()
+        target = max(1, -(-n // 12))
+        seen_steps = []
+        while True:
+            v_prev = t.version()
+            _, k = t.evolve_clustering(
+                spark, cols, target_rows=target,
+                max_files_per_step=10, stats_cols=cols,
+            )
+            if k == 0:
+                assert t.version() == v_prev  # converged: NO commit
+                break
+            seen_steps.append(k)
+            # every intermediate version stays content-lossless and the
+            # step honored the rewrite cap
+            assert k <= 10
+            assert _canon(t.read(spark)) == before
+        assert seen_steps == [10, 10, 4]  # ceil(24/10) bounded commits
+        m = t._read_manifest()
+        fm = m["filemeta"]
+        assert all(fm[f].get("clustered") == cols for f in m["files"])
+        # clustering converged: both single-column probes skip files
+        total = len(m["files"])
+        for col, rng in (("o_custkey", (10, 60)),
+                         ("cents", (1_000_000, 2_000_000))):
+            files, tot = t.prune_plan_multi({col: rng})
+            assert tot == total and len(files) < total, col
+
+    def test_snapshot_isolation_during_evolution(
+        self, spark, tmp_path, orders2d
+    ):
+        """A reader pinned to the pre-evolution version sees the exact
+        old table even after steps rewrite files under it."""
+        t = ManifestTable(str(tmp_path / "iso"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(
+            orders2d.repartition(8), batch_id="seed", stats_cols=cols
+        )
+        v0 = t.version()
+        before = _canon(t.read(spark, version=v0))
+        t.evolve_clustering(
+            spark, cols, target_rows=10_000,
+            max_files_per_step=3, stats_cols=cols,
+        )
+        assert t.version() == v0 + 1
+        assert _canon(t.read(spark, version=v0)) == before
+
+    def test_ledger_skip_delta_refusal_and_validation(
+        self, spark, tmp_path, orders2d
+    ):
+        t = ManifestTable(str(tmp_path / "guards"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(orders2d.repartition(4), batch_id="seed",
+                           stats_cols=cols)
+        v, k = t.evolve_clustering(
+            spark, cols, target_rows=10_000, batch_id="e1", stats_cols=cols
+        )
+        assert k == 4
+        # replay of the same batch id: ledger-skipped, zero rewrites
+        assert t.evolve_clustering(
+            spark, cols, target_rows=10_000, batch_id="e1"
+        ) == (v, 0)
+        # converged: a fresh call is a no-op without a commit
+        assert t.evolve_clustering(spark, cols, target_rows=10_000) == (v, 0)
+        with pytest.raises(ValueError, match="target_rows"):
+            t.evolve_clustering(spark, cols, target_rows=0)
+        with pytest.raises(ValueError, match="max_files_per_step"):
+            t.evolve_clustering(spark, cols, 10, max_files_per_step=0)
+        with pytest.raises(ValueError, match="at least one column"):
+            t.evolve_clustering(spark, [], 10)
+        upd = orders2d.limit(5)
+        t.commit_delta(upd, ["o_orderkey"], batch_id="d1")
+        with pytest.raises(ValueError, match="deltas"):
+            t.evolve_clustering(spark, cols, target_rows=10_000)
+
+    def test_round_robin_optimize_resets_the_tag(
+        self, spark, tmp_path, orders2d
+    ):
+        """A plain (round-robin) OPTIMIZE genuinely destroys clustering,
+        so its output must come back UNTAGGED — a later evolution pass
+        picks those files up again; re-keying to a different cluster_by
+        likewise re-pends every file."""
+        t = ManifestTable(str(tmp_path / "retag"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(orders2d.repartition(4), batch_id="seed",
+                           stats_cols=cols)
+        _, k = t.evolve_clustering(spark, cols, target_rows=10_000,
+                                   stats_cols=cols)
+        assert k == 4
+        t.optimize(spark, target_rows=10_000, stats_cols=cols)  # round-robin
+        m = t._read_manifest()
+        assert all(
+            "clustered" not in m["filemeta"].get(f, {}) for f in m["files"]
+        )
+        # different key: everything pends again
+        _, k2 = t.evolve_clustering(
+            spark, ["cents"], target_rows=10_000, stats_cols=cols
+        )
+        assert k2 == len(m["files"])
+
+
+class TestAnalyze:
+    """ANALYZE: a metadata-only commit persisting per-column NDV /
+    nulls / min / max + row count, carried by content commits,
+    invalidated by overwrite, and feeding the bloom auto-sizer from
+    metadata (suggest_bloom_bits)."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_nationkey"
+        )
+
+    def test_analyze_is_metadata_only_and_exact(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "an"))
+        t.commit_overwrite(cust.repartition(4), batch_id="seed")
+        files_before = list(t._read_manifest()["files"])
+        v = t.analyze(spark, ["c_custkey", "c_nationkey"], batch_id="an1")
+        m = t._read_manifest()
+        assert m["version"] == v == 2
+        assert m["files"] == files_before  # no data files touched
+        cs = t.column_stats()
+        n = cust.count()
+        assert cs["row_count"] == n
+        ck = t.column_stats("c_custkey")
+        assert ck["nulls"] == 0
+        assert ck["min"] == 0 and ck["max"] == n - 1  # custkey is 0..n-1
+        # HLL NDV within 10% of exact
+        assert abs(ck["ndv"] - n) <= 0.1 * n
+        # replay of the same batch id is ledger-skipped
+        assert t.analyze(spark, ["c_custkey"], batch_id="an1") == v
+        assert t.version() == v
+
+    def test_profile_carries_through_commits_and_overwrite_drops(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "carry"))
+        t.commit_overwrite(cust, batch_id="seed")
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        upd = cust.limit(10).withColumn("c_acctbal", F.lit(0.0))
+        t.commit_merge(spark, upd, ["c_custkey"], batch_id="m1")
+        assert t.column_stats("c_custkey") is not None  # carried
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1")
+        assert t.column_stats("c_custkey") is not None
+        t.compact(spark, batch_id="c1")
+        assert t.column_stats("c_custkey") is not None
+        prov = t.column_stats()["analyzed_version"]
+        assert prov == 1  # provenance preserved for staleness detection
+        t.commit_overwrite(cust, batch_id="ow1")
+        assert t.column_stats() is None  # invalidated
+
+    def test_analyze_profiles_resolved_view_on_mor(self, spark, tmp_path, cust):
+        """With outstanding deltas the profile must describe the
+        RESOLVED content (what readers see), not the raw base."""
+        t = ManifestTable(str(tmp_path / "mor"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") <= 50), batch_id="s")
+        extra = cust.filter(F.col("c_custkey").between(51, 80))
+        t.commit_delta(extra, ["c_custkey"], batch_id="d1")
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        cs = t.column_stats()
+        assert cs["row_count"] == 81  # custkey 0..80 resolved
+        assert t.column_stats("c_custkey")["max"] == 80
+
+    def test_suggest_bloom_bits_matches_auto_sizer(self, spark, tmp_path, cust):
+        """The metadata-fed size must follow runtime_filter's sizing
+        arithmetic exactly (whole words, floor/ceiling clamps) and
+        scale up when the table has grown since the ANALYZE."""
+        from pypeline_spark.operators.runtime_filter import (
+            BITS_PER_KEY,
+            BLOOM_BITS,
+        )
+
+        t = ManifestTable(str(tmp_path / "bits"))
+        t.commit_overwrite(cust, batch_id="seed")
+        assert t.suggest_bloom_bits("c_custkey") is None  # never analyzed
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        ndv = t.column_stats("c_custkey")["ndv"]
+        expect = max(BLOOM_BITS, -(-ndv * BITS_PER_KEY // 64) * 64)
+        got = t.suggest_bloom_bits("c_custkey")
+        assert got == expect and got % 64 == 0
+        assert t.suggest_bloom_bits("c_acctbal") is None  # not analyzed
+
+        # growth: double the rows -> suggested size scales with filemeta
+        more = cust.withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+        t.commit_delta(more, ["c_custkey"], batch_id="grow")
+        grown = t.suggest_bloom_bits("c_custkey")
+        assert grown >= 2 * (expect // 64) * 32  # ~2x, word-rounded
+
+    def test_suggested_bits_feed_keyset_bloom(self, spark, tmp_path, cust):
+        """End-to-end: sizing from the persisted profile pins the
+        bitset WITHOUT the in-plan sizing aggregate, and the filter
+        still admits every true match."""
+        from pypeline_spark.operators.runtime_filter import (
+            bloom_prefilter,
+            keyset_bloom,
+        )
+
+        t = ManifestTable(str(tmp_path / "feed"))
+        t.commit_overwrite(cust, batch_id="seed")
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        bits = t.suggest_bloom_bits("c_custkey")
+        dim = t.read(spark).select("c_custkey")
+        bloom = keyset_bloom(dim, "c_custkey", num_bits=bits)
+        # pinned size, no approx_count_distinct subtree in the build
+        plan = bloom._jdf.queryExecution().optimizedPlan().toString()
+        assert "approx_count_distinct" not in plan
+        assert bloom.first()["__bloom_bits"] == bits
+        fact = cust.select(F.col("c_custkey").alias("k"))
+        assert bloom_prefilter(fact, bloom, "k").count() == cust.count()
+
+    def test_analyze_validates_inputs(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "val"))
+        with pytest.raises(ValueError, match="at least one column"):
+            ManifestTable(str(tmp_path / "v2")).analyze(spark, [])
+        with pytest.raises(ValueError, match="no data"):
+            t.analyze(spark, ["c_custkey"])
+
+
 class TestZBucketClamp:
     """zbucket must clamp out-of-bounds values to the domain edges
     instead of producing negative / overflowing buckets whose bits wrap

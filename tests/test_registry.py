@@ -2,11 +2,11 @@
 queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
-Round-10 rotation: the window holds the complete 37-query r4-stale
-cohort, 10 r5 picks (front-loading the 49-query r5 cohort so it
-drains across the r10/r11 windows), and first-certification slots for
-the three operators added mid-round-10 (manifest OPTIMIZE / VACUUM +
-the runtime bloom-prefiltered join) — pinned one-to-one against
+Round-12 rotation: the window holds the complete 39-query r6-stale
+cohort, 8 r8 picks (front-loading the 50-query r8 cohort so it
+drains across the r13/r14 windows), and first-certification slots for
+the three operators added in round 12 (streaming auto-compaction,
+manifest ANALYZE, partition evolution) — pinned one-to-one against
 ``registry._DRIVER_WINDOW`` so any drift is a loud failure.
 ``test_driver_window_covers_stale_certifications`` makes the round-8
 process failure (a planned rotation that was never pinned)

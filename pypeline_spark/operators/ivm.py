@@ -1062,3 +1062,78 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_ndv",
+    # The oracle recomputes the exact distinct count and the content
+    # aggregate from first principles; the Spark side builds the table
+    # in THREE content commits with NDV tracking on (`ndv_cols`), so
+    # each commit folds ONE O(batch) HLL pass into the persisted
+    # sketch, and then reads the maintained estimate back as pure
+    # metadata (ndv_estimate — zero jobs).  Both sides assert the
+    # estimate lands within 10% of the exact count (HLL's default rsd
+    # is 5%, so the band has margin at every fixture SF).  Sketch
+    # mechanics (carry/reset rules, empty batches, upper-bound
+    # semantics, suggest_bloom_bits preference) are pinned in
+    # tests/test_manifest.py::TestNdvSketch.
+    oracle="""
+    SELECT 'c_custkey' AS col,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_ndv,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ndv_within_10pct,
+           CAST(3 AS BIGINT) AS n_content_commits
+    FROM customer
+    """,
+)
+def q_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NDV sketches: a manifest table built across three
+    content commits (overwrite + two merge-on-read deltas) with
+    ``ndv_cols`` tracking maintains a mergeable HLL sketch per tracked
+    column — ONE O(batch) pass per commit, never a table rescan — and
+    materializes the current cardinality estimate into the manifest,
+    so reading it back (``ndv_estimate``) is pure metadata.
+
+    Scale: this is the Iceberg-puffin / engine-catalog NDV story — at
+    100 TB a full ANALYZE pass per maintenance window is a luxury;
+    commit-time sketch folding keeps the estimate perpetually fresh
+    for O(batch) cost, and ``suggest_bloom_bits`` sizes runtime bloom
+    filters from it with zero jobs and zero staleness scaling.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="manifest_ndv_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 3 == 1),
+            batch_id="seed",
+            ndv_cols=["c_custkey"],
+        )
+        table.commit_delta(
+            c.filter(F.col("c_custkey") % 3 == 2), ["c_custkey"], batch_id="d1"
+        )
+        table.commit_delta(
+            c.filter(F.col("c_custkey") % 3 == 0), ["c_custkey"], batch_id="d2"
+        )
+        est = table.ndv_estimate("c_custkey")
+        out = c.agg(
+            F.count_distinct("c_custkey").cast("bigint").alias("exact_ndv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(
+            F.lit("c_custkey").alias("col"),
+            "exact_ndv",
+            "n_rows",
+            (
+                F.abs(F.lit(est) - F.col("exact_ndv"))
+                <= 0.1 * F.col("exact_ndv")
+            ).alias("ndv_within_10pct"),
+            F.lit(3).cast("bigint").alias("n_content_commits"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

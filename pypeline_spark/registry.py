@@ -70,33 +70,39 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # standing instruction).  This window pins (a) the COMPLETE 39-query
 # remaining r6 cohort — whose certs hit the staleness bound now that
 # CORRECTNESS_r11 is the newest record, including the r11-deferred
-# q_epoch_shuffle — (b) the first 8 of the 50-query r8 cohort
-# (alphabetical), and (c) three first-certification slots for the
+# q_epoch_shuffle — (b) the first 7 of the 50-query r8 cohort
+# (alphabetical), and (c) four first-certification slots for the
 # operators ADDED in round 12: the streaming auto-compaction policy
 # cert (`q_stream_autocompact`, the r11 verdict's directive #2),
-# manifest ANALYZE (`q_manifest_analyze`, directive #7a) and partition
-# evolution (`q_partition_evolution`, directive #7b).  Their slots
-# come from deferring three r8 picks, whose cohort has runway through
-# the r14 window.
+# manifest ANALYZE (`q_manifest_analyze`, directive #7a), partition
+# evolution (`q_partition_evolution`, directive #7b), and incremental
+# NDV sketch tracking (`q_manifest_ndv`, the metadata-fed bloom-sizer
+# variant of #7a).  Their slots come from deferring four r8 picks,
+# whose cohort has runway through the r14 window (an r8 cert goes
+# stale only when the newest record reaches r14).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 242 after the r12 additions):
-#   r12 window = 39 r6 + 8 r8 + 3 new  -> after r12: 42 r8 remain
-#   r13 window = 42 r8 + 8 r9          -> after r13: 42 r9 remain
-#   r14 window = 42 r9 + 8 r10         -> after r14: 42 r10 remain
-#   r15 window = 42 r10 + 8 r11        -> after r15: 42 r11 remain
-#   r16 window = 42 r11 + 8 r12        -> histogram flat at <=50/round
+# satisfiable at every step; registry 243 after the r12 additions):
+#   r12 window = 39 r6 + 7 r8 + 4 new  -> after r12: 43 r8 remain
+#   r13 window = 43 r8 + 7 r9          -> after r13: 43 r9 remain
+#   r14 window = 43 r9 + 7 r10         -> after r14: 43 r10 remain
+#   r15 window = 43 r10 + 7 r11        -> after r15: 43 r11 remain
+#   r16 window = 43 r11 + 7 r12        -> histogram flat at <=50/round
+# (cohorts may also be split across two admissible windows — an rN
+# cert is admissible until the newest record reaches N+6 — so the
+# schedule above has one window of float per cohort if a round needs
+# extra first-certification slots.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (242 queries / 50 slots —
-# ceil(242/6) = 41 needed, 9 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (243 queries / 50 slots —
+# ceil(243/6) = 41 needed, 9 slack per window).
 #
 # Planned r13 window, pre-computed so the next rotation is mechanical
 # (re-derive against CORRECTNESS_r12 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the 42
-# remaining r8-certified queries (the 50-query r8 cohort minus the 8
-# picks below) + the first 8 of the r9 cohort (alphabetical).
+# all 50 driver-strict at sf0.01 per the standing recipe): the 43
+# remaining r8-certified queries (the 50-query r8 cohort minus the 7
+# picks below) + the first 7 of the r9 cohort (alphabetical).
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
@@ -142,7 +148,7 @@ _DRIVER_WINDOW = (
     "q_union_evolve",
     "q_weekday_profile",
     "q_winsorize",
-    # r8 picks: front-loading the 50-query r8 cohort (42 remain for r13)
+    # r8 picks: front-loading the 50-query r8 cohort (43 remain for r13)
     "q_agg_distinct",
     "q_agg_pricing",
     "q_agg_stats",
@@ -150,13 +156,13 @@ _DRIVER_WINDOW = (
     "q_arg_minmax",
     "q_array_ops",
     "q_case_coalesce",
-    "q_cte",
-    # first-certification slots for the three operators added in
+    # first-certification slots for the four operators added in
     # round 12 (a never-certified query outside the window trips the
     # staleness guard immediately — new operators MUST take window slots)
     "q_stream_autocompact",
     "q_manifest_analyze",
     "q_partition_evolution",
+    "q_manifest_ndv",
 )
 
 _OPERATOR_MODULES = (

@@ -66,6 +66,16 @@ class ManifestTable:
     def applied_batch_ids(self) -> set:
         return set(self._read_manifest()["batch_ids"])
 
+    @staticmethod
+    def _carry_meta(m: dict) -> dict:
+        """Table-level metadata that rides along content-preserving /
+        content-merging commits: the ANALYZE profile (``colstats``,
+        provenance kept for staleness detection) and the incremental
+        NDV sketch state (``ndv`` + its ``ndv_cols`` property).  An
+        overwrite deliberately does NOT call this — replaced content
+        invalidates profiles and sketches alike."""
+        return {k: m[k] for k in ("colstats", "ndv", "ndv_cols") if k in m}
+
     def _publish(self, manifest: dict) -> None:
         """Atomic publish: write the new manifest beside the pointer,
         keep it as the versioned history file, then os.replace() the
@@ -633,6 +643,7 @@ class ManifestTable:
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
         bloom_cols: Optional[Sequence[str]] = None,
+        ndv_cols: Optional[Sequence[str]] = None,
     ) -> int:
         """Replace the table contents; returns the new version (or the
         current one when batch_id was already applied).
@@ -643,14 +654,25 @@ class ManifestTable:
         without re-stating the column list.  ``None`` (the default)
         INHERITS the recorded property; any explicit sequence SETS it —
         including an empty one, which CLEARS the property so the table
-        stops paying the per-file index rebuild on every commit."""
+        stops paying the per-file index rebuild on every commit.
+
+        ``ndv_cols`` is the same contract for incremental NDV
+        tracking: tracked columns get a mergeable HLL sketch updated
+        at EVERY content commit with one O(batch) pass (see
+        :meth:`_update_ndv`), and the current estimate is read back as
+        pure metadata (:meth:`ndv_estimate` /
+        :meth:`suggest_bloom_bits`).  The overwrite recomputes the
+        sketch from the new content — replaced rows must not linger."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
+        ndv_track = (
+            m.get("ndv_cols", []) if ndv_cols is None else list(ndv_cols)
+        )
         files, stats, filemeta = self._write_fileset(df, stats_cols, bloom)
-        # NO colstats carry: replaced content invalidates the ANALYZE
-        # profile outright (re-run analyze() on the new contents)
+        # NO colstats/ndv carry: replaced content invalidates the
+        # ANALYZE profile and the absorbed sketch marks outright
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -659,6 +681,9 @@ class ManifestTable:
             "filemeta": filemeta,
             "bloom_cols": bloom,
         }
+        if ndv_track:
+            new["ndv_cols"] = ndv_track
+            new["ndv"] = self._update_ndv(df, ndv_track, {})
         self._publish(new)
         return new["version"]
 
@@ -758,10 +783,16 @@ class ManifestTable:
                 **filemeta,
             },
             "bloom_cols": bloom,
-            # the ANALYZE profile rides along (provenance kept for
-            # staleness detection); only an overwrite invalidates it
-            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+            # ANALYZE profile + NDV sketch state ride along (an
+            # overwrite resets both)
+            **self._carry_meta(m),
         }
+        if m.get("ndv_cols"):
+            # one O(batch) pass folds the update batch into the sketch;
+            # the union is an upper bound (replaced rows keep marks)
+            new["ndv"] = self._update_ndv(
+                updates, m["ndv_cols"], m.get("ndv", {})
+            )
         self._publish(new)
         return new["version"]
 
@@ -813,10 +844,14 @@ class ManifestTable:
             "stats": {**m.get("stats", {}), **stats},
             "filemeta": {**m.get("filemeta", {}), **filemeta},
             "bloom_cols": bloom,
-            # the ANALYZE profile rides along (provenance kept for
-            # staleness detection); only an overwrite invalidates it
-            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+            # ANALYZE profile + NDV sketch state ride along (an
+            # overwrite resets both)
+            **self._carry_meta(m),
         }
+        if m.get("ndv_cols"):
+            new["ndv"] = self._update_ndv(
+                updates, m["ndv_cols"], m.get("ndv", {})
+            )
         self._publish(new)
         return new["version"]
 
@@ -948,9 +983,9 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
-            # the ANALYZE profile rides along (provenance kept for
-            # staleness detection); only an overwrite invalidates it
-            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+            # ANALYZE profile + NDV sketch state ride along (an
+            # overwrite resets both)
+            **self._carry_meta(m),
         }
         self._publish(new)
         return new["version"]
@@ -1110,9 +1145,9 @@ class ManifestTable:
                 **new_meta,
             },
             "bloom_cols": bloom,
-            # the ANALYZE profile rides along (provenance kept for
-            # staleness detection); only an overwrite invalidates it
-            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+            # ANALYZE profile + NDV sketch state ride along (an
+            # overwrite resets both)
+            **self._carry_meta(m),
         }
         self._publish(new)
         return new["version"]
@@ -1220,7 +1255,7 @@ class ManifestTable:
                 **new_meta,
             },
             "bloom_cols": bloom,
-            **({"colstats": m["colstats"]} if "colstats" in m else {}),
+            **self._carry_meta(m),
         }
         self._publish(new)
         return new["version"], len(pending)
@@ -1348,6 +1383,68 @@ class ManifestTable:
             os.remove(os.path.join(self.root, mf))
         return removed
 
+    # -- incremental NDV sketches (commit-time, mergeable) ---------------------
+
+    def _update_ndv(
+        self, df: DataFrame, ndv_cols: Sequence[str], prev: dict
+    ) -> dict:
+        """Fold this batch into the table's per-column NDV state: ONE
+        aggregation pass over the BATCH (never the table) computes an
+        HLL sketch per column (Spark's DataSketches
+        ``hll_sketch_agg``), unions it with the stored sketch IN-PLAN
+        (``hll_union``), and materializes both the merged sketch and
+        its cardinality estimate — so the estimate in the manifest is
+        always current and reading it later costs zero jobs.  Returns
+        the new ``{col: {"sketch": b64, "estimate": n}}`` state.
+
+        HLL union is associative/commutative and can only absorb —
+        rows deleted or replaced by later commits keep their marks, so
+        the estimate is an UPPER BOUND on the live distinct count
+        (exactly the right direction for bloom sizing; run
+        :meth:`analyze` for exact-current profiles).  An empty batch
+        contributes a null sketch, which keeps the previous state."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        agg = df.agg(
+            *[F.hll_sketch_agg(c).alias(f"__s__{c}") for c in ndv_cols]
+        )
+        sel = []
+        for c in ndv_cols:
+            s = F.col(f"__s__{c}")
+            p = prev.get(c, {}).get("sketch")
+            if p is not None:
+                pb = F.lit(base64.b64decode(p))
+                s = F.when(s.isNull(), pb).otherwise(F.hll_union(pb, s))
+            sel += [
+                s.alias(f"__m__{c}"),
+                F.when(s.isNull(), F.lit(0))
+                .otherwise(F.hll_sketch_estimate(s))
+                .cast("bigint")
+                .alias(f"__e__{c}"),
+            ]
+        row = agg.select(*sel).first()  # one row of index metadata
+        out = {}
+        for c in ndv_cols:
+            blob = row[f"__m__{c}"]
+            if blob is None:
+                out[c] = prev.get(c, {"sketch": None, "estimate": 0})
+            else:
+                out[c] = {
+                    "sketch": base64.b64encode(bytes(blob)).decode(),
+                    "estimate": int(row[f"__e__{c}"]),
+                }
+        return out
+
+    def ndv_estimate(self, col: str) -> Optional[int]:
+        """The maintained distinct-count estimate for ``col`` — pure
+        metadata, zero jobs (the estimate was materialized at the last
+        commit that updated the sketch).  ``None`` when the column is
+        not NDV-tracked."""
+        ent = self._read_manifest().get("ndv", {}).get(col)
+        return None if ent is None else ent["estimate"]
+
     # -- table statistics (ANALYZE) --------------------------------------------
 
     def analyze(
@@ -1440,17 +1537,21 @@ class ManifestTable:
         return cs["columns"].get(col)
 
     def suggest_bloom_bits(self, col: str) -> Optional[int]:
-        """Runtime-bloom bitset size for ``col`` from the persisted
-        ANALYZE profile — ZERO data passes (pass the result as
+        """Runtime-bloom bitset size for ``col`` from persisted
+        metadata — ZERO data passes (pass the result as
         ``keyset_bloom(dim, col, num_bits=...)`` to skip its in-plan
         sizing aggregate).  Mirrors ``runtime_filter._auto_bits``
         arithmetic exactly (BITS_PER_KEY per key, whole words, clamped
-        to [BLOOM_BITS, MAX_BLOOM_BITS]); when the table has grown
-        since the ANALYZE (current filemeta row count vs
-        ``analyzed_rows``), the NDV is scaled up proportionally —
-        an overestimate only ever costs bitset bytes, never false
-        positives above the design rate.  ``None`` when the column
-        was never analyzed (callers fall back to in-plan sizing)."""
+        to [BLOOM_BITS, MAX_BLOOM_BITS]).
+
+        NDV source, best first: (1) the incremental sketch estimate
+        (``ndv_cols`` tracking — refreshed at every commit, never
+        stale); (2) the last ANALYZE profile, scaled up proportionally
+        when the table has grown since (current filemeta row count vs
+        ``analyzed_rows``) — an overestimate only ever costs bitset
+        bytes, never false positives above the design rate.  ``None``
+        when the column is neither tracked nor analyzed (callers fall
+        back to in-plan sizing)."""
         from pypeline_spark.operators.runtime_filter import (
             BITS_PER_KEY,
             BLOOM_BITS,
@@ -1458,22 +1559,26 @@ class ManifestTable:
         )
 
         m = self._read_manifest()
-        cs = m.get("colstats")
-        if cs is None or col not in cs.get("columns", {}):
-            return None
-        ndv = cs["columns"][col]["ndv"]
-        analyzed_rows = cs.get("analyzed_rows") or 0
-        filemeta = m.get("filemeta", {})
-        rows_now = sum(
-            fm.get("rows") or 0
-            for f in m.get("files", [])
-            for fm in (filemeta.get(f, {}),)
-        )
-        for fs in m.get("deltas", []):
-            rows_now += sum(
-                filemeta.get(f, {}).get("rows") or 0 for f in fs
+        sketch = m.get("ndv", {}).get(col)
+        if sketch is not None:
+            ndv = sketch["estimate"]
+        else:
+            cs = m.get("colstats")
+            if cs is None or col not in cs.get("columns", {}):
+                return None
+            ndv = cs["columns"][col]["ndv"]
+            analyzed_rows = cs.get("analyzed_rows") or 0
+            filemeta = m.get("filemeta", {})
+            rows_now = sum(
+                fm.get("rows") or 0
+                for f in m.get("files", [])
+                for fm in (filemeta.get(f, {}),)
             )
-        if analyzed_rows and rows_now > analyzed_rows:
-            ndv = -(-ndv * rows_now // analyzed_rows)  # ceil scale-up
+            for fs in m.get("deltas", []):
+                rows_now += sum(
+                    filemeta.get(f, {}).get("rows") or 0 for f in fs
+                )
+            if analyzed_rows and rows_now > analyzed_rows:
+                ndv = -(-ndv * rows_now // analyzed_rows)  # ceil scale-up
         raw = -(-ndv * BITS_PER_KEY // 64) * 64
         return max(BLOOM_BITS, min(MAX_BLOOM_BITS, raw))

@@ -1321,6 +1321,122 @@ class TestClusteredOptimize:
         assert tot == total and len(files) < total
 
 
+class TestNdvSketch:
+    """Incremental NDV tracking (`ndv_cols`): a mergeable HLL sketch
+    per tracked column updated with ONE O(batch) pass at every content
+    commit; the materialized estimate reads back as pure metadata."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_estimate_tracks_across_commits(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "ndv"))
+        n = cust.count()
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") % 3 == 1),
+            batch_id="seed", ndv_cols=["c_custkey"],
+        )
+        e1 = t.ndv_estimate("c_custkey")
+        third = cust.filter(F.col("c_custkey") % 3 == 1).count()
+        assert abs(e1 - third) <= max(2, 0.1 * third)
+        # property inherited: delta commits update WITHOUT re-stating
+        t.commit_delta(cust.filter(F.col("c_custkey") % 3 == 2),
+                       ["c_custkey"], batch_id="d1")
+        t.commit_delta(cust.filter(F.col("c_custkey") % 3 == 0),
+                       ["c_custkey"], batch_id="d2")
+        e3 = t.ndv_estimate("c_custkey")
+        assert abs(e3 - n) <= max(2, 0.1 * n)
+        assert t.ndv_estimate("c_acctbal") is None  # untracked
+
+    def test_estimate_read_is_pure_metadata(self, spark, tmp_path, cust):
+        """ndv_estimate must launch no Spark job — the estimate was
+        materialized at commit time."""
+        t = ManifestTable(str(tmp_path / "meta"))
+        t.commit_overwrite(cust, batch_id="seed", ndv_cols=["c_custkey"])
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        est = t.ndv_estimate("c_custkey")
+        bits = t.suggest_bloom_bits("c_custkey")
+        after = tracker.getJobIdsForGroup(None)
+        assert est > 0 and bits is not None
+        assert before == after, "metadata read launched a Spark job"
+
+    def test_suggest_bloom_bits_prefers_fresh_sketch(
+        self, spark, tmp_path, cust
+    ):
+        """With both an (old) ANALYZE profile and live sketch tracking,
+        sizing must use the sketch estimate — no staleness scaling."""
+        from pypeline_spark.operators.runtime_filter import (
+            BITS_PER_KEY,
+            BLOOM_BITS,
+        )
+
+        t = ManifestTable(str(tmp_path / "prefer"))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") < 50),
+            batch_id="seed", ndv_cols=["c_custkey"],
+        )
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        # grow the table: the sketch refreshes, the profile goes stale
+        t.commit_delta(cust.filter(F.col("c_custkey") >= 50),
+                       ["c_custkey"], batch_id="grow")
+        est = t.ndv_estimate("c_custkey")
+        expect = max(BLOOM_BITS, -(-est * BITS_PER_KEY // 64) * 64)
+        assert t.suggest_bloom_bits("c_custkey") == expect
+
+    def test_empty_batch_keeps_state(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "empty"))
+        t.commit_overwrite(cust, batch_id="seed", ndv_cols=["c_custkey"])
+        e0 = t.ndv_estimate("c_custkey")
+        t.commit_delta(cust.limit(0), ["c_custkey"], batch_id="noop")
+        assert t.ndv_estimate("c_custkey") == e0
+
+    def test_overwrite_resets_merge_only_absorbs(self, spark, tmp_path, cust):
+        """HLL union never forgets: a COW merge REPLACING keys keeps
+        the estimate an upper bound; an overwrite recomputes from the
+        new content (smaller table -> smaller estimate)."""
+        t = ManifestTable(str(tmp_path / "reset"))
+        t.commit_overwrite(cust, batch_id="seed", ndv_cols=["c_custkey"])
+        e_full = t.ndv_estimate("c_custkey")
+        # merge with brand-new key values: upper bound absorbs them
+        shifted = cust.limit(50).withColumn(
+            "c_custkey", F.col("c_custkey") + 10_000_000
+        )
+        t.commit_merge(spark, shifted, ["c_custkey"], batch_id="m1")
+        assert t.ndv_estimate("c_custkey") >= e_full
+        # overwrite with a tenth of the keys: estimate resets down
+        small = cust.filter(F.col("c_custkey") % 10 == 0)
+        t.commit_overwrite(small, batch_id="ow")
+        e_small = t.ndv_estimate("c_custkey")
+        k = small.count()
+        assert abs(e_small - k) <= max(2, 0.1 * k)
+
+    def test_state_carries_through_maintenance(self, spark, tmp_path, cust):
+        """compact / optimize / evolve_clustering are content-
+        preserving: the sketch state and tracking property must ride
+        along unchanged."""
+        t = ManifestTable(str(tmp_path / "maint"))
+        t.commit_overwrite(cust.repartition(6), batch_id="seed",
+                           ndv_cols=["c_custkey"], stats_cols=["c_custkey"])
+        e0 = t.ndv_estimate("c_custkey")
+        t.commit_delta(cust.limit(20), ["c_custkey"], batch_id="d1")
+        e1 = t.ndv_estimate("c_custkey")
+        t.compact(spark, batch_id="c1", stats_cols=["c_custkey"])
+        assert t.ndv_estimate("c_custkey") == e1
+        t.optimize(spark, target_rows=10_000, batch_id="o1",
+                   stats_cols=["c_custkey"])
+        assert t.ndv_estimate("c_custkey") == e1
+        _, k = t.evolve_clustering(spark, ["c_custkey"], target_rows=10_000,
+                                   stats_cols=["c_custkey"])
+        assert k > 0
+        assert t.ndv_estimate("c_custkey") == e1
+        assert t._read_manifest().get("ndv_cols") == ["c_custkey"]
+        assert e0 > 0  # sanity
+
+
 class TestPartitionEvolution:
     """evolve_clustering: live re-clustering in bounded commits —
     metadata-decided pending set, per-step rewrite cap, monotone

@@ -3,11 +3,12 @@ queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
 Round-12 rotation: the window holds the complete 39-query r6-stale
-cohort, 8 r8 picks (front-loading the 50-query r8 cohort so it
+cohort, 7 r8 picks (front-loading the 50-query r8 cohort so it
 drains across the r13/r14 windows), and first-certification slots for
-the three operators added in round 12 (streaming auto-compaction,
-manifest ANALYZE, partition evolution) — pinned one-to-one against
-``registry._DRIVER_WINDOW`` so any drift is a loud failure.
+the four operators added in round 12 (streaming auto-compaction,
+manifest ANALYZE, partition evolution, incremental NDV sketches) —
+pinned one-to-one against ``registry._DRIVER_WINDOW`` so any drift is
+a loud failure.
 ``test_driver_window_covers_stale_certifications`` makes the round-8
 process failure (a planned rotation that was never pinned)
 mechanically impossible: it parses every CORRECTNESS_r*.json the

@@ -132,6 +132,42 @@ def main(sf_dir: str) -> None:
         removed = cow.vacuum(keep_versions=1)
         print(f"6. time travel: v1 had {n_v1} rows (current v{v_now}); "
               f"vacuum(keep=1) removed {removed} unreferenced files")
+
+        # -- 7. ANALYZE + incremental NDV + metadata-fed bloom sizing ----
+        st = ManifestTable(os.path.join(root, "stats"))
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        st.commit_overwrite(c, batch_id="seed", ndv_cols=["c_custkey"])
+        st.analyze(spark, ["c_custkey", "c_acctbal"], batch_id="an1")
+        prof = st.column_stats("c_custkey")
+        print(f"7. ANALYZE (metadata-only commit): c_custkey ndv~{prof['ndv']}"
+              f" nulls={prof['nulls']} range=[{prof['min']}, {prof['max']}];"
+              f" tracked estimate={st.ndv_estimate('c_custkey')} ->"
+              f" suggest_bloom_bits={st.suggest_bloom_bits('c_custkey')}"
+              " (zero data passes)")
+
+        # -- 8. partition evolution (live re-cluster, bounded steps) -----
+        et = ManifestTable(os.path.join(root, "evolve"))
+        et.commit_overwrite(o.repartition(12), batch_id="seed",
+                            stats_cols=["o_custkey", "cents"])
+        steps = []
+        while True:
+            _, k = et.evolve_clustering(
+                spark, ("o_custkey", "cents"),
+                target_rows=max(1, o.count() // 8),
+                max_files_per_step=5,
+                stats_cols=["o_custkey", "cents"],
+            )
+            if k == 0:
+                break
+            steps.append(k)
+        keep, total = et.prune_plan_multi(
+            {"o_custkey": (10, 99), "cents": (1_000_000, 2_000_000)}
+        )
+        print(f"8. partition evolution: re-clustered live in steps of "
+              f"{steps}; post-convergence 2-D prune opens "
+              f"{len(keep)}/{total} files")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -111,6 +111,7 @@ def stream_delta_manifest(
     stats_cols: Sequence[str] = (),
     max_delta_filesets: Optional[int] = None,
     compact_target_rows: Optional[int] = None,
+    cluster_by: Optional[Sequence] = None,
 ):
     """Merge-on-read streaming ingestion: each micro-batch lands as a
     DELTA commit (``ManifestTable.commit_delta``) — O(batch) append,
@@ -135,6 +136,14 @@ def stream_delta_manifest(
     long the stream runs (pinned in tests/test_stream_to_sink.py
     across every retained version, not just the final one).
 
+    ``cluster_by`` (with ``compact_target_rows``) upgrades the
+    maintenance commit to a CLUSTERED rewrite (``OPTIMIZE ... ZORDER
+    BY``): the stream's table comes back from every auto-compaction
+    both bin-packed AND z-clustered with narrow per-file envelopes —
+    the continuously-optimized-table shape, since a plain round-robin
+    maintenance rewrite would destroy the clustering each time it
+    fires (pinned in tests/test_stream_to_sink.py).
+
     Crash safety: the maintenance commit carries its own batch id
     derived from the TRIGGERING micro-batch, so a replay that finds
     the compaction already applied skips it through the same ledger
@@ -149,6 +158,11 @@ def stream_delta_manifest(
         # the exact hot-path rewrite the delta commit shape avoids
         raise ValueError(
             f"max_delta_filesets must be >= 1, got {max_delta_filesets}"
+        )
+    if cluster_by is not None and compact_target_rows is None:
+        raise ValueError(
+            "cluster_by requires compact_target_rows (clustering rides "
+            "the bin-packing OPTIMIZE maintenance commit)"
         )
 
     def _delta_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -171,6 +185,7 @@ def stream_delta_manifest(
                     target_rows=compact_target_rows,
                     batch_id=maint_id,
                     stats_cols=stats_cols,
+                    cluster_by=cluster_by,
                 )
             else:
                 table.compact(

@@ -423,6 +423,72 @@ def test_stream_autocompact_optimize_variant_and_validation(spark, sf_dir, tmp_p
     assert _canon(table.read(spark)) == expected
 
 
+def test_stream_autocompact_clustered_maintenance(spark, sf_dir, tmp_path):
+    """``cluster_by`` on the auto-compaction policy: every maintenance
+    commit is a CLUSTERED rewrite, so the streamed table keeps narrow
+    per-file envelopes on the cluster key instead of losing them to a
+    round-robin repack each time the policy fires; content stays
+    exactly-once.  cluster_by without a bin-packing target is
+    rejected."""
+    import pytest as _pytest
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    table = ManifestTable(str(tmp_path / "mtbl"))
+    seed = o.filter(F.col("k") % 2 == 0)
+    table.commit_overwrite(seed.repartition(8), batch_id="seed",
+                           stats_cols=("ck", "cents"))
+
+    with _pytest.raises(ValueError, match="compact_target_rows"):
+        stream_delta_manifest(
+            o, table, key_columns=("k",),
+            max_delta_filesets=2, cluster_by=("ck", "cents"),
+        )
+
+    stream_dir = str(tmp_path / "in")
+    upd = o.filter(F.col("k") % 2 == 1)
+    for i in range(2):
+        upd.filter(F.pmod(F.col("k"), 4) == 2 * i + 1).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/b{i}")
+    n_total = o.count()
+    target = max(1, n_total // 10)
+    q = stream_delta_manifest(
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/b*"),
+        table,
+        key_columns=("k",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        stats_cols=("ck", "cents"),
+        max_delta_filesets=2,
+        compact_target_rows=target,
+        cluster_by=("ck", "cents"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    m = table._read_manifest()
+    assert m["deltas"] == []  # policy fired on the second trigger
+    # the maintenance rewrite was CLUSTERED: files carry the tag and
+    # both single-column range probes skip
+    assert all(
+        m["filemeta"][f].get("clustered") == ["ck", "cents"]
+        for f in m["files"]
+    )
+    total = len(m["files"])
+    for col, rng in (("ck", (10, 60)), ("cents", (1_000_000, 2_000_000))):
+        files, tot = table.prune_plan_multi({col: rng})
+        assert tot == total and len(files) < total, col
+    # content exactly-once: resolved == one-shot upsert
+    expected = _canon(upsert(seed, upd, key_columns=("k",)))
+    assert _canon(table.read(spark)) == expected
+
+
 def test_streaming_ingest_then_optimize_maintenance(spark, sf_dir, tmp_path):
     """The full small-file lifecycle: streaming ingestion fragments the
     table (one delta fileset per micro-batch — the layout debt every

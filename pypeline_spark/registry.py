@@ -103,6 +103,22 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # all 50 driver-strict at sf0.01 per the standing recipe): the 43
 # remaining r8-certified queries (the 50-query r8 cohort minus the 7
 # picks below) + the first 7 of the r9 cohort (alphabetical).
+# The 43 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
+# this window's picks; re-derive before pinning):
+#   q_cte q_cube q_equidepth_hist_approx q_except
+#   q_except_all q_exists_subquery q_explode q_feature_extract
+#   q_filter_project q_having q_in_subquery q_intersect
+#   q_intersect_all q_join_cross q_join_full q_join_inner
+#   q_join_left q_join_multi q_join_right q_json_props
+#   q_limit_offset q_map_ops q_pivot q_predicates
+#   q_rollup q_scalar_date q_scalar_math q_scalar_str
+#   q_scalar_subquery q_scan q_semi q_to_json
+#   q_topk q_try_cast q_union_all q_union_distinct
+#   q_window_distribution q_window_first_last q_window_lag_lead
+#   q_window_range_frame q_window_rank q_window_running q_window_topn
+# plus the first 7 r9 names (alphabetical):
+#   q_agg_salted q_asof_join q_click_gaps q_corpus_pipeline
+#   q_decontaminate q_dedup_clusters q_dedup_embedding
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.

@@ -1065,6 +1065,90 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_changes",
+    # The oracle recomputes each commit's change set from the same key
+    # slices the Spark side committed: version 2 upserted the even
+    # %3==0 keys at +100, version 4 the odd ones at +200, and version
+    # 3 (a metadata-only ANALYZE commit) contributes NOTHING — the
+    # hash match proves the feed returns exactly the rows each delta
+    # commit appended, tagged with the right version, reading ONLY
+    # those commits' files.  Rewrite-refusal, bounds, and empty-range
+    # edges are pinned in tests/test_manifest.py::TestChangeFeed.
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR((c_acctbal + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0
+    UNION ALL
+    SELECT CAST(4 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR((c_acctbal + 200) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1
+    """,
+)
+def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (Delta CDF / Iceberg incremental-read
+    shape): a manifest table takes two merge-on-read delta commits
+    (with a metadata-only ANALYZE commit between them), and
+    ``changes(since_version=1)`` returns exactly the upserted rows
+    each commit appended, tagged with ``_commit_version`` — reading
+    ONLY the files those commits added, never a table scan or
+    snapshot diff.
+
+    Scale: this is how a downstream consumer (search index, replica,
+    maintained aggregate) follows a 100 TB table — the feed's read
+    cost is O(changed rows) per sync because a delta commit's fileset
+    IS its change set; the metadata-only commit in the middle proves
+    non-content commits never pollute the feed.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="manifest_changes_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.filter(F.col("c_custkey") % 3 != 0), batch_id="seed"
+        )  # v1
+        upd = c.filter(F.col("c_custkey") % 3 == 0)
+        table.commit_delta(
+            upd.filter(F.col("c_custkey") % 2 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100.0
+            ),
+            ["c_custkey"],
+            batch_id="d1",
+        )  # v2
+        table.analyze(spark, ["c_custkey"], batch_id="an1")  # v3: metadata
+        table.commit_delta(
+            upd.filter(F.col("c_custkey") % 2 == 1).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 200.0
+            ),
+            ["c_custkey"],
+            batch_id="d2",
+        )  # v4
+        feed = table.changes(spark, since_version=1)
+        out = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_manifest_ndv",
     # The oracle recomputes the exact distinct count and the content
     # aggregate from first principles; the Spark side builds the table

@@ -70,42 +70,44 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # standing instruction).  This window pins (a) the COMPLETE 39-query
 # remaining r6 cohort — whose certs hit the staleness bound now that
 # CORRECTNESS_r11 is the newest record, including the r11-deferred
-# q_epoch_shuffle — (b) the first 7 of the 50-query r8 cohort
-# (alphabetical), and (c) four first-certification slots for the
+# q_epoch_shuffle — (b) the first 6 of the 50-query r8 cohort
+# (alphabetical), and (c) five first-certification slots for the
 # operators ADDED in round 12: the streaming auto-compaction policy
 # cert (`q_stream_autocompact`, the r11 verdict's directive #2),
 # manifest ANALYZE (`q_manifest_analyze`, directive #7a), partition
-# evolution (`q_partition_evolution`, directive #7b), and incremental
+# evolution (`q_partition_evolution`, directive #7b), incremental
 # NDV sketch tracking (`q_manifest_ndv`, the metadata-fed bloom-sizer
-# variant of #7a).  Their slots come from deferring four r8 picks,
-# whose cohort has runway through the r14 window (an r8 cert goes
-# stale only when the newest record reaches r14).
+# variant of #7a), and the merge-on-read incremental change feed
+# (`q_manifest_changes`, Delta-CDF shape).  Their slots come from
+# deferring five r8 picks, whose cohort has runway through the r14
+# window (an r8 cert goes stale only when the newest record reaches
+# r14, so the cohort may drain across the r13 AND r14 windows).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 243 after the r12 additions):
-#   r12 window = 39 r6 + 7 r8 + 4 new  -> after r12: 43 r8 remain
-#   r13 window = 43 r8 + 7 r9          -> after r13: 43 r9 remain
-#   r14 window = 43 r9 + 7 r10         -> after r14: 43 r10 remain
-#   r15 window = 43 r10 + 7 r11        -> after r15: 43 r11 remain
-#   r16 window = 43 r11 + 7 r12        -> histogram flat at <=50/round
+# satisfiable at every step; registry 244 after the r12 additions):
+#   r12 window = 39 r6 + 6 r8 + 5 new  -> after r12: 44 r8 remain
+#   r13 window = 44 r8 + 6 r9          -> after r13: 44 r9 remain
+#   r14 window = 44 r9 + 6 r10         -> after r14: 44 r10 remain
+#   r15 window = 44 r10 + 6 r11        -> after r15: 44 r11 remain
+#   r16 window = 44 r11 + 6 r12        -> histogram flat at <=50/round
 # (cohorts may also be split across two admissible windows — an rN
 # cert is admissible until the newest record reaches N+6 — so the
 # schedule above has one window of float per cohort if a round needs
 # extra first-certification slots.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (243 queries / 50 slots —
-# ceil(243/6) = 41 needed, 9 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (244 queries / 50 slots —
+# ceil(244/6) = 41 needed, 9 slack per window).
 #
 # Planned r13 window, pre-computed so the next rotation is mechanical
 # (re-derive against CORRECTNESS_r12 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the 43
-# remaining r8-certified queries (the 50-query r8 cohort minus the 7
-# picks below) + the first 7 of the r9 cohort (alphabetical).
-# The 43 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
+# all 50 driver-strict at sf0.01 per the standing recipe): the 44
+# remaining r8-certified queries (the 50-query r8 cohort minus the 6
+# picks below) + the first 6 of the r9 cohort (alphabetical).
+# The 44 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
 # this window's picks; re-derive before pinning):
-#   q_cte q_cube q_equidepth_hist_approx q_except
+#   q_case_coalesce q_cte q_cube q_equidepth_hist_approx q_except
 #   q_except_all q_exists_subquery q_explode q_feature_extract
 #   q_filter_project q_having q_in_subquery q_intersect
 #   q_intersect_all q_join_cross q_join_full q_join_inner
@@ -116,9 +118,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 #   q_topk q_try_cast q_union_all q_union_distinct
 #   q_window_distribution q_window_first_last q_window_lag_lead
 #   q_window_range_frame q_window_rank q_window_running q_window_topn
-# plus the first 7 r9 names (alphabetical):
+# plus the first 6 r9 names (alphabetical):
 #   q_agg_salted q_asof_join q_click_gaps q_corpus_pipeline
-#   q_decontaminate q_dedup_clusters q_dedup_embedding
+#   q_decontaminate q_dedup_clusters
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
@@ -164,21 +166,21 @@ _DRIVER_WINDOW = (
     "q_union_evolve",
     "q_weekday_profile",
     "q_winsorize",
-    # r8 picks: front-loading the 50-query r8 cohort (43 remain for r13)
+    # r8 picks: front-loading the 50-query r8 cohort (44 remain for r13)
     "q_agg_distinct",
     "q_agg_pricing",
     "q_agg_stats",
     "q_anti",
     "q_arg_minmax",
     "q_array_ops",
-    "q_case_coalesce",
-    # first-certification slots for the four operators added in
+    # first-certification slots for the five operators added in
     # round 12 (a never-certified query outside the window trips the
     # staleness guard immediately — new operators MUST take window slots)
     "q_stream_autocompact",
     "q_manifest_analyze",
     "q_partition_evolution",
     "q_manifest_ndv",
+    "q_manifest_changes",
 )
 
 _OPERATOR_MODULES = (

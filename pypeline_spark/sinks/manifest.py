@@ -1383,6 +1383,106 @@ class ManifestTable:
             os.remove(os.path.join(self.root, mf))
         return removed
 
+    # -- incremental change feed (CDF) -----------------------------------------
+
+    def changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Incremental change feed over MERGE-ON-READ history — the
+        Delta CDF / Iceberg incremental-read shape: the upserted rows
+        committed in versions ``(since_version, until_version]``, each
+        tagged with its commit version (``_commit_version``).  A delta
+        commit's fileset IS its change set, so the feed reads ONLY the
+        files those commits appended — O(changed rows), never a table
+        scan or a snapshot diff — which is what lets a downstream
+        consumer (a search index, an aggregate maintainer, a replica)
+        follow a 100 TB table by reading megabytes per sync.
+
+        Exactness contract: every version in the range must be either
+        a DELTA commit (base untouched, one fileset appended) or a
+        METADATA-ONLY commit (ANALYZE — no files changed, contributes
+        nothing).  A rewriting commit in the range (overwrite,
+        copy-on-write merge, compact, OPTIMIZE, evolution) raises —
+        its new files mix rewritten-unchanged rows with changed ones,
+        so row-level changes are no longer derivable from file-level
+        metadata (the same reason Delta CDF requires CDC files for
+        merge commits).  Operationally: consumers read the feed BEFORE
+        scheduled compaction, or checkpoint their cursor at the
+        compaction boundary and fall back to a snapshot diff
+        (``q_time_travel_diff``'s shape) across it.
+
+        Duplicate keys across commits are the feed's SEMANTICS (each
+        tagged row is one upsert event); consumers wanting final
+        states apply last-writer-wins on ``_commit_version`` — the
+        same resolution ``read_resolved`` runs.
+
+        Returns ``None`` for an empty range on an empty table."""
+        from pyspark.sql import functions as F
+
+        hi = self._manifest_at(until_version)["version"]
+        if since_version < 0 or since_version > hi:
+            raise ValueError(
+                f"since_version {since_version} out of range [0, {hi}]"
+            )
+        tags: list[tuple[int, list[str]]] = []
+        prev = self._manifest_at(since_version) if since_version > 0 else {
+            "files": [],
+            "deltas": [],
+        }
+        for v in range(since_version + 1, hi + 1):
+            mv = self._manifest_at(v)
+            pv_files = prev.get("files", [])
+            pv_deltas = prev.get("deltas", [])
+            mv_deltas = mv.get("deltas", [])
+            if mv["files"] == pv_files and mv_deltas == pv_deltas:
+                prev = mv  # metadata-only commit: contributes nothing
+                continue
+            if (
+                mv["files"] != pv_files
+                or len(mv_deltas) != len(pv_deltas) + 1
+                or mv_deltas[: len(pv_deltas)] != pv_deltas
+            ):
+                raise ValueError(
+                    f"version {v} rewrote files (overwrite/merge/compact/"
+                    "optimize): row-level changes are not derivable from "
+                    "file metadata across it — read the feed before "
+                    "compaction or snapshot-diff across the boundary"
+                )
+            fileset = mv_deltas[-1]
+            tags.append((v, fileset))
+            prev = mv
+        if not tags:
+            base = self.read(spark)
+            if base is None:
+                return None
+            return base.limit(0).withColumn(
+                "_commit_version", F.lit(0).cast("bigint")
+            )
+        frames = []
+        for v, fileset in tags:
+            if not fileset:  # empty batch committed: no rows to read
+                continue
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in fileset]
+            )
+            frames.append(
+                df.withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+        if not frames:
+            base = self.read(spark)
+            if base is None:
+                return None
+            return base.limit(0).withColumn(
+                "_commit_version", F.lit(0).cast("bigint")
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     # -- incremental NDV sketches (commit-time, mergeable) ---------------------
 
     def _update_ndv(

@@ -1321,6 +1321,82 @@ class TestClusteredOptimize:
         assert tot == total and len(files) < total
 
 
+class TestChangeFeed:
+    """changes(since, until): the merge-on-read incremental change
+    feed — exact row sets per delta commit, metadata-only commits
+    skipped, rewriting commits refused, bounds validated."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def _setup(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "cdf"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") % 3 != 0),
+                           batch_id="seed")  # v1
+        d1 = cust.filter(
+            (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 2 == 0)
+        )
+        d2 = cust.filter(
+            (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 2 == 1)
+        )
+        t.commit_delta(d1, ["c_custkey"], batch_id="d1")  # v2
+        t.analyze(spark, ["c_custkey"], batch_id="an")  # v3 metadata-only
+        t.commit_delta(d2, ["c_custkey"], batch_id="d2")  # v4
+        return t, d1, d2
+
+    def test_exact_rows_per_commit_and_metadata_skipped(
+        self, spark, tmp_path, cust
+    ):
+        t, d1, d2 = self._setup(spark, tmp_path, cust)
+        feed = t.changes(spark, since_version=1)
+        got = {
+            v: sorted(r.c_custkey for r in rows)
+            for v, rows in (
+                (2, feed.filter(F.col("_commit_version") == 2).collect()),
+                (4, feed.filter(F.col("_commit_version") == 4).collect()),
+            )
+        }
+        assert got[2] == sorted(r.c_custkey for r in d1.collect())
+        assert got[4] == sorted(r.c_custkey for r in d2.collect())
+        versions = {r._commit_version for r in
+                    feed.select("_commit_version").distinct().collect()}
+        assert versions == {2, 4}  # v3 (ANALYZE) contributes nothing
+
+    def test_until_version_and_empty_range(self, spark, tmp_path, cust):
+        t, d1, _ = self._setup(spark, tmp_path, cust)
+        upto = t.changes(spark, since_version=1, until_version=3)
+        assert {r._commit_version for r in upto.collect()} == {2}
+        assert upto.count() == d1.count()
+        empty = t.changes(spark, since_version=4)
+        assert empty.count() == 0
+        assert "_commit_version" in empty.columns
+
+    def test_rewriting_commit_refused(self, spark, tmp_path, cust):
+        t, _, _ = self._setup(spark, tmp_path, cust)
+        t.compact(spark, batch_id="c1")  # v5 rewrites files
+        with pytest.raises(ValueError, match="rewrote files"):
+            t.changes(spark, since_version=1)
+        # but a range that stops BEFORE the rewrite still works...
+        assert t.changes(spark, 1, until_version=4).count() > 0
+        # ...and a cursor checkpointed AT the compaction boundary
+        # continues cleanly after new deltas land
+        late = cust.limit(7)
+        t.commit_delta(late, ["c_custkey"], batch_id="d3")  # v6
+        after = t.changes(spark, since_version=5)
+        assert after.count() == 7
+        assert {r._commit_version for r in after.collect()} == {6}
+
+    def test_bounds_validated(self, spark, tmp_path, cust):
+        t, _, _ = self._setup(spark, tmp_path, cust)
+        with pytest.raises(ValueError, match="out of range"):
+            t.changes(spark, since_version=99)
+        with pytest.raises(ValueError, match="not found"):
+            t.changes(spark, 1, until_version=99)
+
+
 class TestNdvSketch:
     """Incremental NDV tracking (`ndv_cols`): a mergeable HLL sketch
     per tracked column updated with ONE O(batch) pass at every content

@@ -168,6 +168,24 @@ def main(sf_dir: str) -> None:
         print(f"8. partition evolution: re-clustered live in steps of "
               f"{steps}; post-convergence 2-D prune opens "
               f"{len(keep)}/{total} files")
+
+        # -- 9. incremental change feed (CDF) -----------------------------
+        ct = ManifestTable(os.path.join(root, "cdf"))
+        ct.commit_overwrite(c.filter(F.col("c_custkey") % 3 != 0),
+                            batch_id="seed")
+        for i, shift in ((1, 100.0), (2, 200.0)):
+            ct.commit_delta(
+                c.filter(F.col("c_custkey") % 3 == 0)
+                .filter(F.col("c_custkey") % 2 == i % 2)
+                .withColumn("c_acctbal", F.col("c_acctbal") + shift),
+                ["c_custkey"], batch_id=f"d{i}",
+            )
+        feed = ct.changes(spark, since_version=1)
+        per_v = {r._commit_version: r.n for r in
+                 feed.groupBy("_commit_version").agg(
+                     F.count("*").alias("n")).collect()}
+        print(f"9. change feed since v1: rows per commit version {per_v} "
+              "(read ONLY those commits' files — no table scan)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -4,6 +4,8 @@ exactly-once batch replay, time travel, and vacuum retention."""
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pypeline_spark.session import load_table
@@ -1396,6 +1398,22 @@ class TestChangeFeed:
         with pytest.raises(ValueError, match="not found"):
             t.changes(spark, 1, until_version=99)
 
+    def test_vacuumed_history_raises_cleanly(self, spark, tmp_path, cust):
+        """Retention truncates the derivable feed: a cursor pointing
+        before the retention horizon must fail loudly (the manifest
+        version is gone), never silently skip commits — the consumer
+        re-bootstraps from a snapshot, exactly like Delta CDF after
+        VACUUM."""
+        t, _, _ = self._setup(spark, tmp_path, cust)
+        t.compact(spark, batch_id="c1")  # v5
+        t.vacuum(keep_versions=1)  # drops manifests v1..v4
+        with pytest.raises(ValueError, match="vacuumed"):
+            t.changes(spark, since_version=1)
+        # post-vacuum commits feed normally from the new horizon
+        t.commit_delta(cust.limit(3), ["c_custkey"], batch_id="d3")  # v6
+        after = t.changes(spark, since_version=5)
+        assert after.count() == 3
+
 
 class TestNdvSketch:
     """Incremental NDV tracking (`ndv_cols`): a mergeable HLL sketch
@@ -1792,18 +1810,44 @@ class TestZBucketClamp:
         pure-Python interleave."""
         from pypeline_spark.operators.multidim import zvalue_n
 
-        def py_z(vals, bits=8):
-            k = len(vals)
-            z = 0
-            for i in range(bits):
-                for j, v in enumerate(vals):
-                    z |= ((v >> i) & 1) << (k * i + j)
-            return z
-
         rows = [(3, 200, 255), (0, 0, 0), (255, 255, 255), (17, 4, 99)]
         df = spark.createDataFrame(rows, "a int, b int, c int").select(
             "a", "b", "c",
             zvalue_n([F.col("a"), F.col("b"), F.col("c")]).alias("z"),
         )
         for r in df.collect():
-            assert r.z == py_z([r.a, r.b, r.c])
+            assert r.z == _py_morton([r.a, r.b, r.c])
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        rows=st.lists(
+            st.lists(st.integers(0, 255), min_size=1, max_size=4),
+            min_size=1, max_size=8,
+        ).filter(lambda rs: len({len(r) for r in rs}) == 1)
+    )
+    def test_zvalue_n_matches_python_reference(self, spark, rows):
+        """Property: the JVM-expression k-D Morton interleave equals
+        the from-first-principles Python computation for every k in
+        1..4 — a silent hash-family change in the clustering key would
+        reorder every future clustered rewrite."""
+        from pypeline_spark.operators.multidim import zvalue_n
+
+        k = len(rows[0])
+        cols = [f"c{i}" for i in range(k)]
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{c} int" for c in cols)
+        ).select(
+            *cols, zvalue_n([F.col(c) for c in cols]).alias("z")
+        )
+        for r in df.collect():
+            assert r.z == _py_morton([r[c] for c in cols])
+
+
+def _py_morton(vals, bits=8):
+    k = len(vals)
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (k * i + j)
+    return z

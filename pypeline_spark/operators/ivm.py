@@ -1149,6 +1149,85 @@ def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_manifest_restore",
+    # The oracle recomputes the restored snapshot (the seed slice —
+    # every even key at its ORIGINAL balance) from first principles
+    # and pins the rollback bookkeeping as constants: restore is one
+    # metadata commit (versions 1 seed + 2 bad merge + 3 restore), and
+    # a post-restore replay of the rolled-back batch id is STILL
+    # ledger-skipped (replay_skipped TRUE) — content undo never
+    # reopens exactly-once.  The hash match proves the restore
+    # republished the old content exactly; metadata-only-ness, stats
+    # restoration, MoR restore and vacuum interplay are pinned in
+    # tests/test_manifest.py::TestRestore.
+    oracle="""
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS replay_skipped
+    FROM customer WHERE c_custkey % 2 = 0
+    GROUP BY bucket
+    """,
+)
+def q_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE .. TO VERSION`` (the Delta/Iceberg rollback
+    shape): a bad copy-on-write merge poisons the table, ``restore``
+    republishes version 1's exact content as a new commit — ONE
+    manifest write, no data file read, written or deleted — and the
+    query proves the rollback: content hash-matches the pre-incident
+    snapshot, and replaying the rolled-back batch id afterwards is
+    still skipped by the ledger (a restore undoes CONTENT, never
+    exactly-once bookkeeping).
+
+    Scale: rolling back a 100 TB table by rewriting it costs a full
+    write pass and a window of unavailability; manifest RESTORE costs
+    one metadata operation, keeps every version time-travelable until
+    vacuum, and a crash mid-restore leaves the old pointer — the
+    operational undo a production lakehouse cannot run without.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    scratch = tempfile.mkdtemp(prefix="manifest_restore_")
+    try:
+        table = ManifestTable(scratch)
+        good = c.filter(F.col("c_custkey") % 2 == 0)
+        table.commit_overwrite(good, batch_id="seed")  # v1
+        bad = good.limit(50).withColumn("c_acctbal", F.lit(-1.0))
+        table.commit_merge(spark, bad, ["c_custkey"], batch_id="oops")  # v2
+        table.restore(1, batch_id="undo")  # v3: metadata-only rollback
+        v = table.version()
+        # the rolled-back batch must STILL be ledger-skipped
+        replay_skipped = (
+            table.commit_merge(spark, bad, ["c_custkey"], batch_id="oops")
+            == v
+            and table.version() == v
+        )
+        out = (
+            table.read(spark)
+            .groupBy(
+                F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+            )
+            .withColumn("n_versions", F.lit(v).cast("bigint"))
+            .withColumn("replay_skipped", F.lit(bool(replay_skipped)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "q_manifest_ndv",
     # The oracle recomputes the exact distinct count and the content
     # aggregate from first principles; the Spark side builds the table

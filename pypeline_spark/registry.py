@@ -70,44 +70,46 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # standing instruction).  This window pins (a) the COMPLETE 39-query
 # remaining r6 cohort — whose certs hit the staleness bound now that
 # CORRECTNESS_r11 is the newest record, including the r11-deferred
-# q_epoch_shuffle — (b) the first 6 of the 50-query r8 cohort
-# (alphabetical), and (c) five first-certification slots for the
+# q_epoch_shuffle — (b) the first 5 of the 50-query r8 cohort
+# (alphabetical), and (c) six first-certification slots for the
 # operators ADDED in round 12: the streaming auto-compaction policy
 # cert (`q_stream_autocompact`, the r11 verdict's directive #2),
 # manifest ANALYZE (`q_manifest_analyze`, directive #7a), partition
 # evolution (`q_partition_evolution`, directive #7b), incremental
 # NDV sketch tracking (`q_manifest_ndv`, the metadata-fed bloom-sizer
-# variant of #7a), and the merge-on-read incremental change feed
-# (`q_manifest_changes`, Delta-CDF shape).  Their slots come from
-# deferring five r8 picks, whose cohort has runway through the r14
-# window (an r8 cert goes stale only when the newest record reaches
-# r14, so the cohort may drain across the r13 AND r14 windows).
+# variant of #7a), the merge-on-read incremental change feed
+# (`q_manifest_changes`, Delta-CDF shape), and metadata-only rollback
+# (`q_manifest_restore`, the RESTORE TO VERSION shape).  Their slots
+# come from deferring six r8 picks, whose cohort has runway through
+# the r14 window (an r8 cert goes stale only when the newest record
+# reaches r14, so the cohort may drain across the r13 AND r14
+# windows).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 244 after the r12 additions):
-#   r12 window = 39 r6 + 6 r8 + 5 new  -> after r12: 44 r8 remain
-#   r13 window = 44 r8 + 6 r9          -> after r13: 44 r9 remain
-#   r14 window = 44 r9 + 6 r10         -> after r14: 44 r10 remain
-#   r15 window = 44 r10 + 6 r11        -> after r15: 44 r11 remain
-#   r16 window = 44 r11 + 6 r12        -> histogram flat at <=50/round
+# satisfiable at every step; registry 245 after the r12 additions):
+#   r12 window = 39 r6 + 5 r8 + 6 new  -> after r12: 45 r8 remain
+#   r13 window = 45 r8 + 5 r9          -> after r13: 45 r9 remain
+#   r14 window = 45 r9 + 5 r10         -> after r14: 45 r10 remain
+#   r15 window = 45 r10 + 5 r11        -> after r15: 45 r11 remain
+#   r16 window = 45 r11 + 5 r12        -> histogram flat at <=50/round
 # (cohorts may also be split across two admissible windows — an rN
 # cert is admissible until the newest record reaches N+6 — so the
 # schedule above has one window of float per cohort if a round needs
 # extra first-certification slots.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (244 queries / 50 slots —
-# ceil(244/6) = 41 needed, 9 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (245 queries / 50 slots —
+# ceil(245/6) = 41 needed, 9 slack per window).
 #
 # Planned r13 window, pre-computed so the next rotation is mechanical
 # (re-derive against CORRECTNESS_r12 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the 44
-# remaining r8-certified queries (the 50-query r8 cohort minus the 6
-# picks below) + the first 6 of the r9 cohort (alphabetical).
-# The 44 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
+# all 50 driver-strict at sf0.01 per the standing recipe): the 45
+# remaining r8-certified queries (the 50-query r8 cohort minus the 5
+# picks below) + the first 5 of the r9 cohort (alphabetical).
+# The 45 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
 # this window's picks; re-derive before pinning):
-#   q_case_coalesce q_cte q_cube q_equidepth_hist_approx q_except
+#   q_array_ops q_case_coalesce q_cte q_cube q_equidepth_hist_approx q_except
 #   q_except_all q_exists_subquery q_explode q_feature_extract
 #   q_filter_project q_having q_in_subquery q_intersect
 #   q_intersect_all q_join_cross q_join_full q_join_inner
@@ -118,9 +120,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 #   q_topk q_try_cast q_union_all q_union_distinct
 #   q_window_distribution q_window_first_last q_window_lag_lead
 #   q_window_range_frame q_window_rank q_window_running q_window_topn
-# plus the first 6 r9 names (alphabetical):
+# plus the first 5 r9 names (alphabetical):
 #   q_agg_salted q_asof_join q_click_gaps q_corpus_pipeline
-#   q_decontaminate q_dedup_clusters
+#   q_decontaminate
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
@@ -166,14 +168,13 @@ _DRIVER_WINDOW = (
     "q_union_evolve",
     "q_weekday_profile",
     "q_winsorize",
-    # r8 picks: front-loading the 50-query r8 cohort (44 remain for r13)
+    # r8 picks: front-loading the 50-query r8 cohort (45 remain for r13)
     "q_agg_distinct",
     "q_agg_pricing",
     "q_agg_stats",
     "q_anti",
     "q_arg_minmax",
-    "q_array_ops",
-    # first-certification slots for the five operators added in
+    # first-certification slots for the six operators added in
     # round 12 (a never-certified query outside the window trips the
     # staleness guard immediately — new operators MUST take window slots)
     "q_stream_autocompact",
@@ -181,6 +182,7 @@ _DRIVER_WINDOW = (
     "q_partition_evolution",
     "q_manifest_ndv",
     "q_manifest_changes",
+    "q_manifest_restore",
 )
 
 _OPERATOR_MODULES = (

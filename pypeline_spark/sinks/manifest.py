@@ -1383,6 +1383,53 @@ class ManifestTable:
             os.remove(os.path.join(self.root, mf))
         return removed
 
+    # -- rollback ---------------------------------------------------------------
+
+    def restore(self, version: int, batch_id: Optional[str] = None) -> int:
+        """``RESTORE TABLE .. TO VERSION`` (the Delta/Iceberg rollback
+        shape): publish a NEW version whose content is exactly the
+        retained ``version``'s — file list, outstanding deltas,
+        key_columns, stats, filemeta and bloom property all taken from
+        the restored manifest — as one atomic pointer swap.  Pure
+        metadata: no data file is read, written or deleted, so
+        restoring a 100 TB table costs one manifest write, history
+        stays intact (the bad versions remain time-travelable until
+        vacuum), and a crash mid-restore leaves the old pointer.
+
+        The batch-id LEDGER is kept from the CURRENT version, not the
+        restored one: a restore is an operational undo of CONTENT, and
+        re-running an already-applied batch after a rollback must
+        still be detected and skipped — otherwise the recovery replay
+        double-applies everything committed since ``version``.  NDV
+        sketch state is likewise kept from the CURRENT version: HLL is
+        absorb-only, so the current sketch is a valid UPPER BOUND for
+        the restored (subset) content — tracking continues unbroken
+        and bloom sizing stays safe.  The exact ANALYZE profile is
+        dropped (it describes content being rolled away; re-run
+        analyze).  Restoring the current version is a no-op.  Raises
+        if ``version`` was vacuumed."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if version == m["version"]:
+            return m["version"]  # restoring the tip: no-op
+        old = self._manifest_at(version)
+        new = {
+            "version": m["version"] + 1,
+            "files": old["files"],
+            "deltas": old.get("deltas", []),
+            "key_columns": old.get("key_columns"),
+            # exactly-once survives the rollback: ledger from CURRENT
+            "batch_ids": m["batch_ids"]
+            + ([batch_id] if batch_id is not None else []),
+            "stats": old.get("stats", {}),
+            "filemeta": old.get("filemeta", {}),
+            "bloom_cols": old.get("bloom_cols", []),
+            **{k: m[k] for k in ("ndv", "ndv_cols") if k in m},
+        }
+        self._publish(new)
+        return new["version"]
+
     # -- incremental change feed (CDF) -----------------------------------------
 
     def changes(

@@ -1323,6 +1323,84 @@ class TestClusteredOptimize:
         assert tot == total and len(files) < total
 
 
+class TestRestore:
+    """restore(version): the Delta RESTORE rollback shape — content
+    snaps back to a retained version as one metadata-only commit,
+    history stays, the ledger (and NDV sketch upper bound) survive."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_content_snaps_back_metadata_only(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "rst"))
+        good = cust.filter(F.col("c_custkey") % 2 == 0)
+        t.commit_overwrite(good, batch_id="seed",
+                           stats_cols=("c_custkey",))  # v1
+        want = _canon(t.read(spark))
+        bad = cust.limit(10).withColumn("c_acctbal", F.lit(-1.0))
+        t.commit_merge(spark, bad, ["c_custkey"], batch_id="oops")  # v2
+        n_data_before = len(os.listdir(str(tmp_path / "rst" / "data")))
+        v = t.restore(1, batch_id="undo")
+        assert v == 3
+        # exact old content, no data files written or removed
+        assert _canon(t.read(spark)) == want
+        assert len(os.listdir(str(tmp_path / "rst" / "data"))) == n_data_before
+        # stats restored with the files: pruning works post-restore
+        files, total = t.prune_plan_multi({"c_custkey": (0, 10)})
+        assert total == len(t._read_manifest()["files"])
+        # bad version still time-travelable until vacuum
+        assert t.read(spark, version=2).count() > 0
+
+    def test_ledger_survives_rollback(self, spark, tmp_path, cust):
+        """The recovery hazard RESTORE must not create: re-running the
+        rolled-back batch after the restore must STILL be skipped —
+        content undo never reopens exactly-once."""
+        t = ManifestTable(str(tmp_path / "ledg"))
+        t.commit_overwrite(cust, batch_id="seed")  # v1
+        upd = cust.limit(5).withColumn("c_acctbal", F.lit(0.0))
+        t.commit_delta(upd, ["c_custkey"], batch_id="b1")  # v2
+        t.restore(1, batch_id="undo")  # v3: content back to v1
+        want = _canon(t.read(spark))
+        v = t.version()
+        assert t.commit_delta(upd, ["c_custkey"], batch_id="b1") == v
+        assert _canon(t.read(spark)) == want  # replay skipped
+        # and the restore itself is replay-skippable by ITS batch id
+        assert t.restore(1, batch_id="undo") == v
+
+    def test_restore_edges(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "edge"))
+        t.commit_overwrite(cust, batch_id="seed",
+                           ndv_cols=["c_custkey"])  # v1
+        est = t.ndv_estimate("c_custkey")
+        assert t.restore(1) == 1  # restoring the tip: no-op
+        t.commit_delta(cust.limit(3), ["c_custkey"], batch_id="d1")  # v2
+        t.restore(1)  # v3
+        # NDV tracking survives as an upper bound and keeps updating
+        assert t.ndv_estimate("c_custkey") >= est
+        t.commit_delta(cust.limit(4), ["c_custkey"], batch_id="d2")
+        assert t.ndv_estimate("c_custkey") >= est
+        with pytest.raises(ValueError, match="not found"):
+            t.restore(99)
+
+    def test_restore_mor_version_with_deltas(self, spark, tmp_path, cust):
+        """Restoring to a version with outstanding deltas restores the
+        RESOLVED content (deltas ride along in the manifest)."""
+        t = ManifestTable(str(tmp_path / "mor"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") <= 80),
+                           batch_id="seed")  # v1
+        upd = cust.filter(F.col("c_custkey").between(81, 99))
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1")  # v2: MoR state
+        want = _canon(t.read_resolved(spark))
+        t.compact(spark, batch_id="c1")  # v3: folded
+        t.restore(2, batch_id="undo")  # v4: back to the MoR shape
+        m = t._read_manifest()
+        assert len(m["deltas"]) == 1
+        assert _canon(t.read_resolved(spark)) == want
+
+
 class TestChangeFeed:
     """changes(since, until): the merge-on-read incremental change
     feed — exact row sets per delta commit, metadata-only commits

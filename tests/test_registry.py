@@ -3,11 +3,11 @@ queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
 Round-12 rotation: the window holds the complete 39-query r6-stale
-cohort, 6 r8 picks (front-loading the 50-query r8 cohort so it
+cohort, 5 r8 picks (front-loading the 50-query r8 cohort so it
 drains across the r13/r14 windows), and first-certification slots for
-the five operators added in round 12 (streaming auto-compaction,
+the six operators added in round 12 (streaming auto-compaction,
 manifest ANALYZE, partition evolution, incremental NDV sketches, the
-merge-on-read incremental change feed) —
+merge-on-read incremental change feed, metadata-only RESTORE) —
 pinned one-to-one against ``registry._DRIVER_WINDOW`` so any drift is
 a loud failure.
 ``test_driver_window_covers_stale_certifications`` makes the round-8

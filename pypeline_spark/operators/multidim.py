@@ -79,10 +79,30 @@ def zvalue_n(buckets: Sequence[Column], bits: int = Z_BITS) -> Column:
     produces exactly :func:`zvalue`'s 2-D layout.  Buckets are widened
     to bigint before shifting — k*bits z-bits overflow a 32-bit shift
     at k >= 4 — and the whole expression stays shiftleft/shiftright/&
-    arithmetic inside WholeStageCodegen, no UDF."""
+    arithmetic inside WholeStageCodegen, no UDF.
+
+    The z key must fit the POSITIVE bigint range: ``k * bits`` z-bits
+    above 63 would shift into the sign bit (k=8 at the default 8 bits)
+    or wrap the shift mod 64 (k>=9), silently colliding / mis-ordering
+    Morton keys — layout-only damage, but it defeats the clustering
+    the key exists for (ADVICE r12), so this RAISES instead.  The fix
+    belongs at the call site, not here: buckets were already scaled to
+    ``bits`` by :func:`zbucket`, so silently interleaving fewer bits
+    would drop their HIGH bits (bucket 0 colliding with bucket 128) —
+    callers must shrink bits-per-dimension for the bucketing and the
+    interleave TOGETHER (``bits = min(bits, 63 // k)``, what
+    ``ManifestTable._cluster_for_rewrite`` does)."""
     k = len(buckets)
     if k == 0:
         raise ValueError("zvalue_n needs at least one bucketed dimension")
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} dimensions x {bits} bits = {k * bits} z-bits > 63: the "
+            "interleave would reach the bigint sign bit (k=8) or wrap the "
+            "shift mod 64 (k>=9) — shrink bits per dimension "
+            f"(min({bits}, 63 // {k}) = {min(bits, 63 // k)}) in BOTH the "
+            "bucketing and the interleave"
+        )
     terms = []
     for i in range(bits):
         for j, b in enumerate(buckets):

@@ -13,9 +13,15 @@ public-knowledge design (the same commit protocol Iceberg/Delta use):
 - data files are IMMUTABLE and write-once; a table version is a JSON
   **manifest** naming exactly the files that are live;
 - a commit writes new data files to the data directory (invisible —
-  nothing references them yet), then publishes by ``os.replace`` of
-  the manifest pointer: a single atomic rename.  Readers see the old
-  complete version or the new complete version, never a mix;
+  nothing references them yet), then publishes by an atomic
+  put-if-absent of the versioned manifest file (``os.link`` of a
+  complete temp file — the local equivalent of an object store's
+  conditional PUT).  Readers see the old complete version or the new
+  complete version, never a mix — and a CONCURRENT writer racing for
+  the same version slot is DETECTED (:class:`CommitConflict`) instead
+  of silently clobbered: blind delta appends and metadata-only commits
+  rebase onto the new tip with bounded retries, rewrites abort
+  (Delta's conflict matrix in miniature — ``_commit_retrying``);
 - every manifest records the ``batch_id``s already applied, so a
   foreachBatch replay after a crash is DETECTED and skipped —
   exactly-once on top of at-least-once delivery, the same contract
@@ -23,10 +29,10 @@ public-knowledge design (the same commit protocol Iceberg/Delta use):
 - old versions remain readable until ``vacuum`` (time travel for
   free, bounded by retention).
 
-At real scale the manifest lists object-store keys and the swap is a
-conditional PUT (or a log-append); the protocol is identical — commit
-visibility rides on ONE atomic metadata operation, never on N file
-operations.
+At real scale the manifest lists object-store keys and the publish is
+the same conditional PUT (or a log-append); the protocol is identical
+— commit visibility rides on ONE atomic metadata operation, never on
+N file operations.
 """
 
 from __future__ import annotations
@@ -40,13 +46,32 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer published the version this commit was about
+    to take.  Raised by :meth:`ManifestTable._publish` when the
+    put-if-absent create of the versioned manifest file loses the race
+    (the lost-update a plain ``os.replace`` could never see), and
+    re-raised by commit methods whose semantics cannot be rebased onto
+    the new tip — see the conflict matrix in
+    :meth:`ManifestTable._commit_retrying`."""
+
+
 class ManifestTable:
     """A versioned parquet table committed via an atomic manifest swap."""
+
+    #: bounded optimistic retry under concurrent write contention
+    OCC_MAX_RETRIES = 16
 
     def __init__(self, root: str) -> None:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
+        self.occ_max_retries = self.OCC_MAX_RETRIES
+        # Test-only deterministic race injection: a zero-arg callable
+        # fired ONCE immediately before the next publish attempt (i.e.
+        # inside the read-modify-write window), so tests can place a
+        # concurrent writer's commit exactly where the race happens.
+        self._race_once = None
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -56,9 +81,24 @@ class ManifestTable:
 
     def _read_manifest(self) -> dict:
         if not os.path.exists(self._pointer):
-            return {"version": 0, "files": [], "batch_ids": [], "stats": {}}
-        with open(self._pointer) as fh:
-            return json.load(fh)
+            m = {"version": 0, "files": [], "batch_ids": [], "stats": {}}
+        else:
+            with open(self._pointer) as fh:
+                m = json.load(fh)
+        # The pointer is a read CACHE; the versioned manifest files are
+        # the source of truth (the put-if-absent link in _publish is
+        # the commit point).  Roll forward through any version that was
+        # committed but not yet reflected — a writer crashed between
+        # link and pointer refresh, or two refreshes landed out of
+        # order.  One exists() check in the common case.
+        while True:
+            nxt = os.path.join(
+                self.root, f"_manifest.v{m['version'] + 1}.json"
+            )
+            if not os.path.exists(nxt):
+                return m
+            with open(nxt) as fh:
+                m = json.load(fh)
 
     def version(self) -> int:
         return self._read_manifest()["version"]
@@ -77,20 +117,125 @@ class ManifestTable:
         return {k: m[k] for k in ("colstats", "ndv", "ndv_cols") if k in m}
 
     def _publish(self, manifest: dict) -> None:
-        """Atomic publish: write the new manifest beside the pointer,
-        keep it as the versioned history file, then os.replace() the
-        pointer — one atomic rename is the entire commit."""
+        """Atomic publish with optimistic-concurrency DETECTION: write
+        the complete manifest to a uniquely named temp file, then claim
+        its version slot with an atomic put-if-absent (``os.link`` —
+        the local-filesystem equivalent of an object store's
+        conditional PUT / ``If-None-Match``).  The link is the commit
+        point: exactly one writer can create ``_manifest.vN.json``, so
+        two writers that both read version N-1 can no longer silently
+        clobber each other (the lost update ``os.replace`` allowed) —
+        the loser gets :class:`CommitConflict` and its commit method
+        decides rebase-vs-abort.  Linking a pre-written, fsynced temp
+        file (rather than ``O_CREAT|O_EXCL`` + write-in-place) means a
+        crash can never leave a PARTIAL version file squatting on the
+        slot.  The pointer file is only a read cache of the newest
+        version, refreshed after the link — ``_read_manifest`` rolls
+        forward through newer version files, so a crash between link
+        and refresh (or two refreshes landing out of order) never
+        loses a committed version."""
+        hook, self._race_once = self._race_once, None
+        if hook is not None:
+            hook()  # test-only: a concurrent writer lands exactly here
         vfile = os.path.join(self.root, f"_manifest.v{manifest['version']}.json")
-        tmp = vfile + ".tmp"
+        tmp = f"{vfile}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, vfile)
-        # the pointer swap: readers see old-or-new, never a mix
-        tmp2 = self._pointer + ".tmp"
+        try:
+            os.link(tmp, vfile)  # atomic create-if-absent, complete file
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {manifest['version']} was published by a "
+                "concurrent writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        # refresh the pointer cache: readers see old-or-new, never a mix
+        tmp2 = f"{self._pointer}.{uuid.uuid4().hex}.tmp"
         shutil.copyfile(vfile, tmp2)
         os.replace(tmp2, self._pointer)
+
+    # -- optimistic concurrency -------------------------------------------------
+
+    @staticmethod
+    def _commit_kind(prev: dict, cur: dict) -> str:
+        """Structurally classify the commit that took ``prev`` to
+        ``cur``: ``'metadata'`` (file lists untouched — ANALYZE),
+        ``'delta'`` (base untouched, exactly one delta fileset
+        appended), or ``'rewrite'`` (anything that changed the base
+        file list — overwrite, copy-on-write merge, compact, OPTIMIZE,
+        evolution, restore).  The same invariants :meth:`changes`
+        verifies; the OCC conflict matrix rules on these kinds."""
+        pf, cf = prev.get("files", []), cur.get("files", [])
+        pd, cd = prev.get("deltas", []), cur.get("deltas", [])
+        if cf == pf and cd == pd:
+            return "metadata"
+        if cf == pf and len(cd) == len(pd) + 1 and cd[: len(pd)] == pd:
+            return "delta"
+        return "rewrite"
+
+    def _intervening_kinds(self, base: dict, tip: dict) -> set:
+        """Kinds of every commit published after ``base`` up to and
+        including ``tip`` — the facts the conflict matrix rules on.
+        O(conflicting commits) manifest reads, no data I/O."""
+        kinds: set = set()
+        prev = base
+        for v in range(base["version"] + 1, tip["version"] + 1):
+            cur = self._manifest_at(v)
+            kinds.add(self._commit_kind(prev, cur))
+            prev = cur
+        return kinds
+
+    def _commit_retrying(
+        self, base: dict, build, rebase_over: frozenset, what: str
+    ) -> int:
+        """Publish with bounded optimistic retry — Delta's conflict
+        matrix in miniature.  ``build(m)`` constructs the new manifest
+        against snapshot ``m`` and returns ``None`` when the batch id
+        turns out already applied (a concurrent duplicate delivery:
+        exactly-once holds even across racing writers).  On
+        :class:`CommitConflict` the tip is re-read and the commit is
+        REBASED (rebuilt against the tip, retried) only when every
+        intervening commit's kind is in ``rebase_over``:
+
+        - blind delta appends serialize after other deltas and
+          metadata-only commits (``{'delta', 'metadata'}``) — the
+          WriteSerializable append story;
+        - ANALYZE serializes only after metadata-only commits (content
+          changed underneath would silently stale the profile);
+        - every rewrite (overwrite / CoW merge / compact / OPTIMIZE /
+          evolution / restore) conflicts with everything and aborts to
+          the caller, who must re-read and re-decide.
+
+        An aborted attempt may leave never-referenced files in
+        ``data/`` — harmless (no manifest names them; snapshot reads
+        can't see them), reclaimable by a listing-based GC exactly as
+        in any lakehouse."""
+        m = base
+        for _ in range(max(1, self.occ_max_retries)):
+            new = build(m)
+            if new is None:
+                return m["version"]
+            try:
+                self._publish(new)
+                return new["version"]
+            except CommitConflict:
+                tip = self._read_manifest()
+                kinds = self._intervening_kinds(m, tip)
+                if not kinds <= rebase_over:
+                    raise CommitConflict(
+                        f"{what} built against version {m['version']} lost "
+                        f"to concurrent {sorted(kinds - rebase_over)} "
+                        f"commit(s) ending at version {tip['version']} and "
+                        "cannot be rebased — re-read the table and retry"
+                    ) from None
+                m = tip
+        raise CommitConflict(
+            f"{what}: gave up after occ_max_retries="
+            f"{self.occ_max_retries} attempts under write contention"
+        )
 
     # -- read path ------------------------------------------------------------
 
@@ -835,25 +980,44 @@ class ManifestTable:
             )
         bloom = m.get("bloom_cols", [])
         files, stats, filemeta = self._write_fileset(updates, stats_cols, bloom)
-        new = {
-            "version": m["version"] + 1,
-            "files": m["files"],
-            "deltas": m.get("deltas", []) + [files],
-            "key_columns": keys,
-            "batch_ids": m["batch_ids"] + ([batch_id] if batch_id is not None else []),
-            "stats": {**m.get("stats", {}), **stats},
-            "filemeta": {**m.get("filemeta", {}), **filemeta},
-            "bloom_cols": bloom,
-            # ANALYZE profile + NDV sketch state ride along (an
-            # overwrite resets both)
-            **self._carry_meta(m),
-        }
-        if m.get("ndv_cols"):
-            new["ndv"] = self._update_ndv(
-                updates, m["ndv_cols"], m.get("ndv", {})
-            )
-        self._publish(new)
-        return new["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            # re-validated per rebase: a concurrent duplicate delivery
+            # of the same batch makes this commit a no-op (exactly-once
+            # holds across racing writers, not just sequential replays)
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm.get("key_columns") not in (None, keys):
+                raise ValueError(
+                    f"key_columns {keys} != recorded {mm['key_columns']}"
+                )
+            new = {
+                "version": mm["version"] + 1,
+                "files": mm["files"],
+                "deltas": mm.get("deltas", []) + [files],
+                "key_columns": keys,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "stats": {**mm.get("stats", {}), **stats},
+                "filemeta": {**mm.get("filemeta", {}), **filemeta},
+                "bloom_cols": mm.get("bloom_cols", []),
+                # ANALYZE profile + NDV sketch state ride along (an
+                # overwrite resets both)
+                **self._carry_meta(mm),
+            }
+            if mm.get("ndv_cols"):
+                # folded against the REBASED tip's sketch — recomputed
+                # per retry so no concurrent commit's marks are lost
+                new["ndv"] = self._update_ndv(
+                    updates, mm["ndv_cols"], mm.get("ndv", {})
+                )
+            return new
+
+        # blind append: serializes after concurrent deltas (same keys,
+        # re-checked above) and metadata-only commits; rewrites abort
+        return self._commit_retrying(
+            m, build, frozenset({"delta", "metadata"}), "commit_delta"
+        )
 
     def read_resolved(
         self,
@@ -1231,9 +1395,14 @@ class ManifestTable:
         )
         n_files = max(1, -(-total // target_rows))
         # bounds from the WHOLE table (m["files"]) so z-buckets are
-        # comparable across evolution steps, not per-slice
+        # comparable across evolution steps, not per-slice; when any
+        # file lacks recorded stats the fallback aggregate must ALSO
+        # cover the whole table (ADVICE r12 — aggregating only the
+        # pending slice would give each step different bounds,
+        # silently degrading cross-step z-comparability)
         rewrite = self._cluster_for_rewrite(
-            current, cols, n_files, m, m["files"]
+            current, cols, n_files, m, m["files"],
+            bounds_over=self.read(spark),
         )
         bloom = m.get("bloom_cols", [])
         files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
@@ -1267,6 +1436,7 @@ class ManifestTable:
         n_files: int,
         m: dict,
         touched: Sequence[str],
+        bounds_over: Optional[DataFrame] = None,
     ) -> DataFrame:
         """The clustered-rewrite plan for :meth:`optimize`: Morton-
         interleave the k ``cluster_by`` columns (each scaled to the z
@@ -1283,10 +1453,21 @@ class ManifestTable:
         (ADVICE r11 — ``zbucket`` additionally clamps, so even a
         legacy manifest can no longer wrap).  A table without full
         stats coverage folds a broadcast 1-row min/max aggregate into
-        the plan instead (lazy — still no driver action)."""
+        the plan instead (lazy — still no driver action); callers
+        whose ``current`` is only a SLICE of the table (the evolution
+        path) pass ``bounds_over`` so that fallback aggregates the
+        FULL table, keeping z-buckets comparable across steps
+        (ADVICE r12 — a per-slice fallback would silently diverge the
+        bounds step by step).
+
+        Bits per dimension shrink as k grows (``min(Z_BITS, 63 // k)``,
+        applied to the bucketing AND the interleave together) so the z
+        key never reaches the bigint sign bit — at k=8 each dimension
+        gets 7 bits, a gradual envelope coarsening instead of a wrapped
+        interleave (ADVICE r12)."""
         from pyspark.sql import functions as F
 
-        from pypeline_spark.operators.multidim import zbucket, zvalue_n
+        from pypeline_spark.operators.multidim import Z_BITS, zbucket, zvalue_n
 
         cols = list(cluster_by)
         if not cols:
@@ -1324,18 +1505,20 @@ class ManifestTable:
                 ]
             )
         else:
-            bounds = current.agg(
+            bounds = (bounds_over if bounds_over is not None else current).agg(
                 *[
                     e
                     for c, (nl, nh) in zip(cols, names)
                     for e in (F.min(c).alias(nl), F.max(c).alias(nh))
                 ]
             )
+        bits = min(Z_BITS, 63 // len(cols))
         z = zvalue_n(
             [
-                zbucket(F.col(c), F.col(nl), F.col(nh))
+                zbucket(F.col(c), F.col(nl), F.col(nh), bits=bits)
                 for c, (nl, nh) in zip(cols, names)
-            ]
+            ],
+            bits=bits,
         )
         drop_cols = [n for pair in names for n in pair]
         return (
@@ -1481,24 +1664,19 @@ class ManifestTable:
         }
         for v in range(since_version + 1, hi + 1):
             mv = self._manifest_at(v)
-            pv_files = prev.get("files", [])
-            pv_deltas = prev.get("deltas", [])
-            mv_deltas = mv.get("deltas", [])
-            if mv["files"] == pv_files and mv_deltas == pv_deltas:
+            kind = self._commit_kind(prev, mv)
+            if kind == "metadata":
                 prev = mv  # metadata-only commit: contributes nothing
                 continue
-            if (
-                mv["files"] != pv_files
-                or len(mv_deltas) != len(pv_deltas) + 1
-                or mv_deltas[: len(pv_deltas)] != pv_deltas
-            ):
+            if kind != "delta":
                 raise ValueError(
                     f"version {v} rewrote files (overwrite/merge/compact/"
-                    "optimize): row-level changes are not derivable from "
-                    "file metadata across it — read the feed before "
-                    "compaction or snapshot-diff across the boundary"
+                    "optimize/restore): row-level changes are not "
+                    "derivable from file metadata across it — read the "
+                    "feed before compaction or snapshot-diff across the "
+                    "boundary"
                 )
-            fileset = mv_deltas[-1]
+            fileset = mv.get("deltas", [])[-1]
             tags.append((v, fileset))
             prev = mv
         if not tags:
@@ -1659,20 +1837,31 @@ class ManifestTable:
             }
             for c in cols
         }
-        new = {
-            **m,
-            "version": m["version"] + 1,
-            "batch_ids": m["batch_ids"]
-            + ([batch_id] if batch_id is not None else []),
-            "colstats": {
-                "columns": profile,
-                "row_count": int(row["__rows"]),
-                "analyzed_version": m["version"],
-                "analyzed_rows": int(row["__rows"]),
-            },
-        }
-        self._publish(new)
-        return new["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            return {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "colstats": {
+                    "columns": profile,
+                    "row_count": int(row["__rows"]),
+                    # provenance pins the snapshot the profile DESCRIBES
+                    # (the version analyzed, not the rebased tip)
+                    "analyzed_version": m["version"],
+                    "analyzed_rows": int(row["__rows"]),
+                },
+            }
+
+        # the profile describes content as-of m: rebasable only over
+        # metadata-only commits — a concurrent content commit would
+        # silently stale it, so it aborts (re-run analyze)
+        return self._commit_retrying(
+            m, build, frozenset({"metadata"}), "analyze"
+        )
 
     def column_stats(self, col: Optional[str] = None) -> Optional[dict]:
         """The persisted ANALYZE profile (or one column's slice of it);

@@ -1929,3 +1929,254 @@ def _py_morton(vals, bits=8):
         for j, v in enumerate(vals):
             z |= ((v >> i) & 1) << (k * i + j)
     return z
+
+
+class TestOptimisticConcurrency:
+    """Two-writer races on the manifest protocol: the versioned file is
+    published put-if-absent (the commit point), so a lost update is
+    DETECTED — blind delta appends and metadata-only commits rebase
+    onto the new tip, rewrites abort with CommitConflict."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_publish_collision_detected(self, tmp_path):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        t = ManifestTable(str(tmp_path / "t"))
+        t._publish({"version": 1, "files": [], "batch_ids": [], "stats": {}})
+        with pytest.raises(CommitConflict, match="version 1"):
+            t._publish(
+                {"version": 1, "files": ["x"], "batch_ids": [], "stats": {}}
+            )
+        # the slot holder's content survived the losing attempt
+        assert t._read_manifest()["files"] == []
+
+    @pytest.mark.parametrize("first", ["a", "b"])
+    def test_two_writer_delta_race_rebases(self, spark, tmp_path, cust, first):
+        """Writer A reads the tip, writer B commits INSIDE A's
+        read-modify-write window (race hook): A's publish conflicts,
+        rebases onto B's commit, and BOTH batches land — content and
+        ledger — in either interleaving order."""
+        root = str(tmp_path / "race")
+        a, b = ManifestTable(root), ManifestTable(root)
+        seed = cust.filter(F.col("c_custkey") % 3 == 1)
+        a.commit_overwrite(seed, batch_id="seed")  # v1
+        upd_a = cust.filter(F.col("c_custkey") % 3 == 2).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        upd_b = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 200.0
+        )
+        winner, w_upd = (a, upd_a) if first == "a" else (b, upd_b)
+        loser, l_upd = (b, upd_b) if first == "a" else (a, upd_a)
+        loser._race_once = lambda: winner.commit_delta(
+            w_upd, ["c_custkey"], batch_id=f"d-{first}"
+        )
+        v = loser.commit_delta(
+            l_upd, ["c_custkey"], batch_id=f"d-{'b' if first == 'a' else 'a'}"
+        )
+        assert v == 3  # seed + winner's delta + rebased loser's delta
+        assert a.applied_batch_ids() == {"seed", "d-a", "d-b"}
+        from pypeline_spark.sinks.keyed import upsert
+
+        expected = upsert(upsert(seed, upd_a, ["c_custkey"]), upd_b,
+                          ["c_custkey"])
+        assert _canon(a.read_resolved(spark)) == _canon(expected)
+
+    def test_concurrent_duplicate_batch_is_noop(self, spark, tmp_path, cust):
+        """Two writers racing the SAME batch id: the loser's rebase
+        sees the id in the tip's ledger and no-ops — exactly-once
+        holds across concurrent duplicate deliveries, not just
+        sequential replays."""
+        root = str(tmp_path / "dup")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        upd = cust.limit(10).withColumn("c_acctbal", F.lit(0.0))
+        a._race_once = lambda: b.commit_delta(
+            upd, ["c_custkey"], batch_id="same"
+        )
+        v = a.commit_delta(upd, ["c_custkey"], batch_id="same")
+        assert v == 2  # B's commit; A's attempt no-opped on rebase
+        assert a.version() == 2
+        assert len(a._read_manifest()["deltas"]) == 1
+
+    def test_delta_aborts_over_concurrent_rewrite(self, spark, tmp_path, cust):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "abort")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        replacement = cust.filter(F.col("c_custkey") % 2 == 0)
+        a._race_once = lambda: b.commit_overwrite(replacement, batch_id="ow")
+        upd = cust.limit(10).withColumn("c_acctbal", F.lit(0.0))
+        with pytest.raises(CommitConflict, match="rewrite"):
+            a.commit_delta(upd, ["c_custkey"], batch_id="d1")
+        # the overwrite's content is intact; the aborted batch never landed
+        assert _canon(a.read(spark)) == _canon(replacement)
+        assert "d1" not in a.applied_batch_ids()
+        # caller-level retry on the fresh tip succeeds
+        assert a.commit_delta(upd, ["c_custkey"], batch_id="d1") == 3
+        assert "d1" in a.applied_batch_ids()
+
+    def test_cow_merge_aborts_on_any_conflict(self, spark, tmp_path, cust):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "cow")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        a._race_once = lambda: b.commit_delta(
+            cust.limit(5), ["c_custkey"], batch_id="d1"
+        )
+        with pytest.raises(CommitConflict):
+            a.commit_merge(spark, cust.limit(10), ["c_custkey"],
+                           batch_id="m1")
+        assert "m1" not in a.applied_batch_ids()
+        assert "d1" in a.applied_batch_ids()
+
+    def test_analyze_rebases_over_analyze_aborts_over_content(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "an")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(200), batch_id="seed")
+        # metadata-on-metadata: rebases
+        a._race_once = lambda: b.analyze(spark, ["c_custkey"], batch_id="b1")
+        v = a.analyze(spark, ["c_acctbal"], batch_id="a1")
+        assert v == 3
+        assert "c_acctbal" in a.column_stats()["columns"]  # tip = A's profile
+        # metadata-on-content: aborts (profile would be silently stale)
+        a._race_once = lambda: b.commit_delta(
+            cust.limit(5), ["c_custkey"], batch_id="d1"
+        )
+        with pytest.raises(CommitConflict, match="analyze"):
+            a.analyze(spark, ["c_custkey"], batch_id="a2")
+
+    def test_pointer_lag_self_heals(self, spark, tmp_path, cust):
+        """A committed version file with a stale pointer (crash between
+        link and pointer refresh) is still visible: version files are
+        the source of truth, the pointer only a cache."""
+        import json as _json
+
+        t = ManifestTable(str(tmp_path / "heal"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")
+        m = t._read_manifest()
+        m2 = {**m, "version": 2, "batch_ids": m["batch_ids"] + ["ghost"]}
+        # simulate the crash: version file exists, pointer never updated
+        with open(os.path.join(t.root, "_manifest.v2.json"), "w") as fh:
+            _json.dump(m2, fh)
+        assert t.version() == 2
+        assert "ghost" in t.applied_batch_ids()
+
+    def test_threaded_contention_exactly_once(self, spark, tmp_path, cust):
+        """Genuinely concurrent writers (no hook): every batch lands
+        exactly once, versions are dense, content equals the serial
+        upsert result regardless of interleaving."""
+        import threading
+
+        root = str(tmp_path / "threads")
+        seed_tbl = ManifestTable(root)
+        seed_tbl.commit_overwrite(
+            cust.filter(F.col("c_custkey") % 5 == 0), batch_id="seed"
+        )
+        slices = {
+            i: cust.filter(F.col("c_custkey") % 5 == i).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100.0 * i
+            ).localCheckpoint()
+            for i in range(1, 5)
+        }
+        errs = []
+
+        def worker(i):
+            try:
+                ManifestTable(root).commit_delta(
+                    slices[i], ["c_custkey"], batch_id=f"t{i}"
+                )
+            except Exception as exc:  # pragma: no cover - failure detail
+                errs.append((i, exc))
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(1, 5)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert errs == []
+        t = ManifestTable(root)
+        assert t.version() == 5  # seed + 4 deltas, no version lost
+        assert t.applied_batch_ids() == {"seed", "t1", "t2", "t3", "t4"}
+        # disjoint key slices: resolved content is their exact union
+        got = {r.c_custkey for r in t.read_resolved(spark).collect()}
+        assert got == {r.c_custkey for r in cust.collect()}
+
+
+class TestZKeyBitBudget:
+    """ADVICE r12: the Morton key must stay inside the positive bigint
+    range — zvalue_n raises on k*bits > 63 (silent truncation would
+    collide buckets), and the clustering rewrite shrinks bits for the
+    bucketing and interleave TOGETHER as k grows."""
+
+    def test_zvalue_n_raises_past_63_bits(self):
+        from pypeline_spark.operators.multidim import zvalue_n
+
+        cols = [F.lit(1) for _ in range(8)]
+        with pytest.raises(ValueError, match="63"):
+            zvalue_n(cols)  # 8 dims x 8 bits = 64: sign bit
+        with pytest.raises(ValueError, match="63"):
+            zvalue_n([F.lit(1) for _ in range(9)])  # shift wraps mod 64
+        assert zvalue_n(cols, bits=7) is not None  # 56 bits: fine
+
+    def test_eight_column_clustered_optimize(self, spark, tmp_path, sf_dir):
+        """k=8 clustering end-to-end: the rewrite path shrinks to 7
+        bits per dimension (pre-fix this interleaved into the sign
+        bit) and stays content-lossless."""
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice")).cast("bigint").alias("price"),
+            F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc"),
+            F.floor(F.col("l_tax") * 100).cast("bigint").alias("tax"),
+        ).limit(2000)
+        cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "qty", "price", "disc", "tax"]
+        t = ManifestTable(str(tmp_path / "k8"))
+        t.commit_overwrite(li.repartition(4), batch_id="seed",
+                           stats_cols=cols)
+        before = _canon(t.read(spark))
+        t.optimize(spark, target_rows=500, cluster_by=cols, stats_cols=cols)
+        assert _canon(t.read(spark)) == before
+
+    def test_statless_evolution_uses_full_table_bounds(
+        self, spark, tmp_path, sf_dir
+    ):
+        """ADVICE r12: with incomplete stats coverage the z-bounds
+        fallback aggregates the FULL table, not the pending slice —
+        evolution over a stats-less table converges losslessly across
+        bounded steps (this path previously diverged bounds per
+        step)."""
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint").alias("cents"),
+        )
+        t = ManifestTable(str(tmp_path / "nostats"))
+        cols = ["o_custkey", "cents"]
+        t.commit_overwrite(o.repartition(6), batch_id="seed")  # NO stats
+        before = _canon(t.read(spark))
+        steps = 0
+        while True:
+            _, k = t.evolve_clustering(
+                spark, cols, target_rows=100_000,
+                max_files_per_step=2, stats_cols=cols,
+            )
+            if k == 0:
+                break
+            steps += 1
+            assert _canon(t.read(spark)) == before
+        assert steps == 3  # ceil(6/2) bounded commits

@@ -1300,3 +1300,428 @@ def q_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_cdf",
+    # The oracle recomputes every change-event slice AND the final
+    # resolved snapshot from the same modular key slices the Spark side
+    # committed: v2 typed-CDC upserts of the even keys at +100 split
+    # into inserts (k%6==0 — absent from the k%3!=0 seed) and updates
+    # (even, k%3!=0); v3 upserts k%4==2 at +200 (all 'update' — every
+    # even key exists after v2) and tombstones k%4==1 ('delete', value
+    # columns null => cents 0).  The 'resolved' row proves tombstoned
+    # keys are gone and last-writer-wins held: alive = evens (+100,
+    # then +200 where k%4==2) plus k%4==3 seed survivors at original
+    # balance.  Feed mechanics edges (legacy 'upsert' typing, schema
+    # evolution, vacuum retention, resurrect-after-delete) are pinned
+    # in tests/test_manifest.py::TestTombstonesAndTypedFeed.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer)
+    SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(FLOOR((bal + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM c WHERE k % 6 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR((bal + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM c WHERE k % 2 = 0 AND k % 3 <> 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR((bal + 200) * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM c WHERE k % 4 = 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), CAST(0 AS BIGINT)
+    FROM c WHERE k % 4 = 1
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), 'resolved', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(
+               (CASE WHEN k % 4 = 2 THEN bal + 200
+                     WHEN k % 2 = 0 THEN bal + 100
+                     ELSE bal END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM c WHERE k % 2 = 0 OR (k % 4 = 3 AND k % 3 <> 0)
+    """,
+)
+def q_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change-data feed (Delta CDF parity): a merge-on-read table
+    takes a typed-CDC upsert commit (``cdc=True`` — one column-pruned
+    existence probe attributes each row 'insert' vs 'update') and a
+    mixed upsert+DELETE commit (tombstone rows), and ``changes()``
+    returns every change event tagged with ``_commit_version`` and
+    ``_change_type`` — reading ONLY the delta filesets those commits
+    appended.  The query certifies the full event stream (per
+    version×type counts, key sums, value sums) AND the resolved
+    snapshot (tombstoned keys gone, last writer wins) in one output.
+
+    Scale: deletes ride the same O(batch) blind-append path as upserts
+    — no base rewrite — and the feed stays O(changed rows) per sync;
+    typed attribution costs one key-column-pruned probe at commit time
+    (the price Delta pays inside MERGE to emit CDC files), and
+    consumers that don't need it keep the probe-free 'upsert' typing.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="manifest_cdf_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(c.filter(k % 3 != 0), batch_id="seed")  # v1
+        table.commit_delta(
+            c.filter(k % 2 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100.0
+            ),
+            ["c_custkey"],
+            batch_id="d1",
+            cdc=True,
+        )  # v2
+        table.commit_delta(
+            c.filter(k % 4 == 2).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 200.0
+            ),
+            ["c_custkey"],
+            batch_id="d2",
+            deletes=c.filter(k % 4 == 1),
+            cdc=True,
+        )  # v3
+        feed = table.changes(spark, since_version=1)
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+        agg = [
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("sum_keys"),
+            F.sum(F.coalesce(cents, F.lit(0))).cast("bigint").alias("sum_cents"),
+        ]
+        events = feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(*agg)
+        snapshot = table.read_resolved(spark).agg(*agg).select(
+            F.lit(0).cast("bigint").alias("commit_version"),
+            F.lit("resolved").alias("change_type"),
+            "n_rows", "sum_keys", "sum_cents",
+        )
+        return events.unionByName(snapshot).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+class FeedRollupMaintainer:
+    """Feed-driven incremental view maintenance: keeps a standing
+    group-grain rollup (``n_rows``, ``sum_cents``) of a
+    :class:`~pypeline_spark.sinks.manifest.ManifestTable` synchronized
+    from its change feed — the consumer story ``changes()`` exists
+    for.
+
+    ``q_ivm_rollup`` maintains an APPEND-ONLY aggregate by pure delta
+    merge; updates and deletes can't be merged that way (a SUM can't
+    be decremented without the preimage), so each ``sync`` does the
+    standard partial recompute instead:
+
+    1. read the feed since the cursor — O(changed rows);
+    2. affected groups = groups named by the feed's upsert rows UNION
+       the PREIMAGE groups of every changed key (a key semi-join
+       against the cursor-version snapshot — catches group moves and
+       deletes, whose tombstones carry no group value).  Group sets
+       are tiny and broadcast;
+    3. recompute ONLY the affected groups from the current snapshot
+       and splice them over the standing rollup (groups that emptied
+       drop out).
+
+    A rewriting commit inside the range (compact / OPTIMIZE / restore)
+    makes row-level changes underivable — ``changes()`` refuses — and
+    the maintainer falls back to one snapshot recompute, exactly the
+    documented cursor-at-compaction contract (``full_refreshes``
+    counts them, so operators can schedule compaction after consumers
+    sync).
+
+    Scale: per sync this reads the feed (O(changed rows)), probes
+    preimages (key semi-join, prunable by manifest key stats/blooms),
+    and rescans only affected groups' rows — on a table clustered by
+    the group column that scan file-prunes to the touched groups.  The
+    standing rollup itself is group-cardinality small.  Requires the
+    cursor version to remain un-vacuumed between syncs (or swap the
+    preimage probe for a maintained key→group replica).
+    """
+
+    def __init__(self, table, key_cols, group_col: str, value_col: str):
+        self.table = table
+        self.keys = list(key_cols)
+        self.group = group_col
+        self.value = value_col
+        self.cursor = 0
+        self.rollup: DataFrame | None = None
+        self.full_refreshes = 0
+        self.syncs = 0
+
+    def _cents(self):
+        return F.floor(F.col(self.value) * 100 + 0.5).cast("bigint")
+
+    def _recompute(self, spark: SparkSession) -> DataFrame:
+        cur = self.table.read_resolved(spark)
+        if cur is None:
+            raise ValueError("nothing to maintain: table has no data")
+        return cur.groupBy(self.group).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(self._cents()).cast("bigint").alias("sum_cents"),
+        )
+
+    def sync(self, spark: SparkSession) -> DataFrame:
+        """Advance the rollup to the table tip; returns the rollup."""
+        self.syncs += 1
+        tip = self.table.version()
+        if self.rollup is None:
+            self.rollup = self._recompute(spark).localCheckpoint(eager=True)
+            self.cursor = tip
+            return self.rollup
+        if tip == self.cursor:
+            return self.rollup
+        try:
+            feed = self.table.changes(
+                spark, self.cursor, until_version=tip
+            )
+        except ValueError:
+            # rewriting commit in range: cursor-at-compaction contract
+            self.full_refreshes += 1
+            self.rollup = self._recompute(spark).localCheckpoint(eager=True)
+            self.cursor = tip
+            return self.rollup
+        parts = []
+        if self.group in feed.columns:
+            # a delete-only range carries no group column at all
+            # (tombstones are key columns + marker); upsert rows
+            # always do
+            parts.append(
+                feed.filter(F.col("_change_type") != "delete")
+                .select(self.group)
+                .distinct()
+            )
+        prev = self.table.read_resolved(spark, version=self.cursor)
+        if prev is not None:
+            changed_keys = feed.select(*self.keys).distinct()
+            parts.append(
+                prev.join(changed_keys, self.keys, "left_semi")
+                .select(self.group)
+                .distinct()
+            )
+        if not parts:
+            self.cursor = tip
+            return self.rollup
+        affected = parts[0]
+        for p in parts[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.distinct()
+        cur = self.table.read_resolved(spark)
+        recomputed = (
+            cur.join(F.broadcast(affected), [self.group], "left_semi")
+            .groupBy(self.group)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(self._cents()).cast("bigint").alias("sum_cents"),
+            )
+        )
+        kept = self.rollup.join(
+            F.broadcast(affected), [self.group], "left_anti"
+        )
+        self.rollup = kept.unionByName(recomputed).localCheckpoint(
+            eager=True
+        )
+        self.cursor = tip
+        return self.rollup
+
+
+@query(
+    "q_ivm_cdc",
+    # The oracle recomputes the FINAL rollup from first principles over
+    # the same modular slices the Spark side committed and maintained
+    # INCREMENTALLY: alive keys = evens (v2 upserts; k%10==0 moved to
+    # segment MACHINERY) plus k%4==3 keys that were seeded (k%3<>0) or
+    # v5-upserted (k%8==3); k%4==1 keys are tombstoned.  Values: +300
+    # where k%8==3 (v5, last writer), else +100 for evens (v2), else
+    # seed balance.  full_refreshes = 1 pins that exactly ONE sync (the
+    # one crossing the compact() boundary) fell back to a snapshot
+    # recompute — the cursor-at-compaction contract — while every other
+    # sync maintained the rollup from the feed alone.  The hash match
+    # IS the incremental == recompute equivalence proof across update,
+    # group-move, delete, compaction and post-compaction commits.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+               FROM customer),
+    alive AS (
+        SELECT CASE WHEN k % 10 = 0 THEN 'MACHINERY' ELSE seg END AS g,
+               CASE WHEN k % 8 = 3 THEN bal + 300
+                    WHEN k % 2 = 0 THEN bal + 100
+                    ELSE bal END AS v
+        FROM c
+        WHERE k % 2 = 0 OR (k % 4 = 3 AND (k % 3 <> 0 OR k % 8 = 3))
+    )
+    SELECT g AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(1 AS BIGINT) AS full_refreshes
+    FROM alive GROUP BY g
+    """,
+)
+def q_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed-driven IVM: a standing per-segment rollup follows a
+    merge-on-read table through typed upserts (some keys MOVING
+    between groups), deletes, a compaction, and a post-compaction
+    commit — maintained from ``changes()`` cursors by partial
+    recompute of affected groups only, with the one sync that crosses
+    the compact() boundary falling back to a snapshot recompute (the
+    documented cursor-at-compaction contract).  The final rollup is
+    hash-proven equal to a from-scratch recompute (the DuckDB oracle).
+
+    Scale: this is how a 100 TB continuous aggregate actually stays
+    fresh — per sync the maintainer reads O(changed rows) of feed,
+    probes preimage groups via a key semi-join (manifest-stat/bloom
+    prunable), and rescans only the affected groups' rows, never the
+    table; the compaction fallback is scheduled, not accidental.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="ivm_cdc_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(c.filter(k % 3 != 0), batch_id="seed")  # v1
+        m = FeedRollupMaintainer(
+            table, ["c_custkey"], "c_mktsegment", "c_acctbal"
+        )
+        m.sync(spark)  # initializes at v1
+        # v2: upserts — every even key at +100, k%10==0 MOVES segment
+        u2 = c.filter(k % 2 == 0).select(
+            "c_custkey",
+            F.when(k % 10 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+        table.commit_delta(u2, ["c_custkey"], batch_id="d1", cdc=True)
+        m.sync(spark)  # incremental: updates + inserts + group moves
+        # v3: tombstone the k%4==1 keys
+        table.commit_delta(
+            None, ["c_custkey"], batch_id="d2", deletes=c.filter(k % 4 == 1)
+        )
+        m.sync(spark)  # incremental: deletes via preimage groups
+        table.compact(spark, batch_id="c1")  # v4: rewrite boundary
+        m.sync(spark)  # falls back to ONE snapshot recompute
+        # v5: post-compaction upsert at +300 (k%8==3: odd, some absent)
+        u5 = c.filter(k % 8 == 3).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 300.0
+        )
+        table.commit_delta(u5, ["c_custkey"], batch_id="d3")
+        out = m.sync(spark).withColumn(
+            "full_refreshes", F.lit(m.full_refreshes).cast("bigint")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_manifest_concurrent",
+    # The oracle recomputes the post-race table from first principles:
+    # BOTH writers' upserts applied (k%3==0 at +100, k%3==2 at +200,
+    # the k%3==1 seed untouched) across every customer key.  Writer B
+    # commits INSIDE writer A's read-modify-write window (deterministic
+    # race injection), so with the pre-OCC os.replace publish A would
+    # have silently CLOBBERED B — ledger missing 'race-b', B's rows
+    # gone.  The hash match plus the pinned bookkeeping (3 versions, 2
+    # delta commits, both batch ids applied) proves the put-if-absent
+    # publish detected the conflict and A REBASED onto B's tip.  The
+    # full conflict matrix (aborts over rewrites, duplicate-batch
+    # no-op, threaded contention) is pinned in
+    # tests/test_manifest.py::TestOptimisticConcurrency.
+    oracle="""
+    SELECT CAST(c_custkey % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(
+               (CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+                     WHEN c_custkey % 3 = 2 THEN c_acctbal + 200
+                     ELSE c_acctbal END) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_cents,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS n_deltas,
+           TRUE AS both_applied
+    FROM customer GROUP BY bucket
+    """,
+)
+def q_manifest_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency on the manifest commit protocol: two
+    writers race the same version slot — writer B's delta commit lands
+    inside writer A's read-modify-write window — and the put-if-absent
+    publish DETECTS the lost update instead of clobbering it: A gets
+    CommitConflict, verifies the intervening commit is rebase-safe
+    (delta-on-delta, same keys), and republishes against the new tip.
+    The query certifies the outcome: both ledger entries, both
+    writers' rows, dense versions.
+
+    Scale: this is the two-writer test a lakehouse commit protocol is
+    defined by (Delta/Iceberg conflict detection) — at 100 TB the
+    publish is a conditional PUT on the object store and the rebase
+    re-points O(1) manifest metadata; neither writer re-reads or
+    rewrites data files.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="manifest_occ_")
+    try:
+        a, b = ManifestTable(scratch), ManifestTable(scratch)
+        a.commit_overwrite(c.filter(k % 3 == 1), batch_id="seed")  # v1
+        ub = c.filter(k % 3 == 2).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 200.0
+        )
+        ua = c.filter(k % 3 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        # deterministic race: B commits between A's manifest read and
+        # A's publish attempt
+        a._race_once = lambda: b.commit_delta(
+            ub, ["c_custkey"], batch_id="race-b"
+        )
+        v = a.commit_delta(ua, ["c_custkey"], batch_id="race-a")  # rebases
+        m = a._read_manifest()
+        both = (
+            {"race-a", "race-b"} <= set(m["batch_ids"])
+            and v == 3
+            and len(m.get("deltas", [])) == 2
+        )
+        out = (
+            a.read_resolved(spark)
+            .groupBy(F.pmod("c_custkey", F.lit(8)).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+            )
+            .withColumn("n_versions", F.lit(v).cast("bigint"))
+            .withColumn("n_deltas", F.lit(len(m.get("deltas", []))).cast("bigint"))
+            .withColumn("both_applied", F.lit(bool(both)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -62,127 +62,129 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-12 window is the staleness rotation the r11 verdict
-# directed.  Cumulative driver record after round 11: 239 of 239
+# The round-13 window is the staleness rotation the r12 verdict
+# directed (directive #1), with the planned 5 r9 picks partially
+# traded for first-certification slots per the new-operator rule
+# below.  Cumulative driver record after round 12: 245 of 245
 # registered queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram r6=39 / r8=50 / r9=50 / r10=50 / r11=50
-# (re-derived from CORRECTNESS_r01..r11 before pinning, per the
-# standing instruction).  This window pins (a) the COMPLETE 39-query
-# remaining r6 cohort — whose certs hit the staleness bound now that
-# CORRECTNESS_r11 is the newest record, including the r11-deferred
-# q_epoch_shuffle — (b) the first 5 of the 50-query r8 cohort
-# (alphabetical), and (c) six first-certification slots for the
-# operators ADDED in round 12: the streaming auto-compaction policy
-# cert (`q_stream_autocompact`, the r11 verdict's directive #2),
-# manifest ANALYZE (`q_manifest_analyze`, directive #7a), partition
-# evolution (`q_partition_evolution`, directive #7b), incremental
-# NDV sketch tracking (`q_manifest_ndv`, the metadata-fed bloom-sizer
-# variant of #7a), the merge-on-read incremental change feed
-# (`q_manifest_changes`, Delta-CDF shape), and metadata-only rollback
-# (`q_manifest_restore`, the RESTORE TO VERSION shape).  Their slots
-# come from deferring six r8 picks, whose cohort has runway through
-# the r14 window (an r8 cert goes stale only when the newest record
-# reaches r14, so the cohort may drain across the r13 AND r14
-# windows).
+# latest-cert histogram r8=45 / r9=50 / r10=50 / r11=50 / r12=50
+# (re-derived from CORRECTNESS_r01..r12 before pinning, per the
+# standing instruction — the derivation matched the r12-planned list
+# name for name).  This window pins (a) the COMPLETE 45-query
+# remaining r8 cohort — whose certs hit the staleness bound now that
+# CORRECTNESS_r12 is the newest record — (b) the first 1 of the
+# 50-query r9 cohort (alphabetical: q_agg_salted), and (c) four
+# first-certification slots for the operators ADDED in round 13:
+# optimistic-concurrency conflict handling on the manifest commit
+# protocol (`q_manifest_concurrent`, the r12 verdict's directive #2),
+# the typed change feed with MoR delete tombstones (`q_manifest_cdf`,
+# directive #3), change-feed-driven incremental view maintenance
+# (`q_ivm_cdc`, directive #4), and the change feed as a streaming
+# source (`q_cdf_stream`, directive #5).  Their slots come from
+# deferring four r9 picks; the r9 cohort has runway through the r15
+# window (an r9 cert goes stale only when the newest record reaches
+# r15, so the cohort may drain across the r14 AND r15 windows).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 245 after the r12 additions):
-#   r12 window = 39 r6 + 5 r8 + 6 new  -> after r12: 45 r8 remain
-#   r13 window = 45 r8 + 5 r9          -> after r13: 45 r9 remain
-#   r14 window = 45 r9 + 5 r10         -> after r14: 45 r10 remain
-#   r15 window = 45 r10 + 5 r11        -> after r15: 45 r11 remain
-#   r16 window = 45 r11 + 5 r12        -> histogram flat at <=50/round
+# satisfiable at every step; registry 249 after the r13 additions):
+#   r13 window = 45 r8 + 1 r9 + 4 new  -> after r13: 49 r9 remain
+#   r14 window = 49 r9 + 1 r10         -> after r14: 49 r10 remain
+#   r15 window = 49 r10 + 1 r11        -> after r15: 49 r11 remain
+#   r16 window = 49 r11 + 1 r12        -> after r16: 49 r12 remain
+#   r17 window = 49 r12 + 1 r13        -> histogram flat at <=50/round
 # (cohorts may also be split across two admissible windows — an rN
 # cert is admissible until the newest record reaches N+6 — so the
 # schedule above has one window of float per cohort if a round needs
-# extra first-certification slots.)
+# extra first-certification slots; e.g. r14 may defer up to 5 r9
+# picks to r15 to make room for new operators.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (245 queries / 50 slots —
-# ceil(245/6) = 41 needed, 9 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (249 queries / 50 slots —
+# ceil(249/6) = 42 needed, 8 slack per window).
 #
-# Planned r13 window, pre-computed so the next rotation is mechanical
-# (re-derive against CORRECTNESS_r12 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the 45
-# remaining r8-certified queries (the 50-query r8 cohort minus the 5
-# picks below) + the first 5 of the r9 cohort (alphabetical).
-# The 45 remaining r8 names (derived from CORRECTNESS_r01..r11 minus
-# this window's picks; re-derive before pinning):
-#   q_array_ops q_case_coalesce q_cte q_cube q_equidepth_hist_approx q_except
-#   q_except_all q_exists_subquery q_explode q_feature_extract
-#   q_filter_project q_having q_in_subquery q_intersect
-#   q_intersect_all q_join_cross q_join_full q_join_inner
-#   q_join_left q_join_multi q_join_right q_json_props
-#   q_limit_offset q_map_ops q_pivot q_predicates
-#   q_rollup q_scalar_date q_scalar_math q_scalar_str
-#   q_scalar_subquery q_scan q_semi q_to_json
-#   q_topk q_try_cast q_union_all q_union_distinct
-#   q_window_distribution q_window_first_last q_window_lag_lead
-#   q_window_range_frame q_window_rank q_window_running q_window_topn
-# plus the first 5 r9 names (alphabetical):
-#   q_agg_salted q_asof_join q_click_gaps q_corpus_pipeline
-#   q_decontaminate
+# Planned r14 window, pre-computed so the next rotation is mechanical
+# (re-derive against CORRECTNESS_r13 before pinning, then pre-verify
+# all 50 driver-strict at sf0.01 per the standing recipe): the 49
+# remaining r9-certified queries (the 50-query r9 cohort minus
+# q_agg_salted below) + the first 1 of the r10 cohort (alphabetical)
+# — or defer up to 5 r9 picks to r15 for new-operator slots.
+# The 49 remaining r9 names (derived programmatically from
+# CORRECTNESS_r01..r12 latest-green rounds, minus this window's
+# q_agg_salted; ALWAYS re-derive before pinning):
+#   q_asof_join q_click_gaps q_corpus_pipeline q_decontaminate
+#   q_dedup_clusters q_dedup_embedding q_dedup_exact q_dedup_incremental
+#   q_dedup_minhash q_embedding_stats q_events_pruned q_ewma_smooth
+#   q_fingerprint q_frame_sample q_join_bucketed q_join_salted
+#   q_lang_filter q_lang_id q_manifest_bloom q_manifest_mor
+#   q_manifest_zorder q_multimodal_meta q_multimodal_pointers q_ngram_jaccard
+#   q_pii_scrub q_pipeline_etl q_quality_score q_range_join
+#   q_repetition q_running_totals q_sample_hash q_sample_stratified
+#   q_scd2 q_session q_sessionize_pandas q_simhash
+#   q_sliding q_snapshot_diff q_stream_dedup q_stream_join
+#   q_text_stats q_token_count q_topk_cosine q_tumbling
+#   q_udf_token_count q_update_only q_upsert q_upsert_excluded
+#   q_zorder
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # staleness rotation: latest driver-green row is round 6 (complete
-    # 39-query cohort — at the strict bound, non-negotiable this round)
-    "q_epoch_shuffle",
-    "q_equidepth_hist",
-    "q_heavy_hitters_cms",
-    "q_image_phash",
-    "q_image_resize",
-    "q_ivm_rollup",
-    "q_jaccard_prefix",
-    "q_kanon",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    "q_lang_drift",
-    "q_langid_confusion",
-    "q_latency_bands",
-    "q_linear_trend",
-    "q_manifest_merge_prune",
-    "q_manifest_prune",
-    "q_merge_variance",
-    "q_mixture_temperature",
-    "q_mode",
-    "q_multimodal_decode",
-    "q_ohlc",
-    "q_outliers_mad",
-    "q_pattern_match",
-    "q_pattern_var",
-    "q_period_growth",
-    "q_pipeline_dedup",
-    "q_sample_weighted",
-    "q_schema_drift",
-    "q_session_rollup",
-    "q_shard_balance",
-    "q_span_dedup",
-    "q_time_travel_diff",
-    "q_time_weighted_avg",
-    "q_token_entropy",
-    "q_top_terms",
-    "q_train_val_split",
-    "q_union_evolve",
-    "q_weekday_profile",
-    "q_winsorize",
-    # r8 picks: front-loading the 50-query r8 cohort (45 remain for r13)
-    "q_agg_distinct",
-    "q_agg_pricing",
-    "q_agg_stats",
-    "q_anti",
-    "q_arg_minmax",
-    # first-certification slots for the six operators added in
-    # round 12 (a never-certified query outside the window trips the
+    # staleness rotation: latest driver-green row is round 8 (complete
+    # 45-query cohort — at the strict bound, non-negotiable this round)
+    "q_array_ops",
+    "q_case_coalesce",
+    "q_cte",
+    "q_cube",
+    "q_equidepth_hist_approx",
+    "q_except",
+    "q_except_all",
+    "q_exists_subquery",
+    "q_explode",
+    "q_feature_extract",
+    "q_filter_project",
+    "q_having",
+    "q_in_subquery",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_right",
+    "q_json_props",
+    "q_limit_offset",
+    "q_map_ops",
+    "q_pivot",
+    "q_predicates",
+    "q_rollup",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_str",
+    "q_scalar_subquery",
+    "q_scan",
+    "q_semi",
+    "q_to_json",
+    "q_topk",
+    "q_try_cast",
+    "q_union_all",
+    "q_union_distinct",
+    "q_window_distribution",
+    "q_window_first_last",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running",
+    "q_window_topn",
+    # r9 pick: front-loading the 50-query r9 cohort (49 remain for r14)
+    "q_agg_salted",
+    # first-certification slots for the four operators added in
+    # round 13 (a never-certified query outside the window trips the
     # staleness guard immediately — new operators MUST take window slots)
-    "q_stream_autocompact",
-    "q_manifest_analyze",
-    "q_partition_evolution",
-    "q_manifest_ndv",
-    "q_manifest_changes",
-    "q_manifest_restore",
+    "q_manifest_concurrent",
+    "q_manifest_cdf",
+    "q_ivm_cdc",
+    "q_cdf_stream",
 )
 
 _OPERATOR_MODULES = (
@@ -220,6 +222,7 @@ _OPERATOR_MODULES = (
     "pypeline_spark.operators.ivm",
     "pypeline_spark.operators.runtime_filter",
     "pypeline_spark.streaming.ingest",
+    "pypeline_spark.sources.manifest_stream",
 )
 
 

@@ -952,24 +952,56 @@ class ManifestTable:
     # zero base-file rewrites — and readers resolve last-writer-wins at
     # scan time.  Compaction folds the deltas back into base files on a
     # schedule, restoring read cost.  Same atomic pointer-swap protocol,
-    # same batch_id exactly-once ledger; deletes would ride the same
-    # shape as tombstone rows (not needed for reference parity, whose
-    # delete path is the keyed sink).
+    # same batch_id exactly-once ledger; deletes ride the same shape as
+    # TOMBSTONE rows (the ``deletes=`` path below — Hudi/Iceberg v2
+    # delete semantics, resolved away at read time).
+
+    _CT = "__ct__"  # internal per-row change-type column in delta files
 
     def commit_delta(
         self,
-        updates: DataFrame,
+        updates: Optional[DataFrame],
         key_columns: Sequence[str],
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
+        deletes: Optional[DataFrame] = None,
+        cdc: bool = False,
     ) -> int:
-        """Merge-on-read keyed upsert: append the batch as DELTA files
-        — no base file is read or rewritten.  ``key_columns`` is
-        recorded in the manifest on first use (readers need it to
-        resolve) and must stay identical across commits.  Caller
-        contract (same as the copy-on-write upsert): at most one row
-        per key within a batch.
-        """
+        """Merge-on-read keyed upsert + delete: append the batch as
+        DELTA files — no base file is read or rewritten.
+        ``key_columns`` is recorded in the manifest on first use
+        (readers need it to resolve) and must stay identical across
+        commits.  Caller contract (same as the copy-on-write upsert):
+        at most one row per key within a batch, across ``updates`` and
+        ``deletes`` combined.
+
+        ``deletes``: a frame carrying (at least) the key columns whose
+        keys this commit REMOVES — written as tombstone rows (key
+        columns + the internal change-type marker, value columns null)
+        in the same delta fileset.  ``read_resolved`` drops a key whose
+        latest row is a tombstone (last-writer-wins first, then the
+        delete applies); ``compact``/``optimize`` fold tombstones away
+        for good.  A tombstone for an absent key is a harmless no-op.
+        ``updates=None`` makes a delete-only commit.
+
+        ``cdc=True`` additionally records WHICH upserts were inserts
+        vs updates (the Delta MERGE-CDC shape, feeding
+        :meth:`changes`' ``_change_type``): one column-pruned
+        existence probe of the batch keys against the resolved
+        snapshot this commit was built on.  That probe is the price of
+        insert/update attribution — exactly the knowledge Delta gets
+        for free inside MERGE — and is the ONE deviation from the
+        blind-append O(batch) cost: it scans key columns only
+        (Catalyst prunes the parquet read to the keys), so leave
+        ``cdc=False`` (types reported as ``'upsert'``) when downstream
+        consumers don't need the distinction.  Change types describe
+        the snapshot the commit was BUILT on; under a concurrent-delta
+        OCC rebase they are not recomputed (WriteSerializable-style
+        attribution, same as Delta)."""
+        if updates is None and deletes is None:
+            raise ValueError("commit_delta needs updates and/or deletes")
+        from pyspark.sql import functions as F
+
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
@@ -978,8 +1010,50 @@ class ManifestTable:
             raise ValueError(
                 f"key_columns {keys} != recorded {m['key_columns']}"
             )
+        batch = updates
+        if batch is not None and cdc:
+            # typed CDC: one existence probe against the snapshot this
+            # commit is built on (version-pinned — concurrent commits
+            # can't smear the attribution); resolved view => <=1 row
+            # per key, so the left join cannot fan out
+            existing = self.read_resolved(
+                batch.sparkSession, version=m["version"]
+            )
+            if existing is None:
+                batch = batch.withColumn(self._CT, F.lit("insert"))
+            else:
+                probe = existing.select(*keys).withColumn(
+                    "__ex__", F.lit(True)
+                )
+                batch = (
+                    batch.join(probe, keys, "left")
+                    .withColumn(
+                        self._CT,
+                        F.when(F.col("__ex__").isNotNull(), F.lit("update"))
+                        .otherwise(F.lit("insert")),
+                    )
+                    .drop("__ex__")
+                )
+        elif batch is not None and deletes is not None:
+            # untyped upserts must still be distinguishable from the
+            # tombstones sharing the fileset
+            batch = batch.withColumn(self._CT, F.lit("upsert"))
+        if deletes is not None:
+            missing = [k for k in keys if k not in deletes.columns]
+            if missing:
+                raise ValueError(
+                    f"deletes frame lacks key column(s) {missing}"
+                )
+            tomb = deletes.select(*keys).withColumn(
+                self._CT, F.lit("delete")
+            )
+            batch = (
+                tomb
+                if batch is None
+                else batch.unionByName(tomb, allowMissingColumns=True)
+            )
         bloom = m.get("bloom_cols", [])
-        files, stats, filemeta = self._write_fileset(updates, stats_cols, bloom)
+        files, stats, filemeta = self._write_fileset(batch, stats_cols, bloom)
 
         def build(mm: dict) -> Optional[dict]:
             # re-validated per rebase: a concurrent duplicate delivery
@@ -1008,8 +1082,11 @@ class ManifestTable:
             if mm.get("ndv_cols"):
                 # folded against the REBASED tip's sketch — recomputed
                 # per retry so no concurrent commit's marks are lost
+                # (tombstone rows contribute key marks only: HLL is
+                # absorb-only, so deleted keys keeping marks preserves
+                # the documented upper-bound semantics)
                 new["ndv"] = self._update_ndv(
-                    updates, mm["ndv_cols"], mm.get("ndv", {})
+                    batch, mm["ndv_cols"], mm.get("ndv", {})
                 )
             return new
 
@@ -1030,7 +1107,12 @@ class ManifestTable:
         columns regardless of how many delta commits are outstanding —
         each fileset is tagged with its commit rank and one row_number
         window keeps the highest rank per key (k sequential upserts
-        would instead shuffle k times).
+        would instead shuffle k times).  A key whose WINNING row is a
+        delete tombstone (``commit_delta(deletes=...)``) is dropped —
+        last-writer-wins first, then the delete applies, so an upsert
+        committed after a delete resurrects the key (Hudi/Iceberg v2
+        read-merging semantics) — and the internal change-type marker
+        never leaks into the resolved schema.
 
         ``prune``: optional ``(col, lo, hi)`` stats-based file skipping
         composed with resolution.  Only sound when ``col`` is a KEY
@@ -1104,6 +1186,12 @@ class ManifestTable:
             .filter(F.col("__rn__") == 1)
             .drop("__rank__", "__rn__")
         )
+        if self._CT in resolved.columns:
+            # winning tombstone => key deleted; legacy/base rows carry
+            # a null marker (allowMissingColumns) and always survive
+            resolved = resolved.filter(
+                F.col(self._CT).isNull() | (F.col(self._CT) != "delete")
+            ).drop(self._CT)
         if col is not None:
             if lo is not None:
                 resolved = resolved.filter(F.col(col) >= lo)
@@ -1622,14 +1710,19 @@ class ManifestTable:
         until_version: Optional[int] = None,
     ) -> Optional[DataFrame]:
         """Incremental change feed over MERGE-ON-READ history — the
-        Delta CDF / Iceberg incremental-read shape: the upserted rows
-        committed in versions ``(since_version, until_version]``, each
-        tagged with its commit version (``_commit_version``).  A delta
-        commit's fileset IS its change set, so the feed reads ONLY the
-        files those commits appended — O(changed rows), never a table
-        scan or a snapshot diff — which is what lets a downstream
-        consumer (a search index, an aggregate maintainer, a replica)
-        follow a 100 TB table by reading megabytes per sync.
+        Delta CDF / Iceberg incremental-read shape: the rows committed
+        in versions ``(since_version, until_version]``, each tagged
+        with its commit version (``_commit_version``) and a
+        ``_change_type``: ``'insert'``/``'update'`` when the commit
+        recorded typed CDC (``commit_delta(cdc=True)``), ``'delete'``
+        for tombstones (``deletes=``; such rows carry the key columns,
+        value columns null), and ``'upsert'`` for blind appends —
+        including every pre-CDC legacy delta file.  A delta commit's
+        fileset IS its change set, so the feed reads ONLY the files
+        those commits appended — O(changed rows), never a table scan
+        or a snapshot diff — which is what lets a downstream consumer
+        (a search index, an aggregate maintainer, a replica) follow a
+        100 TB table by reading megabytes per sync.
 
         Exactness contract: every version in the range must be either
         a DELTA commit (base untouched, one fileset appended) or a
@@ -1649,14 +1742,33 @@ class ManifestTable:
         states apply last-writer-wins on ``_commit_version`` — the
         same resolution ``read_resolved`` runs.
 
-        Returns ``None`` for an empty range on an empty table."""
+        Returns ``None`` for an empty range on an empty table; an empty
+        range on a populated table returns a zero-row frame whose
+        schema derives from the files of the manifest AT the range end
+        (not the possibly-newer current base — ADVICE r12)."""
         from pyspark.sql import functions as F
 
-        hi = self._manifest_at(until_version)["version"]
+        mhi = self._manifest_at(until_version)
+        hi = mhi["version"]
         if since_version < 0 or since_version > hi:
             raise ValueError(
                 f"since_version {since_version} out of range [0, {hi}]"
             )
+
+        def _empty_feed() -> Optional[DataFrame]:
+            files = list(mhi.get("files", [])) or [
+                n for fs in mhi.get("deltas", []) for n in fs
+            ]
+            if not files:
+                return None
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in files]
+            ).limit(0)
+            if self._CT in df.columns:
+                df = df.drop(self._CT)
+            return df.withColumn(
+                "_commit_version", F.lit(0).cast("bigint")
+            ).withColumn("_change_type", F.lit("upsert"))
         tags: list[tuple[int, list[str]]] = []
         prev = self._manifest_at(since_version) if since_version > 0 else {
             "files": [],
@@ -1680,12 +1792,7 @@ class ManifestTable:
             tags.append((v, fileset))
             prev = mv
         if not tags:
-            base = self.read(spark)
-            if base is None:
-                return None
-            return base.limit(0).withColumn(
-                "_commit_version", F.lit(0).cast("bigint")
-            )
+            return _empty_feed()
         frames = []
         for v, fileset in tags:
             if not fileset:  # empty batch committed: no rows to read
@@ -1697,15 +1804,20 @@ class ManifestTable:
                 df.withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
         if not frames:
-            base = self.read(spark)
-            if base is None:
-                return None
-            return base.limit(0).withColumn(
-                "_commit_version", F.lit(0).cast("bigint")
-            )
+            return _empty_feed()
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # additive schema evolution across delta commits is a read
+            # shape the table itself accepts (read_resolved) — the feed
+            # must accept it too (ADVICE r12)
+            out = out.unionByName(f, allowMissingColumns=True)
+        if self._CT in out.columns:
+            out = out.withColumn(
+                "_change_type",
+                F.coalesce(F.col(self._CT), F.lit("upsert")),
+            ).drop(self._CT)
+        else:
+            out = out.withColumn("_change_type", F.lit("upsert"))
         return out
 
     # -- incremental NDV sketches (commit-time, mergeable) ---------------------

@@ -1,0 +1,114 @@
+"""Feed-driven IVM: FeedRollupMaintainer follows a merge-on-read
+manifest table through upserts / group moves / deletes, equals a
+from-scratch recompute after EVERY sync, and handles rewrite
+boundaries (compact, restore) via the documented fallback."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.operators.ivm import FeedRollupMaintainer
+from pypeline_spark.session import load_table
+from pypeline_spark.sinks.manifest import ManifestTable
+
+
+@pytest.fixture()
+def cust(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+def _recompute(table, spark):
+    cur = table.read_resolved(spark)
+    return sorted(
+        tuple(r)
+        for r in cur.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .collect()
+    )
+
+
+def _rollup(m):
+    return sorted(tuple(r) for r in m.rollup.collect())
+
+
+def test_every_sync_equals_recompute(spark, tmp_path, cust):
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")
+    m = FeedRollupMaintainer(t, ["c_custkey"], "c_mktsegment", "c_acctbal")
+    m.sync(spark)
+    assert _rollup(m) == _recompute(t, spark)
+    # upserts with a group move
+    u = cust.filter(k % 2 == 0).select(
+        "c_custkey",
+        F.when(k % 10 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+    )
+    t.commit_delta(u, ["c_custkey"], batch_id="d1", cdc=True)
+    m.sync(spark)
+    assert _rollup(m) == _recompute(t, spark)
+    assert m.full_refreshes == 0  # maintained from the feed alone
+    # delete-only commit (tombstones carry no group column)
+    t.commit_delta(None, ["c_custkey"], batch_id="d2",
+                   deletes=cust.filter(k % 4 == 1))
+    m.sync(spark)
+    assert _rollup(m) == _recompute(t, spark)
+    assert m.full_refreshes == 0
+    # no-op sync: nothing committed since the cursor
+    r = _rollup(m)
+    m.sync(spark)
+    assert _rollup(m) == r
+
+
+def test_group_emptied_by_deletes_drops_out(spark, tmp_path, cust):
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "drop"))
+    seg = cust.select("c_mktsegment").first().c_mktsegment
+    t.commit_overwrite(cust, batch_id="seed")
+    m = FeedRollupMaintainer(t, ["c_custkey"], "c_mktsegment", "c_acctbal")
+    m.sync(spark)
+    dead = cust.filter(F.col("c_mktsegment") == seg)
+    t.commit_delta(None, ["c_custkey"], batch_id="d1", deletes=dead)
+    m.sync(spark)
+    groups = {r.c_mktsegment for r in m.rollup.collect()}
+    assert seg not in groups
+    assert _rollup(m) == _recompute(t, spark)
+
+
+def test_compact_and_restore_boundaries_fall_back(spark, tmp_path, cust):
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "bound"))
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    m = FeedRollupMaintainer(t, ["c_custkey"], "c_mktsegment", "c_acctbal")
+    m.sync(spark)
+    t.commit_delta(cust.filter(k % 2 == 1), ["c_custkey"], batch_id="d1")
+    t.compact(spark, batch_id="c1")  # rewrite inside the range
+    m.sync(spark)
+    assert m.full_refreshes == 1
+    assert _rollup(m) == _recompute(t, spark)
+    # restore is likewise a rewrite boundary for the feed
+    t.commit_delta(
+        cust.filter(k % 5 == 0).withColumn("c_acctbal", F.lit(1.0)),
+        ["c_custkey"], batch_id="d2",
+    )
+    m.sync(spark)
+    assert m.full_refreshes == 1  # that one was pure feed
+    t.restore(t.version() - 1, batch_id="undo")
+    m.sync(spark)
+    assert m.full_refreshes == 2
+    assert _rollup(m) == _recompute(t, spark)
+
+
+def test_empty_table_raises(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "empty"))
+    m = FeedRollupMaintainer(t, ["k"], "g", "v")
+    with pytest.raises(ValueError, match="no data"):
+        m.sync(spark)

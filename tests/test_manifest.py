@@ -2180,3 +2180,214 @@ class TestZKeyBitBudget:
             steps += 1
             assert _canon(t.read(spark)) == before
         assert steps == 3  # ceil(6/2) bounded commits
+
+
+class TestTombstonesAndTypedFeed:
+    """MoR delete tombstones (commit_delta(deletes=...)) and the typed
+    change feed: _change_type insert/update/delete/upsert, Delta-CDF
+    parity on the read-merging path."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_delete_drops_key_and_upsert_resurrects(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "del"))
+        seed = cust.filter(F.col("c_custkey") <= 100)
+        t.commit_overwrite(seed, batch_id="seed")
+        dead = seed.filter(F.col("c_custkey") <= 10)
+        t.commit_delta(None, ["c_custkey"], batch_id="d1", deletes=dead)
+        got = t.read_resolved(spark)
+        assert "__ct__" not in got.columns
+        keys = {r.c_custkey for r in got.collect()}
+        assert keys == {r.c_custkey for r in
+                        seed.filter(F.col("c_custkey") > 10).collect()}
+        # a later upsert RESURRECTS a deleted key (LWW then delete)
+        back = seed.filter(F.col("c_custkey") <= 5).withColumn(
+            "c_acctbal", F.lit(1.0)
+        )
+        t.commit_delta(back, ["c_custkey"], batch_id="d2")
+        got2 = {r.c_custkey: r.c_acctbal
+                for r in t.read_resolved(spark).collect()}
+        assert all(got2[k] == 1.0 for k in range(1, 6) if k in got2)
+        assert set(got2) == keys | {r.c_custkey for r in back.collect()}
+
+    def test_delete_of_absent_key_is_noop_and_validation(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "absent"))
+        seed = cust.filter(F.col("c_custkey").between(50, 60))
+        t.commit_overwrite(seed, batch_id="seed")
+        ghost = cust.filter(F.col("c_custkey") > 10_000_000)
+        t.commit_delta(None, ["c_custkey"], batch_id="d1",
+                       deletes=cust.limit(0))
+        t.commit_delta(None, ["c_custkey"], batch_id="d2", deletes=ghost)
+        assert _canon(t.read_resolved(spark)) == _canon(seed)
+        with pytest.raises(ValueError, match="updates and/or deletes"):
+            t.commit_delta(None, ["c_custkey"], batch_id="d3")
+        with pytest.raises(ValueError, match="key column"):
+            t.commit_delta(None, ["c_custkey"], batch_id="d4",
+                           deletes=cust.select("c_acctbal"))
+
+    def test_mixed_upsert_delete_commit_and_compaction(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "mixed"))
+        seed = cust.filter(F.col("c_custkey") <= 200)
+        t.commit_overwrite(seed, batch_id="seed")
+        upd = seed.filter(F.col("c_custkey") % 10 == 1).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 5.0
+        )
+        dead = seed.filter(F.col("c_custkey") % 10 == 2)
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1", deletes=dead)
+        expected = _canon(
+            seed.filter(F.col("c_custkey") % 10 != 2)
+            .withColumn(
+                "c_acctbal",
+                F.when(F.col("c_custkey") % 10 == 1,
+                       F.col("c_acctbal") + 5.0)
+                .otherwise(F.col("c_acctbal")),
+            )
+        )
+        assert _canon(t.read_resolved(spark)) == expected
+        # compaction folds tombstones away for good
+        t.compact(spark, batch_id="c1")
+        base = t.read(spark)
+        assert "__ct__" not in base.columns
+        assert _canon(base) == expected
+
+    def test_point_lookup_prune_respects_tombstones(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "point"))
+        seed = cust.filter(F.col("c_custkey") <= 100)
+        t.commit_overwrite(
+            seed.repartitionByRange(4, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        dead = seed.filter(F.col("c_custkey") == 7)
+        t.commit_delta(None, ["c_custkey"], batch_id="d1", deletes=dead,
+                       stats_cols=["c_custkey"])
+        hit = t.read_resolved(spark, prune=("c_custkey", 7, 7))
+        assert hit.count() == 0
+        still = t.read_resolved(spark, prune=("c_custkey", 8, 8))
+        assert still.count() == 1
+
+    def test_typed_feed_insert_update_delete(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "typed"))
+        seed = cust.filter(F.col("c_custkey") % 3 != 0)
+        t.commit_overwrite(seed, batch_id="seed")  # v1
+        # v2: typed upserts spanning existing and new keys
+        u2 = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        t.commit_delta(u2, ["c_custkey"], batch_id="d1", cdc=True)
+        # v3: blind (legacy-style) upsert
+        u3 = cust.filter(F.col("c_custkey") % 5 == 1)
+        t.commit_delta(u3, ["c_custkey"], batch_id="d2")
+        # v4: typed deletes
+        dead = cust.filter(F.col("c_custkey") % 4 == 1)
+        t.commit_delta(None, ["c_custkey"], batch_id="d3", deletes=dead,
+                       cdc=True)
+        feed = t.changes(spark, since_version=1)
+        assert "__ct__" not in feed.columns
+        got = {
+            (r.v, r.ct): r.n
+            for r in feed.groupBy(
+                F.col("_commit_version").alias("v"),
+                F.col("_change_type").alias("ct"),
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        n_insert = cust.filter(
+            F.col("c_custkey") % 6 == 0
+        ).count()  # even AND %3==0: absent from seed
+        n_update = u2.count() - n_insert
+        assert got[(2, "insert")] == n_insert
+        assert got[(2, "update")] == n_update
+        assert got[(3, "upsert")] == u3.count()
+        assert got[(4, "delete")] == dead.count()
+        # delete rows carry keys; value columns are null
+        drows = feed.filter(F.col("_change_type") == "delete")
+        assert drows.filter(F.col("c_acctbal").isNotNull()).count() == 0
+        assert drows.filter(F.col("c_custkey").isNull()).count() == 0
+
+    def test_cdc_types_reinsert_after_delete_as_insert(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "reins"))
+        seed = cust.filter(F.col("c_custkey") <= 50)
+        t.commit_overwrite(seed, batch_id="seed")
+        dead = seed.filter(F.col("c_custkey") <= 10)
+        t.commit_delta(None, ["c_custkey"], batch_id="d1", deletes=dead)
+        back = seed.filter(F.col("c_custkey") <= 10)
+        t.commit_delta(back, ["c_custkey"], batch_id="d2", cdc=True)
+        feed = t.changes(spark, since_version=2)
+        types = {r._change_type for r in feed.collect()}
+        assert types == {"insert"}  # the keys did NOT exist at v2
+
+    def test_feed_survives_additive_schema_evolution(
+        self, spark, tmp_path, cust
+    ):
+        """ADVICE r12: a delta commit that ADDS a column must not break
+        the feed over a range containing it."""
+        t = ManifestTable(str(tmp_path / "evoschema"))
+        t.commit_overwrite(cust.limit(100), batch_id="seed")
+        t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d1")
+        widened = cust.limit(3).withColumn("flag", F.lit(1))
+        t.commit_delta(widened, ["c_custkey"], batch_id="d2")
+        feed = t.changes(spark, since_version=1)
+        assert "flag" in feed.columns and "_change_type" in feed.columns
+        rows = feed.collect()
+        assert len(rows) == 8
+        assert sum(r.flag is None for r in rows) == 5  # v2 rows null-fill
+
+    def test_empty_range_schema_from_range_end_manifest(
+        self, spark, tmp_path, cust
+    ):
+        """ADVICE r12: the empty-range frame's schema derives from the
+        manifest AT the range end, not the (possibly since-rewritten)
+        current base."""
+        t = ManifestTable(str(tmp_path / "emptyrange"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")  # v1
+        empty = t.changes(spark, since_version=1, until_version=1)
+        assert empty.count() == 0
+        assert set(empty.columns) == {
+            "c_custkey", "c_acctbal", "_commit_version", "_change_type"
+        }
+        # v2 rewrites with a DIFFERENT schema; the v1-bounded empty
+        # range must still answer in v1's schema
+        t.commit_overwrite(
+            cust.limit(10).withColumnRenamed("c_acctbal", "bal"),
+            batch_id="ow",
+        )
+        still = t.changes(spark, since_version=1, until_version=1)
+        assert "c_acctbal" in still.columns and "bal" not in still.columns
+
+    def test_feed_range_vacuumed_raises(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "ret"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")
+        t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d1")
+        t.commit_delta(cust.limit(3), ["c_custkey"], batch_id="d2")
+        t.vacuum(keep_versions=1)
+        with pytest.raises(ValueError, match="not found"):
+            t.changes(spark, since_version=1)
+
+    def test_ndv_and_analyze_see_tombstones_correctly(
+        self, spark, tmp_path, cust
+    ):
+        """ANALYZE profiles the RESOLVED content (deleted keys gone);
+        the NDV sketch keeps absorbed marks (documented upper bound)."""
+        t = ManifestTable(str(tmp_path / "ndvdel"))
+        seed = cust.filter(F.col("c_custkey") <= 100)
+        t.commit_overwrite(seed, batch_id="seed", ndv_cols=["c_custkey"])
+        t.commit_delta(None, ["c_custkey"], batch_id="d1",
+                       deletes=seed.filter(F.col("c_custkey") <= 50))
+        t.analyze(spark, ["c_custkey"], batch_id="an1")
+        cs = t.column_stats()
+        live = t.read_resolved(spark).count()
+        assert cs["row_count"] == live
+        assert t.ndv_estimate("c_custkey") >= live  # absorb-only bound

@@ -1,0 +1,131 @@
+"""Streaming source over the manifest change feed: exactly-once
+version-cursor offsets across restarts, per-file partitions, typed
+rows, rewrite-boundary refusal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.session import load_table
+from pypeline_spark.sinks.manifest import ManifestTable
+from pypeline_spark.sources.manifest_stream import register
+
+
+@pytest.fixture()
+def cust(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def _drain(spark, root, out_dir, ckpt, since=1):
+    """One availableNow pass of the stream into a parquet sink."""
+    register(spark)
+    q = (
+        spark.readStream.format("manifest_changes")
+        .option("path", root)
+        .option("since_version", since)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_matches_feed_and_restart_is_exactly_once(
+    spark, tmp_path, cust
+):
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    t.commit_delta(
+        cust.filter(k % 2 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        ),
+        ["c_custkey"], batch_id="d1", cdc=True,
+    )  # v2
+    t.commit_delta(
+        None, ["c_custkey"], batch_id="d2",
+        deletes=cust.filter(k % 4 == 1),
+    )  # v3
+    _drain(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "c_custkey", "c_acctbal", "_commit_version", "_change_type"
+    }
+    feed = t.changes(spark, since_version=1)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in feed.select(*got.columns).collect()
+    )
+    types = {
+        (r.v, r.ct)
+        for r in got.select(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        ).distinct().collect()
+    }
+    assert types == {(2, "insert"), (2, "update"), (3, "delete")}
+    # restart with the SAME checkpoint after one more commit: only the
+    # new version's rows are appended (exactly-once offsets)
+    before = got.count()
+    u4 = cust.filter(k % 5 == 2).withColumn("c_acctbal", F.lit(7.0))
+    t.commit_delta(u4, ["c_custkey"], batch_id="d3")  # v4
+    _drain(spark, root, out, ckpt)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == before + u4.count()
+    assert (
+        got2.filter(F.col("_commit_version") == 4).count() == u4.count()
+    )
+    # idempotent re-drain with nothing new: zero additional rows
+    _drain(spark, root, out, ckpt)
+    assert spark.read.parquet(out).count() == before + u4.count()
+
+
+def test_rewrite_boundary_fails_the_stream(spark, tmp_path, cust):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tbl2")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    t.commit_delta(cust.filter(k % 2 == 1), ["c_custkey"],
+                   batch_id="d1")  # v2
+    _drain(spark, root, str(tmp_path / "o2"), str(tmp_path / "c2"))
+    t.compact(spark, batch_id="c1")  # v3: rewrite
+    t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d2")  # v4
+    with pytest.raises(StreamingQueryException, match="rewrote"):
+        _drain(spark, root, str(tmp_path / "o2"), str(tmp_path / "c2"))
+
+
+def test_schema_derivation_and_explicit_override(spark, tmp_path, cust):
+    root = str(tmp_path / "tbl3")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.limit(50), batch_id="seed")
+    register(spark)
+    df = (
+        spark.readStream.format("manifest_changes")
+        .option("path", root)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<c_custkey:bigint,c_acctbal:double,"
+        "_commit_version:bigint,_change_type:string>"
+    )
+    df2 = (
+        spark.readStream.format("manifest_changes")
+        .option("path", root)
+        .option(
+            "schema",
+            "c_custkey bigint, _commit_version bigint, _change_type string",
+        )
+        .load()
+    )
+    assert df2.columns == ["c_custkey", "_commit_version", "_change_type"]

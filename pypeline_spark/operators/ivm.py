@@ -1725,3 +1725,100 @@ def q_manifest_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_table_evolve",
+    # The oracle recomputes the fully-evolved table from first
+    # principles over the same deterministic slices: v2 is a PRUNED
+    # copy-on-write merge upserting keys <= 30 at +100 and ADDING the
+    # 'tier' column (carried files never see it — the tracked table
+    # schema null-fills them at read), v3 is a merge-on-read delta
+    # upserting the k%9==2 keys at +7 and ADDING 'bonus' (whole-row
+    # upserts, so those keys' tier reads NULL).  n_tier/n_bonus pin
+    # the null-fill boundaries exactly; n_cols pins the widened
+    # 4-column read schema.  Guard rails (type-change rejection,
+    # missing-column rejection, overwrite reset, restore carry,
+    # untracked-legacy refusal, optimize over the mixed base) are
+    # pinned in tests/test_manifest.py::TestSchemaEvolution.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer)
+    SELECT CAST(k % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR((CASE WHEN k % 9 = 2 THEN bal + 7
+                                     WHEN k <= 30 THEN bal + 100
+                                     ELSE bal END) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN k <= 30 AND k % 9 <> 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tier,
+           CAST(SUM(CASE WHEN k % 9 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bonus,
+           CAST(4 AS BIGINT) AS n_cols
+    FROM c GROUP BY bucket
+    """,
+)
+def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level additive schema evolution (the Delta/Iceberg
+    mergeSchema story): the manifest tracks the table schema, a pruned
+    copy-on-write merge ADDS a column while carrying non-overlapping
+    files verbatim (they null-fill the new column at read — a
+    heterogeneous base stays well-defined), and a later merge-on-read
+    delta ADDS another column that resolution surfaces across base
+    rows.  The query reads the fully-evolved table and certifies
+    content, null-fill boundaries, and the widened schema.
+
+    Scale: adding a column to a 100 TB table must cost ZERO data
+    rewrites — here it costs exactly the rows the evolving commit was
+    already writing, because the schema lives in table metadata and
+    old files null-fill at read; the alternative (rewriting every
+    file to the new schema) is a full-table write no maintenance
+    window tolerates.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="table_evolve_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )  # v1
+        u2 = c.filter(k <= 30).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.when(k % 2 == 0, F.lit("gold"))
+            .otherwise(F.lit("silver"))
+            .alias("tier"),
+        )
+        table.commit_merge(
+            spark, u2, ["c_custkey"], batch_id="m1",
+            prune_col="c_custkey", stats_cols=["c_custkey"],
+        )  # v2: adds 'tier'; files outside [0, 30] carried verbatim
+        u3 = c.filter(k % 9 == 2).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 7.0).alias("c_acctbal"),
+            F.lit(1.5).alias("bonus"),
+        )
+        table.commit_delta(u3, ["c_custkey"], batch_id="d1")  # v3: adds 'bonus'
+        got = table.read_resolved(spark)
+        out = (
+            got.groupBy(F.pmod("c_custkey", F.lit(4)).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+                F.count("tier").cast("bigint").alias("n_tier"),
+                F.count("bonus").cast("bigint").alias("n_bonus"),
+            )
+            .withColumn("n_cols", F.lit(len(got.columns)).cast("bigint"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -72,46 +72,43 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # standing instruction — the derivation matched the r12-planned list
 # name for name).  This window pins (a) the COMPLETE 45-query
 # remaining r8 cohort — whose certs hit the staleness bound now that
-# CORRECTNESS_r12 is the newest record — (b) the first 1 of the
-# 50-query r9 cohort (alphabetical: q_agg_salted), and (c) four
+# CORRECTNESS_r12 is the newest record — and (b) five
 # first-certification slots for the operators ADDED in round 13:
 # optimistic-concurrency conflict handling on the manifest commit
 # protocol (`q_manifest_concurrent`, the r12 verdict's directive #2),
 # the typed change feed with MoR delete tombstones (`q_manifest_cdf`,
 # directive #3), change-feed-driven incremental view maintenance
-# (`q_ivm_cdc`, directive #4), and the change feed as a streaming
-# source (`q_cdf_stream`, directive #5).  Their slots come from
-# deferring four r9 picks; the r9 cohort has runway through the r15
+# (`q_ivm_cdc`, directive #4), the change feed as a streaming source
+# (`q_cdf_stream`, directive #5), and table-level additive schema
+# evolution (`q_table_evolve`, directive #7, landed with its full
+# test battery as required).  Their slots come from deferring the
+# five planned r9 picks; the r9 cohort has runway through the r15
 # window (an r9 cert goes stale only when the newest record reaches
 # r15, so the cohort may drain across the r14 AND r15 windows).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 249 after the r13 additions):
-#   r13 window = 45 r8 + 1 r9 + 4 new  -> after r13: 49 r9 remain
-#   r14 window = 49 r9 + 1 r10         -> after r14: 49 r10 remain
-#   r15 window = 49 r10 + 1 r11        -> after r15: 49 r11 remain
-#   r16 window = 49 r11 + 1 r12        -> after r16: 49 r12 remain
-#   r17 window = 49 r12 + 1 r13        -> histogram flat at <=50/round
-# (cohorts may also be split across two admissible windows — an rN
-# cert is admissible until the newest record reaches N+6 — so the
-# schedule above has one window of float per cohort if a round needs
-# extra first-certification slots; e.g. r14 may defer up to 5 r9
-# picks to r15 to make room for new operators.)
+# satisfiable at every step; registry 250 after the r13 additions):
+#   r13 window = 45 r8 + 5 new         -> after r13: 50 r9 remain
+#   r14 window = 50 r9 (or 45 r9 + up to 5 new, deferring the rest
+#                to r15 — the r9 cohort is admissible in both)
+#   r15 window = deferred r9 + r10 head; and so on, one cohort per
+#                round, each with one window of float
+# (an rN cert is admissible until the newest record reaches N+6, so
+# every 50-query cohort may drain across two windows.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (249 queries / 50 slots —
-# ceil(249/6) = 42 needed, 8 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (250 queries / 50 slots —
+# ceil(250/6) = 42 needed, 8 slack per window).
 #
 # Planned r14 window, pre-computed so the next rotation is mechanical
 # (re-derive against CORRECTNESS_r13 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the 49
-# remaining r9-certified queries (the 50-query r9 cohort minus
-# q_agg_salted below) + the first 1 of the r10 cohort (alphabetical)
-# — or defer up to 5 r9 picks to r15 for new-operator slots.
-# The 49 remaining r9 names (derived programmatically from
-# CORRECTNESS_r01..r12 latest-green rounds, minus this window's
-# q_agg_salted; ALWAYS re-derive before pinning):
+# all 50 driver-strict at sf0.01 per the standing recipe): the full
+# 50-query r9 cohort — or defer up to 5 r9 picks to r15 for
+# new-operator slots (the r9 cohort is admissible in both windows).
+# The 50 r9 names (derived programmatically from CORRECTNESS_r01..r12
+# latest-green rounds; ALWAYS re-derive before pinning):
+#   q_agg_salted
 #   q_asof_join q_click_gaps q_corpus_pipeline q_decontaminate
 #   q_dedup_clusters q_dedup_embedding q_dedup_exact q_dedup_incremental
 #   q_dedup_minhash q_embedding_stats q_events_pruned q_ewma_smooth
@@ -176,15 +173,14 @@ _DRIVER_WINDOW = (
     "q_window_rank",
     "q_window_running",
     "q_window_topn",
-    # r9 pick: front-loading the 50-query r9 cohort (49 remain for r14)
-    "q_agg_salted",
-    # first-certification slots for the four operators added in
+    # first-certification slots for the five operators added in
     # round 13 (a never-certified query outside the window trips the
     # staleness guard immediately — new operators MUST take window slots)
     "q_manifest_concurrent",
     "q_manifest_cdf",
     "q_ivm_cdc",
     "q_cdf_stream",
+    "q_table_evolve",
 )
 
 _OPERATOR_MODULES = (

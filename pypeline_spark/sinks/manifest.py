@@ -237,6 +237,59 @@ class ManifestTable:
             f"{self.occ_max_retries} attempts under write contention"
         )
 
+    # -- table-level schema evolution -------------------------------------------
+
+    @classmethod
+    def _merge_schema(cls, prev: Optional[dict], df: DataFrame) -> dict:
+        """Additively merge a batch's schema into the tracked table
+        schema (the Delta ``mergeSchema`` rule): existing columns must
+        keep their exact type — no implicit widening, a type change
+        raises — and new columns APPEND.  Internal marker columns are
+        excluded.  Returns the merged schema as a StructType json dict
+        (what the manifest persists)."""
+        from pyspark.sql.types import StructType
+
+        batch = StructType(
+            [f for f in df.schema.fields if f.name != cls._CT]
+        )
+        if prev is None:
+            return batch.jsonValue()
+        cur = StructType.fromJson(prev)
+        have = {f.name: f for f in cur.fields}
+        out = list(cur.fields)
+        for f in batch.fields:
+            g = have.get(f.name)
+            if g is None:
+                out.append(f)
+            elif g.dataType != f.dataType:
+                raise ValueError(
+                    "schema evolution is additive-only: column "
+                    f"{f.name!r} cannot change type "
+                    f"{g.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}"
+                )
+        return StructType(out).jsonValue()
+
+    def _read_base(
+        self, spark: SparkSession, m: dict, names: Sequence[str]
+    ) -> DataFrame:
+        """Read BASE files under the manifest's tracked schema when one
+        is recorded: a file written before a column was added (a
+        carried-over entry of a pruned merge) null-fills that column
+        at read time — the Delta/Iceberg log-schema read, which makes
+        a heterogeneous base well-defined.  Tables without a tracked
+        schema (pre-evolution manifests) read raw, exactly as
+        before."""
+        from pyspark.sql.types import StructType
+
+        paths = [os.path.join(self.data_dir, f) for f in names]
+        sch = m.get("schema")
+        if sch is not None:
+            return spark.read.schema(StructType.fromJson(sch)).parquet(
+                *paths
+            )
+        return spark.read.parquet(*paths)
+
     # -- read path ------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
@@ -246,12 +299,12 @@ class ManifestTable:
         snapshot isolation).  A table with outstanding merge-on-read
         deltas is read via ``read_resolved`` — this raw view
         deliberately exposes the un-merged base (compaction debugging,
-        time travel)."""
+        time travel).  Reads under the tracked table schema when the
+        manifest records one (see ``_read_base``)."""
         m = self._manifest_at(version)
         if not m["files"]:
             return None
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
-        return spark.read.parquet(*paths)
+        return self._read_base(spark, m, m["files"])
 
     # -- write path -----------------------------------------------------------
 
@@ -668,7 +721,7 @@ class ManifestTable:
         if not keep:
             full = self.read(spark, version)
             return None if full is None else full.limit(0)
-        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
+        df = self._read_base(spark, self._manifest_at(version), keep)
         return df.filter(F.col(col) == value)
 
     def _require_no_deltas(self, version: Optional[int], caller: str) -> None:
@@ -765,7 +818,7 @@ class ManifestTable:
         if not keep:
             full = self.read(spark, version)
             return None if full is None else full.limit(0)
-        df = spark.read.parquet(*[os.path.join(self.data_dir, f) for f in keep])
+        df = self._read_base(spark, self._manifest_at(version), keep)
         for col, (lo, hi) in bounds.items():
             if lo is not None:
                 df = df.filter(F.col(col) >= lo)
@@ -817,7 +870,9 @@ class ManifestTable:
         )
         files, stats, filemeta = self._write_fileset(df, stats_cols, bloom)
         # NO colstats/ndv carry: replaced content invalidates the
-        # ANALYZE profile and the absorbed sketch marks outright
+        # ANALYZE profile and the absorbed sketch marks outright.
+        # Schema tracking RESETS to the batch (replaced content, not
+        # an evolution).
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -825,6 +880,7 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
+            "schema": self._merge_schema(None, df),
         }
         if ndv_track:
             new["ndv_cols"] = ndv_track
@@ -873,6 +929,13 @@ class ManifestTable:
                 "outstanding merge-on-read deltas: compact() before "
                 "switching to copy-on-write commits"
             )
+        evolved_schema = None
+        if m.get("schema") is not None:
+            # validate additive evolution UP FRONT against the tracked
+            # schema (a type change must raise before any data writes —
+            # the union inside the merge would silently coerce it);
+            # the same merge result becomes the new tracked schema
+            evolved_schema = self._merge_schema(m["schema"], updates)
 
         carried: list[str] = []
         if prune_col is not None and m["files"] and m.get("stats"):
@@ -903,11 +966,40 @@ class ManifestTable:
         if not m["files"]:
             current = None
         elif touched:
-            current = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in touched]
-            )
+            current = self._read_base(spark, m, touched)
         else:
             current = None  # nothing overlaps: the whole batch inserts
+        if current is not None:
+            from pyspark.sql import functions as F
+
+            # table-level schema evolution (the Delta MERGE + mergeSchema
+            # shape): the batch may ADD columns — null-fill the current
+            # slice so the upsert carries them — but must cover every
+            # existing column (upserts replace whole rows; a silent
+            # partial update was never this sink's contract)
+            upd_cols = set(updates.columns)
+            missing = [c for c in current.columns if c not in upd_cols]
+            if missing:
+                raise ValueError(
+                    f"updates batch lacks existing column(s) {missing}: "
+                    "keyed upserts replace whole rows — include them "
+                    "(nulls allowed)"
+                )
+            added = [
+                f for f in updates.schema.fields
+                if f.name not in set(current.columns)
+            ]
+            if added and carried and m.get("schema") is None:
+                raise ValueError(
+                    "adding columns through a PRUNED merge needs schema "
+                    "tracking so carried files null-fill at read: run "
+                    "commit_overwrite/compact once (which records the "
+                    "table schema) or merge without prune_col"
+                )
+            for f in added:
+                current = current.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         merged = updates if current is None else upsert(current, updates, key_columns)
         # materialize BEFORE the old files could ever be vacuumed;
         # rewritten files rebuild the table's recorded bloom index
@@ -932,6 +1024,12 @@ class ManifestTable:
             # overwrite resets both)
             **self._carry_meta(m),
         }
+        if evolved_schema is not None:
+            new["schema"] = evolved_schema
+        elif not carried:
+            # full rewrite on an untracked table: the merged frame IS
+            # the whole content — begin tracking here
+            new["schema"] = self._merge_schema(None, merged)
         if m.get("ndv_cols"):
             # one O(batch) pass folds the update batch into the sketch;
             # the union is an upper bound (replaced rows keep marks)
@@ -1079,6 +1177,11 @@ class ManifestTable:
                 # overwrite resets both)
                 **self._carry_meta(mm),
             }
+            if mm.get("schema") is not None:
+                # additive table-level evolution: a batch with new
+                # columns widens the tracked schema (delete-only
+                # batches carry keys + marker and widen nothing)
+                new["schema"] = self._merge_schema(mm["schema"], batch)
             if mm.get("ndv_cols"):
                 # folded against the REBASED tip's sketch — recomputed
                 # per retry so no concurrent commit's marks are lost
@@ -1167,9 +1270,16 @@ class ManifestTable:
                     ]
             if not names:
                 continue
-            df = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in names]
-            )
+            if rank == 0:
+                # base files read under the tracked schema (a pruned
+                # evolved merge leaves carried files without the new
+                # columns — null-fill them); delta files read raw so
+                # their internal marker column survives the union
+                df = self._read_base(spark, m, names)
+            else:
+                df = spark.read.parquet(
+                    *[os.path.join(self.data_dir, f) for f in names]
+                )
             parts.append(df.withColumn("__rank__", F.lit(rank)))
         if not parts:
             full = self.read(spark, version)
@@ -1235,6 +1345,10 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
+            # the materialized resolved view IS the whole content: its
+            # schema (the evolved union) becomes the tracked schema —
+            # this is also where a legacy table picks up tracking
+            "schema": self._merge_schema(None, resolved),
             # ANALYZE profile + NDV sketch state ride along (an
             # overwrite resets both)
             **self._carry_meta(m),
@@ -1356,9 +1470,7 @@ class ManifestTable:
             current = self.read_resolved(spark).localCheckpoint(eager=False)
             total = current.count()
         else:
-            current = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in touched]
-            )
+            current = self._read_base(spark, m, touched)
             rows = [filemeta.get(f, {}).get("rows") for f in touched]
             if all(r is not None for r in rows):
                 total = sum(rows)  # pure metadata: zero data passes
@@ -1401,6 +1513,12 @@ class ManifestTable:
             # overwrite resets both)
             **self._carry_meta(m),
         }
+        if m.get("schema") is not None:
+            new["schema"] = m["schema"]  # content-preserving: carry
+        elif not carried:
+            # full rewrite on an untracked table: the rewrite frame is
+            # the whole content — begin tracking here
+            new["schema"] = self._merge_schema(None, rewrite)
         self._publish(new)
         return new["version"]
 
@@ -1474,9 +1592,7 @@ class ManifestTable:
             pending = pending[:max_files_per_step]
         pending_set = set(pending)
         carried = [f for f in m["files"] if f not in pending_set]
-        current = spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in pending]
-        )
+        current = self._read_base(spark, m, pending)
         rows = [filemeta.get(f, {}).get("rows") for f in pending]
         total = (
             sum(rows) if all(r is not None for r in rows) else current.count()
@@ -1514,6 +1630,8 @@ class ManifestTable:
             "bloom_cols": bloom,
             **self._carry_meta(m),
         }
+        if m.get("schema") is not None:
+            new["schema"] = m["schema"]  # content-preserving: carry
         self._publish(new)
         return new["version"], len(pending)
 
@@ -1696,6 +1814,8 @@ class ManifestTable:
             "stats": old.get("stats", {}),
             "filemeta": old.get("filemeta", {}),
             "bloom_cols": old.get("bloom_cols", []),
+            # schema travels with the CONTENT being restored
+            **({"schema": old["schema"]} if old.get("schema") is not None else {}),
             **{k: m[k] for k in ("ndv", "ndv_cols") if k in m},
         }
         self._publish(new)
@@ -1761,9 +1881,7 @@ class ManifestTable:
             ]
             if not files:
                 return None
-            df = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in files]
-            ).limit(0)
+            df = self._read_base(spark, mhi, files).limit(0)
             if self._CT in df.columns:
                 df = df.drop(self._CT)
             return df.withColumn(

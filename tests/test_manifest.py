@@ -2391,3 +2391,161 @@ class TestTombstonesAndTypedFeed:
         live = t.read_resolved(spark).count()
         assert cs["row_count"] == live
         assert t.ndv_estimate("c_custkey") >= live  # absorb-only bound
+
+
+class TestSchemaEvolution:
+    """Table-level additive schema evolution: the manifest tracks the
+    table schema (Delta mergeSchema shape); evolved commits widen it,
+    carried-over files null-fill new columns at read, overwrite
+    resets, restore carries it with the content."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def _seed(self, tmp_path, cust, name="tbl"):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            cust.repartitionByRange(8, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        return t
+
+    def test_pruned_merge_adds_column_null_fills_carried(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seed(tmp_path, cust)
+        upd = cust.filter(F.col("c_custkey") <= 30).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("gold"))
+            .otherwise(F.lit("silver"))
+            .alias("tier"),
+        )
+        t.commit_merge(spark, upd, ["c_custkey"], batch_id="m1",
+                       prune_col="c_custkey", stats_cols=["c_custkey"])
+        got = t.read(spark)
+        assert got.columns == ["c_custkey", "c_acctbal", "tier"]
+        # custkey is dense from 0 at the fixture SFs: count, don't guess
+        assert got.filter(F.col("tier").isNotNull()).count() == upd.count()
+        expected = cust.select(
+            "c_custkey",
+            F.when(F.col("c_custkey") <= 30, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            F.when(F.col("c_custkey") > 30, F.lit(None).cast("string"))
+            .when(F.col("c_custkey") % 2 == 0, F.lit("gold"))
+            .otherwise(F.lit("silver")).alias("tier"),
+        )
+        assert _canon(got) == _canon(expected)
+        # pruning on the ORIGINAL column still works over the mixed base
+        files, total = t.prune_plan("c_custkey", 10_000, None)
+        assert len(files) < total
+
+    def test_merge_missing_existing_column_raises(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seed(tmp_path, cust, "miss")
+        with pytest.raises(ValueError, match="lacks existing column"):
+            t.commit_merge(
+                spark, cust.limit(5).select("c_custkey"),
+                ["c_custkey"], batch_id="m1",
+            )
+
+    def test_type_change_raises(self, spark, tmp_path, cust):
+        t = self._seed(tmp_path, cust, "type")
+        bad = cust.limit(5).withColumn(
+            "c_acctbal", F.col("c_acctbal").cast("string")
+        )
+        with pytest.raises(ValueError, match="additive-only"):
+            t.commit_merge(spark, bad, ["c_custkey"], batch_id="m1")
+        with pytest.raises(ValueError, match="additive-only"):
+            t.commit_delta(bad, ["c_custkey"], batch_id="d1")
+
+    def test_delta_widens_then_compact_materializes(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seed(tmp_path, cust, "delta")
+        widened = cust.filter(F.col("c_custkey") % 9 == 2).withColumn(
+            "bonus", F.lit(1.5)
+        )
+        t.commit_delta(widened, ["c_custkey"], batch_id="d1")
+        res = t.read_resolved(spark)
+        assert "bonus" in res.columns
+        n_bonus = res.filter(F.col("bonus").isNotNull()).count()
+        assert n_bonus == widened.count()
+        t.compact(spark, batch_id="c1", stats_cols=["c_custkey"])
+        base = t.read(spark)
+        assert "bonus" in base.columns
+        assert (
+            base.filter(F.col("bonus").isNotNull()).count() == n_bonus
+        )
+        # the tracked schema survived the compaction
+        m = t._read_manifest()
+        names = [f["name"] for f in m["schema"]["fields"]]
+        assert names == ["c_custkey", "c_acctbal", "bonus"]
+
+    def test_overwrite_resets_schema(self, spark, tmp_path, cust):
+        t = self._seed(tmp_path, cust, "reset")
+        t.commit_delta(
+            cust.limit(5).withColumn("extra", F.lit(1)),
+            ["c_custkey"], batch_id="d1",
+        )
+        t.commit_overwrite(cust.select("c_custkey"), batch_id="ow")
+        assert t.read(spark).columns == ["c_custkey"]
+        m = t._read_manifest()
+        assert [f["name"] for f in m["schema"]["fields"]] == ["c_custkey"]
+
+    def test_untracked_pruned_evolving_merge_refused(
+        self, spark, tmp_path, cust
+    ):
+        import json as _json
+
+        t = self._seed(tmp_path, cust, "legacy")
+        # simulate a pre-evolution manifest: drop the tracked schema
+        m = t._read_manifest()
+        m.pop("schema")
+        vfile = os.path.join(t.root, f"_manifest.v{m['version']}.json")
+        for p in (vfile, t._pointer):
+            with open(p, "w") as fh:
+                _json.dump(m, fh)
+        upd = cust.filter(F.col("c_custkey") <= 20).withColumn(
+            "tier", F.lit("gold")
+        )
+        with pytest.raises(ValueError, match="schema tracking"):
+            t.commit_merge(spark, upd, ["c_custkey"], batch_id="m1",
+                           prune_col="c_custkey")
+        # an UNPRUNED evolving merge rewrites everything: allowed, and
+        # it establishes tracking
+        t.commit_merge(spark, upd, ["c_custkey"], batch_id="m2")
+        assert "tier" in t.read(spark).columns
+        assert t._read_manifest().get("schema") is not None
+
+    def test_restore_carries_schema_with_content(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seed(tmp_path, cust, "restore")
+        v1 = t.version()
+        upd = cust.filter(F.col("c_custkey") <= 10).withColumn(
+            "tier", F.lit("gold")
+        )
+        t.commit_merge(spark, upd, ["c_custkey"], batch_id="m1",
+                       prune_col="c_custkey")
+        assert "tier" in t.read(spark).columns
+        t.restore(v1, batch_id="undo")
+        assert t.read(spark).columns == ["c_custkey", "c_acctbal"]
+
+    def test_optimize_heterogeneous_base_lossless(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seed(tmp_path, cust, "opt")
+        upd = cust.filter(F.col("c_custkey") <= 25).withColumn(
+            "tier", F.lit("gold")
+        )
+        t.commit_merge(spark, upd, ["c_custkey"], batch_id="m1",
+                       prune_col="c_custkey")
+        before = _canon(t.read(spark))
+        t.optimize(spark, target_rows=10_000, batch_id="o1",
+                   stats_cols=["c_custkey"])
+        assert _canon(t.read(spark)) == before

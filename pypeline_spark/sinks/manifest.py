@@ -1772,6 +1772,54 @@ class ManifestTable:
             os.remove(os.path.join(self.root, mf))
         return removed
 
+    def gc_orphans(self, min_age_seconds: float = 3600.0) -> int:
+        """Remove data files referenced by NO retained manifest version
+        and leftover ``staging-*`` directories — the debris of aborted
+        optimistic commits (a conflicting writer's fileset that never
+        published) and crashes between fileset write and publish.
+        :meth:`vacuum` cannot see these: it walks manifests, and
+        orphans by definition appear in none.
+
+        Files younger than ``min_age_seconds`` are KEPT: an in-flight
+        commit's fileset is legitimately unreferenced until its
+        publish lands, so the age floor is what makes GC safe to run
+        concurrently with writers — the same retention-check mechanism
+        as Delta VACUUM / Iceberg remove_orphan_files.  Returns the
+        number of files removed.  Cost is one directory listing plus
+        O(retained versions) manifest reads — no data I/O."""
+        import time
+
+        live: set[str] = set()
+        for f in os.listdir(self.root):
+            if f.startswith("_manifest.v") and f.endswith(".json"):
+                with open(os.path.join(self.root, f)) as fh:
+                    mf = json.load(fh)
+                live.update(mf.get("files", []))
+                live.update(n for fs in mf.get("deltas", []) for n in fs)
+        now = time.time()
+        removed = 0
+        for f in os.listdir(self.data_dir):
+            if f in live:
+                continue
+            p = os.path.join(self.data_dir, f)
+            try:
+                if now - os.stat(p).st_mtime < min_age_seconds:
+                    continue
+                os.remove(p)
+                removed += 1
+            except FileNotFoundError:
+                pass  # a concurrent GC got it first
+        for f in os.listdir(self.root):
+            if not f.startswith("staging-"):
+                continue
+            p = os.path.join(self.root, f)
+            try:
+                if now - os.stat(p).st_mtime >= min_age_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        return removed
+
     # -- rollback ---------------------------------------------------------------
 
     def restore(self, version: int, batch_id: Optional[str] = None) -> int:

@@ -2549,3 +2549,61 @@ class TestSchemaEvolution:
         t.optimize(spark, target_rows=10_000, batch_id="o1",
                    stats_cols=["c_custkey"])
         assert _canon(t.read(spark)) == before
+
+
+class TestOrphanGC:
+    """gc_orphans: reclaims unreferenced data files (aborted OCC
+    commits, crashed pre-publish writes) that vacuum cannot see, with
+    an age floor protecting in-flight commits."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_aborted_commit_debris_collected(self, spark, tmp_path, cust):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "gc")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        a._race_once = lambda: b.commit_overwrite(
+            cust.limit(50), batch_id="ow"
+        )
+        with pytest.raises(CommitConflict):
+            a.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")
+        n_files = len(os.listdir(a.data_dir))
+        live = set(a._read_manifest()["files"])
+        before = _canon(a.read(spark))
+        # young debris is protected (in-flight commits look identical)
+        assert a.gc_orphans(min_age_seconds=3600) == 0
+        removed = a.gc_orphans(min_age_seconds=0.0)
+        assert removed > 0
+        remaining = set(os.listdir(a.data_dir))
+        assert live <= remaining  # referenced files untouched
+        assert len(remaining) == n_files - removed
+        # every retained version still reads exactly (v1 + v2 live)
+        assert _canon(a.read(spark)) == before
+        assert _canon(a.read(spark, version=1)) == _canon(cust.limit(100))
+
+    def test_crashed_staging_dir_collected(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "stage"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")
+        # simulate a crash mid-_write_fileset: fileset staged, no commit
+        t._write_fileset(cust.limit(10))
+        staging = os.path.join(t.root, "staging-deadbeef")
+        os.makedirs(staging, exist_ok=True)
+        t.gc_orphans(min_age_seconds=0.0)
+        assert not os.path.exists(staging)
+        assert not [f for f in os.listdir(t.root)
+                    if f.startswith("staging-")]
+        assert _canon(t.read(spark)) == _canon(cust.limit(50))
+
+    def test_gc_never_touches_referenced_files(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "ref"))
+        t.commit_overwrite(cust.limit(100), batch_id="seed")
+        t.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")
+        before = _canon(t.read_resolved(spark))
+        assert t.gc_orphans(min_age_seconds=0.0) == 0
+        assert _canon(t.read_resolved(spark)) == before

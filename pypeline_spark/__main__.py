@@ -139,7 +139,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         catalog = JdbcMergeCatalog(spark, args.target_jdbc_url, driver=args.jdbc_driver)
     else:
-        catalog = ParquetCatalog(args.target_dir)
+        catalog = ParquetCatalog(args.target_dir, spark=spark)
     pipeline = Pypeline(
         spark, config, catalog=catalog, placeholders=placeholders, debug=args.debug
     )

@@ -196,9 +196,23 @@ class ParquetCatalog:
     the write path depends on.
     """
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, spark: Optional[SparkSession] = None) -> None:
         self.root = root
+        # Pin the session when the caller has one: the thread-local
+        # "active" session is unreliable under py4j thread reuse — a
+        # finished foreachBatch stream leaves its MICRO-BATCH CLONE
+        # active on the shared gateway threads, and a get() bound to
+        # that clone registers temp views in the clone's catalog where
+        # the caller's spark.sql can never see them (r13 regression:
+        # the CLI's second step resolved a stale view after any
+        # streaming query had run in the process).
+        self._spark = spark
         os.makedirs(root, exist_ok=True)
+
+    def _session(self) -> SparkSession:
+        spark = self._spark or SparkSession.getActiveSession()
+        assert spark is not None
+        return spark
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -214,9 +228,7 @@ class ParquetCatalog:
             if not os.path.exists(old):
                 return None
             path = old
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
-        return spark.read.parquet(path)
+        return self._session().read.parquet(path)
 
     def put(self, name: str, df: DataFrame) -> None:
         # Materialize before overwrite: the new value may read the old

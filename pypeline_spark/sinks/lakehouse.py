@@ -77,14 +77,22 @@ class DeltaCatalog:
     commit atomically instead of rewriting the table.
     """
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, spark: Optional[SparkSession] = None) -> None:
         if not _DELTA_OK:
             raise ImportError(
                 "delta-spark is not installed; use ParquetCatalog (same "
                 "semantics, non-transactional) or add the Delta jars"
             )
         self.root = root
+        # pin the session when given — getActiveSession() is unreliable
+        # under py4j thread reuse (see ParquetCatalog.__init__)
+        self._spark = spark
         os.makedirs(root, exist_ok=True)
+
+    def _session(self) -> SparkSession:
+        spark = self._spark or SparkSession.getActiveSession()
+        assert spark is not None
+        return spark
 
     @staticmethod
     def available() -> bool:
@@ -97,17 +105,13 @@ class DeltaCatalog:
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
-        return spark.read.format("delta").load(path)
+        return self._session().read.format("delta").load(path)
 
     def put(self, name: str, df: DataFrame) -> None:
         df.write.format("delta").mode("overwrite").save(self._path(name))
 
     def _table(self, name: str) -> "DeltaTable":
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
-        return DeltaTable.forPath(spark, self._path(name))
+        return DeltaTable.forPath(self._session(), self._path(name))
 
     def merge_upsert(
         self,

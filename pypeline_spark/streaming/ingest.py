@@ -91,8 +91,10 @@ def stream_upsert_manifest(
     from pyspark.sql import SparkSession
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
+        # the batch frame's own session, NOT getActiveSession(): the
+        # micro-batch clone the engine sets active leaks onto shared
+        # py4j threads after the stream ends
+        spark = batch_df.sparkSession
         table.commit_merge(
             spark, batch_df, key_columns, batch_id=f"stream-{batch_id}"
         )
@@ -166,8 +168,7 @@ def stream_delta_manifest(
         )
 
     def _delta_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = SparkSession.getActiveSession()
-        assert spark is not None
+        spark = batch_df.sparkSession  # not getActiveSession(): see above
         table.commit_delta(
             batch_df,
             key_columns,

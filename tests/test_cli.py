@@ -159,3 +159,28 @@ def test_cli_full_database_to_database_lifecycle(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_parquet_catalog_pinned_session_survives_active_clone(spark, tmp_path):
+    """py4j thread reuse can leave a foreign (micro-batch clone) session
+    'active' after any streaming query has run in the process; a pinned
+    ParquetCatalog must keep using ITS session so temp views register
+    where the caller's spark.sql looks (r13 regression: canon-safety
+    built q_stream_autocompact, after which the CLI's second step
+    resolved a stale view)."""
+    from pyspark.sql import functions as F
+
+    from pypeline_spark.sinks.keyed import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "out"), spark=spark)
+    cat.put("t", spark.range(5).withColumn("v", F.lit(1)))
+    clone = spark.newSession()
+    jvm_ss = spark._jvm.org.apache.spark.sql.SparkSession
+    jvm_ss.setActiveSession(clone._jsparkSession)
+    try:
+        got = cat.get("t")
+        assert got.sparkSession is spark
+        got.createOrReplaceTempView("t_pinned_view")
+        assert spark.catalog.tableExists("t_pinned_view")
+    finally:
+        jvm_ss.setActiveSession(spark._jsparkSession)

@@ -2607,3 +2607,52 @@ class TestOrphanGC:
         before = _canon(t.read_resolved(spark))
         assert t.gc_orphans(min_age_seconds=0.0) == 0
         assert _canon(t.read_resolved(spark)) == before
+
+
+class TestOccInterleavingProperty:
+    """Model-based OCC check: random two-writer interleavings of delta
+    commits (each loser forced through the race window) must always
+    yield a ledger equal to the applied-batch set, dense versions, and
+    content equal to applying the batches in COMMIT order."""
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(plan=st.lists(st.integers(0, 1), min_size=2, max_size=4))
+    def test_random_interleavings_converge(self, spark, sf_dir, tmp_path, plan):
+        import uuid as _uuid
+
+        from pypeline_spark.sinks.keyed import upsert
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        root = str(tmp_path / f"prop-{_uuid.uuid4().hex}")
+        a, b = ManifestTable(root), ManifestTable(root)
+        seed = cust.filter(F.col("c_custkey") % 7 == 0)
+        a.commit_overwrite(seed, batch_id="seed")
+        expected = seed
+        applied = {"seed"}
+        # each step: the chosen loser commits slice i while the OTHER
+        # writer races a commit of slice i+100 inside its window
+        for i, who in enumerate(plan):
+            loser, winner = (a, b) if who == 0 else (b, a)
+            l_slice = cust.filter(F.col("c_custkey") % 7 == (i % 6) + 1) \
+                .withColumn("c_acctbal", F.col("c_acctbal") + float(i))
+            w_slice = cust.filter(F.col("c_custkey") % 5 == i % 5) \
+                .withColumn("c_acctbal", F.col("c_acctbal") + 100.0 + i)
+            loser._race_once = (
+                lambda w=winner, s=w_slice, n=f"w{i}": w.commit_delta(
+                    s, ["c_custkey"], batch_id=n
+                )
+            )
+            loser.commit_delta(l_slice, ["c_custkey"], batch_id=f"l{i}")
+            # commit order: winner's commit lands first (inside the
+            # loser's window), then the loser's rebase
+            expected = upsert(expected, w_slice, ["c_custkey"])
+            expected = upsert(expected, l_slice, ["c_custkey"])
+            applied |= {f"w{i}", f"l{i}"}
+        t = ManifestTable(root)
+        assert t.applied_batch_ids() == applied
+        assert t.version() == 1 + 2 * len(plan)  # dense: no lost commit
+        assert _canon(t.read_resolved(spark)) == _canon(expected)

@@ -97,6 +97,15 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.start = int(options.get("since_version", "0"))
         self.fields = [f.name for f in schema.fields]
+        # rows are emitted positionally as (data..., version, type):
+        # an explicit schema must keep the meta columns LAST, or the
+        # tuple-to-schema mapping would silently shear columns
+        if tuple(self.fields[-2:]) != META_COLS:
+            raise ValueError(
+                f"the last two schema columns must be {META_COLS}, got "
+                f"{self.fields[-2:]} — the derived schema places them "
+                "there; explicit 'schema' options must too"
+            )
 
     def initialOffset(self) -> dict:
         # default 0 replays the whole delta history; pass

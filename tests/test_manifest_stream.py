@@ -129,3 +129,36 @@ def test_schema_derivation_and_explicit_override(spark, tmp_path, cust):
         .load()
     )
     assert df2.columns == ["c_custkey", "_commit_version", "_change_type"]
+
+
+def test_explicit_schema_with_misplaced_meta_cols_rejected(
+    spark, tmp_path, cust
+):
+    """Rows are emitted positionally as (data..., version, type): a
+    schema that doesn't keep the meta columns last would silently
+    shear columns — rejected up front."""
+    root = str(tmp_path / "order")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.limit(20), batch_id="seed")
+    t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d1")
+    register(spark)
+    df = (
+        spark.readStream.format("manifest_changes")
+        .option("path", root)
+        .option(
+            "schema",
+            "_commit_version bigint, c_custkey bigint, _change_type string",
+        )
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="must be"):
+        q.awaitTermination(120)

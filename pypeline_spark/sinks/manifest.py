@@ -933,8 +933,17 @@ class ManifestTable:
         if m.get("schema") is not None:
             # validate additive evolution UP FRONT against the tracked
             # schema (a type change must raise before any data writes —
-            # the union inside the merge would silently coerce it);
+            # the union inside the merge would silently coerce it, and
+            # a nothing-overlaps prune would skip any later check);
             # the same merge result becomes the new tracked schema
+            tracked = [f["name"] for f in m["schema"]["fields"]]
+            missing = [c for c in tracked if c not in set(updates.columns)]
+            if missing:
+                raise ValueError(
+                    f"updates batch lacks existing column(s) {missing}: "
+                    "keyed upserts replace whole rows — include them "
+                    "(nulls allowed)"
+                )
             evolved_schema = self._merge_schema(m["schema"], updates)
 
         carried: list[str] = []
@@ -976,15 +985,17 @@ class ManifestTable:
             # shape): the batch may ADD columns — null-fill the current
             # slice so the upsert carries them — but must cover every
             # existing column (upserts replace whole rows; a silent
-            # partial update was never this sink's contract)
+            # partial update was never this sink's contract; the
+            # tracked-schema case was already validated up front)
             upd_cols = set(updates.columns)
-            missing = [c for c in current.columns if c not in upd_cols]
-            if missing:
-                raise ValueError(
-                    f"updates batch lacks existing column(s) {missing}: "
-                    "keyed upserts replace whole rows — include them "
-                    "(nulls allowed)"
-                )
+            if m.get("schema") is None:
+                missing = [c for c in current.columns if c not in upd_cols]
+                if missing:
+                    raise ValueError(
+                        f"updates batch lacks existing column(s) "
+                        f"{missing}: keyed upserts replace whole rows — "
+                        "include them (nulls allowed)"
+                    )
             added = [
                 f for f in updates.schema.fields
                 if f.name not in set(current.columns)
@@ -999,6 +1010,29 @@ class ManifestTable:
             for f in added:
                 current = current.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
+                )
+        elif m["files"] and m.get("schema") is None:
+            # nothing overlapped the prune range on an UNTRACKED table:
+            # the batch inserts as new files beside carried ones, so a
+            # widened or narrowed batch would silently make the base
+            # heterogeneous with no tracked schema to null-fill it —
+            # peek ONE parquet footer (metadata, no data read) and
+            # require an exact column match
+            import pyarrow.parquet as pq
+
+            base_cols = set(
+                pq.ParquetFile(
+                    os.path.join(self.data_dir, m["files"][0])
+                ).schema_arrow.names
+            )
+            if set(updates.columns) != base_cols:
+                raise ValueError(
+                    "batch columns "
+                    f"{sorted(set(updates.columns) ^ base_cols)} differ "
+                    "from the table's and nothing overlaps the prune "
+                    "range: schema changes on an untracked table need "
+                    "tracking first (commit_overwrite/compact) so "
+                    "existing files null-fill at read"
                 )
         merged = updates if current is None else upsert(current, updates, key_columns)
         # materialize BEFORE the old files could ever be vacuumed;

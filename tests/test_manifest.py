@@ -2656,3 +2656,66 @@ class TestOccInterleavingProperty:
         assert t.applied_batch_ids() == applied
         assert t.version() == 1 + 2 * len(plan)  # dense: no lost commit
         assert _canon(t.read_resolved(spark)) == _canon(expected)
+
+
+class TestEvolvedMergeEdges:
+    """Nothing-overlaps prune paths must not bypass the schema
+    evolution guards (a widened batch inserting beside carried files
+    would make an untracked base silently heterogeneous)."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def _untracked(self, spark, tmp_path, cust, name):
+        import json as _json
+
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 100)
+            .repartitionByRange(4, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        m = t._read_manifest()
+        m.pop("schema")
+        vfile = os.path.join(t.root, f"_manifest.v{m['version']}.json")
+        for p in (vfile, t._pointer):
+            with open(p, "w") as fh:
+                _json.dump(m, fh)
+        return t
+
+    def test_untracked_nothing_overlaps_widened_batch_refused(
+        self, spark, tmp_path, cust
+    ):
+        t = self._untracked(spark, tmp_path, cust, "wide")
+        # keys far above the seeded range: zero files overlap
+        far = cust.filter(F.col("c_custkey") > 100).limit(5).withColumn(
+            "tier", F.lit("gold")
+        )
+        with pytest.raises(ValueError, match="untracked"):
+            t.commit_merge(spark, far, ["c_custkey"], batch_id="m1",
+                           prune_col="c_custkey")
+        # a schema-matching non-overlapping batch still inserts fine
+        ok = cust.filter(F.col("c_custkey") > 100).limit(5)
+        t.commit_merge(spark, ok, ["c_custkey"], batch_id="m2",
+                       prune_col="c_custkey")
+        assert t.read(spark).count() == 101 + 5
+
+    def test_tracked_nothing_overlaps_missing_column_refused(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "narrow"))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 100)
+            .repartitionByRange(4, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        narrow = (
+            cust.filter(F.col("c_custkey") > 100).limit(5)
+            .select("c_custkey")
+        )
+        with pytest.raises(ValueError, match="lacks existing column"):
+            t.commit_merge(spark, narrow, ["c_custkey"], batch_id="m1",
+                           prune_col="c_custkey")

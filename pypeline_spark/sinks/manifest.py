@@ -137,6 +137,18 @@ class ManifestTable:
         hook, self._race_once = self._race_once, None
         if hook is not None:
             hook()  # test-only: a concurrent writer lands exactly here
+        # Stale-slot guard: if the table already moved PAST this
+        # version, the slot's file may have been vacuumed — linking
+        # into that hole would publish a manifest the readers'
+        # roll-forward silently skips (a lost commit wearing a version
+        # number from history).  Reading the tip first turns that into
+        # an ordinary conflict; the put-if-absent link below still
+        # arbitrates same-slot races exactly.
+        if self._read_manifest()["version"] >= manifest["version"]:
+            raise CommitConflict(
+                f"version {manifest['version']} is not ahead of the "
+                "current tip — a concurrent writer advanced the table"
+            )
         vfile = os.path.join(self.root, f"_manifest.v{manifest['version']}.json")
         tmp = f"{vfile}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
@@ -223,7 +235,14 @@ class ManifestTable:
                 return new["version"]
             except CommitConflict:
                 tip = self._read_manifest()
-                kinds = self._intervening_kinds(m, tip)
+                try:
+                    kinds = self._intervening_kinds(m, tip)
+                except ValueError:
+                    # a concurrent vacuum removed an intervening version
+                    # file mid-race: rebase safety can no longer be
+                    # PROVEN, so abort conservatively instead of leaking
+                    # a version-not-found error
+                    kinds = {"rewrite"}
                 if not kinds <= rebase_over:
                     raise CommitConflict(
                         f"{what} built against version {m['version']} lost "

@@ -2719,3 +2719,31 @@ class TestEvolvedMergeEdges:
         with pytest.raises(ValueError, match="lacks existing column"):
             t.commit_merge(spark, narrow, ["c_custkey"], batch_id="m1",
                            prune_col="c_custkey")
+
+
+def test_occ_rebase_aborts_when_intervening_version_vacuumed(
+    spark, sf_dir, tmp_path
+):
+    """A concurrent vacuum that removes an intervening version file
+    mid-race makes rebase safety unprovable: the loser must abort with
+    CommitConflict (conservative), never leak a version-not-found
+    ValueError."""
+    from pypeline_spark.sinks.manifest import CommitConflict
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    root = str(tmp_path / "vac-race")
+    a, b = ManifestTable(root), ManifestTable(root)
+    a.commit_overwrite(cust.limit(100), batch_id="seed")
+
+    def race():
+        b.commit_delta(cust.limit(5), ["c_custkey"], batch_id="w")
+        # simulate the concurrent vacuum: the just-published version's
+        # manifest file disappears (pointer cache still serves the tip)
+        os.remove(os.path.join(root, "_manifest.v2.json"))
+
+    a._race_once = race
+    with pytest.raises(CommitConflict, match="cannot be rebased"):
+        a.commit_delta(cust.limit(3), ["c_custkey"], batch_id="l")
+    assert "w" in a.applied_batch_ids()  # the winner's commit survives

@@ -103,6 +103,23 @@ class ManifestTable:
     def version(self) -> int:
         return self._read_manifest()["version"]
 
+    def _max_version_on_disk(self) -> int:
+        """Highest ``_manifest.vN.json`` present — one directory
+        listing, independent of the pointer cache AND of the
+        roll-forward chain (which breaks if an intermediate version
+        file is ever removed while the pointer lags).  The publish
+        stale-slot guard and vacuum both rule on this, so a gap in
+        the chain can never let a writer re-link a reclaimed slot or
+        a vacuum reap the true tip (ADVICE r13)."""
+        mx = 0
+        for f in os.listdir(self.root):
+            if f.startswith("_manifest.v") and f.endswith(".json"):
+                try:
+                    mx = max(mx, int(f[len("_manifest.v"):-len(".json")]))
+                except ValueError:
+                    continue  # a writer's *.tmp or foreign debris
+        return mx
+
     def applied_batch_ids(self) -> set:
         return set(self._read_manifest()["batch_ids"])
 
@@ -144,7 +161,16 @@ class ManifestTable:
         # number from history).  Reading the tip first turns that into
         # an ordinary conflict; the put-if-absent link below still
         # arbitrates same-slot races exactly.
-        if self._read_manifest()["version"] >= manifest["version"]:
+        # The tip is the MAX of the pointer roll-forward and a direct
+        # directory scan: if an intermediate version file was vacuumed
+        # while the pointer lagged, the roll-forward chain stops short
+        # of the true tip, and trusting it alone would let this writer
+        # re-link a vacuumed slot readers skip (ADVICE r13).  One
+        # listing per publish — commit-rate metadata cost.
+        tip = max(
+            self._read_manifest()["version"], self._max_version_on_disk()
+        )
+        if tip >= manifest["version"]:
             raise CommitConflict(
                 f"version {manifest['version']} is not ahead of the "
                 "current tip — a concurrent writer advanced the table"
@@ -173,20 +199,27 @@ class ManifestTable:
 
     @staticmethod
     def _commit_kind(prev: dict, cur: dict) -> str:
-        """Structurally classify the commit that took ``prev`` to
-        ``cur``: ``'metadata'`` (file lists untouched — ANALYZE),
-        ``'delta'`` (base untouched, exactly one delta fileset
-        appended), or ``'rewrite'`` (anything that changed the base
-        file list — overwrite, copy-on-write merge, compact, OPTIMIZE,
-        evolution, restore).  The same invariants :meth:`changes`
-        verifies; the OCC conflict matrix rules on these kinds."""
+        """Classify the commit that took ``prev`` to ``cur``:
+        ``'metadata'`` (file lists untouched — ANALYZE, schema
+        evolution), ``'delta'`` (base untouched, exactly one delta
+        fileset appended), ``'reorg'`` (a file-list rewrite the WRITER
+        declared content-preserving — compact / OPTIMIZE / clustering
+        evolution stamp ``"reorg": true``; the resolved row set is
+        bit-identical before and after, so the change feed reads
+        straight through and blind appends may rebase over it), or
+        ``'rewrite'`` (a content-changing rewrite — overwrite,
+        copy-on-write merge, restore).  Structure is derived from the
+        manifests; the reorg declaration is trusted exactly like a
+        lakehouse commit's operation metadata (only this module's
+        maintenance methods write it).  :meth:`changes` and the OCC
+        conflict matrix rule on these kinds."""
         pf, cf = prev.get("files", []), cur.get("files", [])
         pd, cd = prev.get("deltas", []), cur.get("deltas", [])
         if cf == pf and cd == pd:
             return "metadata"
         if cf == pf and len(cd) == len(pd) + 1 and cd[: len(pd)] == pd:
             return "delta"
-        return "rewrite"
+        return "reorg" if cur.get("reorg") else "rewrite"
 
     def _intervening_kinds(self, base: dict, tip: dict) -> set:
         """Kinds of every commit published after ``base`` up to and
@@ -212,14 +245,20 @@ class ManifestTable:
         REBASED (rebuilt against the tip, retried) only when every
         intervening commit's kind is in ``rebase_over``:
 
-        - blind delta appends serialize after other deltas and
-          metadata-only commits (``{'delta', 'metadata'}``) — the
-          WriteSerializable append story;
-        - ANALYZE serializes only after metadata-only commits (content
-          changed underneath would silently stale the profile);
-        - every rewrite (overwrite / CoW merge / compact / OPTIMIZE /
-          evolution / restore) conflicts with everything and aborts to
-          the caller, who must re-read and re-decide.
+        - blind delta appends serialize after other deltas,
+          metadata-only commits, AND content-preserving reorgs
+          (``{'delta', 'metadata', 'reorg'}``) — the WriteSerializable
+          append story; scheduled compaction/OPTIMIZE no longer aborts
+          a concurrent ingest (the appended fileset resolves by rank
+          over the reorganized base exactly as it would have over the
+          old one — the reorg preserved the resolved row set, and
+          typed-CDC attribution stays exact for the same reason);
+        - ANALYZE serializes after metadata-only commits and reorgs
+          (both preserve the content the profile describes; a content
+          commit underneath would silently stale it);
+        - every CONTENT rewrite (overwrite / CoW merge / restore)
+          conflicts with everything and aborts to the caller, who must
+          re-read and re-decide.
 
         An aborted attempt may leave never-referenced files in
         ``data/`` — harmless (no manifest names them; snapshot reads
@@ -848,6 +887,15 @@ class ManifestTable:
     def _manifest_at(self, version: Optional[int]) -> dict:
         if version is None:
             return self._read_manifest()
+        if version == 0:
+            # version 0 is the empty table BEFORE any commit — no
+            # _manifest.v0.json is ever written, so synthesize it.
+            # Without this, the first commit_delta(cdc=True) on an
+            # empty table crashed probing read_resolved(version=0)
+            # (ADVICE r13), and every since_version=0 caller needed
+            # its own special case.
+            return {"version": 0, "files": [], "deltas": [],
+                    "batch_ids": [], "stats": {}}
         vfile = os.path.join(self.root, f"_manifest.v{version}.json")
         if not os.path.exists(vfile):
             raise ValueError(f"version {version} not found (vacuumed?)")
@@ -1247,9 +1295,11 @@ class ManifestTable:
             return new
 
         # blind append: serializes after concurrent deltas (same keys,
-        # re-checked above) and metadata-only commits; rewrites abort
+        # re-checked above), metadata-only commits and content-
+        # preserving reorgs; content rewrites abort
         return self._commit_retrying(
-            m, build, frozenset({"delta", "metadata"}), "commit_delta"
+            m, build, frozenset({"delta", "metadata", "reorg"}),
+            "commit_delta",
         )
 
     def read_resolved(
@@ -1402,6 +1452,9 @@ class ManifestTable:
             # schema (the evolved union) becomes the tracked schema —
             # this is also where a legacy table picks up tracking
             "schema": self._merge_schema(None, resolved),
+            # content-preserving rewrite: the change feed reads through
+            # it and blind appends rebase over it
+            "reorg": True,
             # ANALYZE profile + NDV sketch state ride along (an
             # overwrite resets both)
             **self._carry_meta(m),
@@ -1562,6 +1615,9 @@ class ManifestTable:
                 **new_meta,
             },
             "bloom_cols": bloom,
+            # content-preserving rewrite: the change feed reads through
+            # it and blind appends rebase over it
+            "reorg": True,
             # ANALYZE profile + NDV sketch state ride along (an
             # overwrite resets both)
             **self._carry_meta(m),
@@ -1681,6 +1737,9 @@ class ManifestTable:
                 **new_meta,
             },
             "bloom_cols": bloom,
+            # content-preserving rewrite: the change feed reads through
+            # it and blind appends rebase over it
+            "reorg": True,
             **self._carry_meta(m),
         }
         if m.get("schema") is not None:
@@ -1794,8 +1853,27 @@ class ManifestTable:
     def vacuum(self, keep_versions: int = 1) -> int:
         """Drop data files referenced only by manifests older than the
         newest ``keep_versions``; returns files removed.  Readers of
-        retained versions are unaffected (their files stay)."""
-        current = self._read_manifest()["version"]
+        retained versions are unaffected (their files stay).
+
+        Retention is computed against the TRUE tip (directory scan),
+        and the pointer cache is rolled forward to it BEFORE any
+        manifest file is removed: the pointer can legitimately lag
+        several versions (a slow writer's refresh landing after newer
+        commits, consecutive crashes between link and refresh), and
+        removing the intermediate manifests while it lags would break
+        ``_read_manifest``'s roll-forward chain — readers would serve
+        a vacuumed version forever (ADVICE r13).  With the refresh
+        first, a crash at ANY point leaves the pointer at (or past)
+        every retained version."""
+        current = max(
+            self._read_manifest()["version"], self._max_version_on_disk()
+        )
+        if current > 0:
+            tip_file = os.path.join(self.root, f"_manifest.v{current}.json")
+            if os.path.exists(tip_file):
+                tmp = f"{self._pointer}.{uuid.uuid4().hex}.tmp"
+                shutil.copyfile(tip_file, tmp)
+                os.replace(tmp, self._pointer)
         keep_from = current - keep_versions + 1
         live: set[str] = set()
         dead_manifests = []
@@ -1837,9 +1915,22 @@ class ManifestTable:
         commit's fileset is legitimately unreferenced until its
         publish lands, so the age floor is what makes GC safe to run
         concurrently with writers — the same retention-check mechanism
-        as Delta VACUUM / Iceberg remove_orphan_files.  Returns the
-        number of files removed.  Cost is one directory listing plus
-        O(retained versions) manifest reads — no data I/O."""
+        as Delta VACUUM / Iceberg remove_orphan_files.  Staging
+        directories are aged by the NEWEST mtime anywhere in their
+        tree (a running write job keeps touching files, so a live
+        commit can never look idle).  SAFETY CONTRACT: callers must
+        choose ``min_age_seconds`` greater than the longest possible
+        fileset-write→publish latency of any live writer — the window
+        between a data file landing in ``data/`` and the manifest
+        naming it is bounded by the publish (two filesystem micro-ops
+        plus up to ``occ_max_retries`` metadata-only rebases, no data
+        I/O), so the 1h default dominates it by orders of magnitude;
+        a pathological pause (driver GC stall, operator suspend)
+        longer than the floor is the one way to lose an in-flight
+        commit, exactly as with Delta VACUUM's retention check.
+        Returns the number of files removed.  Cost is one directory
+        listing plus O(retained versions) manifest reads — no data
+        I/O."""
         import time
 
         live: set[str] = set()
@@ -1867,11 +1958,41 @@ class ManifestTable:
                 continue
             p = os.path.join(self.root, f)
             try:
-                if now - os.stat(p).st_mtime >= min_age_seconds:
+                # Age by the NEWEST mtime anywhere in the tree, not the
+                # top-level dir: the directory's own mtime is set at
+                # creation and a long-running Spark write job only adds
+                # files as its tasks commit — a dir-mtime rule would
+                # rmtree a live in-flight commit's staging output
+                # mid-write (ADVICE r13).  Any write activity inside
+                # the window keeps the whole tree alive.
+                if now - self._tree_newest_mtime(p) >= min_age_seconds:
                     shutil.rmtree(p, ignore_errors=True)
             except FileNotFoundError:
                 pass
         return removed
+
+    @staticmethod
+    def _tree_newest_mtime(path: str) -> float:
+        """Newest mtime of the directory, its subdirectories, or any
+        file within — entries vanishing mid-walk (a concurrent task
+        commit renaming its temp file) are skipped, which only ever
+        UNDER-ages the tree (conservative: the dir is kept)."""
+        import time as _time
+
+        try:
+            newest = os.stat(path).st_mtime
+        except FileNotFoundError:
+            return _time.time()  # vanished: treat as brand new (kept)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for n in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest,
+                        os.stat(os.path.join(dirpath, n)).st_mtime,
+                    )
+                except FileNotFoundError:
+                    continue
+        return newest
 
     # -- rollback ---------------------------------------------------------------
 
@@ -1945,18 +2066,23 @@ class ManifestTable:
         (a search index, an aggregate maintainer, a replica) follow a
         100 TB table by reading megabytes per sync.
 
-        Exactness contract: every version in the range must be either
-        a DELTA commit (base untouched, one fileset appended) or a
-        METADATA-ONLY commit (ANALYZE — no files changed, contributes
-        nothing).  A rewriting commit in the range (overwrite,
-        copy-on-write merge, compact, OPTIMIZE, evolution) raises —
-        its new files mix rewritten-unchanged rows with changed ones,
-        so row-level changes are no longer derivable from file-level
-        metadata (the same reason Delta CDF requires CDC files for
-        merge commits).  Operationally: consumers read the feed BEFORE
-        scheduled compaction, or checkpoint their cursor at the
-        compaction boundary and fall back to a snapshot diff
-        (``q_time_travel_diff``'s shape) across it.
+        Exactness contract: every version in the range must be a
+        DELTA commit (base untouched, one fileset appended), a
+        METADATA-ONLY commit (ANALYZE, schema evolution — no files
+        changed, contributes nothing), or a REORG commit — a rewrite
+        compact / OPTIMIZE / clustering evolution stamped
+        content-preserving, which the feed reads straight THROUGH
+        (Delta CDF's rule: data reorganization emits no CDF rows), so
+        scheduled maintenance never forces consumers to re-snapshot.
+        The delta filesets of versions before a reorg stay readable
+        from their own manifests until vacuum — retention, not
+        compaction, bounds how far back a cursor may lag.  A
+        CONTENT-rewriting commit in the range (overwrite,
+        copy-on-write merge, restore) still raises — its new files
+        mix rewritten-unchanged rows with changed ones, so row-level
+        changes are not derivable from file-level metadata (the same
+        reason Delta CDF requires CDC files for merge commits); those
+        consumers re-seed from a snapshot.
 
         Duplicate keys across commits are the feed's SEMANTICS (each
         tagged row is one upsert event); consumers wanting final
@@ -1996,16 +2122,18 @@ class ManifestTable:
         for v in range(since_version + 1, hi + 1):
             mv = self._manifest_at(v)
             kind = self._commit_kind(prev, mv)
-            if kind == "metadata":
-                prev = mv  # metadata-only commit: contributes nothing
+            if kind in ("metadata", "reorg"):
+                # metadata-only and content-preserving reorg commits
+                # contribute no row-level changes — read through them
+                prev = mv
                 continue
             if kind != "delta":
                 raise ValueError(
-                    f"version {v} rewrote files (overwrite/merge/compact/"
-                    "optimize/restore): row-level changes are not "
-                    "derivable from file metadata across it — read the "
-                    "feed before compaction or snapshot-diff across the "
-                    "boundary"
+                    f"version {v} rewrote content (overwrite/merge/"
+                    "restore): row-level changes are not derivable from "
+                    "file metadata across it — re-seed consumers from a "
+                    "snapshot (maintenance compact/OPTIMIZE commits are "
+                    "reorg-tagged and read through)"
                 )
             fileset = mv.get("deltas", [])[-1]
             tags.append((v, fileset))
@@ -2187,11 +2315,12 @@ class ManifestTable:
                 },
             }
 
-        # the profile describes content as-of m: rebasable only over
-        # metadata-only commits — a concurrent content commit would
-        # silently stale it, so it aborts (re-run analyze)
+        # the profile describes content as-of m: rebasable over
+        # metadata-only commits and content-preserving reorgs (both
+        # leave that content intact) — a concurrent content commit
+        # would silently stale it, so it aborts (re-run analyze)
         return self._commit_retrying(
-            m, build, frozenset({"metadata"}), "analyze"
+            m, build, frozenset({"metadata", "reorg"}), "analyze"
         )
 
     def column_stats(self, col: Optional[str] = None) -> Optional[dict]:

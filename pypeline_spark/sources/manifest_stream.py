@@ -16,11 +16,14 @@ Design (and why it scales):
   parallelizes across every missed commit's files — and reads ONLY
   those files (a delta commit's fileset IS its change set: O(changed
   rows) per sync, never a table scan);
-- metadata-only commits (ANALYZE) contribute nothing; a REWRITING
-  commit in range (overwrite / compact / OPTIMIZE / evolution /
-  restore) raises — the same cursor-at-compaction contract as
-  ``changes()``: schedule compaction after consumers sync, or restart
-  the stream from a fresh snapshot;
+- metadata-only commits (ANALYZE, schema evolution) and
+  content-preserving REORG commits (compact / OPTIMIZE / clustering —
+  reorg-tagged by the writer) contribute nothing and are read
+  THROUGH, so scheduled maintenance never kills a live consumer
+  (Delta CDF's rule: data reorganization emits no CDF rows); a
+  CONTENT-rewriting commit in range (overwrite / CoW merge / restore)
+  raises — restart the stream from a fresh snapshot, same contract as
+  ``changes()``;
 - rows are emitted with ``_commit_version`` and ``_change_type``
   (``insert``/``update`` from typed-CDC commits, ``delete`` for
   tombstones, ``upsert`` for blind appends) — the Delta CDF streaming
@@ -132,12 +135,17 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             cur = t._manifest_at(v)
             kind = ManifestTable._commit_kind(prev, cur)
+            # 'metadata' and content-preserving 'reorg' (compact /
+            # OPTIMIZE / clustering) commits contribute no change rows
+            # — the stream reads straight through them, so scheduled
+            # maintenance never kills a live consumer
             if kind == "rewrite":
                 raise ValueError(
-                    f"version {v} rewrote files (overwrite/merge/compact/"
-                    "optimize/restore): the stream cannot derive row-level "
-                    "changes across it — sync consumers before compaction "
-                    "or restart the stream from a fresh snapshot"
+                    f"version {v} rewrote content (overwrite/merge/"
+                    "restore): the stream cannot derive row-level "
+                    "changes across it — restart from a fresh snapshot "
+                    "(maintenance compact/OPTIMIZE commits are "
+                    "reorg-tagged and read through)"
                 )
             if kind == "delta":
                 for f in cur["deltas"][-1]:

@@ -1,7 +1,9 @@
 """Feed-driven IVM: FeedRollupMaintainer follows a merge-on-read
 manifest table through upserts / group moves / deletes, equals a
-from-scratch recompute after EVERY sync, and handles rewrite
-boundaries (compact, restore) via the documented fallback."""
+from-scratch recompute after EVERY sync, stays incremental across
+reorg (compact/OPTIMIZE) boundaries, and handles content-rewrite
+boundaries (restore/overwrite/CoW merge) via the documented
+fallback."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -83,27 +85,35 @@ def test_group_emptied_by_deletes_drops_out(spark, tmp_path, cust):
     assert _rollup(m) == _recompute(t, spark)
 
 
-def test_compact_and_restore_boundaries_fall_back(spark, tmp_path, cust):
+def test_reorg_boundaries_stay_incremental_content_rewrites_fall_back(
+    spark, tmp_path, cust
+):
+    """Compaction is reorg-tagged and the feed reads THROUGH it (r14)
+    — the sync crossing it stays pure-feed; only a genuine content
+    rewrite (restore) costs a snapshot recompute."""
     k = F.col("c_custkey")
     t = ManifestTable(str(tmp_path / "bound"))
     t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
     m = FeedRollupMaintainer(t, ["c_custkey"], "c_mktsegment", "c_acctbal")
     m.sync(spark)
     t.commit_delta(cust.filter(k % 2 == 1), ["c_custkey"], batch_id="d1")
-    t.compact(spark, batch_id="c1")  # rewrite inside the range
+    t.compact(spark, batch_id="c1")  # reorg inside the range
     m.sync(spark)
-    assert m.full_refreshes == 1
+    assert m.full_refreshes == 0  # read through the compaction
     assert _rollup(m) == _recompute(t, spark)
-    # restore is likewise a rewrite boundary for the feed
+    t.optimize(spark, target_rows=10_000, batch_id="o1")  # reorg
+    m.sync(spark)
+    assert m.full_refreshes == 0  # read through OPTIMIZE too
+    assert _rollup(m) == _recompute(t, spark)
     t.commit_delta(
         cust.filter(k % 5 == 0).withColumn("c_acctbal", F.lit(1.0)),
         ["c_custkey"], batch_id="d2",
     )
     m.sync(spark)
-    assert m.full_refreshes == 1  # that one was pure feed
-    t.restore(t.version() - 1, batch_id="undo")
+    assert m.full_refreshes == 0  # pure feed
+    t.restore(t.version() - 1, batch_id="undo")  # CONTENT rewrite
     m.sync(spark)
-    assert m.full_refreshes == 2
+    assert m.full_refreshes == 1
     assert _rollup(m) == _recompute(t, spark)
 
 

@@ -1,6 +1,7 @@
 """Manifest-committed table: atomicity, snapshot isolation,
 exactly-once batch replay, time travel, and vacuum retention."""
 
+import json
 import os
 
 import pytest
@@ -9,6 +10,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pypeline_spark.session import load_table
+from pypeline_spark.sinks.keyed import upsert
 from pypeline_spark.sinks.manifest import ManifestTable
 
 
@@ -1454,20 +1456,44 @@ class TestChangeFeed:
         assert empty.count() == 0
         assert "_commit_version" in empty.columns
 
-    def test_rewriting_commit_refused(self, spark, tmp_path, cust):
-        t, _, _ = self._setup(spark, tmp_path, cust)
-        t.compact(spark, batch_id="c1")  # v5 rewrites files
-        with pytest.raises(ValueError, match="rewrote files"):
-            t.changes(spark, since_version=1)
-        # but a range that stops BEFORE the rewrite still works...
-        assert t.changes(spark, 1, until_version=4).count() > 0
-        # ...and a cursor checkpointed AT the compaction boundary
-        # continues cleanly after new deltas land
+    def test_reorg_commits_read_through(self, spark, tmp_path, cust):
+        """compact/OPTIMIZE are reorg-tagged and the feed reads
+        straight THROUGH them (Delta CDF: data reorganization emits no
+        CDF rows) — a maintenance job never forces consumers to
+        re-snapshot.  The pre-reorg delta filesets stay readable from
+        their own manifests until vacuum."""
+        t, d1, d2 = self._setup(spark, tmp_path, cust)
+        t.compact(spark, batch_id="c1")  # v5: reorg
         late = cust.limit(7)
         t.commit_delta(late, ["c_custkey"], batch_id="d3")  # v6
-        after = t.changes(spark, since_version=5)
+        t.optimize(spark, target_rows=10_000, batch_id="o1")  # v7: reorg
+        feed = t.changes(spark, since_version=1)
+        versions = {r._commit_version for r in
+                    feed.select("_commit_version").distinct().collect()}
+        assert versions == {2, 4, 6}  # reorgs contribute nothing
+        assert feed.count() == d1.count() + d2.count() + 7
+        # a cursor parked exactly AT a reorg boundary also continues
+        assert t.changes(spark, since_version=5).count() == 7
+
+    def test_content_rewrite_refused(self, spark, tmp_path, cust):
+        """A CONTENT rewrite (copy-on-write merge / overwrite /
+        restore) is NOT feed-derivable and still raises — only
+        writer-declared content-preserving reorgs read through."""
+        t, _, _ = self._setup(spark, tmp_path, cust)
+        t.compact(spark, batch_id="c1")  # v5: reorg (folds deltas)
+        t.commit_merge(
+            spark, cust.limit(5), ["c_custkey"], batch_id="m1"
+        )  # v6: CoW content rewrite
+        with pytest.raises(ValueError, match="rewrote content"):
+            t.changes(spark, since_version=1)
+        # but a range that stops BEFORE the rewrite still works...
+        assert t.changes(spark, 1, until_version=5).count() > 0
+        # ...and a cursor checkpointed AT the rewrite boundary
+        # continues cleanly after new deltas land
+        t.commit_delta(cust.limit(7), ["c_custkey"], batch_id="d3")  # v7
+        after = t.changes(spark, since_version=6)
         assert after.count() == 7
-        assert {r._commit_version for r in after.collect()} == {6}
+        assert {r._commit_version for r in after.collect()} == {7}
 
     def test_bounds_validated(self, spark, tmp_path, cust):
         t, _, _ = self._setup(spark, tmp_path, cust)
@@ -2747,3 +2773,207 @@ def test_occ_rebase_aborts_when_intervening_version_vacuumed(
     with pytest.raises(CommitConflict, match="cannot be rebased"):
         a.commit_delta(cust.limit(3), ["c_custkey"], batch_id="l")
     assert "w" in a.applied_batch_ids()  # the winner's commit survives
+
+
+class TestAdviceR13Fixes:
+    """Regressions for the four r13-ADVICE findings: cdc-typed first
+    commit on an empty table, vacuum under a stale pointer, the
+    publish stale-slot guard with a broken roll-forward chain, and
+    in-flight-writer safety of gc_orphans."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_first_commit_cdc_on_empty_table(self, spark, tmp_path, cust):
+        """commit_delta(cdc=True) as the VERY FIRST commit: version 0
+        resolves as the empty table, so the existence probe finds
+        nothing and the whole batch types 'insert' (previously crashed
+        probing read_resolved(version=0))."""
+        t = ManifestTable(str(tmp_path / "cdc0"))
+        batch = cust.limit(20)
+        v = t.commit_delta(batch, ["c_custkey"], batch_id="d0", cdc=True)
+        assert v == 1
+        assert _canon(t.read_resolved(spark)) == _canon(batch)
+        feed = t.changes(spark, since_version=0)
+        assert feed.count() == 20
+        types = {r._change_type for r in
+                 feed.select("_change_type").distinct().collect()}
+        assert types == {"insert"}
+
+    def test_delete_only_first_commit_resolves_empty(
+        self, spark, tmp_path, cust
+    ):
+        """Tombstones-before-any-content: legal, resolves to empty."""
+        t = ManifestTable(str(tmp_path / "tomb0"))
+        t.commit_delta(None, ["c_custkey"], batch_id="d0",
+                       deletes=cust.limit(5), cdc=True)
+        got = t.read_resolved(spark)
+        assert got is None or got.count() == 0
+
+    def test_vacuum_with_stale_pointer_rolls_forward_first(
+        self, spark, tmp_path, cust
+    ):
+        """The pointer cache lags at v1 while v2..v4 are committed
+        (crashes between link and refresh).  vacuum must compute
+        retention from the TRUE tip and refresh the pointer BEFORE
+        removing manifests — otherwise readers would be stranded on a
+        vacuumed version forever."""
+        t = ManifestTable(str(tmp_path / "stale"))
+        t.commit_overwrite(cust.limit(100), batch_id="s")  # v1
+        t.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")  # v2
+        t.commit_delta(cust.limit(20), ["c_custkey"], batch_id="d2")  # v3
+        t.commit_delta(cust.limit(30), ["c_custkey"], batch_id="d3")  # v4
+        tip_content = _canon(t.read_resolved(spark))
+        # regress the pointer to v1 (simulated crash-lag)
+        import shutil as _sh
+        _sh.copyfile(os.path.join(t.root, "_manifest.v1.json"), t._pointer)
+        t.vacuum(keep_versions=2)  # must retain v3, v4 — not v0, v1
+        assert t.version() == 4  # pointer healed to the true tip
+        assert _canon(t.read_resolved(spark)) == tip_content
+        assert os.path.exists(os.path.join(t.root, "_manifest.v4.json"))
+        assert not os.path.exists(os.path.join(t.root, "_manifest.v1.json"))
+
+    def test_publish_guard_scans_disk_when_chain_is_broken(
+        self, spark, tmp_path, cust
+    ):
+        """Stale pointer + vacuumed intermediate manifest = broken
+        roll-forward chain: the old guard (chain only) saw v1 and let
+        a writer RE-LINK the vacuumed v2 slot — a lost commit wearing
+        a historical version number.  The directory-scan guard turns
+        it into an ordinary conflict."""
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        t = ManifestTable(str(tmp_path / "hole"))
+        t.commit_overwrite(cust.limit(100), batch_id="s")  # v1
+        t.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")  # v2
+        t.commit_delta(cust.limit(20), ["c_custkey"], batch_id="d2")  # v3
+        # break the chain: pointer back to v1, v2's manifest gone
+        import shutil as _sh
+        _sh.copyfile(os.path.join(t.root, "_manifest.v1.json"), t._pointer)
+        os.remove(os.path.join(t.root, "_manifest.v2.json"))
+        w = ManifestTable(t.root)
+        assert w._read_manifest()["version"] == 1  # chain stops at the hole
+        with pytest.raises(CommitConflict):
+            w.commit_overwrite(cust.limit(5), batch_id="ow")
+        # v3 (the true tip) was never clobbered
+        assert not os.path.exists(os.path.join(t.root, "_manifest.v4.json"))
+        with open(os.path.join(t.root, "_manifest.v3.json")) as fh:
+            assert json.load(fh)["batch_ids"][-1] == "d2"
+
+    def test_gc_keeps_staging_tree_with_fresh_writes_inside(
+        self, tmp_path, spark, cust
+    ):
+        """A long-running write job's staging dir has an OLD top-level
+        mtime (set at creation) but FRESH files inside (tasks still
+        committing).  gc must age by the newest mtime in the tree."""
+        t = ManifestTable(str(tmp_path / "inflight"))
+        t.commit_overwrite(cust.limit(10), batch_id="s")
+        staging = os.path.join(t.root, "staging-slowjob")
+        os.makedirs(staging)
+        part = os.path.join(staging, "part-0.parquet")
+        with open(part, "wb") as fh:
+            fh.write(b"x")
+        old = 1_000_000_000.0
+        os.utime(staging, (old, old))  # dir looks ancient
+        t.gc_orphans(min_age_seconds=3600)
+        assert os.path.exists(part)  # fresh file inside kept the tree
+        # once EVERYTHING in the tree is old, it is reclaimed
+        os.utime(part, (old, old))
+        t.gc_orphans(min_age_seconds=3600)
+        assert not os.path.exists(staging)
+
+    def test_gc_concurrent_with_inflight_publish_is_safe(
+        self, spark, tmp_path, cust
+    ):
+        """Adversarial interleaving (r13 directive #6): gc_orphans runs
+        INSIDE a writer's read-modify-write window, after its fileset
+        landed in data/ but before the manifest names it.  With an age
+        floor above the write→publish latency the fileset survives and
+        the commit completes intact."""
+        root = str(tmp_path / "gcrace")
+        a, g = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        removed = []
+        a._race_once = lambda: removed.append(
+            g.gc_orphans(min_age_seconds=3600)
+        )
+        batch = cust.limit(25)
+        v = a.commit_delta(batch, ["c_custkey"], batch_id="d1")
+        assert v == 2
+        assert removed == [0]  # the in-flight fileset was NOT reclaimed
+        assert _canon(a.read_resolved(spark)) == _canon(
+            upsert(cust.limit(100), batch, ["c_custkey"])
+        )
+
+
+class TestOccOverReorg:
+    """Content-preserving reorg commits (compact / OPTIMIZE) are
+    rebase-safe for blind delta appends and ANALYZE — scheduled
+    maintenance no longer aborts concurrent writers."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_delta_append_rebases_over_concurrent_compact(
+        self, spark, tmp_path, cust
+    ):
+        root = str(tmp_path / "dvc")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")  # v1
+        a.commit_delta(cust.limit(40), ["c_custkey"], batch_id="d1")  # v2
+        # b compacts INSIDE a's read-modify-write window
+        a._race_once = lambda: b.compact(spark, batch_id="c1")
+        batch = cust.limit(10).withColumn("c_acctbal", F.lit(9.75))
+        v = a.commit_delta(batch, ["c_custkey"], batch_id="d2")
+        assert v == 4  # rebased onto the compacted tip, no abort
+        m = a._read_manifest()
+        assert {"d2", "c1"} <= set(m["batch_ids"])
+        got = a.read_resolved(spark)
+        assert got.filter(F.col("c_acctbal") == 9.75).count() == 10
+        assert got.count() == 100
+
+    def test_delta_append_rebases_over_concurrent_optimize(
+        self, spark, tmp_path, cust
+    ):
+        root = str(tmp_path / "dvo")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")  # v1
+        a._race_once = lambda: b.optimize(
+            spark, target_rows=10_000, batch_id="o1"
+        )
+        v = a.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")
+        assert v == 3
+        assert a.read_resolved(spark).count() == 100
+
+    def test_analyze_rebases_over_concurrent_optimize(
+        self, spark, tmp_path, cust
+    ):
+        root = str(tmp_path / "avo")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")  # v1
+        a._race_once = lambda: b.optimize(
+            spark, target_rows=10_000, batch_id="o1"
+        )
+        v = a.analyze(spark, ["c_custkey"], batch_id="an")
+        assert v == 3  # rebased over the content-preserving reorg
+        assert a.column_stats("c_custkey")["ndv"] > 0
+
+    def test_delta_still_aborts_over_content_rewrite(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "dvr")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")  # v1
+        a._race_once = lambda: b.commit_overwrite(
+            cust.limit(50), batch_id="ow"
+        )
+        with pytest.raises(CommitConflict, match="cannot be rebased"):
+            a.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")

@@ -1,6 +1,7 @@
 """Streaming source over the manifest change feed: exactly-once
 version-cursor offsets across restarts, per-file partitions, typed
-rows, rewrite-boundary refusal."""
+rows, read-through of reorg (compact/OPTIMIZE) commits, and
+content-rewrite refusal."""
 
 import os
 
@@ -89,20 +90,37 @@ def test_stream_matches_feed_and_restart_is_exactly_once(
     assert spark.read.parquet(out).count() == before + u4.count()
 
 
-def test_rewrite_boundary_fails_the_stream(spark, tmp_path, cust):
+def test_stream_reads_through_reorg_but_content_rewrite_fails(
+    spark, tmp_path, cust
+):
+    """Maintenance commits (compact / OPTIMIZE) are reorg-tagged and a
+    live stream reads straight THROUGH them — scheduled compaction no
+    longer kills consumers (r14).  A CONTENT rewrite (CoW merge /
+    overwrite / restore) still fails the stream loudly."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     k = F.col("c_custkey")
     root = str(tmp_path / "tbl2")
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
     t = ManifestTable(root)
     t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
     t.commit_delta(cust.filter(k % 2 == 1), ["c_custkey"],
                    batch_id="d1")  # v2
-    _drain(spark, root, str(tmp_path / "o2"), str(tmp_path / "c2"))
-    t.compact(spark, batch_id="c1")  # v3: rewrite
+    _drain(spark, root, out, ckpt)
+    before = spark.read.parquet(out).count()
+    t.compact(spark, batch_id="c1")  # v3: reorg
     t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d2")  # v4
+    t.optimize(spark, target_rows=10_000, batch_id="o1")  # v5: reorg
+    _drain(spark, root, out, ckpt)  # reads THROUGH v3 and v5
+    got = spark.read.parquet(out)
+    assert got.count() == before + 5
+    assert got.filter(F.col("_commit_version") == 4).count() == 5
+    # a genuine content rewrite still fails the stream
+    t.commit_merge(spark, cust.limit(3), ["c_custkey"],
+                   batch_id="m1")  # v6: CoW content rewrite
+    t.commit_delta(cust.limit(2), ["c_custkey"], batch_id="d3")  # v7
     with pytest.raises(StreamingQueryException, match="rewrote"):
-        _drain(spark, root, str(tmp_path / "o2"), str(tmp_path / "c2"))
+        _drain(spark, root, out, ckpt)
 
 
 def test_schema_derivation_and_explicit_override(spark, tmp_path, cust):

@@ -1542,6 +1542,128 @@ def q_cdf_through_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+@query(
+    "q_cdf_schema_evolve",
+    # The oracle recomputes the full change stream ACROSS A METADATA-
+    # ONLY SCHEMA EVOLUTION from the same modular slices: v2 typed-CDC
+    # upserts of the evens at +100 (insert where k%6==0, else update)
+    # — committed BEFORE the 'tier' column existed, so their feed rows
+    # null-fill it (n_tier = 0); v3 evolve_schema (contributes
+    # nothing); v4 typed-CDC upserts of the k%7==0 keys at +30
+    # carrying tier — typed against the v3 snapshot alive set
+    # (k%3<>0 OR k%2=0), n_tier = every row.  The 'resolved' row pins
+    # the final table under the evolved schema: alive = that set plus
+    # the v4-inserted k%7==0 keys, tier non-null exactly on k%7==0,
+    # values last-writer-wins.  Guard rails (additive-only, untracked
+    # refusal, zero data writes, OCC rebase) are pinned in
+    # tests/test_manifest.py::TestEvolveSchemaCommit.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer)
+    SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(FLOOR((bal + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS n_tier
+    FROM c WHERE k % 6 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR((bal + 100) * 100 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM c WHERE k % 2 = 0 AND k % 3 <> 0
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR((bal + 30) * 100 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM c WHERE k % 7 = 0 AND k % 2 <> 0 AND k % 3 = 0
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR((bal + 30) * 100 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM c WHERE k % 7 = 0 AND (k % 3 <> 0 OR k % 2 = 0)
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), 'resolved', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(
+               (CASE WHEN k % 7 = 0 THEN bal + 30
+                     WHEN k % 2 = 0 THEN bal + 100
+                     ELSE bal END) * 100 + 0.5) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM c WHERE k % 3 <> 0 OR k % 2 = 0 OR k % 7 = 0
+    """,
+)
+def q_cdf_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed × schema evolution: ``evolve_schema`` widens the
+    tracked table schema by METADATA ONLY (the lakehouse ALTER TABLE
+    ADD COLUMN — zero data rewrites on a 100 TB table), and one
+    ``changes()`` read spanning the evolution emits every row under
+    the EVOLVED superset schema — pre-evolution rows null-fill the
+    new column, the evolution commit itself contributes nothing, and
+    the output column set is the table's (deterministic), never an
+    artifact of which delta files were in range.  The query certifies
+    the typed event stream on both sides of the evolution plus the
+    resolved snapshot under the evolved schema.
+
+    Scale: schema changes and change-data consumers coexist on a live
+    table — a feed that raised (or emitted range-dependent schemas)
+    across an ALTER TABLE would force every downstream replica to
+    re-snapshot on every column addition.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="cdf_evolve_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(c.filter(k % 3 != 0), batch_id="seed")  # v1
+        table.commit_delta(
+            c.filter(k % 2 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 100.0
+            ),
+            ["c_custkey"], batch_id="d1", cdc=True,
+        )  # v2: pre-evolution typed upserts
+        table.evolve_schema("tier string", batch_id="e1")  # v3: metadata
+        table.commit_delta(
+            c.filter(k % 7 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 30.0)
+            .withColumn(
+                "tier",
+                F.when(k % 2 == 0, F.lit("gold")).otherwise(F.lit("silver")),
+            ),
+            ["c_custkey"], batch_id="d2", cdc=True,
+        )  # v4: post-evolution typed upserts carrying the new column
+        feed = table.changes(spark, since_version=1)
+        cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+        agg = [
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("c_custkey").cast("bigint").alias("sum_keys"),
+            F.sum(F.coalesce(cents, F.lit(0))).cast("bigint").alias("sum_cents"),
+            F.count("tier").cast("bigint").alias("n_tier"),
+        ]
+        events = feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        ).agg(*agg)
+        snapshot = table.read_resolved(spark).agg(*agg).select(
+            F.lit(0).cast("bigint").alias("commit_version"),
+            F.lit("resolved").alias("change_type"),
+            "n_rows", "sum_keys", "sum_cents", "n_tier",
+        )
+        return events.unionByName(snapshot).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 class FeedRollupMaintainer:
     """Feed-driven incremental view maintenance: keeps a standing
     group-grain rollup (``n_rows``, ``sum_cents``) of a

@@ -328,6 +328,86 @@ class ManifestTable:
                 )
         return StructType(out).jsonValue()
 
+    def evolve_schema(self, new_columns, batch_id: Optional[str] = None) -> int:
+        """``ALTER TABLE .. ADD COLUMN(S)``: widen the tracked table
+        schema by METADATA ONLY — no data file is read, written or
+        rewritten; every existing file null-fills the new columns at
+        read (``_read_base``) exactly as after an evolving merge.
+        ``new_columns`` is a DDL string (``"tier string, bonus
+        double"``), a StructType, or a list of StructFields.  Additive
+        only: an existing column re-declared with the SAME type is an
+        idempotent no-op, a type change raises.  Goes through the
+        same batch-id ledger and OCC retry as every commit, rebasing
+        over concurrent deltas / metadata / reorgs (adding a column
+        commutes with all of them); content rewrites abort.
+
+        Requires a schema-tracked table (any commit_overwrite /
+        compact / optimize records one): on an untracked table there
+        is no authoritative column set to widen — raising beats
+        guessing from one parquet footer.
+
+        Scale: this is why adding a column to a 100 TB table costs
+        one manifest write — the lakehouse ALTER TABLE story; the
+        change feed and streaming source classify it 'metadata' and
+        read straight through it, emitting rows under the evolved
+        superset schema (old rows null-fill)."""
+        from pyspark.sql.types import StructField, StructType
+
+        if isinstance(new_columns, str):
+            new_columns = StructType.fromDDL(new_columns)
+        fields = list(new_columns)
+        if not fields or not all(
+            isinstance(f, StructField) for f in fields
+        ):
+            raise ValueError(
+                "evolve_schema needs a DDL string, StructType, or "
+                "non-empty list of StructFields"
+            )
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm.get("schema") is None:
+                raise ValueError(
+                    "evolve_schema needs a schema-tracked table: run "
+                    "commit_overwrite/compact/optimize once (which "
+                    "records the table schema) first"
+                )
+            cur = StructType.fromJson(mm["schema"])
+            have = {f.name: f for f in cur.fields}
+            out = list(cur.fields)
+            for f in fields:
+                g = have.get(f.name)
+                if g is None:
+                    out.append(f)
+                    have[f.name] = f
+                elif g.dataType != f.dataType:
+                    raise ValueError(
+                        "schema evolution is additive-only: column "
+                        f"{f.name!r} cannot change type "
+                        f"{g.dataType.simpleString()} -> "
+                        f"{f.dataType.simpleString()}"
+                    )
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "schema": StructType(out).jsonValue(),
+            }
+            # {**mm} must not inherit a reorg TIP's tag: this commit is
+            # metadata-only, not a rewrite declaration
+            new.pop("reorg", None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata", "delta", "reorg"}),
+            "evolve_schema",
+        )
+
     def _read_base(
         self, spark: SparkSession, m: dict, names: Sequence[str]
     ) -> DataFrame:
@@ -2089,6 +2169,15 @@ class ManifestTable:
         states apply last-writer-wins on ``_commit_version`` — the
         same resolution ``read_resolved`` runs.
 
+        Schema contract: on a schema-tracked table the feed emits
+        rows under the TRACKED SCHEMA AS OF THE RANGE END — a range
+        spanning a schema evolution (``evolve_schema``, or a widening
+        delta) null-fills the new columns on pre-evolution rows and
+        the output column set is deterministic (= the table's), never
+        an artifact of which delta files happened to be in range.
+        Untracked legacy tables keep the first-seen union-by-name
+        shape.
+
         Returns ``None`` for an empty range on an empty table; an empty
         range on a populated table returns a zero-row frame whose
         schema derives from the files of the manifest AT the range end
@@ -2102,6 +2191,24 @@ class ManifestTable:
                 f"since_version {since_version} out of range [0, {hi}]"
             )
 
+        def _align(df: DataFrame) -> DataFrame:
+            """Project feed rows onto the tracked schema at the range
+            end (columns the range's files never carried null-fill);
+            legacy untracked tables pass through unchanged."""
+            sch = mhi.get("schema")
+            if sch is None:
+                return df
+            from pyspark.sql.types import StructType
+
+            have = set(df.columns)
+            cols = [
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in StructType.fromJson(sch).fields
+            ]
+            return df.select(*cols, "_commit_version", "_change_type")
+
         def _empty_feed() -> Optional[DataFrame]:
             files = list(mhi.get("files", [])) or [
                 n for fs in mhi.get("deltas", []) for n in fs
@@ -2111,9 +2218,11 @@ class ManifestTable:
             df = self._read_base(spark, mhi, files).limit(0)
             if self._CT in df.columns:
                 df = df.drop(self._CT)
-            return df.withColumn(
-                "_commit_version", F.lit(0).cast("bigint")
-            ).withColumn("_change_type", F.lit("upsert"))
+            return _align(
+                df.withColumn(
+                    "_commit_version", F.lit(0).cast("bigint")
+                ).withColumn("_change_type", F.lit("upsert"))
+            )
         tags: list[tuple[int, list[str]]] = []
         prev = self._manifest_at(since_version) if since_version > 0 else {
             "files": [],
@@ -2165,7 +2274,7 @@ class ManifestTable:
             ).drop(self._CT)
         else:
             out = out.withColumn("_change_type", F.lit("upsert"))
-        return out
+        return _align(out)
 
     # -- incremental NDV sketches (commit-time, mergeable) ---------------------
 
@@ -2300,7 +2409,7 @@ class ManifestTable:
         def build(mm: dict) -> Optional[dict]:
             if batch_id is not None and batch_id in mm["batch_ids"]:
                 return None
-            return {
+            new = {
                 **mm,
                 "version": mm["version"] + 1,
                 "batch_ids": mm["batch_ids"]
@@ -2314,6 +2423,10 @@ class ManifestTable:
                     "analyzed_rows": int(row["__rows"]),
                 },
             }
+            # {**mm} must not inherit a reorg TIP's tag: this commit
+            # is metadata-only, not a rewrite declaration
+            new.pop("reorg", None)
+            return new
 
         # the profile describes content as-of m: rebasable over
         # metadata-only commits and content-preserving reorgs (both

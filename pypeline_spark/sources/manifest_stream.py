@@ -188,13 +188,31 @@ class ManifestChangesDataSource(DataSource):
     def schema(self) -> str:
         if "schema" in self.options:
             return self.options["schema"]
-        # derive from ONE parquet footer (metadata read, no data scan)
         from pypeline_spark.sinks.manifest import ManifestTable
 
         import pyarrow.parquet as pq
 
         t = ManifestTable(self.options["path"])
         m = t._read_manifest()
+        # a schema-tracked table IS the authority: the stream emits
+        # rows under the tracked schema (old delta files null-fill
+        # evolved columns in read()), so a stream started after an
+        # evolve_schema sees the superset deterministically — zero
+        # file reads.  Bare-DDL rendering assumes simple identifier
+        # column names (the same assumption the footer path below
+        # always made); pass an explicit 'schema' option otherwise.
+        sch = m.get("schema")
+        if sch is not None:
+            from pyspark.sql.types import StructType as _St
+
+            cols = [
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in _St.fromJson(sch).fields
+            ]
+            return ", ".join(
+                cols + ["_commit_version bigint", "_change_type string"]
+            )
+        # legacy untracked table: derive from parquet footers
         # one footer per FILESET (base + each delta commit), merged in
         # first-seen order: a delete-only fileset carries only key
         # columns, and an evolved commit may ADD columns — neither may

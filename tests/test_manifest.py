@@ -2977,3 +2977,94 @@ class TestOccOverReorg:
         )
         with pytest.raises(CommitConflict, match="cannot be rebased"):
             a.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")
+
+
+class TestEvolveSchemaCommit:
+    """evolve_schema: metadata-only ALTER TABLE ADD COLUMN — zero data
+    writes, null-fill at read, additive-only, ledger-idempotent — and
+    the feed/stream schema contract across it."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_metadata_only_add_column(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "evo"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")  # v1
+        files_before = t._read_manifest()["files"]
+        data_before = set(os.listdir(t.data_dir))
+        v = t.evolve_schema("tier string", batch_id="e1")
+        assert v == 2
+        m = t._read_manifest()
+        assert m["files"] == files_before  # not a single data write
+        assert set(os.listdir(t.data_dir)) == data_before
+        got = t.read(spark)
+        assert got.columns == ["c_custkey", "c_acctbal", "tier"]
+        assert got.filter(F.col("tier").isNotNull()).count() == 0
+        # ledger replay is a no-op
+        assert t.evolve_schema("tier string", batch_id="e1") == 2
+        # re-declaring an existing column with the SAME type widens
+        # nothing and commits cleanly
+        t.evolve_schema("tier string, bonus double", batch_id="e2")
+        assert t.read(spark).columns == [
+            "c_custkey", "c_acctbal", "tier", "bonus"
+        ]
+
+    def test_type_change_and_untracked_refused(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "evobad"))
+        t.commit_overwrite(cust.limit(20), batch_id="seed")
+        with pytest.raises(ValueError, match="additive-only"):
+            t.evolve_schema("c_acctbal string")
+        u = ManifestTable(str(tmp_path / "untracked"))
+        u.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d0")
+        with pytest.raises(ValueError, match="schema-tracked"):
+            u.evolve_schema("tier string")
+        with pytest.raises(ValueError, match="DDL string"):
+            t.evolve_schema([])
+
+    def test_feed_spans_evolution_with_nullfill(self, spark, tmp_path, cust):
+        """A changes() range spanning evolve_schema emits rows under
+        the EVOLVED superset schema: pre-evolution rows null-fill the
+        new column; the output column set is the table's, not an
+        artifact of which delta files were in range."""
+        k = F.col("c_custkey")
+        t = ManifestTable(str(tmp_path / "evofeed"))
+        t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+        t.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")  # v2
+        t.evolve_schema("tier string", batch_id="e1")  # v3: metadata
+        d2 = cust.limit(4).withColumn("tier", F.lit("gold"))
+        t.commit_delta(d2, ["c_custkey"], batch_id="d2")  # v4
+        feed = t.changes(spark, since_version=1)
+        assert feed.columns == [
+            "c_custkey", "c_acctbal", "tier",
+            "_commit_version", "_change_type",
+        ]
+        assert feed.filter(
+            (F.col("_commit_version") == 2) & F.col("tier").isNotNull()
+        ).count() == 0
+        assert feed.filter(
+            (F.col("_commit_version") == 4) & (F.col("tier") == "gold")
+        ).count() == 4
+        # a pure-metadata range is empty but carries the evolved schema
+        empty = t.changes(spark, since_version=2, until_version=3)
+        assert empty.count() == 0
+        assert "tier" in empty.columns
+        # resolved read surfaces the evolved column across base rows
+        got = t.read_resolved(spark)
+        assert "tier" in got.columns
+        assert got.filter(F.col("tier") == "gold").count() == 4
+
+    def test_evolution_rebases_over_concurrent_delta(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "evoocc"))
+        b = ManifestTable(t.root)
+        t.commit_overwrite(cust.limit(50), batch_id="seed")  # v1
+        t._race_once = lambda: b.commit_delta(
+            cust.limit(5), ["c_custkey"], batch_id="d1"
+        )
+        v = t.evolve_schema("tier string", batch_id="e1")
+        assert v == 3  # rebased over the concurrent delta append
+        assert "tier" in t.read_resolved(spark).columns

@@ -180,3 +180,40 @@ def test_explicit_schema_with_misplaced_meta_cols_rejected(
 
     with pytest.raises(StreamingQueryException, match="must be"):
         q.awaitTermination(120)
+
+
+def test_stream_reads_through_schema_evolution(spark, tmp_path, cust):
+    """evolve_schema is a metadata-only commit: the stream skips it,
+    and a consumer (re)started after it derives the EVOLVED superset
+    schema — pre-evolution delta files null-fill the new column."""
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tblevo")
+    out, ckpt = str(tmp_path / "oevo"), str(tmp_path / "cevo")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    t.commit_delta(cust.limit(10), ["c_custkey"], batch_id="d1")  # v2
+    _drain(spark, root, out, ckpt)
+    assert spark.read.parquet(out).count() == 10
+    t.evolve_schema("tier string", batch_id="e1")  # v3: metadata-only
+    d2 = cust.limit(4).withColumn("tier", F.lit("gold"))
+    t.commit_delta(d2, ["c_custkey"], batch_id="d2")  # v4
+    # restart against the same checkpoint: the fresh reader derives
+    # the evolved schema and resumes at the committed offset (v2 done)
+    register(spark)
+    df = (
+        spark.readStream.format("manifest_changes")
+        .option("path", root).option("since_version", 1).load()
+    )
+    assert df.columns == [
+        "c_custkey", "c_acctbal", "tier",
+        "_commit_version", "_change_type",
+    ]
+    _drain(spark, root, out, ckpt)
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert got.count() == 14  # 10 (v2, already delivered) + 4 (v4)
+    assert got.filter(
+        (F.col("_commit_version") == 4) & (F.col("tier") == "gold")
+    ).count() == 4
+    assert got.filter(
+        (F.col("_commit_version") == 2) & F.col("tier").isNotNull()
+    ).count() == 0

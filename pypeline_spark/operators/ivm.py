@@ -1664,6 +1664,115 @@ def q_cdf_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+@query(
+    "q_column_mapping",
+    # The oracle recomputes the final table from first principles over
+    # the same modular slices, under the RENAMED/RE-ADDED logical
+    # schema: balance (née c_acctbal — renamed at v3, a metadata-only
+    # commit) = bal+7 where k%7==0 (v7, last writer), else bal+100 for
+    # evens (v4, committed under the NEW logical name but written
+    # physically as the original), else seed bal.  c_mktsegment was
+    # DROPPED at v5 and RE-ADDED at v6 with a fresh column id, so the
+    # original segment bytes are unreachable — n_seg counts exactly
+    # the k%7==0 rows whose v7 upsert wrote the new incarnation.
+    # stats_alive pins that the per-file [min,max] stats (keyed by
+    # physical name) still prune under the renamed logical name.
+    # The full battery (physical file names, key-column renames,
+    # guard rails) is tests/test_manifest.py::TestColumnMapping.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer)
+    SELECT CAST(k % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR((CASE WHEN k % 7 = 0 THEN bal + 7
+                                     WHEN k % 2 = 0 THEN bal + 100
+                                     ELSE bal END) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seg,
+           CAST(3 AS BIGINT) AS n_cols,
+           TRUE AS stats_alive
+    FROM c GROUP BY bucket
+    """,
+)
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping: rename and drop/re-add evolution with ZERO data
+    rewrites (the Delta columnMapping.mode='name' / Iceberg field-id
+    design).  Every tracked column carries an immutable id + physical
+    name; a RENAME changes only the logical name (per-file stats and
+    bloom indexes, keyed by physical name, keep pruning), a DROP
+    retires the (id, physical) pair, and RE-ADDING the same logical
+    name mints a fresh id so the dropped bytes can never resurrect.
+    Writers translate logical→physical at the file boundary, readers
+    map back.  The query drives rename → upsert-under-new-name →
+    drop → re-add → upsert across copy-on-write AND merge-on-read
+    commits and certifies the final resolved content plus live
+    pruning on the renamed column.
+
+    Scale: renaming or dropping a column on a 100 TB table must cost
+    one manifest write, not a full-table rewrite — and the indexes
+    must survive, or every rename silently degrades scans from
+    file-skipping to full enumeration.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    scratch = tempfile.mkdtemp(prefix="colmap_")
+    try:
+        table = ManifestTable(scratch)
+        table.commit_overwrite(
+            c.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed",
+            stats_cols=["c_custkey", "c_acctbal"],
+        )  # v1
+        table.enable_column_mapping(batch_id="cm")  # v2
+        table.rename_column("c_acctbal", "balance", batch_id="rn")  # v3
+        # stats recorded pre-rename still prune under the new name
+        kept, total = table.prune_plan("balance", lo=-1000.0, hi=0.0)
+        stats_alive = total == 8 and len(kept) < total
+        table.commit_delta(
+            c.filter(k % 2 == 0).select(
+                "c_custkey",
+                (F.col("c_acctbal") + 100.0).alias("balance"),
+                "c_mktsegment",
+            ),
+            ["c_custkey"], batch_id="d1",
+        )  # v4: upsert under the NEW logical name
+        table.drop_column("c_mktsegment", batch_id="dr")  # v5
+        table.evolve_schema("c_mktsegment string", batch_id="re")  # v6
+        table.commit_delta(
+            c.filter(k % 7 == 0).select(
+                "c_custkey",
+                (F.col("c_acctbal") + 7.0).alias("balance"),
+                F.lit("NEW").alias("c_mktsegment"),
+            ),
+            ["c_custkey"], batch_id="d2",
+        )  # v7: writes the re-added incarnation
+        got = table.read_resolved(spark)
+        out = (
+            got.groupBy(
+                F.pmod("c_custkey", F.lit(4)).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("balance") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+                F.count("c_mktsegment").cast("bigint").alias("n_seg"),
+            )
+            .withColumn("n_cols", F.lit(len(got.columns)).cast("bigint"))
+            .withColumn("stats_alive", F.lit(bool(stats_alive)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 class FeedRollupMaintainer:
     """Feed-driven incremental view maintenance: keeps a standing
     group-grain rollup (``n_rows``, ``sum_cents``) of a

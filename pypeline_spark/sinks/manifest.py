@@ -391,13 +391,21 @@ class ManifestTable:
                         f"{g.dataType.simpleString()} -> "
                         f"{f.dataType.simpleString()}"
                     )
+            schema = StructType(out).jsonValue()
             new = {
                 **mm,
                 "version": mm["version"] + 1,
                 "batch_ids": mm["batch_ids"]
                 + ([batch_id] if batch_id is not None else []),
-                "schema": StructType(out).jsonValue(),
+                "schema": schema,
             }
+            if self._mapping_enabled(mm):
+                # new columns mint fresh ids + physical names — a
+                # re-add after drop_column can never alias the retired
+                # physical bytes
+                new["schema"], new["max_column_id"] = (
+                    self._assign_column_ids(mm, schema)
+                )
             # {**mm} must not inherit a reorg TIP's tag: this commit is
             # metadata-only, not a rewrite declaration
             new.pop("reorg", None)
@@ -408,6 +416,377 @@ class ManifestTable:
             "evolve_schema",
         )
 
+    # -- column mapping (rename / drop without data rewrites) -------------------
+    #
+    # The additive evolution above can only APPEND columns; renaming or
+    # dropping one would naively rewrite every data file to the new
+    # header.  Column mapping (the Delta columnMapping.mode='name' /
+    # Iceberg field-id design) decouples the LOGICAL schema from the
+    # PHYSICAL file layout: every tracked column gets an immutable id
+    # and an immutable physical name (fixed at column creation, stored
+    # in the StructField metadata exactly where Delta keeps
+    # delta.columnMapping.{id,physicalName}).  Writers rename logical →
+    # physical at the file boundary; readers map back.  A rename then
+    # only changes the logical name (zero data I/O), a drop only
+    # removes the field from the tracked schema (files keep the bytes,
+    # readers project them away), and re-adding a dropped name mints a
+    # NEW id + physical name so old data can never resurrect under it.
+    # Per-file stats and bloom indexes are keyed by PHYSICAL name, so
+    # they survive renames untouched.  Opt-in per table
+    # (enable_column_mapping) so pre-mapping tables keep byte-identical
+    # behavior.
+
+    _CM_ID = "cm.id"
+    _CM_PHYS = "cm.physical"
+
+    @staticmethod
+    def _mapping_enabled(m: dict) -> bool:
+        return m.get("column_mapping") == "name"
+
+    @classmethod
+    def _phys_name(cls, field) -> str:
+        """Physical (file) name of a tracked StructField — its own name
+        unless column-mapping metadata says otherwise."""
+        return (field.metadata or {}).get(cls._CM_PHYS, field.name)
+
+    def _stat_key(self, m: dict, col: str) -> str:
+        """Key under which per-file stats/blooms for logical ``col``
+        are recorded: the physical name on a mapped table (stats
+        survive renames), the column name itself otherwise."""
+        sch = m.get("schema")
+        if sch is None or not self._mapping_enabled(m):
+            return col
+        for f in sch["fields"]:
+            if f["name"] == col:
+                return (f.get("metadata") or {}).get(self._CM_PHYS, col)
+        return col
+
+    def _to_physical(self, df: DataFrame, m: dict) -> DataFrame:
+        """Rename logical → physical columns before a file write on a
+        mapped table (identity otherwise).  Columns not in the tracked
+        schema (the internal change-type marker) pass through."""
+        sch = m.get("schema")
+        if sch is None or not self._mapping_enabled(m):
+            return df
+        from pyspark.sql import functions as F
+
+        ren = {
+            f["name"]: (f.get("metadata") or {}).get(self._CM_PHYS, f["name"])
+            for f in sch["fields"]
+        }
+        return df.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+        )
+
+    def _to_logical(self, df: DataFrame, m: dict) -> DataFrame:
+        """Rename physical → logical after a RAW file read (delta
+        filesets) on a mapped table (identity otherwise).  A physical
+        column whose id was DROPPED has no logical name and is
+        projected away; unknown non-mapped columns (the change-type
+        marker) pass through."""
+        sch = m.get("schema")
+        if sch is None or not self._mapping_enabled(m):
+            return df
+        from pyspark.sql import functions as F
+
+        logical = {
+            (f.get("metadata") or {}).get(self._CM_PHYS, f["name"]): f["name"]
+            for f in sch["fields"]
+        }
+        retired = {
+            r["physical"] for r in m.get("retired_cols", [])
+        }
+        cols = []
+        for c in df.columns:
+            if c in logical:
+                cols.append(F.col(c).alias(logical[c]))
+            elif c in retired:
+                continue  # dropped column's bytes: project away
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    def _translate_cols(self, m: dict, cols: Sequence[str]) -> list[str]:
+        """Logical → physical for a stats/bloom column list (identity
+        on unmapped tables)."""
+        return [self._stat_key(m, c) for c in cols]
+
+    @staticmethod
+    def _align_to_schema(df: DataFrame, schema_json: dict) -> DataFrame:
+        """Project ``df`` onto the tracked logical schema: tracked
+        order, missing columns null-filled (a pure-delta table can
+        resolve narrower than the tracked schema)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in StructType.fromJson(schema_json).fields
+            ]
+        )
+
+    def _assign_column_ids(self, mm: dict, schema_json: dict) -> tuple[dict, int]:
+        """Stamp id + physical-name metadata onto any field of
+        ``schema_json`` that lacks them (new columns from an evolving
+        commit), never reusing an id or physical name — ids grow from
+        the manifest's monotone ``max_column_id`` and generated
+        physical names (``col-<id>``) are checked against every
+        logical name, live physical name, and retired physical name.
+        Returns (schema_json, new_max_id)."""
+        max_id = mm.get("max_column_id", 0)
+        taken = {r["physical"] for r in mm.get("retired_cols", [])}
+        for f in schema_json["fields"]:
+            taken.add(f["name"])
+            md = f.get("metadata") or {}
+            if self._CM_PHYS in md:
+                taken.add(md[self._CM_PHYS])
+        out = []
+        for f in schema_json["fields"]:
+            md = dict(f.get("metadata") or {})
+            if self._CM_ID not in md:
+                max_id += 1
+                phys = f"col-{max_id}"
+                while phys in taken:
+                    max_id += 1
+                    phys = f"col-{max_id}"
+                taken.add(phys)
+                md[self._CM_ID] = max_id
+                md[self._CM_PHYS] = phys
+            out.append({**f, "metadata": md})
+        return {**schema_json, "fields": out}, max_id
+
+    def _for_write(
+        self,
+        carry_map: dict,
+        schema_json: Optional[dict],
+        df: DataFrame,
+        stats_cols: Sequence[str],
+        bloom_cols: Sequence[str],
+    ) -> tuple:
+        """(df, stats_cols, bloom_cols) translated logical → physical
+        for a commit whose NEW tracked schema is ``schema_json`` —
+        identity when the table is unmapped or untracked.  Stats and
+        bloom indexes are therefore keyed by physical name on mapped
+        tables (they survive renames); ``_stat_key`` translates on
+        every probe."""
+        pseudo = {**carry_map, "schema": schema_json}
+        if schema_json is None or not self._mapping_enabled(pseudo):
+            return df, list(stats_cols), list(bloom_cols)
+        return (
+            self._to_physical(df, pseudo),
+            [self._stat_key(pseudo, c) for c in stats_cols],
+            [self._stat_key(pseudo, c) for c in bloom_cols],
+        )
+
+    @classmethod
+    def _carry_mapping(cls, m: dict) -> dict:
+        """Column-mapping state that rides along EVERY commit (unlike
+        the ANALYZE profile, an overwrite keeps it: mapping is a table
+        property, not a content artifact)."""
+        return {
+            k: m[k]
+            for k in ("column_mapping", "max_column_id", "retired_cols")
+            if k in m
+        }
+
+    def enable_column_mapping(self, batch_id: Optional[str] = None) -> int:
+        """Turn on column mapping for a schema-tracked table: a
+        metadata-only commit stamping every tracked column with an
+        immutable id and physical name (= its current name, so every
+        already-written file is already physically correct — the same
+        reason Delta's upgrade path needs no rewrite).  Idempotent via
+        the ledger; re-enabling an already-mapped table is a no-op."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if self._mapping_enabled(m):
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if self._mapping_enabled(mm):
+                return None
+            if mm.get("schema") is None:
+                raise ValueError(
+                    "enable_column_mapping needs a schema-tracked table: "
+                    "run commit_overwrite/compact/optimize once first"
+                )
+            # ids start past any prior counter (a restore to a
+            # pre-mapping version keeps the counter monotone)
+            fields, next_id = [], mm.get("max_column_id", 0)
+            for f in mm["schema"]["fields"]:
+                next_id += 1
+                md = dict(f.get("metadata") or {})
+                md[self._CM_ID] = next_id
+                md[self._CM_PHYS] = f["name"]  # files already use it
+                fields.append({**f, "metadata": md})
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "schema": {**mm["schema"], "fields": fields},
+                "column_mapping": "name",
+                "max_column_id": next_id,
+                "retired_cols": [],
+            }
+            new.pop("reorg", None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata", "delta", "reorg"}),
+            "enable_column_mapping",
+        )
+
+    def rename_column(
+        self, old: str, new: str, batch_id: Optional[str] = None
+    ) -> int:
+        """``ALTER TABLE .. RENAME COLUMN``: metadata-only — the
+        column keeps its id and physical name, so not one data file is
+        touched and its per-file stats/bloom indexes stay live.  Every
+        logical reference in the manifest (key_columns, bloom_cols,
+        ndv_cols + sketch keys, ANALYZE profile keys) follows the
+        rename.  Requires column mapping (enable_column_mapping)."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if not self._mapping_enabled(mm):
+                raise ValueError(
+                    "rename_column needs column mapping: call "
+                    "enable_column_mapping() first"
+                )
+            names = [f["name"] for f in mm["schema"]["fields"]]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                {**f, "name": new} if f["name"] == old else f
+                for f in mm["schema"]["fields"]
+            ]
+
+            def _ren(seq):
+                return [new if c == old else c for c in seq]
+
+            new_m = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "schema": {**mm["schema"], "fields": fields},
+            }
+            if mm.get("key_columns"):
+                new_m["key_columns"] = _ren(mm["key_columns"])
+            if mm.get("bloom_cols"):
+                new_m["bloom_cols"] = _ren(mm["bloom_cols"])
+            if mm.get("ndv_cols"):
+                new_m["ndv_cols"] = _ren(mm["ndv_cols"])
+            if old in mm.get("ndv", {}):
+                new_m["ndv"] = {
+                    (new if c == old else c): v
+                    for c, v in mm["ndv"].items()
+                }
+            cs = mm.get("colstats")
+            if cs and old in cs.get("columns", {}):
+                new_m["colstats"] = {
+                    **cs,
+                    "columns": {
+                        (new if c == old else c): v
+                        for c, v in cs["columns"].items()
+                    },
+                }
+            new_m.pop("reorg", None)
+            return new_m
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata", "delta", "reorg"}),
+            "rename_column",
+        )
+
+    def drop_column(self, name: str, batch_id: Optional[str] = None) -> int:
+        """``ALTER TABLE .. DROP COLUMN``: metadata-only — the field
+        leaves the tracked schema and readers project its bytes away;
+        no data file is touched.  The (id, physical) pair is RETIRED
+        in the manifest so a later re-add of the same logical name
+        mints a fresh id + physical name and can never resurrect the
+        dropped data.  Key columns cannot be dropped (merge-on-read
+        resolution needs them); dropping the last column is refused."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if not self._mapping_enabled(mm):
+                raise ValueError(
+                    "drop_column needs column mapping: call "
+                    "enable_column_mapping() first"
+                )
+            fields = mm["schema"]["fields"]
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no such column: {name!r}")
+            if name in (mm.get("key_columns") or []):
+                raise ValueError(
+                    f"cannot drop key column {name!r}: merge-on-read "
+                    "resolution needs it"
+                )
+            if len(fields) == 1:
+                raise ValueError("cannot drop the last column")
+            md = hit[0].get("metadata") or {}
+            new_m = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "schema": {
+                    **mm["schema"],
+                    "fields": [f for f in fields if f["name"] != name],
+                },
+                "retired_cols": mm.get("retired_cols", [])
+                + [{
+                    "id": md.get(self._CM_ID),
+                    "physical": md.get(self._CM_PHYS, name),
+                }],
+            }
+            if name in (new_m.get("bloom_cols") or []):
+                new_m["bloom_cols"] = [
+                    c for c in new_m["bloom_cols"] if c != name
+                ]
+            if name in (new_m.get("ndv_cols") or []):
+                new_m["ndv_cols"] = [
+                    c for c in new_m["ndv_cols"] if c != name
+                ]
+                new_m["ndv"] = {
+                    c: v for c, v in new_m.get("ndv", {}).items()
+                    if c != name
+                }
+            cs = new_m.get("colstats")
+            if cs and name in cs.get("columns", {}):
+                new_m["colstats"] = {
+                    **cs,
+                    "columns": {
+                        c: v for c, v in cs["columns"].items() if c != name
+                    },
+                }
+            new_m.pop("reorg", None)
+            return new_m
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata", "delta", "reorg"}),
+            "drop_column",
+        )
+
     def _read_base(
         self, spark: SparkSession, m: dict, names: Sequence[str]
     ) -> DataFrame:
@@ -415,18 +794,36 @@ class ManifestTable:
         is recorded: a file written before a column was added (a
         carried-over entry of a pruned merge) null-fills that column
         at read time — the Delta/Iceberg log-schema read, which makes
-        a heterogeneous base well-defined.  Tables without a tracked
-        schema (pre-evolution manifests) read raw, exactly as
-        before."""
-        from pyspark.sql.types import StructType
+        a heterogeneous base well-defined.  On a column-mapped table
+        the read happens under PHYSICAL names (so renamed columns find
+        their data and re-added ones null-fill on old files) and the
+        result is aliased back to the logical schema.  Tables without
+        a tracked schema (pre-evolution manifests) read raw, exactly
+        as before."""
+        from pyspark.sql.types import StructField, StructType
 
         paths = [os.path.join(self.data_dir, f) for f in names]
         sch = m.get("schema")
-        if sch is not None:
-            return spark.read.schema(StructType.fromJson(sch)).parquet(
-                *paths
-            )
-        return spark.read.parquet(*paths)
+        if sch is None:
+            return spark.read.parquet(*paths)
+        st = StructType.fromJson(sch)
+        if not self._mapping_enabled(m):
+            return spark.read.schema(st).parquet(*paths)
+        from pyspark.sql import functions as F
+
+        phys = StructType(
+            [
+                StructField(self._phys_name(f), f.dataType, f.nullable)
+                for f in st.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(*paths)
+        return df.select(
+            *[
+                F.col(p.name).alias(f.name)
+                for p, f in zip(phys.fields, st.fields)
+            ]
+        )
 
     # -- read path ------------------------------------------------------------
 
@@ -822,7 +1219,7 @@ class ManifestTable:
         entry = m.get("stats", {}).get(name, {})
         if entry.get("bloom_v") != self._BLOOM_V:
             return True
-        b = entry.get("bloom", {}).get(col)
+        b = entry.get("bloom", {}).get(self._stat_key(m, col))
         if b is None:
             return True
         bits = bytes.fromhex(b)
@@ -883,7 +1280,7 @@ class ManifestTable:
         — missing stats mean 'unknown' and the file is kept (pruning
         must be conservative, exactly like Iceberg's inclusive
         projection)."""
-        s = m.get("stats", {}).get(name, {}).get(col)
+        s = m.get("stats", {}).get(name, {}).get(self._stat_key(m, col))
         if s is None:
             return True
         fmin, fmax = s
@@ -1015,11 +1412,36 @@ class ManifestTable:
         ndv_track = (
             m.get("ndv_cols", []) if ndv_cols is None else list(ndv_cols)
         )
-        files, stats, filemeta = self._write_fileset(df, stats_cols, bloom)
         # NO colstats/ndv carry: replaced content invalidates the
         # ANALYZE profile and the absorbed sketch marks outright.
         # Schema tracking RESETS to the batch (replaced content, not
-        # an evolution).
+        # an evolution) — but column-MAPPING state is a table property
+        # and survives: same-named columns keep their id + physical
+        # name, new ones mint fresh ids (the Delta overwriteSchema
+        # rule), so old files stay time-travel-readable under their
+        # own manifests and the mapping never forks.
+        schema = self._merge_schema(None, df)
+        carry_map = self._carry_mapping(m)
+        if self._mapping_enabled(m):
+            prev_md = {
+                f["name"]: f.get("metadata")
+                for f in m.get("schema", {"fields": []})["fields"]
+            }
+            schema = {
+                **schema,
+                "fields": [
+                    {**f, "metadata": prev_md[f["name"]]}
+                    if prev_md.get(f["name"]) else f
+                    for f in schema["fields"]
+                ],
+            }
+            schema, carry_map["max_column_id"] = self._assign_column_ids(
+                m, schema
+            )
+        wdf, wstats, wbloom = self._for_write(
+            carry_map, schema, df, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -1027,7 +1449,8 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
-            "schema": self._merge_schema(None, df),
+            "schema": schema,
+            **carry_map,
         }
         if ndv_track:
             new["ndv_cols"] = ndv_track
@@ -1077,6 +1500,7 @@ class ManifestTable:
                 "switching to copy-on-write commits"
             )
         evolved_schema = None
+        carry_map = self._carry_mapping(m)
         if m.get("schema") is not None:
             # validate additive evolution UP FRONT against the tracked
             # schema (a type change must raise before any data writes —
@@ -1092,6 +1516,12 @@ class ManifestTable:
                     "(nulls allowed)"
                 )
             evolved_schema = self._merge_schema(m["schema"], updates)
+            if self._mapping_enabled(m):
+                # new columns mint ids + physical names (existing ones
+                # keep theirs — _merge_schema preserves tracked fields)
+                evolved_schema, carry_map["max_column_id"] = (
+                    self._assign_column_ids(m, evolved_schema)
+                )
 
         carried: list[str] = []
         if prune_col is not None and m["files"] and m.get("stats"):
@@ -1186,7 +1616,10 @@ class ManifestTable:
         # rewritten files rebuild the table's recorded bloom index
         # (carried files keep theirs via the stats carry-over below)
         bloom = m.get("bloom_cols", [])
-        files, stats, filemeta = self._write_fileset(merged, stats_cols, bloom)
+        wdf, wstats, wbloom = self._for_write(
+            carry_map, evolved_schema, merged, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
         old_meta = m.get("filemeta", {})
         new = {
             "version": m["version"] + 1,
@@ -1202,8 +1635,9 @@ class ManifestTable:
             },
             "bloom_cols": bloom,
             # ANALYZE profile + NDV sketch state ride along (an
-            # overwrite resets both)
+            # overwrite resets both); column-mapping state always rides
             **self._carry_meta(m),
+            **carry_map,
         }
         if evolved_schema is not None:
             new["schema"] = evolved_schema
@@ -1332,7 +1766,22 @@ class ManifestTable:
                 else batch.unionByName(tomb, allowMissingColumns=True)
             )
         bloom = m.get("bloom_cols", [])
-        files, stats, filemeta = self._write_fileset(batch, stats_cols, bloom)
+        # the fileset is written ONCE, before the OCC loop — on a
+        # mapped table its physical column names are fixed by the
+        # schema/ids as of m, so a rebase may only proceed if that
+        # assignment is still the tip's (checked in build below)
+        write_schema = None
+        write_max = m.get("max_column_id")
+        if m.get("schema") is not None:
+            write_schema = self._merge_schema(m["schema"], batch)
+            if self._mapping_enabled(m):
+                write_schema, write_max = self._assign_column_ids(
+                    m, write_schema
+                )
+        wdf, wstats, wbloom = self._for_write(
+            self._carry_mapping(m), write_schema, batch, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
 
         def build(mm: dict) -> Optional[dict]:
             # re-validated per rebase: a concurrent duplicate delivery
@@ -1355,10 +1804,35 @@ class ManifestTable:
                 "filemeta": {**mm.get("filemeta", {}), **filemeta},
                 "bloom_cols": mm.get("bloom_cols", []),
                 # ANALYZE profile + NDV sketch state ride along (an
-                # overwrite resets both)
+                # overwrite resets both); column-mapping state always
                 **self._carry_meta(mm),
+                **self._carry_mapping(mm),
             }
-            if mm.get("schema") is not None:
+            if mm.get("schema") is not None and self._mapping_enabled(mm):
+                # the delta files were written under the (schema, id)
+                # assignment as of m — rebasable only while the tip's
+                # assignment is the same, or the batch widens nothing
+                # (then the tip schema stands as-is); a concurrent
+                # schema change under a widening batch would leave the
+                # written physical names forked — abort (Delta aborts
+                # on concurrent metadata changes for the same reason)
+                if (
+                    mm["schema"] == m.get("schema")
+                    and mm.get("max_column_id") == m.get("max_column_id")
+                ):
+                    new["schema"] = write_schema
+                    new["max_column_id"] = write_max
+                else:
+                    merged = self._merge_schema(mm["schema"], batch)
+                    if merged == mm["schema"]:
+                        new["schema"] = mm["schema"]
+                    else:
+                        raise CommitConflict(
+                            "schema-widening delta on a column-mapped "
+                            "table lost to a concurrent schema change — "
+                            "re-read the table and retry"
+                        )
+            elif mm.get("schema") is not None:
                 # additive table-level evolution: a batch with new
                 # columns widens the tracked schema (delete-only
                 # batches carry keys + marker and widen nothing)
@@ -1457,11 +1931,15 @@ class ManifestTable:
                 # base files read under the tracked schema (a pruned
                 # evolved merge leaves carried files without the new
                 # columns — null-fill them); delta files read raw so
-                # their internal marker column survives the union
+                # their internal marker column survives the union —
+                # mapped back to logical names on a column-mapped table
                 df = self._read_base(spark, m, names)
             else:
-                df = spark.read.parquet(
-                    *[os.path.join(self.data_dir, f) for f in names]
+                df = self._to_logical(
+                    spark.read.parquet(
+                        *[os.path.join(self.data_dir, f) for f in names]
+                    ),
+                    m,
                 )
             parts.append(df.withColumn("__rank__", F.lit(rank)))
         if not parts:
@@ -1518,7 +1996,24 @@ class ManifestTable:
             return m["version"]
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         resolved = self.read_resolved(spark)
-        files, stats, filemeta = self._write_fileset(resolved, stats_cols, bloom)
+        if self._mapping_enabled(m):
+            # content-preserving: the tracked schema (with its ids)
+            # carries; align the resolved view to it (a pure-delta
+            # table may resolve narrower — null-fill) and write under
+            # physical names.  Rebuilding the schema from the frame
+            # (the unmapped path below) would drop the id metadata.
+            schema = m["schema"]
+            resolved = self._align_to_schema(resolved, schema)
+            wdf, wstats, wbloom = self._for_write(
+                self._carry_mapping(m), schema, resolved, stats_cols, bloom
+            )
+        else:
+            # the materialized resolved view IS the whole content: its
+            # schema (the evolved union) becomes the tracked schema —
+            # this is also where a legacy table picks up tracking
+            schema = self._merge_schema(None, resolved)
+            wdf, wstats, wbloom = resolved, stats_cols, bloom
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
         new = {
             "version": m["version"] + 1,
             "files": files,
@@ -1528,16 +2023,14 @@ class ManifestTable:
             "stats": stats,
             "filemeta": filemeta,
             "bloom_cols": bloom,
-            # the materialized resolved view IS the whole content: its
-            # schema (the evolved union) becomes the tracked schema —
-            # this is also where a legacy table picks up tracking
-            "schema": self._merge_schema(None, resolved),
+            "schema": schema,
             # content-preserving rewrite: the change feed reads through
             # it and blind appends rebase over it
             "reorg": True,
             # ANALYZE profile + NDV sketch state ride along (an
-            # overwrite resets both)
+            # overwrite resets both); column-mapping state always rides
             **self._carry_meta(m),
+            **self._carry_mapping(m),
         }
         self._publish(new)
         return new["version"]
@@ -1670,7 +2163,17 @@ class ManifestTable:
         else:
             rewrite = current.repartition(n_files)
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
-        files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
+        if self._mapping_enabled(m):
+            wdf, wstats, wbloom = self._for_write(
+                self._carry_mapping(m),
+                m["schema"],
+                self._align_to_schema(rewrite, m["schema"]),
+                stats_cols,
+                bloom,
+            )
+        else:
+            wdf, wstats, wbloom = rewrite, stats_cols, bloom
+        files, stats, new_meta = self._write_fileset(wdf, wstats, wbloom)
         if cluster_by is not None:
             # tag the rewritten files with their clustering key so
             # evolve_clustering can tell converged files from pending
@@ -1699,8 +2202,9 @@ class ManifestTable:
             # it and blind appends rebase over it
             "reorg": True,
             # ANALYZE profile + NDV sketch state ride along (an
-            # overwrite resets both)
+            # overwrite resets both); column-mapping state always rides
             **self._carry_meta(m),
+            **self._carry_mapping(m),
         }
         if m.get("schema") is not None:
             new["schema"] = m["schema"]  # content-preserving: carry
@@ -1798,7 +2302,15 @@ class ManifestTable:
             bounds_over=self.read(spark),
         )
         bloom = m.get("bloom_cols", [])
-        files, stats, new_meta = self._write_fileset(rewrite, stats_cols, bloom)
+        if self._mapping_enabled(m):
+            wdf, wstats, wbloom = self._for_write(
+                self._carry_mapping(m), m["schema"],
+                self._align_to_schema(rewrite, m["schema"]),
+                stats_cols, bloom,
+            )
+        else:
+            wdf, wstats, wbloom = rewrite, stats_cols, bloom
+        files, stats, new_meta = self._write_fileset(wdf, wstats, wbloom)
         for f in files:
             new_meta.setdefault(f, {})["clustered"] = cols
         new = {
@@ -1821,6 +2333,7 @@ class ManifestTable:
             # it and blind appends rebase over it
             "reorg": True,
             **self._carry_meta(m),
+            **self._carry_mapping(m),
         }
         if m.get("schema") is not None:
             new["schema"] = m["schema"]  # content-preserving: carry
@@ -1884,8 +2397,9 @@ class ManifestTable:
 
         def _manifest_bounds(col: str):
             los, his = [], []
+            skey = self._stat_key(m, col)
             for f in stat_files:
-                ent = stats.get(f, {}).get(col)
+                ent = stats.get(f, {}).get(skey)
                 if not isinstance(ent, (list, tuple)) or len(ent) != 2:
                     return None
                 los.append(ent[0])
@@ -2116,8 +2630,19 @@ class ManifestTable:
             "stats": old.get("stats", {}),
             "filemeta": old.get("filemeta", {}),
             "bloom_cols": old.get("bloom_cols", []),
-            # schema travels with the CONTENT being restored
+            # schema travels with the CONTENT being restored — and so
+            # does the column-mapping state (ids belong to the schema);
+            # the id counter stays MONOTONE across the rollback so an
+            # id minted by a rolled-away commit is never re-minted
             **({"schema": old["schema"]} if old.get("schema") is not None else {}),
+            **self._carry_mapping(old),
+            **(
+                {"max_column_id": max(
+                    old.get("max_column_id", 0), m.get("max_column_id", 0)
+                )}
+                if "max_column_id" in old or "max_column_id" in m
+                else {}
+            ),
             **{k: m[k] for k in ("ndv", "ndv_cols") if k in m},
         }
         self._publish(new)
@@ -2253,8 +2778,12 @@ class ManifestTable:
         for v, fileset in tags:
             if not fileset:  # empty batch committed: no rows to read
                 continue
-            df = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in fileset]
+            df = self._to_logical(
+                spark.read.parquet(
+                    *[os.path.join(self.data_dir, f) for f in fileset]
+                ),
+                mhi,  # mapping as of the range end covers every file:
+                # physical names are immutable per column id
             )
             frames.append(
                 df.withColumn("_commit_version", F.lit(v).cast("bigint"))

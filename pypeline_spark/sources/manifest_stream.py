@@ -100,6 +100,22 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.start = int(options.get("since_version", "0"))
         self.fields = [f.name for f in schema.fields]
+        # column-mapped tables store PHYSICAL names in the files;
+        # capture logical→physical once at plan time (physical names
+        # are immutable per column id, so one snapshot of the mapping
+        # covers every delta file, past and future) — the reader is
+        # pickled to executors with it
+        from pypeline_spark.sinks.manifest import ManifestTable
+
+        m = ManifestTable(self.root)._read_manifest()
+        self.phys = {}
+        if ManifestTable._mapping_enabled(m) and m.get("schema"):
+            self.phys = {
+                f["name"]: (f.get("metadata") or {}).get(
+                    ManifestTable._CM_PHYS, f["name"]
+                )
+                for f in m["schema"]["fields"]
+            }
         # rows are emitted positionally as (data..., version, type):
         # an explicit schema must keep the meta columns LAST, or the
         # tuple-to-schema mapping would silently shear columns
@@ -164,12 +180,16 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.path)
         names = set(tbl.schema.names)
-        data_fields = [f for f in self.fields if f not in META_COLS]
+        data_fields = [
+            (f, self.phys.get(f, f))
+            for f in self.fields
+            if f not in META_COLS
+        ]
         for rec in tbl.to_pylist():
             ct = rec.get("__ct__") or "upsert"
             row = [
-                rec.get(name) if name in names else None
-                for name in data_fields
+                rec.get(phys) if phys in names else None
+                for _name, phys in data_fields
             ]
             yield tuple(row + [partition.version, ct])
 

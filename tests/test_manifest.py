@@ -3068,3 +3068,244 @@ class TestEvolveSchemaCommit:
         v = t.evolve_schema("tier string", batch_id="e1")
         assert v == 3  # rebased over the concurrent delta append
         assert "tier" in t.read_resolved(spark).columns
+
+
+class TestColumnMapping:
+    """Column mapping (Delta columnMapping.mode='name' / Iceberg
+    field-id design): rename and drop are metadata-only, physical
+    names are immutable per column id, re-added names mint new ids,
+    stats/blooms survive renames, and every write/read path
+    translates at the file boundary."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+
+    def _mapped(self, spark, tmp_path, cust, name="cm"):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            cust.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed",
+            stats_cols=["c_custkey", "c_acctbal"],
+        )  # v1
+        t.enable_column_mapping(batch_id="cm")  # v2
+        return t
+
+    def test_rename_is_metadata_only_and_stats_survive(
+        self, spark, tmp_path, cust
+    ):
+        t = self._mapped(spark, tmp_path, cust)
+        files = t._read_manifest()["files"]
+        data_before = set(os.listdir(t.data_dir))
+        t.rename_column("c_acctbal", "balance", batch_id="rn")  # v3
+        m = t._read_manifest()
+        assert m["files"] == files  # zero data writes
+        assert set(os.listdir(t.data_dir)) == data_before
+        got = t.read(spark)
+        assert got.columns == ["c_custkey", "balance", "c_mktsegment"]
+        assert _canon(got) == _canon(
+            cust.withColumnRenamed("c_acctbal", "balance")
+        )
+        # per-file [min,max] stats keyed by physical name still prune
+        # under the NEW logical name
+        kept, total = t.prune_plan("balance", lo=-1000.0, hi=0.0)
+        assert total == 8 and len(kept) < total
+        # guard rails
+        with pytest.raises(ValueError, match="already exists"):
+            t.rename_column("c_custkey", "balance")
+        with pytest.raises(ValueError, match="no such column"):
+            t.rename_column("ghost", "x")
+
+    def test_unmapped_table_refuses_rename_and_drop(
+        self, spark, tmp_path, cust
+    ):
+        t = ManifestTable(str(tmp_path / "plain"))
+        t.commit_overwrite(cust.limit(20), batch_id="seed")
+        with pytest.raises(ValueError, match="column mapping"):
+            t.rename_column("c_acctbal", "balance")
+        with pytest.raises(ValueError, match="column mapping"):
+            t.drop_column("c_mktsegment")
+        u = ManifestTable(str(tmp_path / "untracked"))
+        u.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d")
+        with pytest.raises(ValueError, match="schema-tracked"):
+            u.enable_column_mapping()
+
+    def test_writes_after_rename_stay_physical(self, spark, tmp_path, cust):
+        """A delta committed AFTER the rename writes the ORIGINAL
+        physical name into its files — old and new files stay
+        physically homogeneous, so one mapping serves all reads."""
+        import pyarrow.parquet as pq
+
+        k = F.col("c_custkey")
+        t = self._mapped(spark, tmp_path, cust)
+        t.rename_column("c_acctbal", "balance", batch_id="rn")  # v3
+        upd = (
+            cust.filter(k % 2 == 0)
+            .select(
+                "c_custkey",
+                (F.col("c_acctbal") + 100.0).alias("balance"),
+                "c_mktsegment",
+            )
+        )
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1")  # v4
+        m = t._read_manifest()
+        delta_file = m["deltas"][-1][0]
+        names = pq.ParquetFile(
+            os.path.join(t.data_dir, delta_file)
+        ).schema_arrow.names
+        assert "c_acctbal" in names and "balance" not in names
+        got = t.read_resolved(spark)
+        assert got.columns == ["c_custkey", "balance", "c_mktsegment"]
+        assert got.filter(k % 2 == 0).select(
+            F.min(F.col("balance"))
+        ).first()[0] == cust.filter(k % 2 == 0).select(
+            F.min(F.col("c_acctbal") + 100.0)
+        ).first()[0]
+
+    def test_rename_key_column_follows_everywhere(
+        self, spark, tmp_path, cust
+    ):
+        k = F.col("c_custkey")
+        t = self._mapped(spark, tmp_path, cust)
+        t.commit_delta(
+            cust.limit(10), ["c_custkey"], batch_id="d1"
+        )  # v3: record key_columns pre-rename
+        t.rename_column("c_custkey", "cid", batch_id="rn")  # v4
+        assert t._read_manifest()["key_columns"] == ["cid"]
+        upd = cust.limit(5).select(
+            F.col("c_custkey").alias("cid"),
+            (F.col("c_acctbal") + 1.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        t.commit_delta(upd, ["cid"], batch_id="d2")  # v5: new key name
+        got = t.read_resolved(spark)
+        assert got.count() == cust.count()
+        assert "cid" in got.columns
+
+    def test_drop_then_readd_cannot_resurrect(self, spark, tmp_path, cust):
+        """drop retires the (id, physical) pair; re-adding the same
+        logical name mints a NEW id — the dropped bytes stay invisible
+        on every path (base read, resolved read, feed)."""
+        k = F.col("c_custkey")
+        t = self._mapped(spark, tmp_path, cust)
+        t.drop_column("c_mktsegment", batch_id="dr")  # v3
+        assert t.read(spark).columns == ["c_custkey", "c_acctbal"]
+        t.evolve_schema("c_mktsegment string", batch_id="re")  # v4: new id
+        got = t.read(spark)
+        assert got.columns == ["c_custkey", "c_acctbal", "c_mktsegment"]
+        assert got.filter(F.col("c_mktsegment").isNotNull()).count() == 0
+        upd = cust.filter(k % 10 == 0).select(
+            "c_custkey", "c_acctbal", F.lit("NEW").alias("c_mktsegment")
+        )
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1")  # v5
+        res = t.read_resolved(spark)
+        assert res.filter(F.col("c_mktsegment") == "NEW").count() == (
+            upd.count()
+        )
+        assert res.filter(F.col("c_mktsegment").isNotNull()).count() == (
+            upd.count()
+        )
+        # the two c_mktsegment incarnations carry different ids
+        fields = {
+            f["name"]: f["metadata"]
+            for f in t._read_manifest()["schema"]["fields"]
+        }
+        retired = t._read_manifest()["retired_cols"]
+        assert retired and retired[0]["physical"] == "c_mktsegment"
+        assert fields["c_mktsegment"]["cm.id"] != retired[0]["id"]
+        assert fields["c_mktsegment"]["cm.physical"] != "c_mktsegment"
+        # guard rails
+        with pytest.raises(ValueError, match="no such column"):
+            t.drop_column("ghost")
+
+    def test_drop_key_or_last_column_refused(self, spark, tmp_path, cust):
+        t = self._mapped(spark, tmp_path, cust)
+        t.commit_delta(cust.limit(3), ["c_custkey"], batch_id="d1")
+        with pytest.raises(ValueError, match="key column"):
+            t.drop_column("c_custkey")
+        u = ManifestTable(str(tmp_path / "one"))
+        u.commit_overwrite(cust.select("c_custkey"), batch_id="seed")
+        u.enable_column_mapping()
+        with pytest.raises(ValueError, match="last column"):
+            u.drop_column("c_custkey")
+
+    def test_compact_optimize_overwrite_preserve_mapping(
+        self, spark, tmp_path, cust
+    ):
+        k = F.col("c_custkey")
+        t = self._mapped(spark, tmp_path, cust)
+        t.rename_column("c_acctbal", "balance", batch_id="rn")  # v3
+        id_before = {
+            f["name"]: f["metadata"]["cm.id"]
+            for f in t._read_manifest()["schema"]["fields"]
+        }
+        upd = cust.filter(k % 3 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 50.0).alias("balance"),
+            "c_mktsegment",
+        )
+        t.commit_delta(upd, ["c_custkey"], batch_id="d1")  # v4
+        before = _canon(t.read_resolved(spark))
+        t.compact(spark, batch_id="c1", stats_cols=["c_custkey"])  # v5
+        assert _canon(t.read_resolved(spark)) == before
+        t.optimize(spark, target_rows=10_000, batch_id="o1")  # v6
+        assert _canon(t.read_resolved(spark)) == before
+        m = t._read_manifest()
+        assert self_ids(m) == id_before
+        assert m["column_mapping"] == "name"
+        # overwrite keeps ids of same-named columns, mints new ones
+        t.commit_overwrite(
+            t.read(spark).withColumn("extra", F.lit(1.5)),
+            batch_id="ow",
+        )  # v7
+        m2 = t._read_manifest()
+        ids2 = self_ids(m2)
+        for c, i in id_before.items():
+            assert ids2[c] == i
+        assert ids2["extra"] == m2["max_column_id"]
+        assert _canon(t.read(spark).drop("extra")) == before
+
+    def test_feed_and_stream_after_rename(self, spark, tmp_path, cust):
+        from pypeline_spark.sources.manifest_stream import register
+
+        k = F.col("c_custkey")
+        t = self._mapped(spark, tmp_path, cust)
+        t.commit_delta(
+            cust.filter(k % 2 == 0).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 9.0
+            ),
+            ["c_custkey"], batch_id="d1",
+        )  # v3: pre-rename delta (physical c_acctbal)
+        t.rename_column("c_acctbal", "balance", batch_id="rn")  # v4
+        feed = t.changes(spark, since_version=2)
+        assert feed.columns == [
+            "c_custkey", "balance", "c_mktsegment",
+            "_commit_version", "_change_type",
+        ]
+        n_even = cust.filter(k % 2 == 0).count()
+        assert feed.filter(F.col("balance").isNotNull()).count() == n_even
+        register(spark)
+        df = (
+            spark.readStream.format("manifest_changes")
+            .option("path", t.root).option("since_version", 2).load()
+        )
+        assert "balance" in df.columns
+        out = str(tmp_path / "o"); ckpt = str(tmp_path / "c")
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.filter(F.col("balance").isNotNull()).count() == n_even
+
+
+def self_ids(m):
+    return {
+        f["name"]: f["metadata"]["cm.id"]
+        for f in m["schema"]["fields"]
+        if "cm.id" in (f.get("metadata") or {})
+    }

@@ -1386,6 +1386,7 @@ class ManifestTable:
         stats_cols: Sequence[str] = (),
         bloom_cols: Optional[Sequence[str]] = None,
         ndv_cols: Optional[Sequence[str]] = None,
+        properties: Optional[dict] = None,
     ) -> int:
         """Replace the table contents; returns the new version (or the
         current one when batch_id was already applied).
@@ -1404,7 +1405,15 @@ class ManifestTable:
         :meth:`_update_ndv`), and the current estimate is read back as
         pure metadata (:meth:`ndv_estimate` /
         :meth:`suggest_bloom_bits`).  The overwrite recomputes the
-        sketch from the new content — replaced rows must not linger."""
+        sketch from the new content — replaced rows must not linger.
+
+        ``properties``: an arbitrary JSON-safe dict persisted in the
+        manifest under ``"properties"``, ATOMICALLY with this commit —
+        the hook a consumer uses to bind its own state to a table
+        version (e.g. the durable IVM maintainer's feed cursor: rollup
+        content and cursor land in one atomic publish, so a crash can
+        never separate them).  Scoped to overwrite-maintained tables:
+        other commit kinds do not carry it forward."""
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
@@ -1452,6 +1461,8 @@ class ManifestTable:
             "schema": schema,
             **carry_map,
         }
+        if properties is not None:
+            new["properties"] = dict(properties)
         if ndv_track:
             new["ndv_cols"] = ndv_track
             new["ndv"] = self._update_ndv(df, ndv_track, {})
@@ -2964,6 +2975,11 @@ class ManifestTable:
         return self._commit_retrying(
             m, build, frozenset({"metadata", "reorg"}), "analyze"
         )
+
+    def table_properties(self) -> dict:
+        """The consumer-owned ``properties`` dict of the current
+        version (see :meth:`commit_overwrite`); empty when unset."""
+        return dict(self._read_manifest().get("properties", {}))
 
     def column_stats(self, col: Optional[str] = None) -> Optional[dict]:
         """The persisted ANALYZE profile (or one column's slice of it);

@@ -2976,6 +2976,98 @@ class ManifestTable:
             m, build, frozenset({"metadata", "reorg"}), "analyze"
         )
 
+    # -- metadata-fed join planning ---------------------------------------------
+
+    def live_bytes(self) -> Optional[int]:
+        """Total bytes of every live file (base + outstanding deltas)
+        from the manifest's ``filemeta`` — pure metadata, zero
+        filesystem calls.  ``None`` when any live file predates byte
+        recording (legacy manifests)."""
+        m = self._read_manifest()
+        fm = m.get("filemeta", {})
+        total = 0
+        for f in list(m.get("files", [])) + [
+            n for fs in m.get("deltas", []) for n in fs
+        ]:
+            b = fm.get(f, {}).get("bytes")
+            if b is None:
+                return None
+            total += b
+        return total
+
+    def estimated_resolved_bytes(self) -> Optional[int]:
+        """Estimated byte size of the RESOLVED view — metadata only.
+        Raw live bytes, scaled down by (estimated resolved rows / raw
+        rows) on a merge-on-read table whose key NDV is tracked: the
+        resolved cardinality IS the distinct key count (last writer
+        wins per key), so a table whose deltas mostly re-upsert the
+        same keys is far smaller resolved than raw.  Falls back to raw
+        bytes (a safe OVERestimate for broadcast decisions) when no
+        sketch is available; ``None`` when bytes are unrecorded."""
+        m = self._read_manifest()
+        raw = self.live_bytes()
+        if raw is None:
+            return None
+        keys = m.get("key_columns") or []
+        if not m.get("deltas") or not keys:
+            return raw
+        ndv = m.get("ndv", {}).get(keys[0])
+        if ndv is None:
+            return raw
+        fm = m.get("filemeta", {})
+        rows = 0
+        for f in list(m.get("files", [])) + [
+            n for fs in m.get("deltas", []) for n in fs
+        ]:
+            r = fm.get(f, {}).get("rows")
+            if r is None:
+                return raw
+            rows += r
+        if rows == 0:
+            return raw
+        resolved_rows = min(ndv["estimate"], rows)
+        return -(-raw * resolved_rows // rows)  # ceil scale-down
+
+    def suggest_join_strategy(
+        self, threshold_bytes: int = 10 * 1024 * 1024
+    ) -> str:
+        """``'broadcast'`` when the estimated resolved size fits under
+        ``threshold_bytes`` (pass the session's
+        ``spark.sql.autoBroadcastJoinThreshold`` for parity with the
+        planner), else ``'shuffle'`` — the metadata-driven planning
+        the persisted NDV sketches and filemeta exist for, mirroring
+        :meth:`suggest_bloom_bits`.  Unknown size (legacy manifest)
+        conservatively answers 'shuffle'.
+
+        Scale: Catalyst sizes a plain parquet relation by RAW file
+        bytes, so a merge-on-read dimension whose deltas re-upsert the
+        same keys looks too big to broadcast even when its resolved
+        form fits — this estimate restores the broadcast, turning a
+        100 TB-fact × dimension join from a full shuffle into a
+        map-side join."""
+        est = self.estimated_resolved_bytes()
+        if est is None:
+            return "shuffle"
+        return "broadcast" if est <= threshold_bytes else "shuffle"
+
+    def read_resolved_hinted(
+        self,
+        spark: SparkSession,
+        threshold_bytes: int = 10 * 1024 * 1024,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """``read_resolved`` wrapped in a ``broadcast()`` hint when the
+        metadata advisor says the resolved view fits — the dimension-
+        side read for joins against big fact tables."""
+        from pyspark.sql import functions as F
+
+        df = self.read_resolved(spark, version=version)
+        if df is None:
+            return None
+        if self.suggest_join_strategy(threshold_bytes) == "broadcast":
+            return F.broadcast(df)
+        return df
+
     def table_properties(self) -> dict:
         """The consumer-owned ``properties`` dict of the current
         version (see :meth:`commit_overwrite`); empty when unset."""

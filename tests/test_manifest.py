@@ -3309,3 +3309,57 @@ def self_ids(m):
         for f in m["schema"]["fields"]
         if "cm.id" in (f.get("metadata") or {})
     }
+
+
+class TestJoinAdvisor:
+    """Metadata-fed broadcast planning: live_bytes /
+    estimated_resolved_bytes / suggest_join_strategy read ONLY the
+    manifest; read_resolved_hinted turns the advice into a broadcast
+    hint Catalyst honors."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_live_bytes_matches_filesystem(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "sz"))
+        t.commit_overwrite(cust.limit(200), batch_id="seed")
+        t.commit_delta(cust.limit(50), ["c_custkey"], batch_id="d1")
+        m = t._read_manifest()
+        expect = sum(
+            os.path.getsize(os.path.join(t.data_dir, f))
+            for f in m["files"] + [n for fs in m["deltas"] for n in fs]
+        )
+        assert t.live_bytes() == expect
+
+    def test_ndv_shrinks_mor_estimate(self, spark, tmp_path, cust):
+        """Deltas that re-upsert the SAME keys inflate raw bytes but
+        not the resolved view — the key-NDV sketch sees through it."""
+        t = ManifestTable(str(tmp_path / "mor"))
+        keys = cust.limit(100)
+        t.commit_overwrite(keys, batch_id="seed", ndv_cols=["c_custkey"])
+        for i in range(4):  # same 100 keys re-upserted 4 times
+            t.commit_delta(
+                keys.withColumn("c_acctbal", F.lit(float(i))),
+                ["c_custkey"], batch_id=f"d{i}",
+            )
+        raw = t.live_bytes()
+        est = t.estimated_resolved_bytes()
+        assert est is not None and est < raw / 2  # ~5x smaller
+        # strategy flips with the threshold
+        assert t.suggest_join_strategy(threshold_bytes=est + 1) == "broadcast"
+        assert t.suggest_join_strategy(threshold_bytes=max(1, est // 2)) == "shuffle"
+
+    def test_hinted_read_broadcasts_in_the_plan(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "dim"))
+        t.commit_overwrite(cust.limit(50), batch_id="seed")
+        dim = t.read_resolved_hinted(spark, threshold_bytes=1 << 30)
+        fact = cust
+        plan = fact.join(dim, "c_custkey")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # over-threshold: no hint — planner decides from its own stats
+        dim2 = t.read_resolved_hinted(spark, threshold_bytes=1)
+        assert t.suggest_join_strategy(threshold_bytes=1) == "shuffle"
+        assert dim2 is not None

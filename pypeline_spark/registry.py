@@ -62,125 +62,105 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-13 window is the staleness rotation the r12 verdict
-# directed (directive #1), with the planned 5 r9 picks partially
-# traded for first-certification slots per the new-operator rule
-# below.  Cumulative driver record after round 12: 245 of 245
-# registered queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram r8=45 / r9=50 / r10=50 / r11=50 / r12=50
-# (re-derived from CORRECTNESS_r01..r12 before pinning, per the
-# standing instruction — the derivation matched the r12-planned list
-# name for name).  This window pins (a) the COMPLETE 45-query
-# remaining r8 cohort — whose certs hit the staleness bound now that
-# CORRECTNESS_r12 is the newest record — and (b) five
-# first-certification slots for the operators ADDED in round 13:
-# optimistic-concurrency conflict handling on the manifest commit
-# protocol (`q_manifest_concurrent`, the r12 verdict's directive #2),
-# the typed change feed with MoR delete tombstones (`q_manifest_cdf`,
-# directive #3), change-feed-driven incremental view maintenance
-# (`q_ivm_cdc`, directive #4), the change feed as a streaming source
-# (`q_cdf_stream`, directive #5), and table-level additive schema
-# evolution (`q_table_evolve`, directive #7, landed with its full
-# test battery as required).  Their slots come from deferring the
-# five planned r9 picks; the r9 cohort has runway through the r15
-# window (an r9 cert goes stale only when the newest record reaches
-# r15, so the cohort may drain across the r14 AND r15 windows).
+# The round-14 window is the staleness rotation the r13 verdict
+# directed (directive #1): the r9 cohort is now at the staleness
+# bound (newest record r13; an r9 cert goes stale when the newest
+# record reaches r15), so this window pins (a) 45 of the 50 r9-cohort
+# queries, deferring 5 to the r15 window exactly as the verdict
+# allows ("displace ≤5 of the r9 names to r15"), and (b) five slots
+# for round-14 work: four FIRST-certifications for the operators
+# added this round — change-feed continuity across reorg commits
+# (`q_cdf_through_optimize`, directive #2), feed × schema evolution
+# with the metadata-only evolve_schema commit (`q_cdf_schema_evolve`,
+# directive #3), column mapping rename/drop evolution
+# (`q_column_mapping`, directive #4), and the durable restart-safe
+# IVM maintainer (`q_ivm_durable`, directive #5) — plus a
+# RE-certification of `q_ivm_cdc`, whose semantics changed with
+# directive #2 (its syncs now read THROUGH compactions; the fallback
+# is exercised by a CoW content rewrite), so its r13 cert no longer
+# describes the current query.  Cumulative driver record after round
+# 13: 250 of 250 registered queries ever driver-green
+# (never-certified set EMPTY); latest-cert histogram r9..r13 = 50
+# each (re-derived from CORRECTNESS_r01..r13 before pinning — the
+# derivation matched the r13-planned r9 list name for name).
 # All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 250 after the r13 additions):
-#   r13 window = 45 r8 + 5 new         -> after r13: 50 r9 remain
-#   r14 window = 50 r9 (or 45 r9 + up to 5 new, deferring the rest
-#                to r15 — the r9 cohort is admissible in both)
-#   r15 window = deferred r9 + r10 head; and so on, one cohort per
+# satisfiable at every step; registry 255 after the r14 additions):
+#   r14 window = 45 r9 + 5 (4 new certs + changed q_ivm_cdc)
+#   r15 window = 5 deferred r9 (q_tumbling q_udf_token_count
+#                q_update_only q_upsert q_upsert_excluded — stale at
+#                r15, non-negotiable) + 45 r10 head, deferring the
+#                r10 tail to r16 (r10 admissible through r16)
+#   r16 window = 5 deferred r10 + r11 head; and so on, one cohort per
 #                round, each with one window of float
 # (an rN cert is admissible until the newest record reaches N+6, so
 # every 50-query cohort may drain across two windows.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (250 queries / 50 slots —
-# ceil(250/6) = 42 needed, 8 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (255 queries / 50 slots —
+# ceil(255/6) = 43 needed, 7 slack per window).
 #
-# Planned r14 window, pre-computed so the next rotation is mechanical
-# (re-derive against CORRECTNESS_r13 before pinning, then pre-verify
-# all 50 driver-strict at sf0.01 per the standing recipe): the full
-# 50-query r9 cohort — or defer up to 5 r9 picks to r15 for
-# new-operator slots (the r9 cohort is admissible in both windows).
-# The 50 r9 names (derived programmatically from CORRECTNESS_r01..r12
-# latest-green rounds; ALWAYS re-derive before pinning):
-#   q_agg_salted
-#   q_asof_join q_click_gaps q_corpus_pipeline q_decontaminate
-#   q_dedup_clusters q_dedup_embedding q_dedup_exact q_dedup_incremental
-#   q_dedup_minhash q_embedding_stats q_events_pruned q_ewma_smooth
-#   q_fingerprint q_frame_sample q_join_bucketed q_join_salted
-#   q_lang_filter q_lang_id q_manifest_bloom q_manifest_mor
-#   q_manifest_zorder q_multimodal_meta q_multimodal_pointers q_ngram_jaccard
-#   q_pii_scrub q_pipeline_etl q_quality_score q_range_join
-#   q_repetition q_running_totals q_sample_hash q_sample_stratified
-#   q_scd2 q_session q_sessionize_pandas q_simhash
-#   q_sliding q_snapshot_diff q_stream_dedup q_stream_join
-#   q_text_stats q_token_count q_topk_cosine q_tumbling
-#   q_udf_token_count q_update_only q_upsert q_upsert_excluded
-#   q_zorder
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # staleness rotation: latest driver-green row is round 8 (complete
-    # 45-query cohort — at the strict bound, non-negotiable this round)
-    "q_array_ops",
-    "q_case_coalesce",
-    "q_cte",
-    "q_cube",
-    "q_equidepth_hist_approx",
-    "q_except",
-    "q_except_all",
-    "q_exists_subquery",
-    "q_explode",
-    "q_feature_extract",
-    "q_filter_project",
-    "q_having",
-    "q_in_subquery",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_right",
-    "q_json_props",
-    "q_limit_offset",
-    "q_map_ops",
-    "q_pivot",
-    "q_predicates",
-    "q_rollup",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_str",
-    "q_scalar_subquery",
-    "q_scan",
-    "q_semi",
-    "q_to_json",
-    "q_topk",
-    "q_try_cast",
-    "q_union_all",
-    "q_union_distinct",
-    "q_window_distribution",
-    "q_window_first_last",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_running",
-    "q_window_topn",
-    # first-certification slots for the five operators added in
-    # round 13 (a never-certified query outside the window trips the
-    # staleness guard immediately — new operators MUST take window slots)
-    "q_manifest_concurrent",
-    "q_manifest_cdf",
+    # staleness rotation: 45 of the 50 queries whose latest
+    # driver-green row is round 9 (5 deferred to r15, listed above)
+    "q_agg_salted",
+    "q_asof_join",
+    "q_click_gaps",
+    "q_corpus_pipeline",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_embedding_stats",
+    "q_events_pruned",
+    "q_ewma_smooth",
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_lang_filter",
+    "q_lang_id",
+    "q_manifest_bloom",
+    "q_manifest_mor",
+    "q_manifest_zorder",
+    "q_multimodal_meta",
+    "q_multimodal_pointers",
+    "q_ngram_jaccard",
+    "q_pii_scrub",
+    "q_pipeline_etl",
+    "q_quality_score",
+    "q_range_join",
+    "q_repetition",
+    "q_running_totals",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scd2",
+    "q_session",
+    "q_sessionize_pandas",
+    "q_simhash",
+    "q_sliding",
+    "q_snapshot_diff",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_text_stats",
+    "q_token_count",
+    "q_topk_cosine",
+    "q_zorder",
+    # first-certification slots for the four operators added in
+    # round 14 (a never-certified query outside the window trips the
+    # staleness guard immediately — new operators MUST take window
+    # slots) + re-certification of the semantics-changed q_ivm_cdc
+    "q_cdf_through_optimize",
+    "q_cdf_schema_evolve",
+    "q_column_mapping",
+    "q_ivm_durable",
     "q_ivm_cdc",
-    "q_cdf_stream",
-    "q_table_evolve",
 )
 
 _OPERATOR_MODULES = (

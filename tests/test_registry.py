@@ -2,14 +2,14 @@
 queries (observed cap), so registration order is load-bearing — these
 tests pin it, plus basic registry hygiene.
 
-Round-12 rotation: the window holds the complete 39-query r6-stale
-cohort, 5 r8 picks (front-loading the 50-query r8 cohort so it
-drains across the r13/r14 windows), and first-certification slots for
-the six operators added in round 12 (streaming auto-compaction,
-manifest ANALYZE, partition evolution, incremental NDV sketches, the
-merge-on-read incremental change feed, metadata-only RESTORE) —
-pinned one-to-one against ``registry._DRIVER_WINDOW`` so any drift is
-a loud failure.
+Round-14 rotation: the window holds 45 of the 50-query r9-stale
+cohort (5 deferred to r15, where they are non-negotiable),
+first-certification slots for the four operators added in round 14
+(change-feed continuity across reorg commits, feed × schema
+evolution, column mapping, the durable IVM maintainer), and a
+re-certification slot for the semantics-changed q_ivm_cdc — pinned
+one-to-one against ``registry._DRIVER_WINDOW`` so any drift is a
+loud failure.
 ``test_driver_window_covers_stale_certifications`` makes the round-8
 process failure (a planned rotation that was never pinned)
 mechanically impossible: it parses every CORRECTNESS_r*.json the

@@ -246,6 +246,53 @@ def main(sf_dir: str) -> None:
         n_streamed = spark.read.parquet(out).count()
         print(f"13. streaming the feed: {n_streamed} change rows drained "
               "with version-cursor offsets (restart resumes exactly-once)")
+
+        # -- 14. feed reads THROUGH maintenance (reorg commits) ------------
+        ct.compact(spark, batch_id="c14")  # reorg: folds deltas
+        ct.commit_delta(
+            c.filter(F.col("c_custkey") % 13 == 5),
+            ["c_custkey"], batch_id="d14",
+        )
+        through = ct.changes(spark, since_version=1)
+        versions = sorted(
+            r._commit_version
+            for r in through.select("_commit_version").distinct().collect()
+        )
+        print(f"14. feed through compaction: one read spans versions "
+              f"{versions} — the reorg commit contributed nothing and "
+              "no consumer had to re-snapshot")
+
+        # -- 15. column mapping: rename with zero rewrites ------------------
+        st.enable_column_mapping(batch_id="cm")
+        st.rename_column("tier", "loyalty_tier", batch_id="rn")
+        renamed = st.read(spark)
+        print(f"15. column mapping: renamed tier->loyalty_tier by metadata "
+              f"only (columns now {renamed.columns}; the files still say "
+              "'tier' — readers map physical->logical; drop/re-add mints "
+              "fresh column ids the same way)")
+
+        # -- 16. durable IVM: a standing MV that survives restarts ---------
+        from pypeline_spark.operators.ivm import DurableRollupMaintainer
+
+        cseg = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        src_t = ManifestTable(os.path.join(root, "ivm_src"))
+        src_t.commit_overwrite(cseg, batch_id="seed")
+        mv_root = os.path.join(root, "ivm_mv")
+        args14 = (src_t, mv_root, ["c_custkey"], "c_mktsegment", "c_acctbal")
+        DurableRollupMaintainer(*args14).sync(spark)
+        src_t.commit_delta(
+            cseg.filter(F.col("c_custkey") % 4 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 10.0),
+            ["c_custkey"], batch_id="d1",
+        )
+        m14 = DurableRollupMaintainer(*args14)  # fresh process
+        m14.sync(spark)
+        print(f"16. durable IVM: restarted maintainer resumed at cursor "
+              f"{m14.mv.table_properties()['mv_cursor']} and spliced only "
+              f"the changed groups; the MV table holds "
+              f"{m14.mv.read(spark).count()} rollup rows")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -87,7 +87,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # tools/check_oracle.py) before pinning.
 #
 # Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 255 after the r14 additions):
+# satisfiable at every step; registry 254 after the r14 additions):
 #   r14 window = 45 r9 + 5 (4 new certs + changed q_ivm_cdc)
 #   r15 window = 5 deferred r9 (q_tumbling q_udf_token_count
 #                q_update_only q_upsert q_upsert_excluded — stale at
@@ -98,8 +98,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # (an rN cert is admissible until the newest record reaches N+6, so
 # every 50-query cohort may drain across two windows.)
 # Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (255 queries / 50 slots —
-# ceil(255/6) = 43 needed, 7 slack per window).
+# the guard's >MAX_CERT_AGE_ROUNDS bound (254 queries / 50 slots —
+# ceil(254/6) = 43 needed, 7 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale

@@ -1502,6 +1502,58 @@ class TestChangeFeed:
         with pytest.raises(ValueError, match="not found"):
             t.changes(spark, 1, until_version=99)
 
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(plan=st.lists(st.integers(0, 5), min_size=3, max_size=6))
+    def test_feed_matches_model_across_random_histories(
+        self, spark, sf_dir, tmp_path, plan
+    ):
+        """Model check: a random history of upsert deltas, delete
+        deltas, ANALYZE, compact, OPTIMIZE, and evolve_schema commits
+        must yield a feed containing EXACTLY one (version, type, n)
+        event group per delta commit — metadata and reorg commits
+        contribute nothing and never break the read."""
+        import uuid as _uuid
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        k = F.col("c_custkey")
+        t = ManifestTable(str(tmp_path / f"feedprop-{_uuid.uuid4().hex}"))
+        t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+        expected: dict = {}
+        for i, op in enumerate(plan):
+            if op == 0:
+                s = cust.filter(k % 6 == i % 6)
+                t.commit_delta(s, ["c_custkey"], batch_id=f"u{i}")
+                expected[(t.version(), "upsert")] = s.count()
+            elif op == 1:
+                s = cust.filter(k % 7 == i % 7).limit(40)
+                t.commit_delta(None, ["c_custkey"], batch_id=f"x{i}",
+                               deletes=s)
+                expected[(t.version(), "delete")] = s.count()
+            elif op == 2:
+                t.analyze(spark, ["c_custkey"], batch_id=f"a{i}")
+            elif op == 3:
+                t.compact(spark, batch_id=f"c{i}")
+            elif op == 4:
+                t.optimize(spark, target_rows=100_000, batch_id=f"o{i}")
+            else:
+                t.evolve_schema(f"extra_{i} double", batch_id=f"e{i}")
+        feed = t.changes(spark, since_version=1)
+        if not expected:
+            assert feed.count() == 0
+            return
+        got = {
+            (r.v, r.ct): r.n
+            for r in feed.groupBy(
+                F.col("_commit_version").alias("v"),
+                F.col("_change_type").alias("ct"),
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        assert got == expected
+
     def test_vacuumed_history_raises_cleanly(self, spark, tmp_path, cust):
         """Retention truncates the derivable feed: a cursor pointing
         before the retention horizon must fail loudly (the manifest
@@ -2681,6 +2733,63 @@ class TestOccInterleavingProperty:
         t = ManifestTable(root)
         assert t.applied_batch_ids() == applied
         assert t.version() == 1 + 2 * len(plan)  # dense: no lost commit
+        assert _canon(t.read_resolved(spark)) == _canon(expected)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(plan=st.lists(st.integers(0, 2), min_size=2, max_size=4))
+    def test_random_interleavings_with_reorgs_converge(
+        self, spark, sf_dir, tmp_path, plan
+    ):
+        """Same model with MAINTENANCE in the mix: each step's racing
+        winner is a delta (0), a compact (1) or an OPTIMIZE (2) — the
+        loser's blind append must rebase over ALL of them (reorgs are
+        content-preserving), the ledger must hold every batch, and the
+        resolved content must equal applying the deltas in commit
+        order (maintenance contributes nothing)."""
+        import uuid as _uuid
+
+        from pypeline_spark.sinks.keyed import upsert
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        root = str(tmp_path / f"prop-{_uuid.uuid4().hex}")
+        a, b = ManifestTable(root), ManifestTable(root)
+        seed = cust.filter(F.col("c_custkey") % 7 == 0)
+        a.commit_overwrite(seed, batch_id="seed")
+        expected = seed
+        applied = {"seed"}
+        for i, kind in enumerate(plan):
+            l_slice = cust.filter(F.col("c_custkey") % 7 == (i % 6) + 1) \
+                .withColumn("c_acctbal", F.col("c_acctbal") + float(i))
+            if kind == 0:
+                w_slice = cust.filter(F.col("c_custkey") % 5 == i % 5) \
+                    .withColumn("c_acctbal", F.col("c_acctbal") + 100.0 + i)
+                a._race_once = (
+                    lambda s=w_slice, n=f"w{i}": b.commit_delta(
+                        s, ["c_custkey"], batch_id=n
+                    )
+                )
+                expected = upsert(expected, w_slice, ["c_custkey"])
+                applied.add(f"w{i}")
+            elif kind == 1:
+                a._race_once = lambda n=f"w{i}": b.compact(
+                    spark, batch_id=n
+                )
+                if i > 0:  # step 0 has no deltas: compact no-ops
+                    applied.add(f"w{i}")
+            else:
+                a._race_once = lambda n=f"w{i}": b.optimize(
+                    spark, target_rows=100_000, batch_id=n
+                )
+                applied.add(f"w{i}")
+            a.commit_delta(l_slice, ["c_custkey"], batch_id=f"l{i}")
+            expected = upsert(expected, l_slice, ["c_custkey"])
+            applied.add(f"l{i}")
+        t = ManifestTable(root)
+        assert t.applied_batch_ids() == applied
         assert _canon(t.read_resolved(spark)) == _canon(expected)
 
 

@@ -2189,11 +2189,13 @@ class ManifestTable:
             # tag the rewritten files with their clustering key so
             # evolve_clustering can tell converged files from pending
             # ones by METADATA alone (round-robin output stays untagged
-            # — the rewrite genuinely destroyed any clustering)
+            # — the rewrite genuinely destroyed any clustering).  The
+            # tag stores PHYSICAL names on a mapped table (identity
+            # otherwise) so a later rename_column doesn't make
+            # converged files look pending
+            tag = self._translate_cols(m, [str(c) for c in cluster_by])
             for f in files:
-                new_meta.setdefault(f, {})["clustered"] = [
-                    str(c) for c in cluster_by
-                ]
+                new_meta.setdefault(f, {})["clustered"] = tag
         new = {
             "version": m["version"] + 1,
             "files": carried + files,
@@ -2285,10 +2287,14 @@ class ManifestTable:
                 "them with compact()/optimize() first"
             )
         filemeta = m.get("filemeta", {})
+        # convergence compares PHYSICAL names (what the tags store on a
+        # mapped table) so a rename_column between steps doesn't force
+        # a spurious re-cluster of already-converged files
+        cols_phys = self._translate_cols(m, cols)
         pending = [
             f
             for f in m["files"]
-            if filemeta.get(f, {}).get("clustered") != cols
+            if filemeta.get(f, {}).get("clustered") != cols_phys
         ]
         if not pending:
             return m["version"], 0  # converged: no commit
@@ -2323,7 +2329,7 @@ class ManifestTable:
             wdf, wstats, wbloom = rewrite, stats_cols, bloom
         files, stats, new_meta = self._write_fileset(wdf, wstats, wbloom)
         for f in files:
-            new_meta.setdefault(f, {})["clustered"] = cols
+            new_meta.setdefault(f, {})["clustered"] = cols_phys
         new = {
             "version": m["version"] + 1,
             "files": carried + files,

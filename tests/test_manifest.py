@@ -3472,3 +3472,38 @@ class TestJoinAdvisor:
         dim2 = t.read_resolved_hinted(spark, threshold_bytes=1)
         assert t.suggest_join_strategy(threshold_bytes=1) == "shuffle"
         assert dim2 is not None
+
+
+class TestClusteringSurvivesRename:
+    """The per-file 'clustered' convergence tag stores PHYSICAL names:
+    renaming a clustering column must not make converged files look
+    pending (a spurious full re-cluster on a 100 TB table)."""
+
+    def test_rename_keeps_convergence(self, spark, tmp_path, sf_dir):
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        t = ManifestTable(str(tmp_path / "clus"))
+        t.commit_overwrite(cust, batch_id="seed")
+        t.enable_column_mapping(batch_id="cm")
+        t.optimize(
+            spark, target_rows=50, batch_id="o1",
+            cluster_by=["c_custkey", "c_acctbal"],
+            stats_cols=["c_custkey", "c_acctbal"],
+        )
+        _v, n = t.evolve_clustering(
+            spark, ["c_custkey", "c_acctbal"], target_rows=50,
+            batch_id="e0",
+        )
+        assert n == 0  # converged under the original names
+        t.rename_column("c_acctbal", "balance", batch_id="rn")
+        v_before = t.version()
+        _v, n = t.evolve_clustering(
+            spark, ["c_custkey", "balance"], target_rows=50,
+            batch_id="e1",
+        )
+        assert n == 0  # STILL converged: tags are physical
+        assert t.version() == v_before  # no spurious commit
+        # and pruning under the renamed name still works post-cluster
+        kept, total = t.prune_plan("balance", lo=-1000.0, hi=0.0)
+        assert len(kept) < total

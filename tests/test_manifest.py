@@ -3507,3 +3507,75 @@ class TestClusteringSurvivesRename:
         # and pruning under the renamed name still works post-cluster
         kept, total = t.prune_plan("balance", lo=-1000.0, hi=0.0)
         assert len(kept) < total
+
+
+class TestColumnMappingPrunedPaths:
+    """The data-skipping tiers composed with column mapping: pruned
+    copy-on-write MERGE and bloom point lookups must keep skipping
+    through a rename (stats/bitsets are keyed by physical name)."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_pruned_merge_after_key_rename(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "pm"))
+        t.commit_overwrite(
+            cust.repartitionByRange(8, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        t.enable_column_mapping(batch_id="cm")
+        t.rename_column("c_custkey", "cid", batch_id="rn")
+        before = set(t._read_manifest()["files"])
+        upd = cust.filter(F.col("c_custkey") <= 20).select(
+            F.col("c_custkey").alias("cid"),
+            (F.col("c_acctbal") + 5.0).alias("c_acctbal"),
+        )
+        t.commit_merge(
+            spark, upd, ["cid"], batch_id="m1",
+            prune_col="cid", stats_cols=["cid"],
+        )
+        after = t._read_manifest()["files"]
+        carried = sum(1 for f in after if f in before)
+        assert carried >= 6  # the narrow batch rewrote a sliver
+        got = t.read(spark)
+        assert got.columns == ["cid", "c_acctbal"]
+        assert got.count() == cust.count()
+        assert got.filter(F.col("cid") <= 20).agg(
+            F.min("c_acctbal")
+        ).first()[0] == cust.filter(F.col("c_custkey") <= 20).agg(
+            F.min(F.col("c_acctbal") + 5.0)
+        ).first()[0]
+        # rewritten files recorded their stats under the PHYSICAL name
+        # and pruning still works under the logical one
+        kept, total = t.prune_plan("cid", lo=0, hi=20)
+        assert len(kept) < total
+
+    def test_bloom_point_lookup_after_rename(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "bl"))
+        t.commit_overwrite(
+            cust.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+            bloom_cols=["c_custkey"],
+        )
+        t.enable_column_mapping(batch_id="cm")
+        t.rename_column("c_custkey", "cid", batch_id="rn")
+        key = cust.limit(1).first()[0]
+        keep, total = t.prune_plan_eq("cid", key)
+        assert total == 8 and len(keep) <= 2  # stats + bloom both live
+        got = t.read_pruned_eq(spark, "cid", key)
+        assert got.count() == 1
+        # a delta committed under the new name keeps the bloom
+        # property alive on its (physically named) files
+        t.commit_delta(
+            cust.limit(5).select(
+                F.col("c_custkey").alias("cid"),
+                F.lit(42.0).alias("c_acctbal"),
+            ),
+            ["cid"], batch_id="d1",
+        )
+        res = t.read_resolved(spark, prune=("cid", key, key))
+        assert res.count() == 1

@@ -101,6 +101,26 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # the guard's >MAX_CERT_AGE_ROUNDS bound (254 queries / 50 slots —
 # ceil(254/6) = 43 needed, 7 slack per window).
 #
+# Planned r15 window, pre-computed so the rotation is mechanical
+# (ALWAYS re-derive against CORRECTNESS_r01..r14 before pinning, then
+# pre-verify all 50 driver-strict at sf0.01): the 5 deferred r9 names
+# above (stale at r15 — non-negotiable) + 45 of the 50-query r10
+# cohort, deferring up to 5 r10 names to r16 if r15 ships new
+# first-certs.  The 50 r10 names as derived from CORRECTNESS_r01..r13:
+#   q_asof_forward q_asof_nearest q_bloom_join q_bpe_pairs
+#   q_capped_running q_cdc_apply q_cohort_retention q_column_profile
+#   q_conditional_agg q_corr q_corr_matrix q_date_gap_fill
+#   q_dedup_recall q_dedup_url q_doc_chunks q_dq_checks
+#   q_embedding_quantize q_feature_hist q_funnel q_grouping_sets
+#   q_histogram q_interpolate q_knn_recall q_lateral
+#   q_lm_quality q_lsh_efficiency q_manifest_optimize q_manifest_vacuum
+#   q_market_basket q_market_share q_median_iqr q_mixture_sample
+#   q_not_in_nulls q_nullsafe_join q_outliers q_pack_sequences
+#   q_percentile q_pipeline_cdc q_recursive_cte q_regional_revenue
+#   q_returned_items q_rfm q_rolling_dau q_shipping_priority
+#   q_stream_enrich q_string_agg q_time_rollup q_train_shards
+#   q_unpivot q_vocab_stats
+#
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.

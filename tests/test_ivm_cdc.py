@@ -215,3 +215,43 @@ def test_durable_maintainer_as_stream_consumer(spark, tmp_path, cust):
     assert sorted((r.c_mktsegment, r.n_rows, r.sum_cents)
                   for r in m2.mv.read(spark).collect()) == _recompute(t, spark)
     assert m2.mv.table_properties()["mv_cursor"] == 3
+
+
+def test_durable_maintainer_crash_before_persist_recovers(
+    spark, tmp_path, cust
+):
+    """Crash DURING the (rollup, cursor) publish: durable state is
+    untouched (the publish is atomic), and a fresh maintainer
+    re-derives the identical splice — re-deriving REPLACES affected
+    groups, so recovery cannot double-count."""
+    from pypeline_spark.operators.ivm import DurableRollupMaintainer
+
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "src3"))
+    mv_root = str(tmp_path / "mv3")
+    args = (t, mv_root, ["c_custkey"], "c_mktsegment", "c_acctbal")
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    m1 = DurableRollupMaintainer(*args)
+    m1.sync(spark)  # mv v1, cursor 1
+    t.commit_delta(
+        cust.filter(k % 3 == 0).withColumn("c_acctbal", F.lit(7.0)),
+        ["c_custkey"], batch_id="d1",
+    )  # v2
+
+    def boom(*_a, **_k):
+        raise RuntimeError("simulated crash during MV publish")
+
+    m1.mv.commit_overwrite = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m1.sync(spark)
+    # the atomic publish never happened: durable state is still (v1)
+    m2 = DurableRollupMaintainer(*args)
+    assert m2.cursor == 1
+    assert m2.mv.version() == 1
+    got = sorted((r.c_mktsegment, r.n_rows, r.sum_cents)
+                 for r in m2.sync(spark).collect())
+    assert got == _recompute(t, spark)
+    assert m2.mv.table_properties()["mv_cursor"] == 2
+    persisted = sorted((r.c_mktsegment, r.n_rows, r.sum_cents)
+                       for r in m2.mv.read(spark).collect())
+    assert persisted == got

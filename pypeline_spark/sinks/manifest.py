@@ -161,20 +161,50 @@ class ManifestTable:
         # number from history).  Reading the tip first turns that into
         # an ordinary conflict; the put-if-absent link below still
         # arbitrates same-slot races exactly.
-        # The tip is the MAX of the pointer roll-forward and a direct
-        # directory scan: if an intermediate version file was vacuumed
-        # while the pointer lagged, the roll-forward chain stops short
-        # of the true tip, and trusting it alone would let this writer
-        # re-link a vacuumed slot readers skip (ADVICE r13).  One
-        # listing per publish — commit-rate metadata cost.
-        tip = max(
-            self._read_manifest()["version"], self._max_version_on_disk()
-        )
+        # The directory scan backstops the pointer roll-forward: if an
+        # intermediate version file was vacuumed while the pointer
+        # lagged, the roll-forward chain stops short of the true tip,
+        # and trusting it alone would let this writer re-link a
+        # vacuumed slot readers skip (ADVICE r13).  The scan is
+        # SKIPPED when the roll-forward already reached the slot's
+        # parent (ADVICE r14 — O(history) listing cost on every commit
+        # of a never-vacuumed table): the chain having just proven
+        # ``_manifest.v{version}.json`` absent, a higher version can
+        # only exist if some intermediate manifest was vacuumed, and
+        # ``vacuum`` rolls the pointer forward to the true tip BEFORE
+        # removing any manifest — so a broken chain can never end
+        # exactly at this slot's parent.  (A racer claiming the slot
+        # after the check still loses to the put-if-absent link.)
+        rf = self._read_manifest()
+        tip = rf["version"]
+        if tip < manifest["version"] - 1:
+            tip = max(tip, self._max_version_on_disk())
         if tip >= manifest["version"]:
             raise CommitConflict(
                 f"version {manifest['version']} is not ahead of the "
                 "current tip — a concurrent writer advanced the table"
             )
+        # Commit timestamp (the Delta commit-log timestamp, stamped at
+        # the ONE choke point every commit kind funnels through):
+        # MONOTONE by construction — max(parent's stamp, wall clock) —
+        # so TIMESTAMP AS OF resolution ("latest version <= ts") stays
+        # well-defined under clock skew or a stepped-back clock; ties
+        # resolve to the highest version.  Carried stamps from
+        # ``{**mm}``-style manifest spreads are overwritten here.
+        import time as _time
+
+        if rf["version"] == manifest["version"] - 1:
+            parent_ct = float(rf.get("committed_at", 0.0))
+        else:
+            try:
+                parent_ct = float(
+                    self._manifest_at(manifest["version"] - 1).get(
+                        "committed_at", 0.0
+                    )
+                )
+            except ValueError:
+                parent_ct = 0.0  # parent vacuumed: wall clock rules
+        manifest["committed_at"] = max(parent_ct, _time.time())
         vfile = os.path.join(self.root, f"_manifest.v{manifest['version']}.json")
         tmp = f"{vfile}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
@@ -297,14 +327,78 @@ class ManifestTable:
 
     # -- table-level schema evolution -------------------------------------------
 
+    @staticmethod
+    def _can_widen(src, dst) -> bool:
+        """True when ``src -> dst`` is a SAFE type widening — the
+        Delta 4.0 type-widening matrix restricted to exactly the
+        conversions that are (a) lossless for every representable
+        value and (b) supported by Spark's parquet readers as
+        read-time upcasts (SPARK-40876), so already-written narrow
+        files stay readable under the widened schema with ZERO
+        rewrites: the integral chain byte→short→int→long,
+        float→double, and decimal growth that does not shrink either
+        the integer or the fraction digits.  Everything else (and any
+        narrowing) is NOT a widening and the callers raise."""
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        chain = (ByteType(), ShortType(), IntegerType(), LongType())
+        if src in chain and dst in chain:
+            return chain.index(src) < chain.index(dst)
+        if isinstance(src, FloatType) and isinstance(dst, DoubleType):
+            return True
+        if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+            return (
+                dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale
+                and (dst.precision, dst.scale)
+                != (src.precision, src.scale)
+            )
+        return False
+
+    @classmethod
+    def _merged_field(cls, g, f):
+        """Merge an incoming declaration ``f`` into tracked field
+        ``g`` (same name): identical type keeps ``g``; a NARROWER
+        incoming type also keeps ``g`` (old wide type stands, narrow
+        batch bytes upcast at read); a WIDER incoming type widens the
+        tracked type IN PLACE — nullability and metadata (the
+        column-mapping id + physical name: widening never re-keys a
+        column, its files/stats/blooms all stay valid) are preserved.
+        Anything else raises."""
+        if g.dataType == f.dataType or cls._can_widen(
+            f.dataType, g.dataType
+        ):
+            return g
+        if cls._can_widen(g.dataType, f.dataType):
+            from pyspark.sql.types import StructField
+
+            return StructField(g.name, f.dataType, g.nullable, g.metadata)
+        raise ValueError(
+            "schema evolution is additive/widening-only: column "
+            f"{f.name!r} cannot change type "
+            f"{g.dataType.simpleString()} -> "
+            f"{f.dataType.simpleString()}"
+        )
+
     @classmethod
     def _merge_schema(cls, prev: Optional[dict], df: DataFrame) -> dict:
-        """Additively merge a batch's schema into the tracked table
-        schema (the Delta ``mergeSchema`` rule): existing columns must
-        keep their exact type — no implicit widening, a type change
-        raises — and new columns APPEND.  Internal marker columns are
-        excluded.  Returns the merged schema as a StructType json dict
-        (what the manifest persists)."""
+        """Merge a batch's schema into the tracked table schema (the
+        Delta ``mergeSchema`` rule + the type-widening table feature):
+        new columns APPEND, existing columns must keep their exact
+        type OR move along the safe widening matrix
+        (:meth:`_can_widen` — a wider batch widens the tracked type, a
+        narrower batch upcasts at read); any other type change raises.
+        Internal marker columns are excluded.  Returns the merged
+        schema as a StructType json dict (what the manifest
+        persists)."""
         from pyspark.sql.types import StructType
 
         batch = StructType(
@@ -313,19 +407,14 @@ class ManifestTable:
         if prev is None:
             return batch.jsonValue()
         cur = StructType.fromJson(prev)
-        have = {f.name: f for f in cur.fields}
+        idx = {f.name: i for i, f in enumerate(cur.fields)}
         out = list(cur.fields)
         for f in batch.fields:
-            g = have.get(f.name)
-            if g is None:
+            i = idx.get(f.name)
+            if i is None:
                 out.append(f)
-            elif g.dataType != f.dataType:
-                raise ValueError(
-                    "schema evolution is additive-only: column "
-                    f"{f.name!r} cannot change type "
-                    f"{g.dataType.simpleString()} -> "
-                    f"{f.dataType.simpleString()}"
-                )
+            else:
+                out[i] = cls._merged_field(out[i], f)
         return StructType(out).jsonValue()
 
     def evolve_schema(self, new_columns, batch_id: Optional[str] = None) -> int:
@@ -334,9 +423,14 @@ class ManifestTable:
         rewritten; every existing file null-fills the new columns at
         read (``_read_base``) exactly as after an evolving merge.
         ``new_columns`` is a DDL string (``"tier string, bonus
-        double"``), a StructType, or a list of StructFields.  Additive
-        only: an existing column re-declared with the SAME type is an
-        idempotent no-op, a type change raises.  Goes through the
+        double"``), a StructType, or a list of StructFields.  An
+        existing column re-declared with the SAME type is an
+        idempotent no-op; re-declared with a safely WIDER type
+        (int→bigint, float→double, decimal growth — :meth:`_can_widen`,
+        the Delta type-widening table feature) it widens by metadata
+        only — existing files keep their narrow bytes and upcast at
+        read, stats and bloom indexes stay valid verbatim; any other
+        type change raises.  Goes through the
         same batch-id ledger and OCC retry as every commit, rebasing
         over concurrent deltas / metadata / reorgs (adding a column
         commutes with all of them); content rewrites abort.
@@ -377,20 +471,37 @@ class ManifestTable:
                     "records the table schema) first"
                 )
             cur = StructType.fromJson(mm["schema"])
-            have = {f.name: f for f in cur.fields}
+            idx = {f.name: i for i, f in enumerate(cur.fields)}
             out = list(cur.fields)
             for f in fields:
-                g = have.get(f.name)
-                if g is None:
+                i = idx.get(f.name)
+                if i is None:
+                    idx[f.name] = len(out)
                     out.append(f)
-                    have[f.name] = f
-                elif g.dataType != f.dataType:
-                    raise ValueError(
-                        "schema evolution is additive-only: column "
-                        f"{f.name!r} cannot change type "
-                        f"{g.dataType.simpleString()} -> "
-                        f"{f.dataType.simpleString()}"
-                    )
+                else:
+                    # re-declared column: same type = idempotent no-op;
+                    # a safe WIDENING (int→bigint, float→double,
+                    # decimal growth) updates the tracked type in place
+                    # — metadata-only, the ALTER TABLE .. TYPE shape:
+                    # old files upcast at read (SPARK-40876), and the
+                    # per-file stats/blooms stay valid because the
+                    # file bytes (and so the values a probe
+                    # canonicalizes) are unchanged.  Unlike the batch
+                    # merge rule (where a NARROW batch is fine — it
+                    # upcasts under the wide tracked type), an explicit
+                    # ALTER asking to narrow must raise, not silently
+                    # keep the wide type.
+                    g = out[i]
+                    if g.dataType != f.dataType:
+                        if not self._can_widen(f.dataType, g.dataType):
+                            out[i] = self._merged_field(g, f)
+                        else:
+                            raise ValueError(
+                                "schema evolution is additive/widening-"
+                                f"only: column {f.name!r} cannot NARROW "
+                                f"{g.dataType.simpleString()} -> "
+                                f"{f.dataType.simpleString()}"
+                            )
             schema = StructType(out).jsonValue()
             new = {
                 **mm,
@@ -511,18 +622,37 @@ class ManifestTable:
         on unmapped tables)."""
         return [self._stat_key(m, c) for c in cols]
 
+    @classmethod
+    def _cm_assignment(cls, m: dict, cols) -> dict:
+        """``{logical name: (cm.id, cm.physical)}`` for the named
+        columns as tracked by manifest ``m`` (absent columns omitted)
+        — the identity a rebase guard compares: two manifests agree on
+        a column exactly when its id AND physical name match (a
+        drop + re-add keeps the logical (name, type) but re-keys
+        both)."""
+        out = {}
+        for f in (m.get("schema") or {"fields": []})["fields"]:
+            if f["name"] in cols:
+                md = f.get("metadata") or {}
+                out[f["name"]] = (md.get(cls._CM_ID), md.get(cls._CM_PHYS))
+        return out
+
     @staticmethod
     def _align_to_schema(df: DataFrame, schema_json: dict) -> DataFrame:
         """Project ``df`` onto the tracked logical schema: tracked
         order, missing columns null-filled (a pure-delta table can
-        resolve narrower than the tracked schema)."""
+        resolve narrower than the tracked schema), present columns
+        CAST to the tracked type (a no-op plan node when equal; after
+        a type widening this upcasts rows resolved from pre-widening
+        files, so e.g. a compaction rewrite converges the physical
+        bytes to the tracked wide type)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         have = set(df.columns)
         return df.select(
             *[
-                F.col(f.name)
+                F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in StructType.fromJson(schema_json).fields
@@ -827,7 +957,12 @@ class ManifestTable:
 
     # -- read path ------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: Optional[int] = None) -> Optional[DataFrame]:
+    def read(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        timestamp=None,
+    ) -> Optional[DataFrame]:
         """Snapshot read of the BASE files: the file list is fixed the
         moment the manifest is parsed; concurrent commits can't change
         what this DataFrame scans (immutable files + explicit paths =
@@ -835,8 +970,11 @@ class ManifestTable:
         deltas is read via ``read_resolved`` — this raw view
         deliberately exposes the un-merged base (compaction debugging,
         time travel).  Reads under the tracked table schema when the
-        manifest records one (see ``_read_base``)."""
-        m = self._manifest_at(version)
+        manifest records one (see ``_read_base``).  ``timestamp``
+        (exclusive with ``version``) is ``TIMESTAMP AS OF``: the
+        snapshot at the latest commit <= ts
+        (:meth:`version_at_timestamp`)."""
+        m = self._manifest_at(self._resolve_version(version, timestamp))
         if not m["files"]:
             return None
         return self._read_base(spark, m, m["files"])
@@ -1379,6 +1517,71 @@ class ManifestTable:
         with open(vfile) as fh:
             return json.load(fh)
 
+    # -- commit timestamps / TIMESTAMP AS OF ------------------------------------
+
+    @staticmethod
+    def _ts_epoch(ts) -> float:
+        """Normalize a user timestamp to epoch seconds: a number
+        passes through; a ``datetime`` or ISO-8601 string (naive =
+        local time, the SQL session-timezone convention) converts."""
+        import datetime as _dt
+
+        if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+            return float(ts)
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            return ts.timestamp()
+        raise ValueError(
+            f"timestamp must be epoch seconds, datetime, or ISO-8601 "
+            f"string, got {type(ts).__name__}"
+        )
+
+    def version_at_timestamp(self, ts) -> int:
+        """``TIMESTAMP AS OF`` resolution: the LATEST retained version
+        whose commit timestamp is <= ``ts`` (the Delta/Iceberg rule —
+        'what did the table look like at ts').  Every commit is
+        stamped monotonically at publish (see :meth:`_publish`), so
+        the answer is unique; ties resolve to the highest version.
+        Raises when ``ts`` predates the earliest retained commit
+        (vacuum bounds time travel, exactly as for versions).  Cost:
+        one directory listing + O(retained versions) manifest reads —
+        metadata only, same class as vacuum.  Manifests written before
+        timestamping stamp as epoch 0 and resolve under any ts."""
+        ts = self._ts_epoch(ts)
+        best = -1
+        earliest = None
+        for f in os.listdir(self.root):
+            if not (f.startswith("_manifest.v") and f.endswith(".json")):
+                continue
+            try:
+                v = int(f[len("_manifest.v"):-len(".json")])
+            except ValueError:
+                continue
+            with open(os.path.join(self.root, f)) as fh:
+                ct = float(json.load(fh).get("committed_at", 0.0))
+            if earliest is None or ct < earliest:
+                earliest = ct
+            if ct <= ts and v > best:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"timestamp {ts} predates the earliest retained commit"
+                + (f" ({earliest})" if earliest is not None else
+                   " (no versions committed)")
+            )
+        return best
+
+    def _resolve_version(
+        self, version: Optional[int], timestamp
+    ) -> Optional[int]:
+        """One-of (version, timestamp) → version; both None = tip."""
+        if timestamp is None:
+            return version
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        return self.version_at_timestamp(timestamp)
+
     def commit_overwrite(
         self,
         df: DataFrame,
@@ -1835,13 +2038,26 @@ class ManifestTable:
                     new["max_column_id"] = write_max
                 else:
                     merged = self._merge_schema(mm["schema"], batch)
-                    if merged == mm["schema"]:
+                    bcols = set(batch.columns) - {self._CT}
+                    if merged == mm["schema"] and self._cm_assignment(
+                        mm, bcols
+                    ) == self._cm_assignment(m, bcols):
+                        # logical fit alone is NOT enough: a column
+                        # concurrently dropped and re-added keeps its
+                        # logical (name, type) but mints a new
+                        # physical name — the pre-written fileset
+                        # stores the RETIRED physical bytes, which
+                        # _to_logical would silently project away
+                        # (nulled data winning resolution — ADVICE
+                        # r14).  Rebase only when every batch column's
+                        # (id, physical) assignment is unchanged.
                         new["schema"] = mm["schema"]
                     else:
                         raise CommitConflict(
-                            "schema-widening delta on a column-mapped "
-                            "table lost to a concurrent schema change — "
-                            "re-read the table and retry"
+                            "delta on a column-mapped table lost to a "
+                            "concurrent schema change (widened schema "
+                            "or re-keyed column assignment) — re-read "
+                            "the table and retry"
                         )
             elif mm.get("schema") is not None:
                 # additive table-level evolution: a batch with new
@@ -1872,6 +2088,7 @@ class ManifestTable:
         spark: SparkSession,
         version: Optional[int] = None,
         prune: Optional[tuple] = None,
+        timestamp=None,
     ) -> Optional[DataFrame]:
         """Snapshot read with delta resolution: base ∪ deltas, latest
         commit wins per key.  Resolution is a SINGLE shuffle on the key
@@ -1899,10 +2116,14 @@ class ManifestTable:
         each delta batch at write time, so a single-key read opens
         only the handful of files whose bloom admits the key instead
         of every delta whose [min, max] envelope spans the keyspace.
+
+        ``timestamp`` (exclusive with ``version``) is ``TIMESTAMP AS
+        OF``: resolve at the latest commit <= ts.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        version = self._resolve_version(version, timestamp)
         m = self._manifest_at(version)
         deltas = m.get("deltas", [])
         if not deltas:
@@ -2461,10 +2682,22 @@ class ManifestTable:
 
     # -- retention ------------------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        retain_seconds: Optional[float] = None,
+    ) -> int:
         """Drop data files referenced only by manifests older than the
         newest ``keep_versions``; returns files removed.  Readers of
         retained versions are unaffected (their files stay).
+
+        ``retain_seconds`` adds AGE-based retention (the Delta
+        ``delta.logRetentionDuration`` rule, complementing the version
+        count): a version committed within the window is kept even
+        when older than ``keep_versions`` — so "keep 7 days of time
+        travel" holds regardless of commit rate.  The two retentions
+        UNION (a version survives if either rule keeps it); legacy
+        manifests without a commit stamp age out as epoch 0.
 
         Retention is computed against the TRUE tip (directory scan),
         and the pointer cache is rolled forward to it BEFORE any
@@ -2486,6 +2719,12 @@ class ManifestTable:
                 shutil.copyfile(tip_file, tmp)
                 os.replace(tmp, self._pointer)
         keep_from = current - keep_versions + 1
+        import time as _time
+
+        age_floor = (
+            None if retain_seconds is None
+            else _time.time() - retain_seconds
+        )
         live: set[str] = set()
         dead_manifests = []
         for f in os.listdir(self.root):
@@ -2495,11 +2734,18 @@ class ManifestTable:
             with open(os.path.join(self.root, f)) as fh:
                 mf = json.load(fh)
             # delta files are as live as base files: a retained
-            # merge-on-read version needs both to resolve
-            files = list(mf["files"]) + [
-                n for fs in mf.get("deltas", []) for n in fs
-            ]
-            if v >= keep_from:
+            # merge-on-read version needs both to resolve — and so are
+            # the CDC files of a predicate-DML commit (the change feed
+            # reads them until the version ages out)
+            files = (
+                list(mf["files"])
+                + [n for fs in mf.get("deltas", []) for n in fs]
+                + list(mf.get("cdc_files", []))
+            )
+            if v >= keep_from or (
+                age_floor is not None
+                and float(mf.get("committed_at", 0.0)) >= age_floor
+            ):
                 live.update(files)
             else:
                 dead_manifests.append((f, files))
@@ -2551,6 +2797,7 @@ class ManifestTable:
                     mf = json.load(fh)
                 live.update(mf.get("files", []))
                 live.update(n for fs in mf.get("deltas", []) for n in fs)
+                live.update(mf.get("cdc_files", []))
         now = time.time()
         removed = 0
         for f in os.listdir(self.data_dir):
@@ -2607,7 +2854,12 @@ class ManifestTable:
 
     # -- rollback ---------------------------------------------------------------
 
-    def restore(self, version: int, batch_id: Optional[str] = None) -> int:
+    def restore(
+        self,
+        version: Optional[int] = None,
+        batch_id: Optional[str] = None,
+        timestamp=None,
+    ) -> int:
         """``RESTORE TABLE .. TO VERSION`` (the Delta/Iceberg rollback
         shape): publish a NEW version whose content is exactly the
         retained ``version``'s — file list, outstanding deltas,
@@ -2629,7 +2881,12 @@ class ManifestTable:
         and bloom sizing stays safe.  The exact ANALYZE profile is
         dropped (it describes content being rolled away; re-run
         analyze).  Restoring the current version is a no-op.  Raises
-        if ``version`` was vacuumed."""
+        if ``version`` was vacuumed.  ``timestamp`` (exclusive with
+        ``version``) is ``RESTORE .. TO TIMESTAMP AS OF``: roll back
+        to the latest commit <= ts."""
+        version = self._resolve_version(version, timestamp)
+        if version is None:
+            raise ValueError("restore needs a version or a timestamp")
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
@@ -2670,8 +2927,10 @@ class ManifestTable:
     def changes(
         self,
         spark: SparkSession,
-        since_version: int,
+        since_version: Optional[int] = None,
         until_version: Optional[int] = None,
+        since_timestamp=None,
+        until_timestamp=None,
     ) -> Optional[DataFrame]:
         """Incremental change feed over MERGE-ON-READ history — the
         Delta CDF / Iceberg incremental-read shape: the rows committed
@@ -2723,9 +2982,37 @@ class ManifestTable:
         Returns ``None`` for an empty range on an empty table; an empty
         range on a populated table returns a zero-row frame whose
         schema derives from the files of the manifest AT the range end
-        (not the possibly-newer current base — ADVICE r12)."""
+        (not the possibly-newer current base — ADVICE r12).
+
+        Timestamp bounds (each exclusive with its version twin):
+        ``since_timestamp`` includes every commit stamped AT or AFTER
+        ts (the Delta CDF ``startingTimestamp`` rule — resolved to the
+        latest version committed strictly BEFORE ts, since the range
+        is since-exclusive); ``until_timestamp`` ends the range at the
+        latest commit <= ts (``endingTimestamp``)."""
         from pyspark.sql import functions as F
 
+        if since_timestamp is not None:
+            if since_version is not None:
+                raise ValueError(
+                    "pass since_version OR since_timestamp, not both"
+                )
+            ts = self._ts_epoch(since_timestamp)
+            since_version = 0
+            for f in os.listdir(self.root):
+                if not (f.startswith("_manifest.v") and f.endswith(".json")):
+                    continue
+                try:
+                    v = int(f[len("_manifest.v"):-len(".json")])
+                except ValueError:
+                    continue
+                with open(os.path.join(self.root, f)) as fh:
+                    ct = float(json.load(fh).get("committed_at", 0.0))
+                if ct < ts and v > since_version:
+                    since_version = v
+        elif since_version is None:
+            raise ValueError("changes needs since_version or since_timestamp")
+        until_version = self._resolve_version(until_version, until_timestamp)
         mhi = self._manifest_at(until_version)
         hi = mhi["version"]
         if since_version < 0 or since_version > hi:
@@ -2735,8 +3022,11 @@ class ManifestTable:
 
         def _align(df: DataFrame) -> DataFrame:
             """Project feed rows onto the tracked schema at the range
-            end (columns the range's files never carried null-fill);
-            legacy untracked tables pass through unchanged."""
+            end (columns the range's files never carried null-fill;
+            present columns cast to the tracked type, so a range
+            spanning a type widening emits the widened type even for
+            pre-widening rows); legacy untracked tables pass through
+            unchanged."""
             sch = mhi.get("schema")
             if sch is None:
                 return df
@@ -2744,7 +3034,7 @@ class ManifestTable:
 
             have = set(df.columns)
             cols = [
-                F.col(f.name)
+                F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in have
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in StructType.fromJson(sch).fields

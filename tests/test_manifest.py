@@ -2536,9 +2536,9 @@ class TestSchemaEvolution:
         bad = cust.limit(5).withColumn(
             "c_acctbal", F.col("c_acctbal").cast("string")
         )
-        with pytest.raises(ValueError, match="additive-only"):
+        with pytest.raises(ValueError, match="additive/widening-only"):
             t.commit_merge(spark, bad, ["c_custkey"], batch_id="m1")
-        with pytest.raises(ValueError, match="additive-only"):
+        with pytest.raises(ValueError, match="additive/widening-only"):
             t.commit_delta(bad, ["c_custkey"], batch_id="d1")
 
     def test_delta_widens_then_compact_materializes(
@@ -3124,7 +3124,7 @@ class TestEvolveSchemaCommit:
     def test_type_change_and_untracked_refused(self, spark, tmp_path, cust):
         t = ManifestTable(str(tmp_path / "evobad"))
         t.commit_overwrite(cust.limit(20), batch_id="seed")
-        with pytest.raises(ValueError, match="additive-only"):
+        with pytest.raises(ValueError, match="additive/widening-only"):
             t.evolve_schema("c_acctbal string")
         u = ManifestTable(str(tmp_path / "untracked"))
         u.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d0")
@@ -3579,3 +3579,358 @@ class TestColumnMappingPrunedPaths:
         )
         res = t.read_resolved(spark, prune=("cid", key, key))
         assert res.count() == 1
+
+
+class TestCommitTimestamps:
+    """r15 directive 3: every publish stamps a monotone commit
+    timestamp; TIMESTAMP AS OF resolution on read/read_resolved/
+    restore/changes; age-based vacuum retention."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    @staticmethod
+    def _set_ct(table, version, ts):
+        """Test-only: rewrite a stored manifest's committed_at (and
+        the pointer cache when it is the tip) to a controlled value."""
+        vfile = os.path.join(table.root, f"_manifest.v{version}.json")
+        with open(vfile) as fh:
+            m = json.load(fh)
+        m["committed_at"] = ts
+        with open(vfile, "w") as fh:
+            json.dump(m, fh)
+        with open(table._pointer) as fh:
+            p = json.load(fh)
+        if p["version"] == version:
+            with open(table._pointer, "w") as fh:
+                json.dump(m, fh)
+
+    def _seed3(self, spark, tmp_path, cust, name):
+        """v1 overwrite, v2/v3 deltas (fresh keys — counts add); cts
+        pinned to 1000/2000/3000.  Returns (table, [n@v1, n@v2, n@v3])."""
+        t = ManifestTable(str(tmp_path / name))
+        s1 = cust.filter(F.col("c_custkey") <= 50)
+        s2 = cust.filter(F.col("c_custkey").between(51, 60))
+        s3 = cust.filter(F.col("c_custkey").between(61, 70))
+        t.commit_overwrite(s1, batch_id="seed")
+        t.commit_delta(s2, ["c_custkey"], batch_id="d1")
+        t.commit_delta(s3, ["c_custkey"], batch_id="d2")
+        for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+            self._set_ct(t, v, ts)
+        n1 = s1.count()
+        n2 = n1 + s2.count()
+        return t, [n1, n2, n2 + s3.count()]
+
+    def test_every_commit_is_stamped_monotone(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "stamp"))
+        t.commit_overwrite(cust.limit(30), batch_id="s")
+        t.commit_delta(cust.limit(5), ["c_custkey"], batch_id="d1")
+        t.compact(spark, batch_id="c1")
+        t.commit_overwrite(cust.limit(10), batch_id="o2")
+        cts = [
+            t._manifest_at(v)["committed_at"] for v in range(1, 5)
+        ]
+        assert all(isinstance(c, float) and c > 0 for c in cts)
+        assert cts == sorted(cts)
+
+    def test_stepped_back_clock_keeps_history_monotone(
+        self, spark, tmp_path, cust, monkeypatch
+    ):
+        t = ManifestTable(str(tmp_path / "skew"))
+        t.commit_overwrite(cust.limit(30), batch_id="s")
+        ct1 = t._manifest_at(1)["committed_at"]
+        # step the wall clock BACK for the next (metadata-only, no
+        # Spark job) commit: the max(parent, now) rule must hold
+        import time as _time
+
+        real = _time.time
+        monkeypatch.setattr(_time, "time", lambda: real() - 3600.0)
+        t.evolve_schema("tier string", batch_id="e1")
+        monkeypatch.setattr(_time, "time", real)
+        ct2 = t._manifest_at(2)["committed_at"]
+        assert ct2 >= ct1  # never travels back; ties allowed
+
+    def test_version_at_timestamp_rule(self, spark, tmp_path, cust):
+        t, _ = self._seed3(spark, tmp_path, cust, "asof")
+        assert t.version_at_timestamp(1500.0) == 1
+        assert t.version_at_timestamp(2000.0) == 2  # exact tie: that commit
+        assert t.version_at_timestamp(2999.0) == 2
+        assert t.version_at_timestamp(3000.0) == 3
+        assert t.version_at_timestamp(10_000.0) == 3  # after tip: tip
+        with pytest.raises(ValueError, match="predates"):
+            t.version_at_timestamp(999.0)
+
+    def test_read_and_resolved_as_of_timestamp(self, spark, tmp_path, cust):
+        t, n = self._seed3(spark, tmp_path, cust, "rd")
+        assert t.read(spark, timestamp=1500.0).count() == n[0]
+        assert t.read_resolved(spark, timestamp=2500.0).count() == n[1]
+        assert t.read_resolved(spark, timestamp=3000.0).count() == n[2]
+        with pytest.raises(ValueError, match="not both"):
+            t.read(spark, version=1, timestamp=1500.0)
+
+    def test_changes_timestamp_bounds(self, spark, tmp_path, cust):
+        t, _ = self._seed3(spark, tmp_path, cust, "ch")
+        # startingTimestamp: commits stamped AT or AFTER ts
+        f = t.changes(spark, since_timestamp=2000.0)
+        assert set(
+            r._commit_version for r in f.select("_commit_version")
+            .distinct().collect()
+        ) == {2, 3}
+        f = t.changes(spark, since_timestamp=2500.0)
+        assert set(
+            r._commit_version for r in f.select("_commit_version")
+            .distinct().collect()
+        ) == {3}
+        # endingTimestamp: range ends at latest commit <= ts
+        f = t.changes(spark, since_version=1, until_timestamp=2500.0)
+        assert set(
+            r._commit_version for r in f.select("_commit_version")
+            .distinct().collect()
+        ) == {2}
+        with pytest.raises(ValueError, match="since_version or"):
+            t.changes(spark)
+
+    def test_restore_to_timestamp(self, spark, tmp_path, cust):
+        t, n = self._seed3(spark, tmp_path, cust, "rst")
+        v = t.restore(timestamp=2500.0, batch_id="r1")
+        assert v == 4
+        assert t.read_resolved(spark).count() == n[1]  # v2 content
+        with pytest.raises(ValueError, match="version or a timestamp"):
+            t.restore()
+
+    def test_vacuum_age_based_retention(self, spark, tmp_path, cust):
+        import time as _time
+
+        t, n = self._seed3(spark, tmp_path, cust, "vac")
+        now = _time.time()
+        self._set_ct(t, 1, now - 1000.0)
+        self._set_ct(t, 2, now - 100.0)
+        self._set_ct(t, 3, now - 10.0)
+        t.vacuum(keep_versions=1, retain_seconds=500.0)
+        # v1 aged out (beyond both retentions); v2 kept by AGE alone
+        assert not os.path.exists(
+            os.path.join(t.root, "_manifest.v1.json")
+        )
+        assert os.path.exists(os.path.join(t.root, "_manifest.v2.json"))
+        assert t.read_resolved(spark, version=2).count() == n[1]
+        assert t.read_resolved(spark).count() == n[2]
+
+
+class TestTypeWidening:
+    """r15 directive 4: safe type widening (int chain, float→double,
+    decimal growth) as metadata-only evolution — old narrow files
+    upcast at read, stats/blooms stay valid, everything else raises."""
+
+    @pytest.fixture()
+    def frame(self, spark):
+        return spark.range(0, 400).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 0.5).cast("float").alias("v"),
+            F.col("id").cast("decimal(10,2)").alias("d"),
+        ).repartition(8, "k")
+
+    def _seed(self, tmp_path, frame, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            frame, batch_id="seed", stats_cols=["k"], bloom_cols=["k"]
+        )
+        return t
+
+    def test_widen_is_metadata_only_and_reads_upcast(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w1")
+        files_before = t._read_manifest()["files"]
+        v = t.evolve_schema("k bigint, v double, d decimal(14,4)",
+                            batch_id="w")
+        assert v == 2
+        m = t._read_manifest()
+        assert m["files"] == files_before  # zero data files rewritten
+        got = t.read(spark)
+        typ = dict(got.dtypes)
+        assert typ["k"] == "bigint" and typ["v"] == "double"
+        assert typ["d"] == "decimal(14,4)"
+        assert got.count() == 400
+        assert got.agg(F.sum("k")).first()[0] == sum(range(400))
+
+    def test_widen_idempotent_narrowing_and_incompatible_raise(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w2")
+        t.evolve_schema("k bigint", batch_id="w")
+        v = t.evolve_schema("k bigint", batch_id="w2")  # re-declare: no-op
+        assert dict(t.read(spark).dtypes)["k"] == "bigint"
+        with pytest.raises(ValueError, match="widening-only"):
+            t.evolve_schema("k int")  # narrowing
+        with pytest.raises(ValueError, match="widening-only"):
+            t.evolve_schema("v string")  # incompatible
+        with pytest.raises(ValueError, match="widening-only"):
+            t.evolve_schema("d decimal(10,4)")  # shrinks integer digits
+
+    def test_stats_and_bloom_pruning_survive_widening(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w3")
+        keep0, total0 = t.prune_plan_eq("k", 7)
+        assert len(keep0) < total0
+        t.evolve_schema("k bigint", batch_id="w")
+        keep1, total1 = t.prune_plan_eq("k", 7)
+        assert (keep1, total1) == (keep0, total0)  # byte-identical pruning
+        got = t.read_pruned_eq(spark, "k", 7)
+        assert got.count() == 1 and got.first()["k"] == 7
+
+    def test_narrow_delta_after_widening_resolves_wide(
+        self, spark, tmp_path, frame, spark_int_batch=None
+    ):
+        t = self._seed(tmp_path, frame, "w4")
+        t.evolve_schema("k bigint", batch_id="w")
+        narrow = frame.filter(F.col("k") < 10).withColumn(
+            "v", F.lit(-1.5).cast("float")
+        )
+        assert dict(narrow.dtypes)["k"] == "int"
+        t.commit_delta(narrow, ["k"], batch_id="d1")
+        res = t.read_resolved(spark)
+        assert dict(res.dtypes)["k"] == "bigint"
+        assert res.count() == 400
+        assert res.filter(F.col("v") == -1.5).count() == 10
+
+    def test_wide_delta_auto_widens_tracked_schema(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w5")
+        wide = frame.limit(5).withColumn("k", F.col("k").cast("bigint"))
+        t.commit_delta(wide, ["k"], batch_id="d1")
+        sch = {
+            f["name"]: f["type"]
+            for f in t._read_manifest()["schema"]["fields"]
+        }
+        assert sch["k"] == "long"
+        assert dict(t.read_resolved(spark).dtypes)["k"] == "bigint"
+
+    def test_feed_emits_widened_type_across_evolution(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w6")
+        t.commit_delta(frame.limit(3), ["k"], batch_id="d1")  # narrow rows
+        t.evolve_schema("k bigint", batch_id="w")
+        t.commit_delta(
+            frame.limit(2).withColumn("k", F.col("k").cast("bigint")),
+            ["k"], batch_id="d2",
+        )
+        feed = t.changes(spark, 1)
+        assert dict(feed.dtypes)["k"] == "bigint"
+        assert feed.count() == 5  # pre-widening rows included, upcast
+
+    def test_compact_after_widening_materializes_wide(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w7")
+        t.commit_delta(frame.limit(3), ["k"], batch_id="d1")
+        t.evolve_schema("k bigint", batch_id="w")
+        t.compact(spark, batch_id="c1", stats_cols=["k"])
+        base = t.read(spark)
+        assert dict(base.dtypes)["k"] == "bigint"
+        assert base.count() == 400
+        # the rewritten parquet files physically store the wide type
+        import pyarrow.parquet as pq
+
+        m = t._read_manifest()
+        f0 = pq.ParquetFile(
+            os.path.join(t.data_dir, m["files"][0])
+        ).schema_arrow
+        assert str(f0.field("k").type) == "int64"
+
+    def test_widening_on_mapped_table_keeps_id_and_physical(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "w8")
+        t.enable_column_mapping(batch_id="cm")
+        before = {
+            f["name"]: f.get("metadata")
+            for f in t._read_manifest()["schema"]["fields"]
+        }
+        t.rename_column("k", "key", batch_id="rn")
+        t.evolve_schema("key bigint", batch_id="w")
+        after = {
+            f["name"]: f.get("metadata")
+            for f in t._read_manifest()["schema"]["fields"]
+        }
+        assert after["key"] == before["k"]  # same id + physical name
+        got = t.read(spark)
+        assert dict(got.dtypes)["key"] == "bigint"
+        assert got.count() == 400
+
+
+class TestAdviceR14Fixes:
+    """Regression tests for the three r14 ADVICE findings."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def test_delta_aborts_on_concurrent_drop_readd(
+        self, spark, tmp_path, cust
+    ):
+        """ADVICE r14 (medium): a batch column concurrently dropped
+        and re-added keeps its logical (name, type) but retires the
+        physical name the in-flight fileset was written under — the
+        rebase must abort, not silently null the column."""
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "readd")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        a.enable_column_mapping(batch_id="cm")
+
+        def race():
+            b.drop_column("c_acctbal", batch_id="dr")
+            b.evolve_schema("c_acctbal double", batch_id="re")
+
+        a._race_once = race
+        batch = cust.limit(10).withColumn("c_acctbal", F.lit(7.25))
+        with pytest.raises(CommitConflict, match="re-keyed|schema change"):
+            a.commit_delta(batch, ["c_custkey"], batch_id="d1")
+        # and the table's resolved content is untouched by the abort
+        assert b.read_resolved(spark).filter(
+            F.col("c_acctbal") == 7.25
+        ).count() == 0
+
+    def test_delta_still_rebases_over_unrelated_add_column(
+        self, spark, tmp_path, cust
+    ):
+        """Positive control: a concurrent ADD COLUMN of a column the
+        batch does not carry leaves every batch column's (id,
+        physical) assignment intact — the rebase proceeds."""
+        root = str(tmp_path / "addcol")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        a.enable_column_mapping(batch_id="cm")
+        a._race_once = lambda: b.evolve_schema("extra string", batch_id="e")
+        batch = cust.limit(10).withColumn("c_acctbal", F.lit(7.25))
+        v = a.commit_delta(batch, ["c_custkey"], batch_id="d1")
+        assert v == 4
+        got = a.read_resolved(spark)
+        assert got.filter(F.col("c_acctbal") == 7.25).count() == 10
+        assert "extra" in got.columns
+
+    def test_publish_skips_directory_scan_on_intact_chain(
+        self, tmp_path, spark, cust, monkeypatch
+    ):
+        """ADVICE r14 (low): commit latency must not pay an O(history)
+        directory listing when the pointer roll-forward already
+        reached the slot's parent — prove the scan is skipped by
+        making it explode."""
+        t = ManifestTable(str(tmp_path / "noscan"))
+        t.commit_overwrite(cust.limit(20), batch_id="s")
+
+        def boom():
+            raise AssertionError("directory scan on the hot path")
+
+        monkeypatch.setattr(t, "_max_version_on_disk", boom)
+        v = t.evolve_schema("tier string", batch_id="e1")  # publishes fine
+        assert v == 2

@@ -46,6 +46,14 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConstraintViolation(ValueError):
+    """A batch (or, for ``add_check_constraint``, the current table
+    content) violates a declared CHECK or NOT NULL constraint.  Raised
+    BEFORE any data file lands — the commit never becomes visible
+    (Delta invariant semantics: constraints gate the write, readers
+    never see a violating row)."""
+
+
 class CommitConflict(RuntimeError):
     """A concurrent writer published the version this commit was about
     to take.  Raised by :meth:`ManifestTable._publish` when the
@@ -527,6 +535,243 @@ class ManifestTable:
             "evolve_schema",
         )
 
+    # -- table constraints (CHECK / NOT NULL, enforced at commit) ---------------
+    #
+    # The reference inherits row invariants from its TARGET database:
+    # the Postgres table's column constraints reject a bad batch at
+    # merge time (ref: /root/reference/pypeline/Pype.py:107 — the
+    # typed ``null::t`` recordset insert surfaces them).  A filesystem
+    # table has no engine underneath, so the invariants are explicit
+    # manifest state validated against every incoming batch BEFORE its
+    # fileset is published — the Delta CHECK-constraint / NOT NULL
+    # invariant design: a violating batch raises ConstraintViolation
+    # and the table is untouched.  CHECK follows SQL semantics
+    # (violated only when the expression is FALSE; NULL passes — use
+    # NOT NULL for nullability).  Tombstone deletes are exempt (they
+    # carry keys + marker only, like Delta deletes).  Validation costs
+    # one aggregation pass over the BATCH per content commit — zero
+    # when no constraints are declared — never a table scan; adding a
+    # constraint scan-validates the CURRENT snapshot once (the Delta
+    # ALTER TABLE ADD CONSTRAINT rule), so commits never re-prove old
+    # rows.
+
+    def _constraints(self, m: dict) -> dict:
+        c = m.get("constraints") or {}
+        return {
+            "checks": dict(c.get("checks", {})),
+            "not_null": list(c.get("not_null", [])),
+        }
+
+    def _validate_constraints(self, m: dict, df: DataFrame, what: str) -> None:
+        """One batch-sized pass proving ``df`` satisfies every declared
+        constraint; raises :class:`ConstraintViolation` naming the
+        first violated one.  A NOT NULL column missing from the batch
+        entirely is a violation too (its rows would resolve as NULL)."""
+        cons = self._constraints(m)
+        if not cons["checks"] and not cons["not_null"]:
+            return
+        from pyspark.sql import functions as F
+
+        flags = []
+        for col in cons["not_null"]:
+            if col not in df.columns:
+                raise ConstraintViolation(
+                    f"{what}: batch lacks NOT NULL column {col!r} "
+                    "(rows would resolve as NULL)"
+                )
+            flags.append((f"NOT NULL {col}", F.col(col).isNull()))
+        for name, expr in cons["checks"].items():
+            flags.append(
+                (
+                    f"CHECK {name} ({expr})",
+                    ~F.coalesce(
+                        F.expr(expr).cast("boolean"), F.lit(True)
+                    ),
+                )
+            )
+        try:
+            probe = df.select(
+                *[c.alias(f"__v{i}__") for i, (_n, c) in enumerate(flags)]
+            )
+            cond = F.col("__v0__")
+            for i in range(1, len(flags)):
+                cond = cond | F.col(f"__v{i}__")
+            bad = probe.filter(cond).first()
+        except ConstraintViolation:
+            raise
+        except Exception as e:  # analysis error: expr references gone
+            raise ConstraintViolation(
+                f"{what}: constraint validation failed to analyze "
+                f"against the batch schema ({e})"
+            ) from e
+        if bad is not None:
+            which = next(
+                flags[i][0]
+                for i in range(len(flags))
+                if bad[f"__v{i}__"]
+            )
+            raise ConstraintViolation(
+                f"{what}: batch violates {which}; commit rejected "
+                "before any file was published"
+            )
+
+    def _guard_constraint_refs(self, m: dict, col: str, what: str) -> None:
+        """Refuse renaming/dropping a column a CHECK expression may
+        reference (Delta blocks both for the same reason: the stored
+        SQL text cannot be reliably rewritten).  Detection is a
+        word-boundary match on the expression text — conservative: a
+        string literal containing the name also blocks, which only
+        ever over-refuses.  NOT NULL columns are handled structurally
+        by the callers (rename follows, drop removes)."""
+        import re as _re
+
+        checks = self._constraints(m)["checks"]
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        hit = [n for n, e in checks.items() if pat.search(e)]
+        if hit:
+            raise ValueError(
+                f"{what}({col!r}): column is referenced by CHECK "
+                f"constraint(s) {hit} — drop_constraint them first"
+            )
+
+    def add_check_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        batch_id: Optional[str] = None,
+    ) -> int:
+        """``ALTER TABLE .. ADD CONSTRAINT name CHECK (expr)``: scan-
+        validate the CURRENT resolved snapshot once (existing rows
+        must already satisfy the invariant — the Delta rule; raises
+        :class:`ConstraintViolation` otherwise), then publish a
+        metadata-only commit recording it.  Every later content commit
+        validates its batch against the constraint before writing.
+        Conservative OCC: ANY concurrent commit aborts this one (a
+        rebase would leave the raced batch unproven)."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        cons = self._constraints(m)
+        if cons["checks"].get(name) == expr:
+            return m["version"]  # idempotent re-add
+        if name in cons["checks"]:
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                "expression — drop_constraint it first"
+            )
+        current = self.read_resolved(spark)
+        if current is not None:
+            trial = {
+                "constraints": {"checks": {name: expr}, "not_null": []}
+            }
+            self._validate_constraints(
+                trial, current, f"add_check_constraint({name!r})"
+            )
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            cc = self._constraints(mm)
+            cc["checks"][name] = expr
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "constraints": cc,
+            }
+            new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset(), f"add_check_constraint({name!r})"
+        )
+
+    def add_not_null(
+        self,
+        spark: SparkSession,
+        cols: Sequence[str],
+        batch_id: Optional[str] = None,
+    ) -> int:
+        """``ALTER TABLE .. ALTER COLUMN .. SET NOT NULL`` for one or
+        more columns: scan-validates the current snapshot, then a
+        metadata-only commit.  Same OCC posture as
+        :meth:`add_check_constraint`."""
+        cols = list(cols)
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        cons = self._constraints(m)
+        missing = [c for c in cols if c not in cons["not_null"]]
+        if not missing:
+            return m["version"]  # idempotent
+        current = self.read_resolved(spark)
+        if current is not None:
+            trial = {"constraints": {"checks": {}, "not_null": missing}}
+            self._validate_constraints(
+                trial, current, f"add_not_null({missing})"
+            )
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            cc = self._constraints(mm)
+            cc["not_null"] += [c for c in cols if c not in cc["not_null"]]
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "constraints": cc,
+            }
+            new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset(), f"add_not_null({cols})"
+        )
+
+    def drop_constraint(self, name: str, batch_id: Optional[str] = None) -> int:
+        """Drop a CHECK constraint (or a NOT NULL column named as
+        ``name``) — metadata-only, rebases over anything non-content
+        (removing an invariant can never invalidate a raced batch)."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            cc = self._constraints(mm)
+            if name in cc["checks"]:
+                del cc["checks"][name]
+            elif name in cc["not_null"]:
+                cc["not_null"].remove(name)
+            else:
+                raise ValueError(f"no constraint {name!r} on this table")
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "constraints": cc,
+            }
+            new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
+            return new
+
+        return self._commit_retrying(
+            m, build,
+            frozenset({"metadata", "delta", "reorg", "dml"}),
+            f"drop_constraint({name!r})",
+        )
+
     # -- column mapping (rename / drop without data rewrites) -------------------
     #
     # The additive evolution above can only APPEND columns; renaming or
@@ -714,12 +959,17 @@ class ManifestTable:
 
     @classmethod
     def _carry_mapping(cls, m: dict) -> dict:
-        """Column-mapping state that rides along EVERY commit (unlike
-        the ANALYZE profile, an overwrite keeps it: mapping is a table
-        property, not a content artifact)."""
+        """Column-mapping AND constraint state that ride along EVERY
+        commit (unlike the ANALYZE profile, an overwrite keeps them:
+        both are table properties, not content artifacts)."""
         return {
             k: m[k]
-            for k in ("column_mapping", "max_column_id", "retired_cols")
+            for k in (
+                "column_mapping",
+                "max_column_id",
+                "retired_cols",
+                "constraints",
+            )
             if k in m
         }
 
@@ -799,6 +1049,7 @@ class ManifestTable:
                 raise ValueError(f"no such column: {old!r}")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            self._guard_constraint_refs(mm, old, "rename_column")
             fields = [
                 {**f, "name": new} if f["name"] == old else f
                 for f in mm["schema"]["fields"]
@@ -814,6 +1065,12 @@ class ManifestTable:
                 + ([batch_id] if batch_id is not None else []),
                 "schema": {**mm["schema"], "fields": fields},
             }
+            if mm.get("constraints", {}).get("not_null"):
+                # NOT NULL is a column property: it follows the rename
+                new_m["constraints"] = {
+                    **mm["constraints"],
+                    "not_null": _ren(mm["constraints"]["not_null"]),
+                }
             if mm.get("key_columns"):
                 new_m["key_columns"] = _ren(mm["key_columns"])
             if mm.get("bloom_cols"):
@@ -873,6 +1130,7 @@ class ManifestTable:
                 )
             if len(fields) == 1:
                 raise ValueError("cannot drop the last column")
+            self._guard_constraint_refs(mm, name, "drop_column")
             md = hit[0].get("metadata") or {}
             new_m = {
                 **mm,
@@ -889,6 +1147,13 @@ class ManifestTable:
                     "physical": md.get(self._CM_PHYS, name),
                 }],
             }
+            nn = (new_m.get("constraints") or {}).get("not_null", [])
+            if name in nn:
+                # the NOT NULL property disappears with its column
+                new_m["constraints"] = {
+                    **new_m["constraints"],
+                    "not_null": [c for c in nn if c != name],
+                }
             if name in (new_m.get("bloom_cols") or []):
                 new_m["bloom_cols"] = [
                     c for c in new_m["bloom_cols"] if c != name
@@ -1620,6 +1885,9 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]  # replay detected: no-op
+        # declared invariants gate the replacement content too (an
+        # overwrite that would break CHECK/NOT NULL is rejected whole)
+        self._validate_constraints(m, df, "commit_overwrite")
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         ndv_track = (
             m.get("ndv_cols", []) if ndv_cols is None else list(ndv_cols)
@@ -1713,6 +1981,9 @@ class ManifestTable:
                 "outstanding merge-on-read deltas: compact() before "
                 "switching to copy-on-write commits"
             )
+        # existing rows were proven at their own commits — only the
+        # incoming batch needs the CHECK/NOT NULL gate
+        self._validate_constraints(m, updates, "commit_merge")
         evolved_schema = None
         carry_map = self._carry_mapping(m)
         if m.get("schema") is not None:
@@ -1937,6 +2208,10 @@ class ManifestTable:
             raise ValueError(
                 f"key_columns {keys} != recorded {m['key_columns']}"
             )
+        if updates is not None:
+            # upsert rows face the CHECK/NOT NULL gate; tombstones are
+            # exempt (keys + marker only — the Delta delete rule)
+            self._validate_constraints(m, updates, "commit_delta")
         batch = updates
         if batch is not None and cdc:
             # typed CDC: one existence probe against the snapshot this
@@ -2006,6 +2281,15 @@ class ManifestTable:
             if mm.get("key_columns") not in (None, keys):
                 raise ValueError(
                     f"key_columns {keys} != recorded {mm['key_columns']}"
+                )
+            if self._constraints(mm) != self._constraints(m):
+                # a constraint added concurrently was never proven
+                # against this (already-written) batch — rebasing
+                # would publish unvalidated rows under the invariant
+                raise CommitConflict(
+                    "commit_delta lost to a concurrent constraint "
+                    "change — re-read the table and retry (the batch "
+                    "must be re-validated)"
                 )
             new = {
                 "version": mm["version"] + 1,

@@ -3934,3 +3934,172 @@ class TestAdviceR14Fixes:
         monkeypatch.setattr(t, "_max_version_on_disk", boom)
         v = t.evolve_schema("tier string", batch_id="e1")  # publishes fine
         assert v == 2
+
+
+class TestConstraints:
+    """r15 directive 5: CHECK / NOT NULL invariants stored in the
+    manifest and enforced against every incoming batch at commit time
+    — the Delta constraints design (the reference gets this from its
+    Postgres target's column constraints, Pype.py:107)."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+
+    def _seed(self, tmp_path, cust, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(cust.limit(100), batch_id="seed")
+        return t
+
+    def test_check_gates_every_content_path(self, spark, tmp_path, cust):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, cust, "chk")
+        t.add_check_constraint(
+            spark, "bal_floor", "c_acctbal >= -1000.0", batch_id="c1"
+        )
+        bad = cust.limit(5).withColumn("c_acctbal", F.lit(-9999.0))
+        before = _canon(t.read_resolved(spark))
+        with pytest.raises(ConstraintViolation, match="bal_floor"):
+            t.commit_overwrite(bad, batch_id="ow")
+        with pytest.raises(ConstraintViolation, match="bal_floor"):
+            t.commit_merge(spark, bad, ["c_custkey"], batch_id="mg")
+        with pytest.raises(ConstraintViolation, match="bal_floor"):
+            t.commit_delta(bad, ["c_custkey"], batch_id="dl")
+        # a rejected commit leaves the table byte-identical
+        assert _canon(t.read_resolved(spark)) == before
+        assert t.applied_batch_ids() == {"seed", "c1"}
+        # a satisfying batch commits fine
+        good = cust.limit(5).withColumn("c_acctbal", F.lit(10.0))
+        t.commit_delta(good, ["c_custkey"], batch_id="ok")
+        assert t.read_resolved(spark).filter(
+            F.col("c_acctbal") == 10.0
+        ).count() == 5
+
+    def test_check_null_passes_sql_semantics(self, spark, tmp_path, cust):
+        t = self._seed(tmp_path, cust, "nullok")
+        t.add_check_constraint(spark, "pos", "c_acctbal >= -1000.0")
+        nully = cust.limit(3).withColumn(
+            "c_acctbal", F.lit(None).cast("double")
+        )
+        # CHECK evaluates UNKNOWN on NULL input -> passes (use NOT
+        # NULL for nullability)
+        t.commit_delta(nully, ["c_custkey"], batch_id="d1")
+        assert t.read_resolved(spark).filter(
+            F.col("c_acctbal").isNull()
+        ).count() == 3
+
+    def test_not_null_rejects_nulls_and_missing_column(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, cust, "nn")
+        t.add_not_null(spark, ["c_acctbal"], batch_id="n1")
+        nully = cust.limit(3).withColumn(
+            "c_acctbal", F.lit(None).cast("double")
+        )
+        with pytest.raises(ConstraintViolation, match="NOT NULL"):
+            t.commit_delta(nully, ["c_custkey"], batch_id="d1")
+        with pytest.raises(ConstraintViolation, match="lacks NOT NULL"):
+            t.commit_delta(
+                cust.limit(3).select("c_custkey", "c_mktsegment"),
+                ["c_custkey"], batch_id="d2",
+            )
+        # tombstone deletes are exempt (keys + marker only)
+        t.commit_delta(
+            None, ["c_custkey"],
+            deletes=cust.limit(2).select("c_custkey"), batch_id="d3",
+        )
+        assert t.read_resolved(spark).count() == 98
+
+    def test_add_constraint_scan_validates_existing_rows(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, cust, "scan")
+        with pytest.raises(ConstraintViolation, match="impossible"):
+            t.add_check_constraint(
+                spark, "impossible", "c_acctbal > 1e18"
+            )
+        with pytest.raises(ConstraintViolation):
+            t.add_not_null(spark, ["nope_col"])
+        # nothing was committed by the failed adds
+        assert t.version() == 1
+
+    def test_idempotent_readd_conflict_and_drop(self, spark, tmp_path, cust):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, cust, "drop")
+        v1 = t.add_check_constraint(spark, "floor", "c_acctbal >= -1e6")
+        assert t.add_check_constraint(
+            spark, "floor", "c_acctbal >= -1e6"
+        ) == v1  # same expr: idempotent no-op
+        with pytest.raises(ValueError, match="already exists"):
+            t.add_check_constraint(spark, "floor", "c_acctbal >= 0")
+        bad = cust.limit(2).withColumn("c_acctbal", F.lit(-1e9))
+        with pytest.raises(ConstraintViolation):
+            t.commit_delta(bad, ["c_custkey"], batch_id="d1")
+        t.drop_constraint("floor", batch_id="dc")
+        t.commit_delta(bad, ["c_custkey"], batch_id="d1")  # now fine
+        with pytest.raises(ValueError, match="no constraint"):
+            t.drop_constraint("floor")
+
+    def test_rename_and_drop_guards(self, spark, tmp_path, cust):
+        t = self._seed(tmp_path, cust, "guard")
+        t.enable_column_mapping(batch_id="cm")
+        t.add_check_constraint(spark, "floor", "c_acctbal >= -1e6")
+        t.add_not_null(spark, ["c_mktsegment"], batch_id="n1")
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            t.rename_column("c_acctbal", "bal")
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            t.drop_column("c_acctbal")
+        # NOT NULL follows a rename structurally
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t.rename_column("c_mktsegment", "segment", batch_id="rn")
+        nully = (
+            cust.limit(2)
+            .withColumnRenamed("c_mktsegment", "segment")
+            .withColumn("segment", F.lit(None).cast("string"))
+        )
+        with pytest.raises(ConstraintViolation, match="NOT NULL segment"):
+            t.commit_delta(nully, ["c_custkey"], batch_id="d1")
+        # and disappears with a drop of its column
+        t.drop_column("segment", batch_id="dcX")
+        assert t._constraints(t._read_manifest())["not_null"] == []
+
+    def test_constraints_survive_overwrite_and_restore(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, cust, "carry")
+        t.add_check_constraint(spark, "floor", "c_acctbal >= -1e6")
+        t.commit_overwrite(cust.limit(50), batch_id="ow")  # v3
+        bad = cust.limit(2).withColumn("c_acctbal", F.lit(-1e9))
+        with pytest.raises(ConstraintViolation):
+            t.commit_overwrite(bad, batch_id="bad")
+        t.restore(version=1, batch_id="rs")  # pre-constraint content...
+        # ...but constraint state travels with the restored MANIFEST
+        # (v1 had none recorded -> gone after restore; Delta restores
+        # table configuration the same way)
+        assert t._constraints(t._read_manifest())["checks"] == {}
+
+    def test_delta_aborts_on_concurrent_constraint_add(
+        self, spark, tmp_path, cust
+    ):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "race")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(cust.limit(100), batch_id="seed")
+        a._race_once = lambda: b.add_check_constraint(
+            spark, "floor", "c_acctbal >= -1e18", batch_id="c1"
+        )
+        batch = cust.limit(5).withColumn("c_acctbal", F.lit(1.0))
+        with pytest.raises(CommitConflict, match="constraint"):
+            a.commit_delta(batch, ["c_custkey"], batch_id="d1")

@@ -257,6 +257,11 @@ class ManifestTable:
             return "metadata"
         if cf == pf and len(cd) == len(pd) + 1 and cd[: len(pd)] == pd:
             return "delta"
+        if cur.get("dml"):
+            # a predicate DELETE/UPDATE: a content change whose exact
+            # row-level change set is recorded in the commit's own
+            # typed CDC fileset (``cdc_files``) — the feed reads it
+            return "dml"
         return "reorg" if cur.get("reorg") else "rewrite"
 
     def _intervening_kinds(self, base: dict, tip: dict) -> set:
@@ -528,10 +533,12 @@ class ManifestTable:
             # {**mm} must not inherit a reorg TIP's tag: this commit is
             # metadata-only, not a rewrite declaration
             new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
             return new
 
         return self._commit_retrying(
-            m, build, frozenset({"metadata", "delta", "reorg"}),
+            m, build, frozenset({"metadata", "delta", "reorg", "dml"}),
             "evolve_schema",
         )
 
@@ -1016,10 +1023,12 @@ class ManifestTable:
                 "retired_cols": [],
             }
             new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
             return new
 
         return self._commit_retrying(
-            m, build, frozenset({"metadata", "delta", "reorg"}),
+            m, build, frozenset({"metadata", "delta", "reorg", "dml"}),
             "enable_column_mapping",
         )
 
@@ -1092,10 +1101,12 @@ class ManifestTable:
                     },
                 }
             new_m.pop("reorg", None)
+            new_m.pop("dml", None)
+            new_m.pop("cdc_files", None)
             return new_m
 
         return self._commit_retrying(
-            m, build, frozenset({"metadata", "delta", "reorg"}),
+            m, build, frozenset({"metadata", "delta", "reorg", "dml"}),
             "rename_column",
         )
 
@@ -1175,10 +1186,12 @@ class ManifestTable:
                     },
                 }
             new_m.pop("reorg", None)
+            new_m.pop("dml", None)
+            new_m.pop("cdc_files", None)
             return new_m
 
         return self._commit_retrying(
-            m, build, frozenset({"metadata", "delta", "reorg"}),
+            m, build, frozenset({"metadata", "delta", "reorg", "dml"}),
             "drop_column",
         )
 
@@ -2139,6 +2152,389 @@ class ManifestTable:
         self._publish(new)
         return new["version"]
 
+    # -- predicate DML (DELETE FROM .. WHERE / UPDATE .. SET .. WHERE) ----------
+    #
+    # The reference's users run row-targeted DML as one SQL statement
+    # against the target database (ref: /root/reference/pypeline/
+    # Pype.py:167 — post_query is free-form SQL, typically a DELETE/
+    # UPDATE cleanup).  On a manifest table that statement becomes the
+    # Delta DELETE/UPDATE shape: (1) prune candidate files from pure
+    # metadata — stats envelopes + bloom probes over conjuncts
+    # extracted from the predicate; (2) one column-pruned scan of the
+    # candidates finds the files that ACTUALLY hold matching rows;
+    # (3) ONLY those files are rewritten copy-on-write — every other
+    # file's manifest entry (name + stats + bloom + filemeta) carries
+    # over verbatim; (4) the commit records per-row typed CDC files
+    # ('delete', or 'update_preimage'/'update_postimage' — the Delta
+    # CDF vocabulary) so the change feed and the streaming source read
+    # THROUGH the commit instead of refusing it as a content rewrite.
+    # At 100 TB this is the difference between rewriting a table and
+    # rewriting the handful of files a narrow predicate touches.
+
+    _NO_LIT = object()
+
+    @classmethod
+    def _sql_literal(cls, tok: str):
+        """Parse an int / float / single-quoted string literal; the
+        ``_NO_LIT`` sentinel means 'not a recognized literal' (the
+        enclosing conjunct then contributes no pruning)."""
+        import re as _re
+
+        tok = tok.strip()
+        if _re.fullmatch(r"-?\d+", tok):
+            return int(tok)
+        if _re.fullmatch(r"-?(\d*\.\d+|\d+\.?)([eE][+-]?\d+)?", tok) and (
+            "." in tok or "e" in tok or "E" in tok
+        ):
+            return float(tok)
+        m = _re.fullmatch(r"'([^']*)'", tok)
+        if m:
+            return m.group(1)
+        return cls._NO_LIT
+
+    @staticmethod
+    def _split_top_and(s: str) -> Optional[list[str]]:
+        """Split a predicate on TOP-LEVEL ``AND`` (outside quotes and
+        parentheses).  Returns ``None`` when a top-level ``OR`` is
+        present — a disjunction defeats per-conjunct envelopes, so the
+        caller skips pruning entirely (correctness never depends on
+        this parser: unparsed text only means 'cannot prune')."""
+        parts: list[str] = []
+        depth = 0
+        in_str = False
+        start = 0
+        i = 0
+        n = len(s)
+
+        def _is_word(j: int, k: int) -> bool:
+            before = s[j - 1] if j > 0 else " "
+            after = s[k] if k < n else " "
+            return not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            )
+
+        while i < n:
+            c = s[i]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and s[i:i + 3].upper() == "AND" and _is_word(i, i + 3):
+                parts.append(s[start:i])
+                start = i + 3
+                i += 3
+                continue
+            elif depth == 0 and s[i:i + 2].upper() == "OR" and _is_word(i, i + 2):
+                return None
+            i += 1
+        parts.append(s[start:])
+        return parts
+
+    @staticmethod
+    def _strip_parens(s: str) -> str:
+        s = s.strip()
+        while s.startswith("(") and s.endswith(")"):
+            depth = 0
+            whole = True
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(s) - 1:
+                        whole = False
+                        break
+            if not whole or depth != 0:
+                break
+            s = s[1:-1].strip()
+        return s
+
+    @classmethod
+    def _prune_conjuncts(cls, predicate: str) -> list[tuple]:
+        """Conservative envelope extraction from a SQL predicate for
+        metadata file pruning: recognized top-level conjuncts of the
+        forms ``col op literal`` / ``literal op col`` (op in =, ==, <,
+        <=, >, >=) and ``col IN (literals)`` become prune facts;
+        everything else is ignored.  SOUND by construction: each
+        recognized conjunct is a NECESSARY condition of the whole AND,
+        so a file failing its envelope can hold no matching row no
+        matter what the unrecognized parts say.  A top-level OR yields
+        no facts at all.  Returns ``("range", col, lo, hi)`` /
+        ``("eq", col, value)`` / ``("in", col, values)`` tuples."""
+        import re as _re
+
+        ident = r"[A-Za-z_][A-Za-z0-9_]*"
+        flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+        parts = cls._split_top_and(predicate)
+        if parts is None:
+            return []
+        facts: list[tuple] = []
+        for raw in parts:
+            c = cls._strip_parens(raw)
+            m = _re.fullmatch(
+                rf"({ident})\s*(==|=|<=|>=|<|>)\s*(.+)", c, _re.S
+            )
+            col = op = lit = None
+            if m and (v := cls._sql_literal(m.group(3))) is not cls._NO_LIT:
+                col, op, lit = m.group(1), m.group(2), v
+            else:
+                m = _re.fullmatch(
+                    rf"(.+?)\s*(==|=|<=|>=|<|>)\s*({ident})", c, _re.S
+                )
+                if m and (
+                    v := cls._sql_literal(m.group(1))
+                ) is not cls._NO_LIT:
+                    op = m.group(2)
+                    col, lit = m.group(3), v
+                    op = {"=": "=", "==": "=="}.get(op) or flip[op]
+            if col is not None:
+                if op in ("=", "=="):
+                    facts.append(("eq", col, lit))
+                elif op in ("<", "<="):
+                    facts.append(("range", col, None, lit))
+                else:  # > / >=
+                    facts.append(("range", col, lit, None))
+                continue
+            m = _re.fullmatch(
+                rf"({ident})\s+[Ii][Nn]\s*\((.*)\)", c, _re.S
+            )
+            if m:
+                vals = [cls._sql_literal(t) for t in m.group(2).split(",")]
+                if vals and all(v is not cls._NO_LIT for v in vals):
+                    facts.append(("in", m.group(1), vals))
+        return facts
+
+    def _dml_candidates(self, m: dict, predicate: str) -> list[str]:
+        """Files that MAY hold rows matching ``predicate``, from pure
+        manifest metadata (stats envelopes; bloom probes for equality
+        facts).  Unknown stats keep a file — conservative, like every
+        pruning path here."""
+        cands = list(m["files"])
+        for fact in self._prune_conjuncts(predicate):
+            if fact[0] == "range":
+                _, col, lo, hi = fact
+                cands = [
+                    f for f in cands if self._overlaps(m, f, col, lo, hi)
+                ]
+            elif fact[0] == "eq":
+                _, col, v = fact
+                cands = [
+                    f
+                    for f in cands
+                    if self._overlaps(m, f, col, v, v)
+                    and self._bloom_may_contain(m, f, col, v)
+                ]
+            else:  # in
+                _, col, vals = fact
+                cands = [
+                    f
+                    for f in cands
+                    if any(
+                        self._overlaps(m, f, col, v, v)
+                        and self._bloom_may_contain(m, f, col, v)
+                        for v in vals
+                    )
+                ]
+        return cands
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """``DELETE FROM table WHERE predicate`` — rows where the
+        predicate is TRUE are removed (FALSE and NULL rows stay, the
+        SQL rule).  Only files actually holding matching rows are
+        rewritten (two-phase: metadata prune, then one column-pruned
+        scan — the Delta DELETE shape); untouched files carry over
+        verbatim.  The commit stores the deleted rows as full-row
+        typed CDC (``_change_type='delete'``), so :meth:`changes` and
+        the streaming source read straight THROUGH it.  Requires a
+        compacted table (no outstanding merge-on-read deltas — for a
+        keyed MoR table, tombstones via ``commit_delta(deletes=)`` are
+        the O(batch) alternative).  A predicate matching nothing is a
+        no-op (no commit).  OCC: rebases over pure-metadata commits
+        only while schema/mapping/constraints are unchanged; any
+        content commit aborts it."""
+        return self._dml_where(spark, predicate, None, batch_id, stats_cols)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assignments: dict,
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """``UPDATE table SET col = expr, .. WHERE predicate`` —
+        ``assignments`` maps column name -> SQL expression (or Python
+        literal); all right-hand sides evaluate against the OLD row
+        (simultaneous assignment, the SQL rule) and each result is
+        cast to the column's existing type (schema-stable — widening
+        goes through ``evolve_schema``).  Same two-phase pruned
+        copy-on-write as :meth:`delete_where`; the commit stores
+        pre- AND post-image CDC rows
+        (``_change_type='update_preimage'/'update_postimage'`` — the
+        Delta CDF vocabulary), so feed consumers see both the group a
+        row left and the one it joined.  Updated rows face the
+        CHECK/NOT NULL gate like any batch."""
+        if not assignments:
+            raise ValueError("update_where needs a non-empty assignments dict")
+        return self._dml_where(
+            spark, predicate, dict(assignments), batch_id, stats_cols
+        )
+
+    def _dml_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assignments: Optional[dict],
+        batch_id: Optional[str],
+        stats_cols: Sequence[str],
+    ) -> int:
+        from pyspark.sql import functions as F
+
+        what = "update_where" if assignments is not None else "delete_where"
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if m.get("deltas"):
+            raise ValueError(
+                f"{what} rewrites base files (copy-on-write): compact() "
+                "outstanding merge-on-read deltas first, or use "
+                "commit_delta(deletes=) tombstones on a keyed table"
+            )
+        if not m["files"]:
+            return m["version"]
+        pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        # phase 1: metadata prune, then ONE column-pruned scan of the
+        # candidates for the files that truly hold matching rows (the
+        # projection is just the predicate columns + the file name, so
+        # Catalyst prunes the parquet read accordingly)
+        candidates = self._dml_candidates(m, predicate)
+        if not candidates:
+            return m["version"]  # provably nothing matches
+        hits = self._collect_index_metadata(
+            self._read_base(spark, m, candidates)
+            .withColumn("__file__", F.input_file_name())
+            .filter(pred)
+            .select("__file__")
+            .distinct()
+        )
+        touched = sorted(
+            os.path.basename(p) for p in hits.column("__file__").to_pylist()
+        )
+        if not touched:
+            return m["version"]  # predicate matched no rows: no-op
+        tset = set(touched)
+        carried = [f for f in m["files"] if f not in tset]
+        # phase 2: rewrite ONLY the touched files (deterministic
+        # explicit-path reads — both passes see identical rows)
+        tdf = self._read_base(spark, m, touched)
+        matched = tdf.filter(pred)
+        kept = tdf.filter(~pred)
+        if assignments is not None:
+            typ = {f.name: f.dataType for f in tdf.schema.fields}
+            bad = [c for c in assignments if c not in typ]
+            if bad:
+                raise ValueError(f"update_where: no such column(s) {bad}")
+            ass = {
+                c: (F.expr(e) if isinstance(e, str) else F.lit(e)).cast(
+                    typ[c]
+                )
+                for c, e in assignments.items()
+            }
+            post = matched.select(
+                *[ass.get(c, F.col(c)).alias(c) for c in tdf.columns]
+            )
+            self._validate_constraints(m, post, what)
+            new_content = kept.unionByName(post)
+            cdc = matched.withColumn(
+                self._CT, F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn(self._CT, F.lit("update_postimage"))
+            )
+        else:
+            new_content = kept
+            cdc = matched.withColumn(self._CT, F.lit("delete"))
+        bloom = m.get("bloom_cols", [])
+        carry_map = self._carry_mapping(m)
+        wdf, wstats, wbloom = self._for_write(
+            carry_map, m.get("schema"), new_content, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
+        cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
+        cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm["files"] != m["files"] or mm.get("deltas"):
+                # only pure-metadata commits are in rebase_over, so
+                # this cannot trip — belt-and-braces for the file split
+                raise CommitConflict(
+                    f"{what}: file list changed under the rewrite"
+                )
+            if mm.get("schema") != m.get("schema") or self._carry_mapping(
+                mm
+            ) != self._carry_mapping(m):
+                # the rewritten fileset was produced under m's schema,
+                # physical-name assignment and constraint set — a
+                # concurrent change to any of them would publish files
+                # readers misinterpret (or rows never re-validated)
+                raise CommitConflict(
+                    f"{what} lost to a concurrent schema/mapping/"
+                    "constraint change — re-read the table and retry"
+                )
+            old_meta = mm.get("filemeta", {})
+            new = {
+                "version": mm["version"] + 1,
+                "files": carried + files,
+                "deltas": [],
+                "key_columns": mm.get("key_columns"),
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "stats": {
+                    **{
+                        f: mm["stats"][f]
+                        for f in carried
+                        if f in mm.get("stats", {})
+                    },
+                    **stats,
+                },
+                "filemeta": {
+                    **{f: old_meta[f] for f in carried if f in old_meta},
+                    **filemeta,
+                    **cdc_meta,
+                },
+                "bloom_cols": bloom,
+                # row-level changes ARE derivable across this commit:
+                # the CDC fileset is the exact change set
+                "dml": True,
+                "cdc_files": cdc_files,
+                # ANALYZE profile + NDV sketch ride (provenance-kept;
+                # deletes only ever leave the HLL an upper bound)
+                **self._carry_meta(mm),
+                **self._carry_mapping(mm),
+            }
+            if mm.get("schema") is not None:
+                new["schema"] = mm["schema"]
+            if mm.get("ndv_cols") and assignments is not None:
+                # updated values are new marks; one O(changed rows) pass
+                new["ndv"] = self._update_ndv(
+                    post, mm["ndv_cols"], mm.get("ndv", {})
+                )
+            return new
+
+        return self._commit_retrying(m, build, frozenset({"metadata"}), what)
+
     # -- merge-on-read --------------------------------------------------------
     #
     # commit_merge above is COPY-ON-WRITE: every commit rewrites its key-
@@ -2363,7 +2759,7 @@ class ManifestTable:
         # re-checked above), metadata-only commits and content-
         # preserving reorgs; content rewrites abort
         return self._commit_retrying(
-            m, build, frozenset({"delta", "metadata", "reorg"}),
+            m, build, frozenset({"delta", "metadata", "reorg", "dml"}),
             "commit_delta",
         )
 
@@ -3223,8 +3619,12 @@ class ManifestTable:
         ``_change_type``: ``'insert'``/``'update'`` when the commit
         recorded typed CDC (``commit_delta(cdc=True)``), ``'delete'``
         for tombstones (``deletes=``; such rows carry the key columns,
-        value columns null), and ``'upsert'`` for blind appends —
-        including every pre-CDC legacy delta file.  A delta commit's
+        value columns null) AND for predicate-DML deletions
+        (``delete_where`` — those carry the FULL pre-image row),
+        ``'update_preimage'``/``'update_postimage'`` pairs for
+        ``update_where`` (the Delta CDF vocabulary), and ``'upsert'``
+        for blind appends — including every pre-CDC legacy delta
+        file.  A delta commit's
         fileset IS its change set, so the feed reads ONLY the files
         those commits appended — O(changed rows), never a table scan
         or a snapshot diff — which is what lets a downstream consumer
@@ -3238,7 +3638,9 @@ class ManifestTable:
         compact / OPTIMIZE / clustering evolution stamped
         content-preserving, which the feed reads straight THROUGH
         (Delta CDF's rule: data reorganization emits no CDF rows), so
-        scheduled maintenance never forces consumers to re-snapshot.
+        scheduled maintenance never forces consumers to re-snapshot —
+        or a predicate-DML commit (``delete_where``/``update_where``),
+        whose own typed CDC fileset IS its change set.
         The delta filesets of versions before a reorg stay readable
         from their own manifests until vacuum — retention, not
         compaction, bounds how far back a cursor may lag.  A
@@ -3352,15 +3754,24 @@ class ManifestTable:
                 # contribute no row-level changes — read through them
                 prev = mv
                 continue
-            if kind != "delta":
+            if kind == "delta":
+                fileset = mv.get("deltas", [])[-1]
+            elif kind == "dml":
+                # a predicate DELETE/UPDATE records its exact row-level
+                # change set as typed CDC files — the feed reads those
+                # (full-row 'delete' pre-images; 'update_preimage' /
+                # 'update_postimage' pairs), exactly Delta CDF's
+                # DELETE/UPDATE emission
+                fileset = mv.get("cdc_files", [])
+            else:
                 raise ValueError(
                     f"version {v} rewrote content (overwrite/merge/"
                     "restore): row-level changes are not derivable from "
                     "file metadata across it — re-seed consumers from a "
                     "snapshot (maintenance compact/OPTIMIZE commits are "
-                    "reorg-tagged and read through)"
+                    "reorg-tagged and read through; predicate DML "
+                    "commits carry their own CDC files)"
                 )
-            fileset = mv.get("deltas", [])[-1]
             tags.append((v, fileset))
             prev = mv
         if not tags:
@@ -3546,6 +3957,8 @@ class ManifestTable:
             # {**mm} must not inherit a reorg TIP's tag: this commit
             # is metadata-only, not a rewrite declaration
             new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
             return new
 
         # the profile describes content as-of m: rebasable over

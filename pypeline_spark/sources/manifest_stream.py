@@ -20,14 +20,19 @@ Design (and why it scales):
   content-preserving REORG commits (compact / OPTIMIZE / clustering —
   reorg-tagged by the writer) contribute nothing and are read
   THROUGH, so scheduled maintenance never kills a live consumer
-  (Delta CDF's rule: data reorganization emits no CDF rows); a
-  CONTENT-rewriting commit in range (overwrite / CoW merge / restore)
-  raises — restart the stream from a fresh snapshot, same contract as
-  ``changes()``;
+  (Delta CDF's rule: data reorganization emits no CDF rows);
+  predicate-DML commits (``delete_where``/``update_where``) emit
+  their own typed CDC fileset; a CONTENT-rewriting commit in range
+  (overwrite / CoW merge / restore) raises — restart the stream from
+  a fresh snapshot, same contract as ``changes()`` — unless the
+  consumer opts into ``on_rewrite='skip'`` (trigger-style consumers
+  that re-derive state from the table, e.g. the durable IVM
+  maintainer, which handles the rewrite in its own sync);
 - rows are emitted with ``_commit_version`` and ``_change_type``
   (``insert``/``update`` from typed-CDC commits, ``delete`` for
-  tombstones, ``upsert`` for blind appends) — the Delta CDF streaming
-  column contract;
+  tombstones and predicate deletes, ``update_preimage``/
+  ``update_postimage`` for predicate updates, ``upsert`` for blind
+  appends) — the Delta CDF streaming column contract;
 - executors read the parquet files directly by path (pyarrow) — the
   same shared-filesystem assumption the manifest protocol already
   makes; the driver touches only O(versions) manifest JSON.
@@ -99,6 +104,22 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.root = options["path"]
         self.start = int(options.get("since_version", "0"))
+        # 'fail' (default): a content rewrite in range raises, the
+        # consumer restarts from a fresh snapshot (the changes()
+        # contract).  'skip': the rewrite contributes NO rows and the
+        # offset advances past it — ONLY for trigger-style consumers
+        # that re-derive state from the table itself (the durable IVM
+        # maintainer: its sync() runs its own feed read under its own
+        # cursor and falls back to a snapshot recompute on a rewrite,
+        # so skipping here is what keeps the maintainer ALIVE across
+        # an overwrite/restore instead of killing the stream at offset
+        # planning — ADVICE r14).
+        self.on_rewrite = options.get("on_rewrite", "fail")
+        if self.on_rewrite not in ("fail", "skip"):
+            raise ValueError(
+                f"on_rewrite must be 'fail' or 'skip', got "
+                f"{self.on_rewrite!r}"
+            )
         self.fields = [f.name for f in schema.fields]
         # column-mapped tables store PHYSICAL names in the files;
         # capture logical→physical once at plan time (physical names
@@ -155,16 +176,27 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             # OPTIMIZE / clustering) commits contribute no change rows
             # — the stream reads straight through them, so scheduled
             # maintenance never kills a live consumer
-            if kind == "rewrite":
+            if kind == "rewrite" and self.on_rewrite == "fail":
                 raise ValueError(
                     f"version {v} rewrote content (overwrite/merge/"
                     "restore): the stream cannot derive row-level "
                     "changes across it — restart from a fresh snapshot "
                     "(maintenance compact/OPTIMIZE commits are "
-                    "reorg-tagged and read through)"
+                    "reorg-tagged and read through; predicate DML "
+                    "commits carry their own CDC files), or opt a "
+                    "trigger-style consumer into on_rewrite='skip'"
                 )
             if kind == "delta":
                 for f in cur["deltas"][-1]:
+                    parts.append(
+                        _DeltaFilePartition(
+                            os.path.join(t.data_dir, f), v
+                        )
+                    )
+            elif kind == "dml":
+                # predicate DELETE/UPDATE: its typed CDC fileset IS the
+                # change set (full-row deletes, update pre/post images)
+                for f in cur.get("cdc_files", []):
                     parts.append(
                         _DeltaFilePartition(
                             os.path.join(t.data_dir, f), v

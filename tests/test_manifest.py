@@ -4103,3 +4103,232 @@ class TestConstraints:
         batch = cust.limit(5).withColumn("c_acctbal", F.lit(1.0))
         with pytest.raises(CommitConflict, match="constraint"):
             a.commit_delta(batch, ["c_custkey"], batch_id="d1")
+
+
+class TestPredicateDML:
+    """r15 directive 2: DELETE FROM .. WHERE / UPDATE .. SET .. WHERE
+    as stats-pruned copy-on-write commits with typed CDC the change
+    feed reads through (the reference runs these as post_query SQL on
+    its target DB, Pype.py:167)."""
+
+    @pytest.fixture()
+    def frame(self, spark):
+        # range-partitioned so per-file k envelopes are NARROW and the
+        # metadata prune has something to prune
+        return spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ).repartitionByRange(8, "k")
+
+    def _seed(self, tmp_path, frame, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            frame, batch_id="seed", stats_cols=["k"], bloom_cols=["k"]
+        )
+        return t
+
+    def test_delete_where_prunes_and_matches_sql(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "dw")
+        m0 = t._read_manifest()
+        overlapping = [
+            f for f in m0["files"] if t._overlaps(m0, f, "k", 100, 149)
+        ]
+        assert 0 < len(overlapping) < len(m0["files"])
+        v = t.delete_where(
+            spark, "k >= 100 AND k <= 149", batch_id="d1",
+            stats_cols=["k"],
+        )
+        assert v == 2
+        m1 = t._read_manifest()
+        # every file OUTSIDE the predicate's envelope carried verbatim
+        carried = set(m0["files"]) & set(m1["files"])
+        assert carried == set(m0["files"]) - set(overlapping)
+        # stats + filemeta carried verbatim for untouched files
+        for f in carried:
+            assert m1["stats"][f] == m0["stats"][f]
+        got = t.read_resolved(spark)
+        assert got.count() == 350
+        assert got.filter(F.col("k").between(100, 149)).count() == 0
+        # replay: detected, no-op
+        assert t.delete_where(spark, "k >= 100 AND k <= 149",
+                              batch_id="d1") == v
+
+    def test_delete_where_null_and_false_rows_stay(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "nulls"))
+        base = (
+            spark.range(0, 10)
+            .select(
+                F.col("id").alias("k"),
+                F.when(F.col("id") < 5, F.col("id") * 1.0).alias("v"),
+            )
+        )
+        t.commit_overwrite(base, batch_id="s")
+        t.delete_where(spark, "v >= 3.0", batch_id="d")
+        got = t.read(spark)
+        # v NULL rows (k 5..9) and v<3 rows stay; only 3.0/4.0 deleted
+        assert got.count() == 8
+        assert got.filter(F.col("v").isNull()).count() == 5
+
+    def test_update_where_simultaneous_assignment_and_cast(
+        self, spark, tmp_path
+    ):
+        t = ManifestTable(str(tmp_path / "swap"))
+        t.commit_overwrite(
+            spark.createDataFrame([(1, 10, 20), (2, 3, 4)],
+                                  "k int, a int, b int"),
+            batch_id="s",
+        )
+        t.update_where(spark, "k = 1", {"a": "b", "b": "a"}, batch_id="u")
+        r = {x.k: (x.a, x.b) for x in t.read(spark).collect()}
+        assert r[1] == (20, 10)  # OLD values on both right-hand sides
+        assert r[2] == (3, 4)
+        # assignment result is cast to the column's existing type
+        t.update_where(spark, "k = 2", {"a": "a * 2.7"}, batch_id="u2")
+        got = t.read(spark)
+        assert dict(got.dtypes)["a"] == "int"
+        assert {x.k: x.a for x in got.collect()}[2] == 8  # 8.1 cast int
+
+    def test_feed_and_last_writer_wins_through_dml(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "feed")
+        t.commit_delta(
+            frame.filter(F.col("k") < 10).withColumn("v", F.lit(-1.0)),
+            ["k"], batch_id="d1",
+        )  # v2
+        t.compact(spark, batch_id="c1", stats_cols=["k"])  # v3 reorg
+        t.delete_where(spark, "k >= 390", batch_id="dw")  # v4
+        t.update_where(
+            spark, "k < 3", {"v": "v - 10.0"}, batch_id="uw"
+        )  # v5
+        feed = t.changes(spark, 1)
+        by_type = {
+            r._change_type: r.n
+            for r in feed.groupBy("_change_type")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        assert by_type == {
+            "upsert": 10, "delete": 10,
+            "update_preimage": 3, "update_postimage": 3,
+        }
+        # DML delete CDC carries the FULL pre-image row
+        dels = feed.filter(F.col("_change_type") == "delete")
+        assert dels.filter(F.col("v").isNotNull()).count() == 10
+        # resolved content agrees with applying the events in order
+        got = t.read_resolved(spark)
+        assert got.count() == 390
+        assert got.filter(F.col("k") < 3).agg(
+            F.min("v")).first()[0] == -11.0
+
+    def test_refuses_outstanding_deltas_and_empty_ok(
+        self, spark, tmp_path, frame
+    ):
+        t = ManifestTable(str(tmp_path / "mor"))
+        assert t.delete_where(spark, "k < 5") == 0  # empty table: no-op
+        t.commit_overwrite(frame, batch_id="s")
+        t.commit_delta(frame.limit(3), ["k"], batch_id="d1")
+        with pytest.raises(ValueError, match="compact"):
+            t.delete_where(spark, "k < 5")
+        with pytest.raises(ValueError, match="compact"):
+            t.update_where(spark, "k < 5", {"v": "0.0"})
+
+    def test_no_match_is_a_noop_commit_free(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "nomatch")
+        assert t.delete_where(spark, "k = 123456", batch_id="x") == 1
+        assert t.version() == 1  # nothing published
+
+    def test_constraints_gate_update_postimage(self, spark, tmp_path, frame):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, frame, "cons")
+        t.add_check_constraint(spark, "v_floor", "v >= 0.0")
+        with pytest.raises(ConstraintViolation, match="v_floor"):
+            t.update_where(spark, "k < 5", {"v": "v - 1e9"})
+        # table untouched by the rejected DML
+        assert t.version() == 2
+        assert t.read(spark).filter(F.col("v") < 0).count() == 0
+
+    def test_dml_on_mapped_table_after_rename(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "mapped")
+        t.enable_column_mapping(batch_id="cm")
+        t.rename_column("k", "key", batch_id="rn")
+        m0 = t._read_manifest()
+        v = t.delete_where(spark, "key < 50", batch_id="dw",
+                           stats_cols=["key"])
+        m1 = t._read_manifest()
+        # physical-keyed stats still pruned: files outside [0,50)
+        # envelope carried verbatim
+        overlapping = [
+            f for f in m0["files"] if t._overlaps(m0, f, "key", None, 50)
+        ]
+        assert set(m0["files"]) - set(overlapping) <= set(m1["files"])
+        got = t.read_resolved(spark)
+        assert got.count() == 350
+        assert got.agg(F.min("key")).first()[0] == 50
+        # the CDC fileset maps back to logical names in the feed
+        feed = t.changes(spark, v - 1, until_version=v)
+        assert "key" in feed.columns
+        assert feed.count() == 50
+
+    def test_occ_aborts_on_content_rebases_over_analyze(
+        self, spark, tmp_path, frame
+    ):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "occ")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(frame, batch_id="s", stats_cols=["k"])
+        a._race_once = lambda: b.commit_delta(
+            frame.limit(2), ["k"], batch_id="d1"
+        )
+        with pytest.raises(CommitConflict):
+            a.delete_where(spark, "k < 5", batch_id="dw")
+        b.compact(spark, batch_id="c1", stats_cols=["k"])
+        # a pure-metadata ANALYZE raced in: the DML rebases over it
+        a._race_once = lambda: b.analyze(spark, ["k"], batch_id="an")
+        v = a.delete_where(spark, "k < 5", batch_id="dw2")
+        assert v == b.version()
+        assert a.read_resolved(spark).count() == 395
+
+    def test_vacuum_reaps_cdc_files_with_their_version(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "vac")
+        t.delete_where(spark, "k < 10", batch_id="dw")  # v2 (dml)
+        cdc = t._read_manifest()["cdc_files"]
+        assert cdc and all(
+            os.path.exists(os.path.join(t.data_dir, f)) for f in cdc
+        )
+        t.commit_overwrite(frame.limit(5), batch_id="ow")  # v3
+        t.vacuum(keep_versions=1)
+        assert not any(
+            os.path.exists(os.path.join(t.data_dir, f)) for f in cdc
+        )
+
+    def test_ivm_maintainer_syncs_through_dml(self, spark, tmp_path, frame):
+        from pypeline_spark.operators.ivm import FeedRollupMaintainer
+
+        t = self._seed(tmp_path, frame, "ivm")
+        mt = FeedRollupMaintainer(t, ["k"], "g", "v")
+        mt.sync(spark)
+        t.commit_delta(
+            frame.filter(F.col("k") < 20).withColumn("v", F.lit(2.0)),
+            ["k"], batch_id="d1",
+        )
+        t.compact(spark, batch_id="c1", stats_cols=["k"])
+        t.delete_where(spark, "k >= 350", batch_id="dw")
+        # move rows ACROSS groups: preimage marks the departed group
+        t.update_where(spark, "k < 10", {"g": "6"}, batch_id="uw")
+        rolled = mt.sync(spark)
+        expect = (
+            t.read_resolved(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("v") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+        )
+        assert _canon(rolled) == _canon(expect)
+        assert mt.full_refreshes == 0  # everything came from the feed

@@ -25,6 +25,7 @@ do for distinct counts.
 from __future__ import annotations
 
 import os
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1777,10 +1778,16 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 class FeedRollupMaintainer:
     """Feed-driven incremental view maintenance: keeps a standing
-    group-grain rollup (``n_rows``, ``sum_cents``) of a
+    group-grain rollup of a
     :class:`~pypeline_spark.sinks.manifest.ManifestTable` synchronized
     from its change feed — the consumer story ``changes()`` exists
-    for.
+    for.  The aggregate spec defaults to the original
+    (``n_rows`` count, ``sum_cents``) pair; pass ``aggs=[(fn, col,
+    alias), ...]`` with fn in count/sum/min/max/avg/sum_cents for a
+    multi-aggregate view (r15 directive 6) — min/max/avg are exact
+    here even though they are not delta-mergeable, because every sync
+    RESCANS affected groups from the snapshot instead of merging
+    deltas into standing values.
 
     ``q_ivm_rollup`` maintains an APPEND-ONLY aggregate by pure delta
     merge; updates and deletes can't be merged that way (a SUM can't
@@ -1814,18 +1821,70 @@ class FeedRollupMaintainer:
     preimage probe for a maintained key→group replica).
     """
 
-    def __init__(self, table, key_cols, group_col: str, value_col: str):
+    #: supported aggregate functions for a multi-agg spec.  min/max
+    #: (and avg) are NOT delta-mergeable, but this maintainer never
+    #: merges deltas into standing values — it RESCANS every affected
+    #: group from the snapshot and splices, so any per-group aggregate
+    #: is exact by construction (the r15 directive-6 generalization).
+    _AGG_FNS = ("count", "sum", "min", "max", "avg", "sum_cents")
+
+    def __init__(
+        self,
+        table,
+        key_cols,
+        group_col: str,
+        value_col: Optional[str] = None,
+        aggs: Optional[Sequence[tuple]] = None,
+    ):
         self.table = table
         self.keys = list(key_cols)
         self.group = group_col
         self.value = value_col
+        if aggs is None:
+            if value_col is None:
+                raise ValueError("pass value_col or an aggs spec")
+            # the original two-aggregate shape, unchanged
+            aggs = [
+                ("count", None, "n_rows"),
+                ("sum_cents", value_col, "sum_cents"),
+            ]
+        self.aggs = [tuple(a) for a in aggs]
+        seen: set = set()
+        for fn, col, alias in self.aggs:
+            if fn not in self._AGG_FNS:
+                raise ValueError(
+                    f"unsupported aggregate {fn!r} (one of {self._AGG_FNS})"
+                )
+            if fn != "count" and col is None:
+                raise ValueError(f"aggregate {fn!r} needs a column")
+            if alias in seen or alias == group_col:
+                raise ValueError(f"duplicate/colliding alias {alias!r}")
+            seen.add(alias)
         self.cursor = 0
         self.rollup: DataFrame | None = None
         self.full_refreshes = 0
         self.syncs = 0
 
-    def _cents(self):
-        return F.floor(F.col(self.value) * 100 + 0.5).cast("bigint")
+    def _agg_exprs(self) -> list:
+        out = []
+        for fn, col, alias in self.aggs:
+            if fn == "count":
+                e = F.count("*").cast("bigint")
+            elif fn == "sum_cents":
+                # integer-cents sum (hash-stable across engines)
+                e = F.sum(
+                    F.floor(F.col(col) * 100 + 0.5).cast("bigint")
+                ).cast("bigint")
+            elif fn == "sum":
+                e = F.sum(col)
+            elif fn == "min":
+                e = F.min(col)
+            elif fn == "max":
+                e = F.max(col)
+            else:  # avg
+                e = F.avg(col)
+            out.append(e.alias(alias))
+        return out
 
     def _recompute_at(self, spark: SparkSession, version: int) -> DataFrame:
         """Full rollup recompute pinned to ``version`` (pinning keeps
@@ -1833,10 +1892,7 @@ class FeedRollupMaintainer:
         cur = self.table.read_resolved(spark, version=version)
         if cur is None:
             raise ValueError("nothing to maintain: table has no data")
-        return cur.groupBy(self.group).agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(self._cents()).cast("bigint").alias("sum_cents"),
-        )
+        return cur.groupBy(self.group).agg(*self._agg_exprs())
 
     def sync(self, spark: SparkSession) -> DataFrame:
         """Advance the rollup to the table tip; returns the rollup."""
@@ -1913,10 +1969,7 @@ class FeedRollupMaintainer:
         recomputed = (
             cur.join(F.broadcast(affected), [self.group], "left_semi")
             .groupBy(self.group)
-            .agg(
-                F.count("*").cast("bigint").alias("n_rows"),
-                F.sum(self._cents()).cast("bigint").alias("sum_cents"),
-            )
+            .agg(*self._agg_exprs())
         )
         self.rollup = kept.unionByName(recomputed).localCheckpoint(
             eager=True
@@ -1963,11 +2016,17 @@ class DurableRollupMaintainer(FeedRollupMaintainer):
     _CURSOR = "mv_cursor"
 
     def __init__(
-        self, table, mv_root: str, key_cols, group_col: str, value_col: str
+        self,
+        table,
+        mv_root: str,
+        key_cols,
+        group_col: str,
+        value_col: Optional[str] = None,
+        aggs: Optional[Sequence[tuple]] = None,
     ):
         from pypeline_spark.sinks.manifest import ManifestTable
 
-        super().__init__(table, key_cols, group_col, value_col)
+        super().__init__(table, key_cols, group_col, value_col, aggs=aggs)
         self.mv = ManifestTable(mv_root)
         props = self.mv.table_properties()
         self.cursor = int(props.get(self._CURSOR, 0))
@@ -1996,7 +2055,19 @@ class DurableRollupMaintainer(FeedRollupMaintainer):
         the StreamingQuery (caller awaits/stops).  The batch DataFrame
         itself is only the trigger — ``sync`` reads the feed under its
         own persisted cursor, which is what makes a replayed batch
-        harmless."""
+        harmless.
+
+        The stream subscribes with ``on_rewrite='skip'`` (ADVICE r14):
+        a CONTENT rewrite on the source (overwrite / CoW merge /
+        restore) would otherwise kill the query at offset planning,
+        even though ``sync`` itself handles exactly that case via its
+        snapshot-recompute fallback.  Skipping is sound precisely
+        because the rows are never consumed — the rewrite commit still
+        fires a (row-less) trigger, ``sync`` sees the rewrite in ITS
+        OWN feed read under the persisted cursor, falls back to one
+        pinned recompute (``full_refreshes`` counts it), and the
+        maintainer keeps following the table instead of silently
+        stopping."""
         from pypeline_spark.sources.manifest_stream import register
 
         register(spark)
@@ -2005,6 +2076,7 @@ class DurableRollupMaintainer(FeedRollupMaintainer):
             spark.readStream.format("manifest_changes")
             .option("path", self.table.root)
             .option("since_version", str(since))
+            .option("on_rewrite", "skip")
             .load()
             .writeStream.foreachBatch(lambda _df, _id: self.sync(spark))
             .option("checkpointLocation", checkpoint)

@@ -255,3 +255,154 @@ def test_durable_maintainer_crash_before_persist_recovers(
     persisted = sorted((r.c_mktsegment, r.n_rows, r.sum_cents)
                        for r in m2.mv.read(spark).collect())
     assert persisted == got
+
+
+def test_multi_agg_spec_parity_across_reorg_evolution_and_dml(
+    spark, tmp_path, cust
+):
+    """r15 directive 6: a 3-aggregate spec (count / sum / min — min is
+    NOT delta-mergeable, proving the affected-group rescan carries
+    arbitrary aggregates) maintained across deltas, a compaction
+    reorg, a metadata schema evolution, and predicate DML — every sync
+    hash-equals a from-scratch recompute, with zero full refreshes."""
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "magg"))
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    aggs = [
+        ("count", None, "n_rows"),
+        ("sum", "c_acctbal", "bal_sum"),
+        ("min", "c_acctbal", "bal_min"),
+    ]
+    m = FeedRollupMaintainer(t, ["c_custkey"], "c_mktsegment", aggs=aggs)
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in t.read_resolved(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("c_acctbal").alias("bal_sum"),
+                F.min("c_acctbal").alias("bal_min"),
+            )
+            .collect()
+        )
+
+    m.sync(spark)
+    # delete the row holding some group's MIN: only a rescan can
+    # recover the new minimum
+    seg0 = t.read_resolved(spark).first()["c_mktsegment"]
+    victim = (
+        t.read_resolved(spark)
+        .filter(F.col("c_mktsegment") == seg0)
+        .orderBy("c_acctbal")
+        .first()["c_custkey"]
+    )
+    t.commit_delta(
+        None, ["c_custkey"],
+        deletes=spark.createDataFrame(
+            [(int(victim),)], "c_custkey bigint"
+        ),
+        batch_id="d1",
+    )
+    assert sorted(tuple(r) for r in m.sync(spark).collect()) == recompute()
+    t.compact(spark, batch_id="c1")  # reorg: read through
+    t.evolve_schema("vip string", batch_id="e1")  # metadata: read through
+    t.commit_delta(
+        cust.filter(k % 7 == 0).withColumn("c_acctbal", F.lit(-5.0)),
+        ["c_custkey"], batch_id="d2",
+    )
+    assert sorted(tuple(r) for r in m.sync(spark).collect()) == recompute()
+    t.compact(spark, batch_id="c2")  # DML is CoW: fold deltas first
+    t.update_where(
+        spark, "c_acctbal < 0.0", {"c_acctbal": "0.25"}, batch_id="uw"
+    )
+    assert sorted(tuple(r) for r in m.sync(spark).collect()) == recompute()
+    assert m.full_refreshes == 0  # feed-driven throughout
+
+
+def test_durable_multi_agg_spec_roundtrip(spark, tmp_path, cust):
+    """The durable maintainer accepts the same aggs spec and persists
+    the multi-agg rollup atomically with its cursor."""
+    from pypeline_spark.operators.ivm import DurableRollupMaintainer
+
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "mdur"))
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")
+    aggs = [
+        ("count", None, "n_rows"),
+        ("max", "c_acctbal", "bal_max"),
+        ("avg", "c_acctbal", "bal_avg"),
+    ]
+    args = (t, str(tmp_path / "mvm"), ["c_custkey"], "c_mktsegment")
+    m = DurableRollupMaintainer(*args, aggs=aggs)
+    m.sync(spark)
+    t.commit_delta(
+        cust.filter(k % 3 == 0).withColumn("c_acctbal", F.lit(1e6)),
+        ["c_custkey"], batch_id="d1",
+    )
+    m.sync(spark)
+    m2 = DurableRollupMaintainer(*args, aggs=aggs)  # restart
+    got = sorted(tuple(r) for r in m2.mv.read(spark).collect())
+    exp = sorted(
+        tuple(r)
+        for r in t.read_resolved(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.max("c_acctbal").alias("bal_max"),
+            F.avg("c_acctbal").alias("bal_avg"),
+        )
+        .collect()
+    )
+    assert got == exp
+    assert m2.cursor == 2
+
+
+def test_bad_agg_specs_raise(spark, tmp_path, cust):
+    t = ManifestTable(str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        FeedRollupMaintainer(t, ["k"], "g", aggs=[("median", "v", "m")])
+    with pytest.raises(ValueError, match="needs a column"):
+        FeedRollupMaintainer(t, ["k"], "g", aggs=[("sum", None, "s")])
+    with pytest.raises(ValueError, match="alias"):
+        FeedRollupMaintainer(
+            t, ["k"], "g",
+            aggs=[("count", None, "n"), ("sum", "v", "n")],
+        )
+    with pytest.raises(ValueError, match="value_col or an aggs"):
+        FeedRollupMaintainer(t, ["k"], "g")
+
+
+def test_run_streaming_survives_content_rewrite(spark, tmp_path, cust):
+    """ADVICE r14: a content rewrite on the source must not kill the
+    run_streaming consumer at offset planning — the stream skips the
+    rewrite (on_rewrite='skip'), sync's own feed read sees it and
+    falls back to one pinned recompute, and the maintainer keeps
+    following the table."""
+    from pypeline_spark.operators.ivm import DurableRollupMaintainer
+
+    k = F.col("c_custkey")
+    t = ManifestTable(str(tmp_path / "rwsrc"))
+    mv_root = str(tmp_path / "rwmv")
+    t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
+    m = DurableRollupMaintainer(
+        t, mv_root, ["c_custkey"], "c_mktsegment", "c_acctbal"
+    )
+    m.sync(spark)  # cursor 1
+    t.commit_delta(cust.filter(k % 2 == 1), ["c_custkey"],
+                   batch_id="d1")  # v2 delta
+    t.commit_overwrite(cust.filter(k % 3 == 0), batch_id="ow")  # v3 REWRITE
+    t.commit_delta(
+        cust.filter(k % 5 == 0).withColumn("c_acctbal", F.lit(2.0)),
+        ["c_custkey"], batch_id="d2",
+    )  # v4 delta
+    q = m.run_streaming(spark, str(tmp_path / "rwck"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert q.exception() is None  # the rewrite did NOT kill the stream
+    assert m.full_refreshes >= 1  # sync's documented fallback ran
+    got = sorted((r.c_mktsegment, r.n_rows, r.sum_cents)
+                 for r in m.mv.read(spark).collect())
+    assert got == _recompute(t, spark)
+    assert m.mv.table_properties()["mv_cursor"] == 4

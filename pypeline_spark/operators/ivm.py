@@ -1806,11 +1806,13 @@ class FeedRollupMaintainer:
 
     Maintenance commits (compact / OPTIMIZE / clustering evolution)
     are reorg-tagged and the feed reads straight THROUGH them (r14) —
-    a scheduled compaction costs this maintainer nothing.  Only a
-    CONTENT rewrite inside the range (overwrite / copy-on-write merge
-    / restore) makes row-level changes underivable — ``changes()``
-    refuses — and the maintainer falls back to one snapshot recompute
-    (``full_refreshes`` counts them).
+    a scheduled compaction costs this maintainer nothing.  Predicate
+    DML commits carry their own typed CDC and RESTOREs synthesize
+    their events from the rolled-away range (r15), so both stay pure
+    feed too.  Only a genuinely underivable CONTENT rewrite inside
+    the range (overwrite / copy-on-write merge, or a restore across
+    one) makes ``changes()`` refuse — the maintainer then falls back
+    to one snapshot recompute (``full_refreshes`` counts them).
 
     Scale: per sync this reads the feed (O(changed rows)), probes
     preimages (key semi-join, prunable by manifest key stats/blooms),

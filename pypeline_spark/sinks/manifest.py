@@ -262,6 +262,12 @@ class ManifestTable:
             # row-level change set is recorded in the commit's own
             # typed CDC fileset (``cdc_files``) — the feed reads it
             return "dml"
+        if cur.get("restore_of") is not None:
+            # a RESTORE: content change whose row-level events are
+            # derivable lazily from the rolled-away range's own
+            # filesets (see changes()/_restore_events) — when that
+            # range is itself derivable
+            return "restore"
         return "reorg" if cur.get("reorg") else "rewrite"
 
     def _intervening_kinds(self, base: dict, tip: dict) -> set:
@@ -535,6 +541,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         return self._commit_retrying(
@@ -691,6 +698,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         return self._commit_retrying(
@@ -737,6 +745,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         return self._commit_retrying(
@@ -771,6 +780,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         return self._commit_retrying(
@@ -1025,6 +1035,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         return self._commit_retrying(
@@ -1103,6 +1114,7 @@ class ManifestTable:
             new_m.pop("reorg", None)
             new_m.pop("dml", None)
             new_m.pop("cdc_files", None)
+            new_m.pop("restore_of", None)
             return new_m
 
         return self._commit_retrying(
@@ -1188,6 +1200,7 @@ class ManifestTable:
             new_m.pop("reorg", None)
             new_m.pop("dml", None)
             new_m.pop("cdc_files", None)
+            new_m.pop("restore_of", None)
             return new_m
 
         return self._commit_retrying(
@@ -3577,6 +3590,13 @@ class ManifestTable:
             "version": m["version"] + 1,
             "files": old["files"],
             "deltas": old.get("deltas", []),
+            # the rollback target, recorded so the change feed can
+            # derive this commit's row-level events lazily (r15
+            # directive 8): touched keys come from the rolled-away
+            # range's own delta/CDC filesets, their restored state
+            # from the restored snapshot — O(changed keys), metadata
+            # at commit time
+            "restore_of": version,
             "key_columns": old.get("key_columns"),
             # exactly-once survives the rollback: ledger from CURRENT
             "batch_ids": m["batch_ids"]
@@ -3645,11 +3665,16 @@ class ManifestTable:
         from their own manifests until vacuum — retention, not
         compaction, bounds how far back a cursor may lag.  A
         CONTENT-rewriting commit in the range (overwrite,
-        copy-on-write merge, restore) still raises — its new files
-        mix rewritten-unchanged rows with changed ones, so row-level
+        copy-on-write merge) still raises — its new files mix
+        rewritten-unchanged rows with changed ones, so row-level
         changes are not derivable from file-level metadata (the same
         reason Delta CDF requires CDC files for merge commits); those
-        consumers re-seed from a snapshot.
+        consumers re-seed from a snapshot.  A RESTORE, though, reads
+        through: its events (deletes for keys the rollback removed,
+        upserts re-asserting restored rows) are synthesized lazily
+        from the rolled-away range's own filesets
+        (:meth:`_restore_events`) whenever that range is itself
+        derivable.
 
         Duplicate keys across commits are the feed's SEMANTICS (each
         tagged row is one upsert event); consumers wanting final
@@ -3741,7 +3766,7 @@ class ManifestTable:
                     "_commit_version", F.lit(0).cast("bigint")
                 ).withColumn("_change_type", F.lit("upsert"))
             )
-        tags: list[tuple[int, list[str]]] = []
+        tags: list[tuple] = []  # ("files", v, fileset) | ("restore", v, mv)
         prev = self._manifest_at(since_version) if since_version > 0 else {
             "files": [],
             "deltas": [],
@@ -3755,38 +3780,48 @@ class ManifestTable:
                 prev = mv
                 continue
             if kind == "delta":
-                fileset = mv.get("deltas", [])[-1]
+                tags.append(("files", v, mv.get("deltas", [])[-1]))
             elif kind == "dml":
                 # a predicate DELETE/UPDATE records its exact row-level
                 # change set as typed CDC files — the feed reads those
                 # (full-row 'delete' pre-images; 'update_preimage' /
                 # 'update_postimage' pairs), exactly Delta CDF's
                 # DELETE/UPDATE emission
-                fileset = mv.get("cdc_files", [])
+                tags.append(("files", v, mv.get("cdc_files", [])))
+            elif kind == "restore":
+                # a RESTORE's events are synthesized lazily from the
+                # rolled-away range (r15 directive 8): deletes for
+                # keys the rollback removed, upserts re-asserting the
+                # restored state of every other touched key
+                tags.append(("restore", v, mv))
             else:
                 raise ValueError(
-                    f"version {v} rewrote content (overwrite/merge/"
-                    "restore): row-level changes are not derivable from "
+                    f"version {v} rewrote content (overwrite/merge): "
+                    "row-level changes are not derivable from "
                     "file metadata across it — re-seed consumers from a "
                     "snapshot (maintenance compact/OPTIMIZE commits are "
-                    "reorg-tagged and read through; predicate DML "
-                    "commits carry their own CDC files)"
+                    "reorg-tagged and read through; predicate DML and "
+                    "restore commits derive their own change sets)"
                 )
-            tags.append((v, fileset))
             prev = mv
         if not tags:
             return _empty_feed()
         frames = []
-        for v, fileset in tags:
-            if not fileset:  # empty batch committed: no rows to read
-                continue
-            df = self._to_logical(
-                spark.read.parquet(
-                    *[os.path.join(self.data_dir, f) for f in fileset]
-                ),
-                mhi,  # mapping as of the range end covers every file:
-                # physical names are immutable per column id
-            )
+        for tkind, v, payload in tags:
+            if tkind == "restore":
+                df = self._restore_events(spark, payload)
+                if df is None:  # rolled back across no content change
+                    continue
+            else:
+                if not payload:  # empty batch committed: nothing to read
+                    continue
+                df = self._to_logical(
+                    spark.read.parquet(
+                        *[os.path.join(self.data_dir, f) for f in payload]
+                    ),
+                    mhi,  # mapping as of the range end covers every
+                    # file: physical names are immutable per column id
+                )
             frames.append(
                 df.withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -3806,6 +3841,101 @@ class ManifestTable:
         else:
             out = out.withColumn("_change_type", F.lit("upsert"))
         return _align(out)
+
+    def _restore_events(self, spark: SparkSession, mv: dict) -> Optional[DataFrame]:
+        """Row-level events of a RESTORE commit (manifest ``mv``),
+        derived LAZILY — nothing extra is written at restore time (the
+        rollback stays one manifest publish):
+
+        - touched keys = the keys appearing in the rolled-away range's
+          own delta / DML-CDC filesets (``(restore_of, version)``) —
+          exactly the keys whose state the rollback could have changed;
+        - a touched key present in the restored snapshot emits an
+          ``upsert`` re-asserting its restored row; one absent emits a
+          tombstone-shaped ``delete`` (keys + marker, values null) —
+          applying these events over the pre-restore state IS the
+          restored state (last-writer-wins), the Delta "CDF of a
+          RESTORE" shape.
+
+        Cost: O(rolled-away changed rows) file reads + one key
+        semi/anti join against the restored snapshot (prunable by key
+        stats/blooms) — never a table diff.  Raises when the
+        rolled-away range itself contains an underivable commit
+        (overwrite / CoW merge / nested restore) or the table has no
+        key columns; ``None`` when the range held no content change."""
+        from pyspark.sql import functions as F
+
+        r = mv["restore_of"]
+        parent = mv["version"] - 1
+        # key identity comes from the PRE-restore tip (the rolled-away
+        # commits were keyed under it; the restored manifest may
+        # predate key recording entirely), translated to the restored
+        # version's logical names via column-mapping ids when a rename
+        # was rolled away
+        pm = self._manifest_at(parent) if parent >= 1 else {}
+        keys = pm.get("key_columns") or mv.get("key_columns")
+        if not keys:
+            raise ValueError(
+                f"version {mv['version']} restored a table without key "
+                "columns: row-level changes are not derivable — re-seed "
+                "consumers from a snapshot"
+            )
+        if self._mapping_enabled(pm) and self._mapping_enabled(mv):
+            pid = {
+                f["name"]: (f.get("metadata") or {}).get(self._CM_ID)
+                for f in pm.get("schema", {"fields": []})["fields"]
+            }
+            by_id = {
+                (f.get("metadata") or {}).get(self._CM_ID): f["name"]
+                for f in mv.get("schema", {"fields": []})["fields"]
+            }
+            try:
+                keys = [by_id[pid[k]] for k in keys]
+            except KeyError:
+                raise ValueError(
+                    f"version {mv['version']}: a key column's mapping "
+                    "id is absent from the restored schema — re-seed "
+                    "consumers from a snapshot"
+                ) from None
+        filesets: list[list[str]] = []
+        prev = self._manifest_at(r)
+        for u in range(r + 1, parent + 1):
+            mu = self._manifest_at(u)
+            kind = self._commit_kind(prev, mu)
+            if kind == "delta":
+                filesets.append(mu.get("deltas", [])[-1])
+            elif kind == "dml":
+                filesets.append(mu.get("cdc_files", []))
+            elif kind not in ("metadata", "reorg"):
+                raise ValueError(
+                    f"version {mv['version']} restored across an "
+                    f"underivable {kind} commit at version {u}: re-seed "
+                    "consumers from a snapshot"
+                )
+            prev = mu
+        names = [f for fs in filesets for f in fs]
+        if not names:
+            return None  # only metadata/reorg rolled away: no row events
+        touched = (
+            self._to_logical(
+                spark.read.parquet(
+                    *[os.path.join(self.data_dir, f) for f in names]
+                ),
+                mv,
+            )
+            .select(*keys)
+            .distinct()
+        )
+        snap = self.read_resolved(spark, version=mv["version"])
+        if snap is None:
+            return touched.withColumn(self._CT, F.lit("delete"))
+        ups = snap.join(touched, keys, "left_semi").withColumn(
+            self._CT, F.lit("upsert")
+        )
+        dels = touched.join(
+            snap.select(*keys), keys, "left_anti"
+        ).withColumn(self._CT, F.lit("delete"))
+        return ups.unionByName(dels, allowMissingColumns=True)
 
     # -- incremental NDV sketches (commit-time, mergeable) ---------------------
 
@@ -3959,6 +4089,7 @@ class ManifestTable:
             new.pop("reorg", None)
             new.pop("dml", None)
             new.pop("cdc_files", None)
+            new.pop("restore_of", None)
             return new
 
         # the profile describes content as-of m: rebasable over

@@ -176,7 +176,12 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             # OPTIMIZE / clustering) commits contribute no change rows
             # — the stream reads straight through them, so scheduled
             # maintenance never kills a live consumer
-            if kind == "rewrite" and self.on_rewrite == "fail":
+            if kind in ("rewrite", "restore") and self.on_rewrite == "fail":
+                # the batch feed (changes()) derives RESTORE events
+                # via a resolution join; this reader's partitions are
+                # executor-side pyarrow file reads with no
+                # SparkSession, so a restore is stream-underivable —
+                # fail like a rewrite (or skip for trigger consumers)
                 raise ValueError(
                     f"version {v} rewrote content (overwrite/merge/"
                     "restore): the stream cannot derive row-level "

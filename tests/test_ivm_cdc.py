@@ -88,9 +88,10 @@ def test_group_emptied_by_deletes_drops_out(spark, tmp_path, cust):
 def test_reorg_boundaries_stay_incremental_content_rewrites_fall_back(
     spark, tmp_path, cust
 ):
-    """Compaction is reorg-tagged and the feed reads THROUGH it (r14)
-    — the sync crossing it stays pure-feed; only a genuine content
-    rewrite (restore) costs a snapshot recompute."""
+    """Compaction is reorg-tagged and the feed reads THROUGH it (r14),
+    and a RESTORE synthesizes its own events (r15) — syncs crossing
+    either stay pure-feed; only a genuinely underivable content
+    rewrite (CoW merge / overwrite) costs a snapshot recompute."""
     k = F.col("c_custkey")
     t = ManifestTable(str(tmp_path / "bound"))
     t.commit_overwrite(cust.filter(k % 2 == 0), batch_id="seed")  # v1
@@ -111,7 +112,15 @@ def test_reorg_boundaries_stay_incremental_content_rewrites_fall_back(
     )
     m.sync(spark)
     assert m.full_refreshes == 0  # pure feed
-    t.restore(t.version() - 1, batch_id="undo")  # CONTENT rewrite
+    t.restore(t.version() - 1, batch_id="undo")  # r15: feed-derivable
+    m.sync(spark)
+    assert m.full_refreshes == 0  # restore events synthesized, no refresh
+    assert _rollup(m) == _recompute(t, spark)
+    t.commit_merge(
+        spark,
+        cust.filter(k % 11 == 0).withColumn("c_acctbal", F.lit(4.0)),
+        ["c_custkey"], batch_id="cow",
+    )  # genuinely underivable CoW content rewrite
     m.sync(spark)
     assert m.full_refreshes == 1
     assert _rollup(m) == _recompute(t, spark)

@@ -1476,9 +1476,9 @@ class TestChangeFeed:
         assert t.changes(spark, since_version=5).count() == 7
 
     def test_content_rewrite_refused(self, spark, tmp_path, cust):
-        """A CONTENT rewrite (copy-on-write merge / overwrite /
-        restore) is NOT feed-derivable and still raises — only
-        writer-declared content-preserving reorgs read through."""
+        """A CONTENT rewrite (copy-on-write merge / overwrite) is NOT
+        feed-derivable and still raises — reorgs, predicate DML and
+        restores read through (each by its own mechanism)."""
         t, _, _ = self._setup(spark, tmp_path, cust)
         t.compact(spark, batch_id="c1")  # v5: reorg (folds deltas)
         t.commit_merge(
@@ -4332,3 +4332,145 @@ class TestPredicateDML:
         )
         assert _canon(rolled) == _canon(expect)
         assert mt.full_refreshes == 0  # everything came from the feed
+
+
+class TestFeedAcrossRestore:
+    """r15 directive 8: the change feed derives a RESTORE's row-level
+    events lazily from the rolled-away range — deletes for keys the
+    rollback removed, upserts re-asserting restored rows — so cursors
+    survive operational rollbacks without re-seeding."""
+
+    @pytest.fixture()
+    def frame(self, spark):
+        return spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ).repartition(4, "k")
+
+    def _seed(self, tmp_path, frame, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            frame.filter(F.col("k") < 80), batch_id="seed",
+            stats_cols=["k"],
+        )
+        return t
+
+    def test_restore_events_exact(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "exact")
+        # v2: update keys 0..9; v3: INSERT keys 80..89
+        t.commit_delta(
+            frame.filter(F.col("k") < 10).withColumn("v", F.lit(-1.0)),
+            ["k"], batch_id="d1",
+        )
+        t.commit_delta(
+            frame.filter(F.col("k") >= 80), ["k"], batch_id="d2",
+        )
+        t.restore(version=1, batch_id="undo")  # v4
+        feed = t.changes(spark, 3)  # ONLY the restore's events
+        ups = feed.filter(F.col("_change_type") == "upsert")
+        dels = feed.filter(F.col("_change_type") == "delete")
+        # keys 0..9 re-asserted at their restored values
+        assert ups.count() == 10
+        assert ups.agg(F.min("v"), F.max("k")).first() == (0.0, 9)
+        # inserted keys 80..89 deleted by the rollback (tombstone shape)
+        assert dels.count() == 20
+        assert dels.agg(F.min("k")).first()[0] == 80
+        assert dels.filter(F.col("v").isNull()).count() == 20
+        assert feed.filter(F.col("_commit_version") != 4).count() == 0
+        # a range SPANNING everything applies to the restored state
+        whole = t.changes(spark, 1)
+        assert whole.count() == 10 + 20 + 10 + 20
+        # seed snapshot + feed events under last-writer-wins
+        # reproduces the restored snapshot exactly
+        from pyspark.sql import Window
+
+        seeded = (
+            t.read(spark, version=1)
+            .withColumn("_commit_version", F.lit(1).cast("bigint"))
+            .withColumn("_change_type", F.lit("upsert"))
+            .unionByName(whole)
+        )
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc()
+        )
+        final = (
+            seeded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .filter(F.col("_change_type") != "delete")
+            .select("k", "g", "v")
+        )
+        assert _canon(final) == _canon(t.read_resolved(spark))
+
+    def test_restore_across_reorg_and_dml_derivable(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "mix")
+        t.commit_delta(
+            frame.filter(F.col("k") < 10).withColumn("v", F.lit(-1.0)),
+            ["k"], batch_id="d1",
+        )  # v2
+        t.compact(spark, batch_id="c1", stats_cols=["k"])  # v3 reorg
+        t.delete_where(spark, "k >= 70 AND k < 80", batch_id="dw")  # v4 dml
+        t.restore(version=1, batch_id="undo")  # v5: across reorg + dml
+        feed = t.changes(spark, 4)
+        ups = feed.filter(F.col("_change_type") == "upsert")
+        dels = feed.filter(F.col("_change_type") == "delete")
+        # updated keys 0..9 re-asserted; DML-deleted keys 70..79
+        # resurrected as upserts; nothing inserted got rolled away
+        assert ups.count() == 20
+        assert dels.count() == 0
+        assert t.read_resolved(spark).count() == 80
+
+    def test_restore_of_metadata_only_range_is_silent(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "meta")
+        t.evolve_schema("tier string", batch_id="e1")  # v2 metadata
+        t.restore(version=1, batch_id="undo")  # v3: nothing rolled away
+        feed = t.changes(spark, 1)
+        assert feed is not None and feed.count() == 0  # no row events
+
+    def test_restore_across_rewrite_still_refuses(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "bad")
+        t.commit_delta(frame.limit(3), ["k"], batch_id="d1")  # v2
+        t.commit_overwrite(
+            frame.filter(F.col("k") < 50), batch_id="ow"
+        )  # v3: content rewrite (drops key recording too)
+        t.commit_delta(frame.limit(4), ["k"], batch_id="d2")  # v4: keys back
+        t.restore(version=1, batch_id="undo")  # v5: spans the rewrite
+        with pytest.raises(ValueError, match="underivable rewrite"):
+            t.changes(spark, 4)
+        # keyless tables refuse too
+        u = ManifestTable(str(tmp_path / "keyless"))
+        u.commit_overwrite(frame.limit(10), batch_id="s")
+        u.commit_overwrite(frame.limit(5), batch_id="s2")
+        u.restore(version=1, batch_id="undo")
+        with pytest.raises(ValueError, match="underivable|key columns"):
+            u.changes(spark, 2)
+
+    def test_maintainer_stays_incremental_across_restore(
+        self, spark, tmp_path, frame
+    ):
+        from pypeline_spark.operators.ivm import FeedRollupMaintainer
+
+        t = self._seed(tmp_path, frame, "ivm")
+        m = FeedRollupMaintainer(t, ["k"], "g", "v")
+        m.sync(spark)
+        t.commit_delta(
+            frame.filter(F.col("k") >= 80), ["k"], batch_id="d1"
+        )
+        m.sync(spark)
+        t.restore(version=1, batch_id="undo")
+        rolled = m.sync(spark)
+        assert m.full_refreshes == 0  # restore rode the feed
+        expect = (
+            t.read_resolved(spark).groupBy("g").agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("v") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+        )
+        assert _canon(rolled) == _canon(expect)

@@ -2498,3 +2498,394 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_delete_where",
+    # The oracle is the SQL DELETE itself: alive = rows where the
+    # predicate is NOT true.  deleted_rows/deleted_cents re-derive the
+    # feed's full-row 'delete' CDC pre-images; pruned_ok is computed
+    # GENUINELY on the Spark side (files outside the predicate's
+    # stats envelope must carry over un-rewritten) and pinned TRUE.
+    oracle="""
+    WITH dead AS (
+        SELECT * FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal < 1000.0
+    ),
+    alive AS (
+        SELECT * FROM customer
+        WHERE NOT (c_acctbal >= 0.0 AND c_acctbal < 1000.0)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS deleted_rows,
+           (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) FROM dead) AS deleted_cents,
+           TRUE AS pruned_ok
+    FROM alive GROUP BY c_mktsegment
+    """,
+)
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML #1 — ``DELETE FROM t WHERE p`` as a stats-pruned
+    copy-on-write commit (r15 directive 2, the Delta DELETE shape):
+    the predicate's conjuncts prune candidate files from manifest
+    metadata, ONE column-pruned scan finds the files actually holding
+    matches, only those are rewritten (``pruned_ok`` certifies that
+    every file outside the [0, 1000) acctbal envelope carried over
+    verbatim, name-for-name), and the deleted rows land as FULL-ROW
+    typed CDC that the change feed reads through
+    (``deleted_rows``/``deleted_cents`` are re-derived from the feed,
+    not the snapshot).  The reference's users run this as ``post_query``
+    SQL on their target DB (ref: /root/reference/pypeline/Pype.py:167).
+
+    Scale: deleting a narrow slice of a 100 TB table rewrites the
+    overlapping files only — the two-phase plan (metadata prune, then
+    an exact predicate-column scan) bounds both the read and the
+    rewrite by the slice, never the table.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="delwhere_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed",
+            stats_cols=["c_acctbal"],
+        )  # v1: narrow per-file acctbal envelopes
+        m0 = t._read_manifest()
+        pred = "c_acctbal >= 0.0 AND c_acctbal < 1000.0"
+        overlapping = {
+            f for f in m0["files"]
+            if t._overlaps(m0, f, "c_acctbal", 0.0, 1000.0)
+        }
+        t.delete_where(spark, pred, batch_id="dml", stats_cols=["c_acctbal"])
+        m1 = t._read_manifest()
+        carried = set(m0["files"]) & set(m1["files"])
+        # every non-overlapping file carried verbatim AND nothing
+        # outside the envelope was rewritten
+        pruned_ok = (
+            carried >= set(m0["files"]) - overlapping
+            and set(m0["files"]) - carried <= overlapping
+            and len(overlapping) < len(m0["files"])
+        )
+        feed = t.changes(spark, 1)  # the DML commit's CDC
+        dead = feed.filter(F.col("_change_type") == "delete").agg(
+            F.count("*").cast("bigint").alias("deleted_rows"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("deleted_cents"),
+        )
+        out = (
+            t.read_resolved(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(dead))  # one-row stats frame
+            .withColumn("pruned_ok", F.lit(bool(pruned_ok)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_update_where",
+    # The oracle is the SQL UPDATE itself (simultaneous assignment
+    # over the old row); pre_rows/post_cents re-derive the feed's
+    # update_preimage/update_postimage CDC pair.
+    oracle="""
+    WITH updated AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0.0
+                    THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal,
+               CASE WHEN c_acctbal < 0.0
+                    THEN 'RESCUED' ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    pre AS (SELECT * FROM customer WHERE c_acctbal < 0.0)
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) AS pre_rows,
+           (SELECT CAST(SUM(CAST(FLOOR((c_acctbal + 1000.0) * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) FROM pre) AS post_cents
+    FROM updated GROUP BY seg
+    """,
+)
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML #2 — ``UPDATE t SET a = f(a), b = 'lit' WHERE p``
+    (r15 directive 2): multi-column simultaneous assignment (every
+    right-hand side sees the OLD row), results cast to each column's
+    existing type, same two-phase pruned copy-on-write as
+    ``delete_where``, and the commit records update_preimage /
+    update_postimage CDC pairs (the Delta CDF vocabulary) —
+    ``pre_rows``/``post_cents`` are re-derived from the FEED, proving
+    consumers see both sides of the update.
+
+    Scale: the negative-balance slice is a small fraction of the
+    acctbal domain; a range-clustered table rewrites only the files
+    whose envelope crosses zero.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="updwhere_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed",
+            stats_cols=["c_acctbal"],
+        )
+        t.update_where(
+            spark,
+            "c_acctbal < 0.0",
+            {
+                "c_acctbal": "c_acctbal + 1000.0",
+                "c_mktsegment": "'RESCUED'",
+            },
+            batch_id="dml",
+            stats_cols=["c_acctbal"],
+        )
+        feed = t.changes(spark, 1)
+        cdc = feed.agg(
+            F.sum(
+                F.when(F.col("_change_type") == "update_preimage", 1)
+                .otherwise(0)
+            ).cast("bigint").alias("pre_rows"),
+            F.sum(
+                F.when(
+                    F.col("_change_type") == "update_postimage",
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("post_cents"),
+        )
+        out = (
+            t.read_resolved(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(cdc))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_time_travel_ts",
+    # Three pinned reads of the same evolving table, one per commit
+    # timestamp (AS OF the exact stamp, a mid-gap instant, and the
+    # tip): the oracle recomputes each state's rollup from the same
+    # modular slices.  v1 = even keys; v2 upserts k%3==0 at +100
+    # (evens updated, odds inserted); v3 tombstones k%5==0.
+    oracle="""
+    WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+    v1 AS (SELECT k, bal FROM c WHERE k % 2 = 0),
+    v2 AS (
+        SELECT k, CASE WHEN k % 3 = 0 THEN bal + 100 ELSE bal END AS bal
+        FROM c WHERE k % 2 = 0 OR k % 3 = 0
+    ),
+    v3 AS (SELECT * FROM v2 WHERE k % 5 <> 0),
+    lab AS (
+        SELECT 'as_of_v1' AS label, * FROM v1
+        UNION ALL SELECT 'as_of_v2', * FROM v2
+        UNION ALL SELECT 'as_of_tip', * FROM v3
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM lab GROUP BY label
+    """,
+)
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` time travel (r15 directive 3): every commit
+    is stamped monotonically at publish; reads resolve 'the latest
+    version committed at or before ts' (the Delta/Iceberg rule).  The
+    query drives seed → upsert → tombstone-delete, then re-reads the
+    SAME table at three instants — v1's exact stamp, a midpoint
+    strictly between v2's and v3's stamps, and the tip's stamp — and
+    certifies each pinned state.  Commit stamps are reals from the
+    wall clock; distinct commits are milliseconds apart (each writes
+    files), so the midpoint instant is unambiguous.
+
+    Scale: "what did this table look like yesterday" costs a
+    metadata-only version resolution (one manifest listing) plus the
+    ordinary snapshot read of that version — no log replay, no copy.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    kk = F.col("k")
+    scratch = tempfile.mkdtemp(prefix="asof_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(c.filter(kk % 2 == 0), batch_id="v1")
+        t.commit_delta(
+            c.filter(kk % 3 == 0).withColumn("bal", F.col("bal") + 100.0),
+            ["k"], batch_id="v2",
+        )
+        t.commit_delta(
+            None, ["k"],
+            deletes=c.filter(kk % 5 == 0).select("k"),
+            batch_id="v3",
+        )
+        ct = {v: t._manifest_at(v)["committed_at"] for v in (1, 2, 3)}
+        reads = [
+            ("as_of_v1", t.read_resolved(spark, timestamp=ct[1])),
+            ("as_of_v2",
+             t.read_resolved(spark, timestamp=(ct[2] + ct[3]) / 2.0)),
+            ("as_of_tip", t.read_resolved(spark, timestamp=ct[3])),
+        ]
+        parts = [
+            df.groupBy(F.lit(label).alias("label")).agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("bal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            for label, df in reads
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_type_widening",
+    # int32/float32/decimal(10,2) files widened to
+    # bigint/double/decimal(14,4) by ONE metadata commit, then a
+    # narrow post-widening delta; the oracle reproduces the final
+    # content by casting the SAME slices to the wide types.  REAL is
+    # DuckDB's float32 — both engines widen the identical stored bits
+    # to double, so the cents arithmetic agrees exactly.
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS k,
+               CAST(c_acctbal AS REAL) AS v,
+               CAST(c_acctbal AS DECIMAL(10,2)) AS d
+        FROM customer
+    ),
+    final AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CASE WHEN k % 9 = 2
+                    THEN CAST(CAST(v AS DOUBLE) + 50.0 AS DOUBLE)
+                    ELSE CAST(v AS DOUBLE) END AS v,
+               CASE WHEN k % 9 = 2
+                    THEN CAST(CAST(d AS DECIMAL(14,4)) + 1.2345
+                         AS DECIMAL(14,4))
+                    ELSE CAST(d AS DECIMAL(14,4)) END AS d
+        FROM c
+    )
+    SELECT CAST(k % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(d) * 10000 AS BIGINT) AS sum_d_e4,
+           'bigint' AS k_type, 'double' AS v_type,
+           'decimal(14,4)' AS d_type,
+           TRUE AS metadata_only, TRUE AS bloom_alive
+    FROM final GROUP BY CAST(k % 4 AS BIGINT)
+    """,
+)
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe type widening as metadata-only evolution (r15 directive 4,
+    the Delta 4.0 type-widening table feature): a table written with
+    int32 / float32 / decimal(10,2) columns widens to bigint / double
+    / decimal(14,4) in ONE manifest commit — ``metadata_only``
+    certifies the data file list is byte-identical across the ALTER —
+    and every old file upcasts at read (the SPARK-40876 parquet
+    widening read).  A post-widening delta still carrying the NARROW
+    int type resolves under the wide schema, and ``bloom_alive``
+    certifies the pre-widening per-file bloom index still point-prunes
+    under the widened column type (file bytes unchanged => probe
+    canonicalization unchanged).
+
+    Scale: ALTER COLUMN TYPE on a 100 TB table costs one manifest
+    write instead of a full rewrite, and keeps every stats/bloom
+    index — the difference between a live schema migration and a
+    maintenance window.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("k"),
+        F.col("c_acctbal").cast("float").alias("v"),
+        F.col("c_acctbal").cast("decimal(10,2)").alias("d"),
+    )
+    kk = F.col("k")
+    scratch = tempfile.mkdtemp(prefix="widen_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "k"),
+            batch_id="seed", stats_cols=["k"], bloom_cols=["k"],
+        )  # v1: narrow types on disk, stats + bloom on k
+        files_before = t._read_manifest()["files"]
+        t.evolve_schema(
+            "k bigint, v double, d decimal(14,4)", batch_id="widen"
+        )  # v2: METADATA ONLY
+        metadata_only = t._read_manifest()["files"] == files_before
+        # pre-widening bloom still point-prunes under the wide type
+        keep, total = t.prune_plan_eq("k", 7)
+        bloom_alive = total == 8 and len(keep) < total
+        t.commit_delta(
+            c.filter(kk % 9 == 2).select(
+                "k",
+                (F.col("v") + F.lit(50.0)).cast("float").alias("v"),
+                (F.col("d") + F.lit(1.2345)).cast("decimal(14,4)").alias("d"),
+            ),
+            ["k"], batch_id="d1",
+        )  # v3: the delta's k is STILL int32 — upcasts at resolution
+        got = t.read_resolved(spark)
+        typ = dict(got.dtypes)
+        out = (
+            got.groupBy((kk % 4).cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+                F.sum(F.floor(F.col("v") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+                (F.sum("d") * 10000).cast("bigint").alias("sum_d_e4"),
+            )
+            .withColumn("k_type", F.lit(typ["k"]))
+            .withColumn("v_type", F.lit(typ["v"]))
+            .withColumn("d_type", F.lit(typ["d"]))
+            .withColumn("metadata_only", F.lit(bool(metadata_only)))
+            .withColumn("bloom_alive", F.lit(bool(bloom_alive)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -62,125 +62,99 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-14 window is the staleness rotation the r13 verdict
-# directed (directive #1): the r9 cohort is now at the staleness
-# bound (newest record r13; an r9 cert goes stale when the newest
-# record reaches r15), so this window pins (a) 45 of the 50 r9-cohort
-# queries, deferring 5 to the r15 window exactly as the verdict
-# allows ("displace ≤5 of the r9 names to r15"), and (b) five slots
-# for round-14 work: four FIRST-certifications for the operators
-# added this round — change-feed continuity across reorg commits
-# (`q_cdf_through_optimize`, directive #2), feed × schema evolution
-# with the metadata-only evolve_schema commit (`q_cdf_schema_evolve`,
-# directive #3), column mapping rename/drop evolution
-# (`q_column_mapping`, directive #4), and the durable restart-safe
-# IVM maintainer (`q_ivm_durable`, directive #5) — plus a
-# RE-certification of `q_ivm_cdc`, whose semantics changed with
-# directive #2 (its syncs now read THROUGH compactions; the fallback
-# is exercised by a CoW content rewrite), so its r13 cert no longer
-# describes the current query.  Cumulative driver record after round
-# 13: 250 of 250 registered queries ever driver-green
-# (never-certified set EMPTY); latest-cert histogram r9..r13 = 50
-# each (re-derived from CORRECTNESS_r01..r13 before pinning — the
-# derivation matched the r13-planned r9 list name for name).
-# All 50 strict-canon green locally at sf0.01 (SPARK_GRAFT_BARE=1
-# tools/check_oracle.py) before pinning.
+# The round-15 window is the staleness rotation the r14 verdict
+# directed (directive #1): (a) the 5 deferred r9 queries — stale at
+# r15, NON-NEGOTIABLE per the verdict: they are the reference's
+# N5/N6/N8 keyed-sink parity certs
+# (/root/reference/pypeline/Pype.py:97-143); (b) 41 of the 50-query
+# r10 cohort (alphabetical head), deferring the 9-name tail to r16
+# (r10 certs are admissible through r16, so the tail keeps one window
+# of float — the verdict allows displacing r10 names when r15 ships
+# new first-certs); and (c) FIRST-certification slots for the four
+# operators added this round — predicate DML `q_delete_where`
+# (directive #2) and `q_update_where`, TIMESTAMP AS OF time travel
+# `q_time_travel_ts` (directive #3), and metadata-only type widening
+# `q_type_widening` (directive #4).  Constraints (directive #5) and
+# the multi-agg durable maintainer (directive #6) are certified by
+# their pytest batteries per the verdict's Done criteria and take no
+# window slots.
 #
-# Rotation runway (keeps tests/test_registry.py's staleness guard
-# satisfiable at every step; registry 254 after the r14 additions):
-#   r14 window = 45 r9 + 5 (4 new certs + changed q_ivm_cdc)
-#   r15 window = 5 deferred r9 (q_tumbling q_udf_token_count
-#                q_update_only q_upsert q_upsert_excluded — stale at
-#                r15, non-negotiable) + 45 r10 head, deferring the
-#                r10 tail to r16 (r10 admissible through r16)
-#   r16 window = 5 deferred r10 + r11 head; and so on, one cohort per
-#                round, each with one window of float
-# (an rN cert is admissible until the newest record reaches N+6, so
-# every 50-query cohort may drain across two windows.)
-# Steady state re-certifies every query at most 6 rounds apart, inside
-# the guard's >MAX_CERT_AGE_ROUNDS bound (254 queries / 50 slots —
-# ceil(254/6) = 43 needed, 7 slack per window).
+# Cumulative driver record after round 14: 254 of 254 registered
+# queries ever driver-green (never-certified set EMPTY);
+# latest-cert histogram re-derived from CORRECTNESS_r01..r14 before
+# pinning: 5@r9 / 50@r10 / 50@r11 / 50@r12 / 49@r13 / 50@r14 — the
+# derivation matched the r14-planned r10 list name for name.  All 50
+# below pre-verified strict-canon green at sf0.01
+# (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
 #
-# Planned r15 window, pre-computed so the rotation is mechanical
-# (ALWAYS re-derive against CORRECTNESS_r01..r14 before pinning, then
-# pre-verify all 50 driver-strict at sf0.01): the 5 deferred r9 names
-# above (stale at r15 — non-negotiable) + 45 of the 50-query r10
-# cohort, deferring up to 5 r10 names to r16 if r15 ships new
-# first-certs.  The 50 r10 names as derived from CORRECTNESS_r01..r13:
-#   q_asof_forward q_asof_nearest q_bloom_join q_bpe_pairs
-#   q_capped_running q_cdc_apply q_cohort_retention q_column_profile
-#   q_conditional_agg q_corr q_corr_matrix q_date_gap_fill
-#   q_dedup_recall q_dedup_url q_doc_chunks q_dq_checks
-#   q_embedding_quantize q_feature_hist q_funnel q_grouping_sets
-#   q_histogram q_interpolate q_knn_recall q_lateral
-#   q_lm_quality q_lsh_efficiency q_manifest_optimize q_manifest_vacuum
-#   q_market_basket q_market_share q_median_iqr q_mixture_sample
-#   q_not_in_nulls q_nullsafe_join q_outliers q_pack_sequences
-#   q_percentile q_pipeline_cdc q_recursive_cte q_regional_revenue
-#   q_returned_items q_rfm q_rolling_dau q_shipping_priority
-#   q_stream_enrich q_string_agg q_time_rollup q_train_shards
-#   q_unpivot q_vocab_stats
+# Rotation runway (registry 258 after the r15 additions; an rN cert
+# is admissible until the newest record reaches N+6, so every cohort
+# may drain across two windows):
+#   r15 window = 5 r9 + 41 r10 head + 4 new first-certs  (this one)
+#   r16 window = 9 deferred r10 (q_rfm q_rolling_dau
+#                q_shipping_priority q_stream_enrich q_string_agg
+#                q_time_rollup q_train_shards q_unpivot q_vocab_stats
+#                — stale at r17, must re-cert at r16) + 41 r11 head
+#   r17 window = 9 r11 tail + 41 r12 head; and so on, one cohort per
+#                round with a 9-name tail riding its float window.
+# Steady state re-certifies every query at most 6 rounds apart,
+# inside the guard's >MAX_CERT_AGE_ROUNDS bound (258 queries / 50
+# slots — ceil(258/6) = 43 needed, 7 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # staleness rotation: 45 of the 50 queries whose latest
-    # driver-green row is round 9 (5 deferred to r15, listed above)
-    "q_agg_salted",
-    "q_asof_join",
-    "q_click_gaps",
-    "q_corpus_pipeline",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_embedding_stats",
-    "q_events_pruned",
-    "q_ewma_smooth",
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_manifest_bloom",
-    "q_manifest_mor",
-    "q_manifest_zorder",
-    "q_multimodal_meta",
-    "q_multimodal_pointers",
-    "q_ngram_jaccard",
-    "q_pii_scrub",
-    "q_pipeline_etl",
-    "q_quality_score",
-    "q_range_join",
-    "q_repetition",
-    "q_running_totals",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scd2",
-    "q_session",
-    "q_sessionize_pandas",
-    "q_simhash",
-    "q_sliding",
-    "q_snapshot_diff",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_text_stats",
-    "q_token_count",
-    "q_topk_cosine",
-    "q_zorder",
-    # first-certification slots for the four operators added in
-    # round 14 (a never-certified query outside the window trips the
-    # staleness guard immediately — new operators MUST take window
-    # slots) + re-certification of the semantics-changed q_ivm_cdc
-    "q_cdf_through_optimize",
-    "q_cdf_schema_evolve",
-    "q_column_mapping",
-    "q_ivm_durable",
-    "q_ivm_cdc",
+    "q_tumbling",
+    "q_udf_token_count",
+    "q_update_only",
+    "q_upsert",
+    "q_upsert_excluded",
+    "q_asof_forward",
+    "q_asof_nearest",
+    "q_bloom_join",
+    "q_bpe_pairs",
+    "q_capped_running",
+    "q_cdc_apply",
+    "q_cohort_retention",
+    "q_column_profile",
+    "q_conditional_agg",
+    "q_corr",
+    "q_corr_matrix",
+    "q_date_gap_fill",
+    "q_dedup_recall",
+    "q_dedup_url",
+    "q_doc_chunks",
+    "q_dq_checks",
+    "q_embedding_quantize",
+    "q_feature_hist",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_interpolate",
+    "q_knn_recall",
+    "q_lateral",
+    "q_lm_quality",
+    "q_lsh_efficiency",
+    "q_manifest_optimize",
+    "q_manifest_vacuum",
+    "q_market_basket",
+    "q_market_share",
+    "q_median_iqr",
+    "q_mixture_sample",
+    "q_not_in_nulls",
+    "q_nullsafe_join",
+    "q_outliers",
+    "q_pack_sequences",
+    "q_percentile",
+    "q_pipeline_cdc",
+    "q_recursive_cte",
+    "q_regional_revenue",
+    "q_returned_items",
+    "q_delete_where",
+    "q_update_where",
+    "q_time_travel_ts",
+    "q_type_widening",
 )
 
 _OPERATOR_MODULES = (

@@ -293,6 +293,62 @@ def main(sf_dir: str) -> None:
               f"{m14.mv.table_properties()['mv_cursor']} and spliced only "
               f"the changed groups; the MV table holds "
               f"{m14.mv.read(spark).count()} rollup rows")
+
+        # -- 17. predicate DML: DELETE/UPDATE as pruned CoW + CDC ----------
+        dml_t = ManifestTable(os.path.join(root, "dml"))
+        dml_t.commit_overwrite(
+            cseg.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed", stats_cols=["c_acctbal"],
+        )
+        n_files = len(dml_t._read_manifest()["files"])
+        dml_t.delete_where(
+            spark, "c_acctbal < -900.0", batch_id="dw",
+            stats_cols=["c_acctbal"],
+        )
+        dml_t.update_where(
+            spark, "c_acctbal < 0.0",
+            {"c_acctbal": "c_acctbal + 1000.0", "c_mktsegment": "'RESCUED'"},
+            batch_id="uw", stats_cols=["c_acctbal"],
+        )
+        kept = len(
+            set(dml_t._manifest_at(2)["files"])
+            & set(dml_t._manifest_at(1)["files"])
+        )
+        ev = dml_t.changes(spark, 1).groupBy("_change_type").count()
+        print(f"17. predicate DML: DELETE rewrote {n_files - kept} of "
+              f"{n_files} files (stats-pruned CoW); the change feed reads "
+              "THROUGH both commits via their typed CDC:")
+        ev.show()
+
+        # -- 18. TIMESTAMP AS OF + age-based retention ---------------------
+        ct1 = dml_t._manifest_at(1)["committed_at"]
+        as_of = dml_t.read_resolved(spark, timestamp=ct1)
+        print(f"18. TIMESTAMP AS OF: the pre-DML state at commit stamp "
+              f"{ct1:.3f} still reads ({as_of.count()} rows); "
+              "vacuum(retain_seconds=7*86400) would keep a week of time "
+              "travel regardless of commit rate")
+
+        # -- 19. type widening + constraints -------------------------------
+        w_t = ManifestTable(os.path.join(root, "widen"))
+        w_t.commit_overwrite(
+            cseg.select(
+                F.col("c_custkey").cast("int").alias("k"),
+                F.col("c_acctbal").cast("float").alias("bal"),
+            ),
+            batch_id="seed",
+        )
+        w_t.evolve_schema("k bigint, bal double", batch_id="widen")
+        w_t.add_check_constraint(spark, "bal_floor", "bal >= -1000.0")
+        try:
+            w_t.commit_delta(
+                spark.createDataFrame([(1, -9e9)], "k bigint, bal double"),
+                ["k"], batch_id="bad",
+            )
+        except Exception as exc:  # ConstraintViolation
+            msg = str(exc).split(";")[0]
+            print(f"19. widening + constraints: int->bigint/float->double "
+                  f"cost ONE metadata commit (old files upcast at read); "
+                  f"the CHECK gate then rejected a bad batch: {msg}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -2426,19 +2426,30 @@ class ManifestTable:
             )
         if not m["files"]:
             return m["version"]
-        pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+        # matched side: a bare filter already excludes NULL-predicate
+        # rows (SQL filter keeps TRUE only) AND stays pushdown-eligible
+        # — wrapping it in coalesce() would block the parquet
+        # PushedFilters and the row-group skipping they buy.  The KEPT
+        # side is where NULL must be preserved, so only it pays the
+        # coalesce wrapper.
+        pred = F.expr(predicate).cast("boolean")
+        not_pred = ~F.coalesce(pred, F.lit(False))
         # phase 1: metadata prune, then ONE column-pruned scan of the
         # candidates for the files that truly hold matching rows (the
         # projection is just the predicate columns + the file name, so
-        # Catalyst prunes the parquet read accordingly)
+        # Catalyst prunes the parquet read accordingly, and the
+        # predicate itself reaches the scan as a pushed filter)
         candidates = self._dml_candidates(m, predicate)
         if not candidates:
             return m["version"]  # provably nothing matches
+        # filter BEFORE projecting the file name: input_file_name() is
+        # non-deterministic to Catalyst, so a filter above it would be
+        # fenced off from the scan — ordered this way the predicate
+        # pushes down into the parquet read (row-group skipping)
         hits = self._collect_index_metadata(
             self._read_base(spark, m, candidates)
-            .withColumn("__file__", F.input_file_name())
             .filter(pred)
-            .select("__file__")
+            .select(F.input_file_name().alias("__file__"))
             .distinct()
         )
         touched = sorted(
@@ -2452,7 +2463,7 @@ class ManifestTable:
         # explicit-path reads — both passes see identical rows)
         tdf = self._read_base(spark, m, touched)
         matched = tdf.filter(pred)
-        kept = tdf.filter(~pred)
+        kept = tdf.filter(not_pred)  # FALSE and NULL rows stay (SQL rule)
         if assignments is not None:
             typ = {f.name: f.dataType for f in tdf.schema.fields}
             bad = [c for c in assignments if c not in typ]

@@ -2793,6 +2793,66 @@ class TestOccInterleavingProperty:
         assert _canon(t.read_resolved(spark)) == _canon(expected)
 
 
+class TestOccDmlInterleavingProperty:
+    """Model-based OCC check over the r15 'dml' commit kind: random
+    interleavings where a blind delta append races a predicate DELETE
+    landing inside its window — the append must REBASE over the dml
+    commit (never abort, never lose), the ledger must hold every
+    batch, and the content must equal applying delete-then-upsert in
+    commit order."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(plan=st.lists(st.booleans(), min_size=2, max_size=3))
+    def test_appends_rebase_over_racing_deletes(
+        self, spark, sf_dir, tmp_path, plan
+    ):
+        import uuid as _uuid
+
+        from pypeline_spark.sinks.keyed import upsert
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        root = str(tmp_path / f"dmlprop-{_uuid.uuid4().hex}")
+        a, b = ManifestTable(root), ManifestTable(root)
+        seed = cust.filter(F.col("c_custkey") % 7 == 0)
+        a.commit_overwrite(seed, batch_id="seed")
+        expected = seed
+        applied = {"seed"}
+        for i, race in enumerate(plan):
+            # fold outstanding deltas so the racing DELETE is legal
+            b.compact(spark, batch_id=f"c{i}")
+            if i > 0:
+                applied.add(f"c{i}")  # step 0 has no deltas: no-op
+            # the delete targets a residue class that provably exists:
+            # the seed (step 0) or the slice upserted at step i-1
+            pred = (
+                "c_custkey % 7 = 0" if i == 0
+                else f"c_custkey % 7 = {(i - 1) % 6 + 1}"
+            )
+            l_slice = cust.filter(
+                F.col("c_custkey") % 7 == (i % 6) + 1
+            ).withColumn("c_acctbal", F.col("c_acctbal") + float(i))
+            if race:
+                # DELETE lands INSIDE the append's commit window
+                a._race_once = lambda p=pred, n=f"w{i}": b.delete_where(
+                    spark, p, batch_id=n
+                )
+            else:
+                b.delete_where(spark, pred, batch_id=f"w{i}")
+            a.commit_delta(l_slice, ["c_custkey"], batch_id=f"l{i}")
+            applied |= {f"w{i}", f"l{i}"}
+            # commit order is always delete first, then the append
+            expected = upsert(
+                expected.filter(~F.expr(pred)), l_slice, ["c_custkey"]
+            )
+        t = ManifestTable(root)
+        assert t.applied_batch_ids() == applied
+        assert _canon(t.read_resolved(spark)) == _canon(expected)
+
+
 class TestEvolvedMergeEdges:
     """Nothing-overlaps prune paths must not bypass the schema
     evolution guards (a widened batch inserting beside carried files

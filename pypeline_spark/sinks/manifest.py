@@ -173,20 +173,20 @@ class ManifestTable:
         # intermediate version file was vacuumed while the pointer
         # lagged, the roll-forward chain stops short of the true tip,
         # and trusting it alone would let this writer re-link a
-        # vacuumed slot readers skip (ADVICE r13).  The scan is
-        # SKIPPED when the roll-forward already reached the slot's
-        # parent (ADVICE r14 — O(history) listing cost on every commit
-        # of a never-vacuumed table): the chain having just proven
-        # ``_manifest.v{version}.json`` absent, a higher version can
-        # only exist if some intermediate manifest was vacuumed, and
-        # ``vacuum`` rolls the pointer forward to the true tip BEFORE
-        # removing any manifest — so a broken chain can never end
-        # exactly at this slot's parent.  (A racer claiming the slot
-        # after the check still loses to the put-if-absent link.)
+        # vacuumed slot readers skip (ADVICE r13).  The scan runs
+        # UNCONDITIONALLY.  Skipping it when the chain reaches the
+        # slot's parent (the ADVICE r14 suggestion) is UNSOUND:
+        # "vacuum heals the pointer before removing manifests" does
+        # not make the pointer monotone — a slow writer's post-link
+        # refresh can land AFTER a later vacuum's heal and regress the
+        # pointer below the vacuum horizon, leaving a chain that ends
+        # exactly at a vacuumed slot's parent (pinned by
+        # test_publish_guard_scans_disk_when_chain_is_broken).  The
+        # cost is one listing of O(retained manifests) names per
+        # COMMIT (never on the read path), and periodic vacuum is what
+        # keeps it flat — the documented operational contract.
         rf = self._read_manifest()
-        tip = rf["version"]
-        if tip < manifest["version"] - 1:
-            tip = max(tip, self._max_version_on_disk())
+        tip = max(rf["version"], self._max_version_on_disk())
         if tip >= manifest["version"]:
             raise CommitConflict(
                 f"version {manifest['version']} is not ahead of the "
@@ -254,7 +254,12 @@ class ManifestTable:
         pf, cf = prev.get("files", []), cur.get("files", [])
         pd, cd = prev.get("deltas", []), cur.get("deltas", [])
         if cf == pf and cd == pd:
-            return "metadata"
+            # a deletion-vector DELETE leaves both file lists untouched
+            # (it only grows the dv) but IS a content change with its
+            # own CDC fileset — classify by its dml stamp, never as
+            # metadata (a metadata classification would let OCC rebase
+            # content commits straight over it)
+            return "dml" if cur.get("dml") else "metadata"
         if cf == pf and len(cd) == len(pd) + 1 and cd[: len(pd)] == pd:
             return "delta"
         if cur.get("dml"):
@@ -1220,18 +1225,53 @@ class ManifestTable:
         their data and re-added ones null-fill on old files) and the
         result is aliased back to the logical schema.  Tables without
         a tracked schema (pre-evolution manifests) read raw, exactly
-        as before."""
+        as before.  When the version carries DELETION VECTORS
+        (``delete_where(mode='dv')``), the suppressed positions are
+        anti-joined away here — every reader path funnels through this
+        method, so a dv is applied uniformly to snapshot reads, pruned
+        reads, merge-on-read resolution and DML/maintenance rewrites.
+        Files without dv entries keep their exact pre-dv scan plan."""
+        dv = m.get("dv")
+        if dv and any(f in dv["rows"] for f in names):
+            return self._read_base_tagged(spark, m, names).drop(
+                "__dvf__", "__dvp__"
+            )
+        return self._scan_logical(spark, m, names)
+
+    def _scan_logical(
+        self,
+        spark: SparkSession,
+        m: dict,
+        names: Sequence[str],
+        tagged: bool = False,
+    ) -> DataFrame:
+        """The raw tracked-schema scan behind :meth:`_read_base` (no dv
+        application).  ``tagged=True`` adds row provenance columns
+        ``__dvf__`` (file basename) / ``__dvp__`` (position in file)
+        from the parquet ``_metadata`` struct — computed AT THE SCAN,
+        so they stay correct above joins where ``input_file_name()``
+        is undefined."""
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
+
+        def _tag(df: DataFrame, cols) -> DataFrame:
+            if not tagged:
+                return df.select(*cols) if cols is not None else df
+            return df.select(
+                *(cols if cols is not None else df.columns),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dvf__"),
+                F.col("_metadata.row_index").alias("__dvp__"),
+            )
 
         paths = [os.path.join(self.data_dir, f) for f in names]
         sch = m.get("schema")
         if sch is None:
-            return spark.read.parquet(*paths)
+            return _tag(spark.read.parquet(*paths), None)
         st = StructType.fromJson(sch)
         if not self._mapping_enabled(m):
-            return spark.read.schema(st).parquet(*paths)
-        from pyspark.sql import functions as F
-
+            return _tag(spark.read.schema(st).parquet(*paths), None)
         phys = StructType(
             [
                 StructField(self._phys_name(f), f.dataType, f.nullable)
@@ -1239,12 +1279,102 @@ class ManifestTable:
             ]
         )
         df = spark.read.schema(phys).parquet(*paths)
-        return df.select(
-            *[
+        return _tag(
+            df,
+            [
                 F.col(p.name).alias(f.name)
                 for p, f in zip(phys.fields, st.fields)
-            ]
+            ],
         )
+
+    # Above this many suppressed rows the dv anti-join falls back from a
+    # broadcast to a shuffled join — a wrong broadcast OOMs executors, a
+    # wrong shuffle only costs an exchange (the join advisor's rule).
+    _DV_BROADCAST_ROWS = 1_000_000
+
+    def _read_base_tagged(
+        self, spark: SparkSession, m: dict, names: Sequence[str]
+    ) -> DataFrame:
+        """Provenance-tagged base read with the version's deletion
+        vectors applied: rows carry ``__dvf__``/``__dvp__`` and any
+        (file, position) pair named by the dv is anti-joined away.
+        Only files WITH dv entries pay the join — clean files scan
+        exactly as before and union in.  The dv side is broadcast
+        while its metadata-known row count stays under
+        ``_DV_BROADCAST_ROWS`` (suppression then costs a map-side
+        hash probe per row, no shuffle); past that it degrades to a
+        shuffled anti-join, never an executor OOM."""
+        from pyspark.sql import functions as F
+
+        dv = m.get("dv")
+        dirty = [f for f in names if dv and f in dv["rows"]]
+        if not dirty:
+            return self._scan_logical(spark, m, names, tagged=True)
+        dset = set(dirty)
+        clean = [f for f in names if f not in dset]
+        ddf = self._scan_logical(spark, m, dirty, tagged=True)
+        dvdf = spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in dv["files"]]
+        )
+        # narrowing the dv side to the dirty files is an optimization
+        # only (non-matching entries fall out of the anti-join anyway):
+        # apply it while the IN-list stays codegen-friendly, and size
+        # the broadcast decision by what the plan actually carries
+        if len(dirty) <= 1000:
+            dvdf = dvdf.filter(F.col("__file__").isin(dirty))
+            dv_rows = sum(dv["rows"][f] for f in dirty)
+        else:
+            # unfiltered plan: size by the PHYSICAL dv row count
+            # ("total" includes entries gone stale under partial
+            # rewrites — the live-rows sum would undercount what the
+            # broadcast actually ships)
+            dv_rows = dv.get("total", sum(dv["rows"].values()))
+        if dv_rows <= self._DV_BROADCAST_ROWS:
+            dvdf = F.broadcast(dvdf)
+        out = ddf.join(
+            dvdf,
+            on=[
+                F.col("__dvf__") == F.col("__file__"),
+                F.col("__dvp__") == F.col("__pos__"),
+            ],
+            how="left_anti",
+        )
+        if clean:
+            out = self._scan_logical(
+                spark, m, clean, tagged=True
+            ).unionByName(out)
+        return out
+
+    @staticmethod
+    def _carry_dv(m: dict, carried: Optional[Sequence[str]] = None) -> dict:
+        """The deletion-vector state that rides a commit: everything
+        when the base fileset is untouched (``carried=None`` — delta
+        appends, metadata commits, restore of a dv'd version), or
+        filtered to the files actually carried over — a partial
+        rewrite reads through :meth:`_read_base`, so it PHYSICALLY
+        applied the dv of every file it rewrote.  Dv parquet rows for
+        dropped base files go stale but stay harmless (their file
+        names appear in no manifest entry; the anti-join never sees
+        them) until compaction clears the dv entirely."""
+        dv = m.get("dv")
+        if not dv:
+            return {}
+        if carried is None:
+            return {"dv": dv}
+        cset = set(carried)
+        rows = {f: n for f, n in dv["rows"].items() if f in cset}
+        if not rows:
+            return {}
+        return {
+            "dv": {
+                "files": list(dv["files"]),
+                "rows": rows,
+                # physical rows across the dv files (monotone under
+                # carries — stale entries still occupy their parquet
+                # rows until compaction rewrites the base)
+                "total": dv.get("total", sum(dv["rows"].values())),
+            }
+        }
 
     # -- read path ------------------------------------------------------------
 
@@ -2146,9 +2276,12 @@ class ManifestTable:
             },
             "bloom_cols": bloom,
             # ANALYZE profile + NDV sketch state ride along (an
-            # overwrite resets both); column-mapping state always rides
+            # overwrite resets both); column-mapping state always
+            # rides; carried files keep their deletion vectors (the
+            # rewritten slice applied its own through _read_base)
             **self._carry_meta(m),
             **carry_map,
+            **self._carry_dv(m, carried),
         }
         if evolved_schema is not None:
             new["schema"] = evolved_schema
@@ -2361,13 +2494,11 @@ class ManifestTable:
         predicate: str,
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
+        mode: str = "cow",
     ) -> int:
         """``DELETE FROM table WHERE predicate`` — rows where the
         predicate is TRUE are removed (FALSE and NULL rows stay, the
-        SQL rule).  Only files actually holding matching rows are
-        rewritten (two-phase: metadata prune, then one column-pruned
-        scan — the Delta DELETE shape); untouched files carry over
-        verbatim.  The commit stores the deleted rows as full-row
+        SQL rule).  The commit stores the deleted rows as full-row
         typed CDC (``_change_type='delete'``), so :meth:`changes` and
         the streaming source read straight THROUGH it.  Requires a
         compacted table (no outstanding merge-on-read deltas — for a
@@ -2375,8 +2506,36 @@ class ManifestTable:
         the O(batch) alternative).  A predicate matching nothing is a
         no-op (no commit).  OCC: rebases over pure-metadata commits
         only while schema/mapping/constraints are unchanged; any
-        content commit aborts it."""
-        return self._dml_where(spark, predicate, None, batch_id, stats_cols)
+        content commit aborts it.
+
+        ``mode='cow'`` (default): copy-on-write — only files actually
+        holding matching rows are rewritten (two-phase: metadata
+        prune, then one column-pruned scan — the Delta DELETE shape);
+        untouched files carry over verbatim.  Write cost is
+        O(touched file bytes): right when deletes cluster into few
+        files, or as the compaction that follows dv deletes.
+
+        ``mode='dv'``: DELETION VECTORS (the Delta 3.x merge-on-read
+        DELETE) — no base file is rewritten; the commit records the
+        matched (file, position) pairs as a small dv fileset that
+        every reader anti-joins away (:meth:`_read_base`).  Write
+        cost is O(matched rows) regardless of how the matches
+        scatter: deleting 1k rows spread over 10k files of a 100 TB
+        table writes kilobytes instead of rewriting 10k files.  Reads
+        of dv'd files pay a (broadcast, while the dv is small)
+        anti-join until :meth:`compact` or :meth:`optimize`
+        materializes the suppression — exactly Delta's
+        read-amplification / write-amplification trade.  Per-file
+        stats, blooms and row counts become sound UPPER bounds
+        (deletion only removes rows), so pruning keeps working;
+        ``stats_cols`` is ignored (nothing is rewritten)."""
+        if mode == "cow":
+            return self._dml_where(
+                spark, predicate, None, batch_id, stats_cols
+            )
+        if mode != "dv":
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        return self._delete_where_dv(spark, predicate, batch_id)
 
     def update_where(
         self,
@@ -2442,19 +2601,17 @@ class ManifestTable:
         candidates = self._dml_candidates(m, predicate)
         if not candidates:
             return m["version"]  # provably nothing matches
-        # filter BEFORE projecting the file name: input_file_name() is
-        # non-deterministic to Catalyst, so a filter above it would be
-        # fenced off from the scan — ordered this way the predicate
-        # pushes down into the parquet read (row-group skipping)
+        # provenance comes from the tagged scan (a _metadata column,
+        # computed at the scan — safe above the dv anti-join, where
+        # input_file_name() would be undefined); the predicate filter
+        # still reaches the parquet read as a pushed filter
         hits = self._collect_index_metadata(
-            self._read_base(spark, m, candidates)
+            self._read_base_tagged(spark, m, candidates)
             .filter(pred)
-            .select(F.input_file_name().alias("__file__"))
+            .select("__dvf__")
             .distinct()
         )
-        touched = sorted(
-            os.path.basename(p) for p in hits.column("__file__").to_pylist()
-        )
+        touched = sorted(hits.column("__dvf__").to_pylist())
         if not touched:
             return m["version"]  # predicate matched no rows: no-op
         tset = set(touched)
@@ -2506,13 +2663,18 @@ class ManifestTable:
                 raise CommitConflict(
                     f"{what}: file list changed under the rewrite"
                 )
-            if mm.get("schema") != m.get("schema") or self._carry_mapping(
-                mm
-            ) != self._carry_mapping(m):
+            if (
+                mm.get("schema") != m.get("schema")
+                or self._carry_mapping(mm) != self._carry_mapping(m)
+                or self._constraints(mm) != self._constraints(m)
+            ):
                 # the rewritten fileset was produced under m's schema,
                 # physical-name assignment and constraint set — a
                 # concurrent change to any of them would publish files
-                # readers misinterpret (or rows never re-validated)
+                # readers misinterpret (or rows never re-validated:
+                # post-images were gated against m's constraints only,
+                # so a rebase over a concurrent ADD CONSTRAINT would
+                # publish rows the new invariant never saw)
                 raise CommitConflict(
                     f"{what} lost to a concurrent schema/mapping/"
                     "constraint change — re-read the table and retry"
@@ -2544,9 +2706,12 @@ class ManifestTable:
                 "dml": True,
                 "cdc_files": cdc_files,
                 # ANALYZE profile + NDV sketch ride (provenance-kept;
-                # deletes only ever leave the HLL an upper bound)
+                # deletes only ever leave the HLL an upper bound);
+                # rewritten files had their dv physically applied —
+                # only carried files keep theirs
                 **self._carry_meta(mm),
                 **self._carry_mapping(mm),
+                **self._carry_dv(mm, carried),
             }
             if mm.get("schema") is not None:
                 new["schema"] = mm["schema"]
@@ -2554,6 +2719,534 @@ class ManifestTable:
                 # updated values are new marks; one O(changed rows) pass
                 new["ndv"] = self._update_ndv(
                     post, mm["ndv_cols"], mm.get("ndv", {})
+                )
+            return new
+
+        return self._commit_retrying(m, build, frozenset({"metadata"}), what)
+
+    def _delete_where_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        batch_id: Optional[str],
+    ) -> int:
+        """The merge-on-read DELETE behind ``delete_where(mode='dv')``:
+        one provenance-tagged scan of the stats/bloom-pruned candidate
+        files (existing dv already applied — a row cannot be deleted
+        twice) finds the matched rows; their (file, position) pairs
+        land as a new dv fileset and their full pre-images as typed
+        CDC, and the commit just grows the manifest's dv map — zero
+        base-file I/O.  Per-file suppression counts are read back from
+        the WRITTEN dv fileset (exactly what the manifest references),
+        one metadata-sized job."""
+        from pyspark.sql import functions as F
+
+        what = "delete_where[dv]"
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if m.get("deltas"):
+            raise ValueError(
+                f"{what}: deletion vectors suppress BASE rows only — "
+                "compact() outstanding merge-on-read deltas first, or "
+                "use commit_delta(deletes=) tombstones on a keyed table"
+            )
+        if not m["files"]:
+            return m["version"]
+        pred = F.expr(predicate).cast("boolean")
+        candidates = self._dml_candidates(m, predicate)
+        if not candidates:
+            return m["version"]  # provably nothing matches
+        matched = self._read_base_tagged(spark, m, candidates).filter(pred)
+        dv_files, _ds, dv_meta = self._write_fileset(
+            matched.select(
+                F.col("__dvf__").alias("__file__"),
+                F.col("__dvp__").alias("__pos__"),
+            )
+        )
+        counts_tbl = self._collect_index_metadata(
+            spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in dv_files]
+            )
+            .groupBy("__file__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+        )
+        counts = dict(
+            zip(
+                counts_tbl.column("__file__").to_pylist(),
+                (int(n) for n in counts_tbl.column("__n__").to_pylist()),
+            )
+        )
+        if not counts:
+            # predicate matched no rows: no commit (the empty written
+            # fileset is gc_orphans debris)
+            return m["version"]
+        cdc = matched.drop("__dvf__", "__dvp__").withColumn(
+            self._CT, F.lit("delete")
+        )
+        cdf, _cs, _cb = self._for_write(
+            self._carry_mapping(m), m.get("schema"), cdc, (), ()
+        )
+        cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+        added = sum(counts.values())
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm["files"] != m["files"] or mm.get("deltas"):
+                raise CommitConflict(
+                    f"{what}: file list changed under the delete"
+                )
+            if (
+                mm.get("schema") != m.get("schema")
+                or self._carry_mapping(mm) != self._carry_mapping(m)
+                or self._constraints(mm) != self._constraints(m)
+            ):
+                # the predicate was evaluated (and the CDC fileset
+                # written) under m's schema/mapping; constraints keep
+                # the same abort rule as every DML commit
+                raise CommitConflict(
+                    f"{what} lost to a concurrent schema/mapping/"
+                    "constraint change — re-read the table and retry"
+                )
+            old_dv = mm.get("dv") or {"files": [], "rows": {}, "total": 0}
+            rows = dict(old_dv["rows"])
+            for f, n in counts.items():
+                rows[f] = rows.get(f, 0) + n
+            new = {
+                "version": mm["version"] + 1,
+                "files": mm["files"],
+                "deltas": [],
+                "key_columns": mm.get("key_columns"),
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                # base files untouched: their stats/blooms/filemeta
+                # stay verbatim as sound upper bounds
+                "stats": mm.get("stats", {}),
+                "filemeta": {
+                    **mm.get("filemeta", {}),
+                    **dv_meta,
+                    **cdc_meta,
+                },
+                "bloom_cols": mm.get("bloom_cols", []),
+                "dml": True,
+                "cdc_files": cdc_files,
+                "dv": {
+                    "files": old_dv["files"] + dv_files,
+                    "rows": rows,
+                    "total": old_dv.get(
+                        "total", sum(old_dv["rows"].values())
+                    ) + added,
+                },
+                **self._carry_meta(mm),
+                **self._carry_mapping(mm),
+            }
+            if mm.get("schema") is not None:
+                new["schema"] = mm["schema"]
+            return new
+
+        return self._commit_retrying(m, build, frozenset({"metadata"}), what)
+
+    _MERGE_KINDS = (
+        "update", "delete", "insert", "update_by_source", "delete_by_source",
+    )
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_columns: Optional[Sequence[str]] = None,
+        *,
+        clauses: Sequence[tuple],
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+        prune_col: Optional[str] = None,
+    ) -> int:
+        """Conditional ``MERGE INTO`` — the full SQL/Delta merge
+        surface, of which :meth:`commit_merge` is the unconditional
+        last-writer-wins special case.  ``clauses`` is an ordered
+        sequence of ``(kind, condition, payload)``:
+
+        - ``("update", cond, {col: expr} | "*")`` — WHEN MATCHED
+          [AND cond] THEN UPDATE SET ... (``"*"`` sets every target
+          column from the like-named source column);
+        - ``("delete", cond, None)`` — WHEN MATCHED [AND cond] THEN
+          DELETE;
+        - ``("insert", cond, {col: expr} | "*")`` — WHEN NOT MATCHED
+          [AND cond] THEN INSERT (unassigned columns null-fill);
+        - ``("update_by_source", cond, {col: expr})`` /
+          ``("delete_by_source", cond, None)`` — WHEN NOT MATCHED BY
+          SOURCE [AND cond] THEN UPDATE/DELETE.
+
+        Conditions and expressions are SQL strings over the aliases
+        ``t`` (target) and ``s`` (source) — ``"s.qty > t.qty"``.
+        Within each population (matched / not-matched / not-matched-
+        by-source) clauses apply in listed order, first satisfied
+        condition wins; a row no clause claims is kept (target) or
+        ignored (source).  More than one SOURCE row matching the same
+        target key raises, the SQL/Delta ambiguity rule.  Right-hand
+        sides see the OLD target row (simultaneous assignment) and
+        results cast to each column's tracked type; updated and
+        inserted rows face the CHECK/NOT NULL gate.
+
+        Execution is Spark-first and copy-on-write: one full-outer
+        join of the TOUCHED file slice against the source drives every
+        clause through a single CASE-typed action column — no
+        per-clause scans.  Without by-source clauses the touched slice
+        is found by stats-pruned candidates (``prune_col``, a key
+        column) narrowed by one semi-join scan, so a narrow source
+        batch against a wide table rewrites only the files actually
+        holding matches; by-source clauses make every file a candidate
+        by definition (any unmatched row may change).  The commit
+        stores its exact row-level change set as typed CDC
+        (``update_preimage``/``update_postimage``, full-row
+        ``delete``, ``insert`` — the Delta CDF vocabulary), so
+        :meth:`changes`, the streaming source and the IVM maintainers
+        read straight THROUGH it.  Schema is stable across a merge
+        (evolution goes through ``evolve_schema``); OCC rebases over
+        pure-metadata commits only while schema/mapping/constraints
+        are unchanged.
+
+        The reference's users run this statement against their target
+        database (post_query, reference pypeline/Pype.py:167); here it
+        is native, file-pruned, and feeds the change feed."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        what = "merge_into"
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if m.get("deltas"):
+            raise ValueError(
+                "merge_into rewrites base files (copy-on-write): "
+                "compact() outstanding merge-on-read deltas first"
+            )
+        keys = list(key_columns or m.get("key_columns") or [])
+        if not keys:
+            raise ValueError(
+                "merge_into needs key_columns (argument or recorded "
+                "on the table)"
+            )
+        # -- clause validation ------------------------------------------
+        matched_idx: list[int] = []
+        insert_idx: list[int] = []
+        by_source_idx: list[int] = []
+        parsed: list[tuple] = []
+        for i, clause in enumerate(clauses):
+            if len(clause) != 3:
+                raise ValueError(
+                    f"clause {i}: expected (kind, condition, payload)"
+                )
+            kind, cond, payload = clause
+            if kind not in self._MERGE_KINDS:
+                raise ValueError(
+                    f"clause {i}: unknown kind {kind!r} "
+                    f"(one of {self._MERGE_KINDS})"
+                )
+            if kind in ("delete", "delete_by_source"):
+                if payload is not None:
+                    raise ValueError(f"clause {i}: {kind} takes no payload")
+            elif kind == "update_by_source":
+                if not isinstance(payload, dict) or not payload:
+                    raise ValueError(
+                        f"clause {i}: update_by_source needs an "
+                        "assignments dict (no source row to copy from)"
+                    )
+            elif payload != "*" and (
+                not isinstance(payload, dict) or not payload
+            ):
+                raise ValueError(
+                    f"clause {i}: {kind} needs an assignments dict or '*'"
+                )
+            if kind in ("update", "delete"):
+                matched_idx.append(i)
+            elif kind == "insert":
+                insert_idx.append(i)
+            else:
+                by_source_idx.append(i)
+            parsed.append((kind, cond, payload))
+        if not parsed:
+            raise ValueError("merge_into needs at least one clause")
+        bad_names = {"__t__", "__s__", "__act__"} & set(source.columns)
+        if bad_names:
+            raise ValueError(
+                f"source carries reserved column(s) {sorted(bad_names)}"
+            )
+        # one lazy checkpoint: the source feeds up to three jobs (the
+        # touched-file scan, the ambiguity guard, the merge itself) —
+        # materialize its lineage once instead of recomputing a
+        # possibly-expensive upstream pipeline per job
+        src = source.localCheckpoint(eager=False)
+        # -- phase 1: the touched file slice -----------------------------
+        if by_source_idx:
+            # any unmatched target row may change: every file is touched
+            touched = list(m["files"])
+        elif m["files"]:
+            cands = list(m["files"])
+            if prune_col is not None:
+                if prune_col not in keys:
+                    raise ValueError(
+                        f"prune_col {prune_col!r} must be a key column "
+                        f"{keys} — pruning on a non-key column could "
+                        "split a key's rows across kept and pruned files"
+                    )
+                bounds = self._collect_index_metadata(
+                    src.agg(
+                        F.min(prune_col).alias("lo"),
+                        F.max(prune_col).alias("hi"),
+                    )
+                )
+                lo = bounds.column("lo").to_pylist()[0]
+                hi = bounds.column("hi").to_pylist()[0]
+                if lo is not None:
+                    cands = [
+                        f
+                        for f in cands
+                        if self._overlaps(m, f, prune_col, lo, hi)
+                    ]
+            if cands:
+                # provenance tagged AT THE SCAN (input_file_name above
+                # a join is undefined), then one semi-join finds the
+                # files actually holding key matches
+                hits = self._collect_index_metadata(
+                    self._read_base_tagged(spark, m, cands)
+                    .join(
+                        src.select(*keys).distinct(), on=keys,
+                        how="left_semi",
+                    )
+                    .select("__dvf__")
+                    .distinct()
+                )
+                tset = set(hits.column("__dvf__").to_pylist())
+                touched = [f for f in m["files"] if f in tset]
+            else:
+                touched = []
+        else:
+            touched = []
+        if not touched and not insert_idx:
+            return m["version"]  # nothing matched, nothing to insert
+        carried = [f for f in m["files"] if f not in set(touched)]
+        # -- the target slice (schema-complete even when empty) ----------
+        if touched:
+            t_base = self._read_base(spark, m, touched)
+        elif m["files"]:
+            t_base = self._read_base(spark, m, m["files"][:1]).limit(0)
+        elif m.get("schema") is not None:
+            t_base = spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
+        else:
+            t_base = src.limit(0)  # empty untracked table: bootstrap
+        tcols = list(t_base.columns)
+        typ = {f.name: f.dataType for f in t_base.schema.fields}
+        for i, (kind, _c, payload) in enumerate(parsed):
+            if isinstance(payload, dict):
+                unknown = [c for c in payload if c not in typ]
+                if unknown:
+                    raise ValueError(
+                        f"clause {i}: no such target column(s) {unknown}"
+                    )
+            elif payload == "*":
+                missing = [c for c in tcols if c not in set(src.columns)]
+                if missing:
+                    raise ValueError(
+                        f"clause {i}: '*' needs every target column in "
+                        f"the source; missing {missing}"
+                    )
+        # -- ambiguity guard (the SQL/Delta multiple-match rule) ---------
+        if (matched_idx or by_source_idx) and touched:
+            dup = (
+                src.join(t_base.select(*keys), on=keys, how="left_semi")
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .first()
+            )
+            if dup is not None:
+                raise ValueError(
+                    "merge_into: multiple source rows match the same "
+                    f"target key {tuple(dup[k] for k in keys)!r} — "
+                    "de-duplicate the source (the SQL MERGE ambiguity "
+                    "rule: which row's assignments win is undefined)"
+                )
+        # -- phase 2: one full-outer join, one action column -------------
+        t = t_base.withColumn("__t__", F.lit(True)).alias("t")
+        s = src.withColumn("__s__", F.lit(True)).alias("s")
+        j = t.join(
+            s,
+            on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            how="full_outer",
+        )
+        mt = F.col("t.__t__").isNotNull()
+        ms = F.col("s.__s__").isNotNull()
+        act = None
+        for i, (kind, cond, _p) in enumerate(parsed):
+            pop = (
+                mt & ms
+                if kind in ("update", "delete")
+                else (~mt & ms if kind == "insert" else mt & ~ms)
+            )
+            if cond is not None:
+                pop = pop & F.coalesce(
+                    F.expr(cond).cast("boolean"), F.lit(False)
+                )
+            lit = F.lit(f"a{i}")
+            act = F.when(pop, lit) if act is None else act.when(pop, lit)
+        act = act.when(mt, F.lit("keep")).otherwise(F.lit("drop"))
+        j = j.withColumn("__act__", act)
+
+        def _rhs(v):
+            return F.expr(v) if isinstance(v, str) else F.lit(v)
+
+        def _content_col(c: str):
+            """One CASE per column routing each action to its clause's
+            assignment (updates default to the old value, inserts to
+            NULL), cast to the tracked type."""
+            e = None
+            for i, (kind, _cond, payload) in enumerate(parsed):
+                if kind in ("delete", "delete_by_source"):
+                    continue
+                assigns = (
+                    {cc: f"s.{cc}" for cc in tcols}
+                    if payload == "*"
+                    else payload
+                )
+                if c in assigns:
+                    val = _rhs(assigns[c])
+                elif kind == "insert":
+                    val = F.lit(None)
+                else:
+                    val = F.col(f"t.{c}")
+                cond = F.col("__act__") == f"a{i}"
+                e = F.when(cond, val) if e is None else e.when(cond, val)
+            e = (
+                e.otherwise(F.col(f"t.{c}"))
+                if e is not None
+                else F.col(f"t.{c}")
+            )
+            return e.cast(typ[c]).alias(c)
+
+        upd_codes = [
+            f"a{i}"
+            for i, (k, _c, _p) in enumerate(parsed)
+            if k in ("update", "update_by_source")
+        ]
+        del_codes = [
+            f"a{i}"
+            for i, (k, _c, _p) in enumerate(parsed)
+            if k in ("delete", "delete_by_source")
+        ]
+        ins_codes = [f"a{i}" for i in insert_idx]
+        keep_codes = ["keep"] + upd_codes + ins_codes
+        proj = j.select(
+            F.col("__act__"), *[_content_col(c) for c in tcols]
+        )
+        new_content = proj.filter(
+            F.col("__act__").isin(keep_codes)
+        ).drop("__act__")
+        novel = proj.filter(
+            F.col("__act__").isin(upd_codes + ins_codes)
+        ).drop("__act__")
+        self._validate_constraints(m, novel, what)
+        # -- typed CDC (the commit's exact change set) --------------------
+        t_star = [F.col(f"t.{c}").alias(c) for c in tcols]
+        cdc_parts = []
+        if upd_codes:
+            pre = j.filter(F.col("__act__").isin(upd_codes)).select(*t_star)
+            post = proj.filter(F.col("__act__").isin(upd_codes)).drop(
+                "__act__"
+            )
+            cdc_parts.append(
+                pre.withColumn(self._CT, F.lit("update_preimage"))
+            )
+            cdc_parts.append(
+                post.withColumn(self._CT, F.lit("update_postimage"))
+            )
+        if del_codes:
+            cdc_parts.append(
+                j.filter(F.col("__act__").isin(del_codes))
+                .select(*t_star)
+                .withColumn(self._CT, F.lit("delete"))
+            )
+        if ins_codes:
+            cdc_parts.append(
+                proj.filter(F.col("__act__").isin(ins_codes))
+                .drop("__act__")
+                .withColumn(self._CT, F.lit("insert"))
+            )
+        cdc = cdc_parts[0]
+        for p in cdc_parts[1:]:
+            cdc = cdc.unionByName(p)
+        # -- write + commit (the _dml_where protocol) ---------------------
+        bloom = m.get("bloom_cols", [])
+        carry_map = self._carry_mapping(m)
+        wdf, wstats, wbloom = self._for_write(
+            carry_map, m.get("schema"), new_content, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
+        if not touched and sum(
+            v.get("rows") or 0 for v in filemeta.values()
+        ) == 0:
+            # insert-only merge that inserted nothing: no commit (the
+            # empty orphaned fileset is gc_orphans debris)
+            return m["version"]
+        cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
+        cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm["files"] != m["files"] or mm.get("deltas"):
+                raise CommitConflict(
+                    f"{what}: file list changed under the rewrite"
+                )
+            if (
+                mm.get("schema") != m.get("schema")
+                or self._carry_mapping(mm) != self._carry_mapping(m)
+                or self._constraints(mm) != self._constraints(m)
+            ):
+                raise CommitConflict(
+                    f"{what} lost to a concurrent schema/mapping/"
+                    "constraint change — re-read the table and retry"
+                )
+            old_meta = mm.get("filemeta", {})
+            new = {
+                "version": mm["version"] + 1,
+                "files": carried + files,
+                "deltas": [],
+                "key_columns": mm.get("key_columns") or keys,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "stats": {
+                    **{
+                        f: mm["stats"][f]
+                        for f in carried
+                        if f in mm.get("stats", {})
+                    },
+                    **stats,
+                },
+                "filemeta": {
+                    **{f: old_meta[f] for f in carried if f in old_meta},
+                    **filemeta,
+                    **cdc_meta,
+                },
+                "bloom_cols": bloom,
+                # row-level changes ARE derivable across this commit:
+                # the CDC fileset is the exact change set
+                "dml": True,
+                "cdc_files": cdc_files,
+                **self._carry_meta(mm),
+                **self._carry_mapping(mm),
+                **self._carry_dv(mm, carried),
+            }
+            if mm.get("schema") is not None:
+                new["schema"] = mm["schema"]
+            if mm.get("ndv_cols"):
+                # updated + inserted values are new marks
+                new["ndv"] = self._update_ndv(
+                    novel, mm["ndv_cols"], mm.get("ndv", {})
                 )
             return new
 
@@ -2723,8 +3416,11 @@ class ManifestTable:
                 "bloom_cols": mm.get("bloom_cols", []),
                 # ANALYZE profile + NDV sketch state ride along (an
                 # overwrite resets both); column-mapping state always
+                # rides, and so do deletion vectors (the append leaves
+                # every base file untouched)
                 **self._carry_meta(mm),
                 **self._carry_mapping(mm),
+                **self._carry_dv(mm),
             }
             if mm.get("schema") is not None and self._mapping_enabled(mm):
                 # the delta files were written under the (schema, id)
@@ -2928,8 +3624,12 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
-        if not m.get("deltas"):
+        if not m.get("deltas") and not m.get("dv"):
             return m["version"]
+        # deltas fold in via read_resolved; deletion vectors are
+        # materialized the same way (_read_base applies them), and the
+        # fresh manifest below carries no dv — compaction restores
+        # join-free reads on every file
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         resolved = self.read_resolved(spark)
         if self._mapping_enabled(m):
@@ -3088,7 +3788,14 @@ class ManifestTable:
             current = self._read_base(spark, m, touched)
             rows = [filemeta.get(f, {}).get("rows") for f in touched]
             if all(r is not None for r in rows):
-                total = sum(rows)  # pure metadata: zero data passes
+                # pure metadata: zero data passes — footer counts minus
+                # the rows each file's deletion vector suppresses (the
+                # rewrite reads through _read_base, so those rows are
+                # already gone from it)
+                dv_rows = (m.get("dv") or {}).get("rows", {})
+                total = sum(rows) - sum(
+                    dv_rows.get(f, 0) for f in touched
+                )
             else:
                 total = current.count()  # legacy manifest without rows
         n_files = max(1, -(-total // target_rows))  # ceil division
@@ -3137,12 +3844,15 @@ class ManifestTable:
             },
             "bloom_cols": bloom,
             # content-preserving rewrite: the change feed reads through
-            # it and blind appends rebase over it
+            # it and blind appends rebase over it (with deletion
+            # vectors this holds on the LOGICAL content — the rewrite
+            # materializes the suppression the dv already declared)
             "reorg": True,
             # ANALYZE profile + NDV sketch state ride along (an
             # overwrite resets both); column-mapping state always rides
             **self._carry_meta(m),
             **self._carry_mapping(m),
+            **self._carry_dv(m, carried),
         }
         if m.get("schema") is not None:
             new["schema"] = m["schema"]  # content-preserving: carry
@@ -3229,9 +3939,11 @@ class ManifestTable:
         carried = [f for f in m["files"] if f not in pending_set]
         current = self._read_base(spark, m, pending)
         rows = [filemeta.get(f, {}).get("rows") for f in pending]
-        total = (
-            sum(rows) if all(r is not None for r in rows) else current.count()
-        )
+        if all(r is not None for r in rows):
+            dv_rows = (m.get("dv") or {}).get("rows", {})
+            total = sum(rows) - sum(dv_rows.get(f, 0) for f in pending)
+        else:
+            total = current.count()
         n_files = max(1, -(-total // target_rows))
         # bounds from the WHOLE table (m["files"]) so z-buckets are
         # comparable across evolution steps, not per-slice; when any
@@ -3276,6 +3988,7 @@ class ManifestTable:
             "reorg": True,
             **self._carry_meta(m),
             **self._carry_mapping(m),
+            **self._carry_dv(m, carried),
         }
         if m.get("schema") is not None:
             new["schema"] = m["schema"]  # content-preserving: carry
@@ -3440,11 +4153,14 @@ class ManifestTable:
             # delta files are as live as base files: a retained
             # merge-on-read version needs both to resolve — and so are
             # the CDC files of a predicate-DML commit (the change feed
-            # reads them until the version ages out)
+            # reads them until the version ages out) and the deletion
+            # vector files (every read of a retained dv'd version
+            # anti-joins them)
             files = (
                 list(mf["files"])
                 + [n for fs in mf.get("deltas", []) for n in fs]
                 + list(mf.get("cdc_files", []))
+                + list((mf.get("dv") or {}).get("files", []))
             )
             if v >= keep_from or (
                 age_floor is not None
@@ -3502,6 +4218,7 @@ class ManifestTable:
                 live.update(mf.get("files", []))
                 live.update(n for fs in mf.get("deltas", []) for n in fs)
                 live.update(mf.get("cdc_files", []))
+                live.update((mf.get("dv") or {}).get("files", []))
         now = time.time()
         removed = 0
         for f in os.listdir(self.data_dir):
@@ -3615,6 +4332,8 @@ class ManifestTable:
             "stats": old.get("stats", {}),
             "filemeta": old.get("filemeta", {}),
             "bloom_cols": old.get("bloom_cols", []),
+            # deletion vectors are part of the CONTENT being restored
+            **self._carry_dv(old),
             # schema travels with the CONTENT being restored — and so
             # does the column-mapping state (ids belong to the schema);
             # the id counter stays MONOTONE across the rollback so an
@@ -4143,6 +4862,17 @@ class ManifestTable:
         raw = self.live_bytes()
         if raw is None:
             return None
+        dv = m.get("dv")
+        if dv:
+            # deletion vectors suppress rows the raw bytes still count:
+            # scale down by the metadata-known live fraction (exact row
+            # arithmetic, no estimate involved)
+            fm = m.get("filemeta", {})
+            rows = [fm.get(f, {}).get("rows") for f in m.get("files", [])]
+            if all(r is not None for r in rows) and sum(rows) > 0:
+                total = sum(rows)
+                live = total - sum(dv["rows"].values())
+                raw = -(-raw * max(live, 0) // total)
         keys = m.get("key_columns") or []
         if not m.get("deltas") or not keys:
             return raw

@@ -3978,22 +3978,32 @@ class TestAdviceR14Fixes:
         assert got.filter(F.col("c_acctbal") == 7.25).count() == 10
         assert "extra" in got.columns
 
-    def test_publish_skips_directory_scan_on_intact_chain(
-        self, tmp_path, spark, cust, monkeypatch
+    def test_publish_scan_cost_is_bounded_by_vacuum(
+        self, tmp_path, spark, cust
     ):
-        """ADVICE r14 (low): commit latency must not pay an O(history)
-        directory listing when the pointer roll-forward already
-        reached the slot's parent — prove the scan is skipped by
-        making it explode."""
-        t = ManifestTable(str(tmp_path / "noscan"))
+        """ADVICE r14 (low), resolved the documented-contract way: the
+        per-commit directory scan stays — skipping it when the
+        roll-forward chain reaches the slot's parent is UNSOUND (a
+        slow writer's pointer refresh landing after a vacuum's heal
+        regresses the pointer below the vacuum horizon, recreating
+        exactly the r13 relink hazard; the r15 build shipped the skip,
+        test_publish_guard_scans_disk_when_chain_is_broken caught it,
+        and it was reverted).  What bounds the cost instead is
+        VACUUM: the listing is O(retained manifests), so periodic
+        retention keeps commit latency flat regardless of total
+        commit count."""
+        t = ManifestTable(str(tmp_path / "bounded"))
         t.commit_overwrite(cust.limit(20), batch_id="s")
-
-        def boom():
-            raise AssertionError("directory scan on the hot path")
-
-        monkeypatch.setattr(t, "_max_version_on_disk", boom)
-        v = t.evolve_schema("tier string", batch_id="e1")  # publishes fine
-        assert v == 2
+        for i in range(12):
+            t.evolve_schema(f"c{i} string", batch_id=f"e{i}")
+        t.vacuum(keep_versions=2)
+        on_disk = [
+            f for f in os.listdir(t.root)
+            if f.startswith("_manifest.v") and f.endswith(".json")
+        ]
+        assert len(on_disk) == 2  # the scan's cost after retention
+        v = t.evolve_schema("late string", batch_id="late")
+        assert v == 14  # and commits keep flowing over the gap
 
 
 class TestConstraints:
@@ -4534,3 +4544,511 @@ class TestFeedAcrossRestore:
             )
         )
         assert _canon(rolled) == _canon(expect)
+
+
+class TestDeletionVectors:
+    """delete_where(mode='dv'): the merge-on-read DELETE (Delta 3.x
+    deletion vectors) — commits grow a (file, position) suppression
+    set instead of rewriting base files; every reader anti-joins it
+    away until compaction materializes it."""
+
+    @pytest.fixture()
+    def frame(self, spark):
+        return spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ).repartitionByRange(8, "k")
+
+    def _seed(self, tmp_path, frame, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            frame, batch_id="seed", stats_cols=["k"], bloom_cols=["k"]
+        )
+        return t
+
+    def test_dv_delete_rewrites_nothing_and_prunes(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "dv")
+        m0 = t._read_manifest()
+        overlapping = {
+            f for f in m0["files"] if t._overlaps(m0, f, "k", 100, 149)
+        }
+        assert 0 < len(overlapping) < len(m0["files"])
+        v = t.delete_where(
+            spark, "k >= 100 AND k <= 149", batch_id="d1", mode="dv"
+        )
+        assert v == 2
+        m1 = t._read_manifest()
+        # ZERO base-file I/O: the file list is bit-identical, stats and
+        # filemeta of every base file carried verbatim
+        assert m1["files"] == m0["files"]
+        for f in m0["files"]:
+            assert m1["stats"][f] == m0["stats"][f]
+        # the dv names only files the stats prune could not clear
+        assert set(m1["dv"]["rows"]) <= overlapping
+        assert sum(m1["dv"]["rows"].values()) == 50
+        got = t.read(spark)
+        assert got.count() == 350
+        assert got.filter(F.col("k").between(100, 149)).count() == 0
+        # replay: detected, no-op
+        assert t.delete_where(spark, "k < 0", batch_id="d1",
+                              mode="dv") == v
+
+    def test_dv_deletes_stack_and_time_travel(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "stack")
+        t.delete_where(spark, "k < 10", batch_id="a", mode="dv")
+        t.delete_where(spark, "k >= 390", batch_id="b", mode="dv")
+        # a row already suppressed cannot match again
+        t.delete_where(spark, "k < 20", batch_id="c", mode="dv")
+        m = t._read_manifest()
+        assert sum(m["dv"]["rows"].values()) == 30
+        assert t.read(spark).count() == 370
+        # each version reads with ITS OWN dv
+        assert t.read(spark, version=1).count() == 400
+        assert t.read(spark, version=2).count() == 390
+        assert t.read(spark, version=3).count() == 380
+        # pruned + bloom point reads apply the dv too
+        assert t.read_pruned(spark, "k", 0, 29).count() == 10
+        assert t.read_pruned_eq(spark, "k", 5).count() == 0
+        assert t.read_pruned_eq(spark, "k", 25).count() == 1
+
+    def test_dv_sql_parity_with_duckdb(self, spark, tmp_path, frame):
+        import duckdb
+
+        t = self._seed(tmp_path, frame, "parity")
+        t.delete_where(
+            spark, "g = 3 AND v > 100.0", batch_id="d", mode="dv"
+        )
+        got = _canon(
+            t.read(spark).groupBy("g").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("k").cast("bigint").alias("sk"),
+            )
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            """
+            WITH base AS (
+              SELECT range AS k, range % 7 AS g, range * 1.0 AS v
+              FROM range(0, 400)
+            ), after AS (
+              SELECT * FROM base WHERE NOT (g = 3 AND v > 100.0)
+            )
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sk
+            FROM after GROUP BY g ORDER BY g
+            """
+        ).fetchall()
+        assert got == sorted(tuple(r) for r in exp)
+
+    def test_dv_cdc_feeds_through(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "cdc")
+        t.delete_where(spark, "k < 5", batch_id="d", mode="dv")
+        ch = t.changes(spark, since_version=1)
+        rows = ch.filter(F.col("_change_type") == "delete").select(
+            "k", "g", "v"
+        )
+        # full pre-image rows, exactly the deleted ones
+        assert _canon(rows) == _canon(
+            t.read(spark, version=1).filter(F.col("k") < 5)
+        )
+
+    def test_partial_cow_keeps_carried_dv(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "cow")
+        t.delete_where(spark, "k = 5", batch_id="dv1", mode="dv")
+        t.delete_where(spark, "k = 395", batch_id="dv2", mode="dv")
+        # CoW delete touches only the low-k file; the high-k file's dv
+        # must survive the commit
+        t.delete_where(spark, "k = 6", batch_id="cow", stats_cols=["k"])
+        m = t._read_manifest()
+        assert m.get("dv"), "carried file's dv dropped by partial CoW"
+        got = t.read(spark)
+        assert got.count() == 397
+        for k in (5, 6, 395):
+            assert got.filter(F.col("k") == k).count() == 0
+
+    def test_delta_append_and_resolution_over_dv(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "mor")
+        t.delete_where(spark, "k = 50", batch_id="dv", mode="dv")
+        up = spark.createDataFrame(
+            [(50, 1, 9.9), (1000, 2, 1.0)], "k long, g long, v double"
+        )
+        t.commit_delta(up, key_columns=["k"], batch_id="d1")
+        res = t.read_resolved(spark)
+        # the upsert resurrects k=50 (its base row is dv-suppressed,
+        # the delta row wins) and inserts k=1000
+        assert res.count() == 401
+        assert res.filter("k = 50").select("v").collect()[0][0] == 9.9
+        # dv deletes refuse while deltas are outstanding
+        with pytest.raises(ValueError, match="compact"):
+            t.delete_where(spark, "k = 1", batch_id="x", mode="dv")
+
+    def test_compact_and_optimize_materialize_dv(
+        self, spark, tmp_path, frame
+    ):
+        t = self._seed(tmp_path, frame, "mat")
+        t.delete_where(spark, "k < 100", batch_id="d", mode="dv")
+        before = _canon(t.read(spark))
+        t.compact(spark, batch_id="c", stats_cols=["k"])
+        m = t._read_manifest()
+        assert not m.get("dv") and not m.get("deltas")
+        assert _canon(t.read(spark)) == before
+        # feed reads THROUGH the compaction (reorg on logical content)
+        ch = t.changes(spark, since_version=1)
+        assert ch.filter("_change_type = 'delete'").count() == 100
+
+        t2 = self._seed(tmp_path, frame, "opt")
+        t2.delete_where(spark, "k < 200", batch_id="d", mode="dv")
+        t2.optimize(spark, target_rows=100, batch_id="o", stats_cols=["k"])
+        m2 = t2._read_manifest()
+        assert not m2.get("dv")
+        # sizing used LIVE rows (200), not footer rows (400)
+        assert len(m2["files"]) == 2
+        assert t2.read(spark).count() == 200
+
+    def test_restore_carries_dv(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "rst")
+        t.delete_where(spark, "k < 50", batch_id="d", mode="dv")  # v2
+        t.compact(spark, batch_id="c")  # v3: dv gone
+        t.restore(version=2, batch_id="undo")
+        m = t._read_manifest()
+        assert m.get("dv"), "restored version's dv must ride"
+        assert t.read(spark).count() == 350
+
+    def test_vacuum_retains_live_dv_files(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "vac")
+        t.delete_where(spark, "k < 50", batch_id="d", mode="dv")
+        dv_files = t._read_manifest()["dv"]["files"]
+        t.evolve_schema("note string", batch_id="e")  # v3
+        t.vacuum(keep_versions=1)
+        for f in dv_files:
+            assert os.path.exists(os.path.join(t.data_dir, f)), (
+                "dv file of the retained tip removed by vacuum"
+            )
+        assert t.read(spark).count() == 350
+
+    def test_dv_under_column_mapping_rename(self, spark, tmp_path, frame):
+        t = self._seed(tmp_path, frame, "map")
+        t.enable_column_mapping(batch_id="cm")
+        t.rename_column("v", "val", batch_id="rn")
+        t.delete_where(spark, "val >= 390.0", batch_id="d", mode="dv")
+        got = t.read(spark)
+        assert got.count() == 390
+        assert "val" in got.columns
+        # feed emits logical names with full pre-images
+        ch = t.changes(spark, since_version=3)
+        assert ch.filter("_change_type = 'delete'").count() == 10
+        assert "val" in ch.columns
+
+    def test_dv_delete_classifies_as_dml_not_metadata(
+        self, spark, tmp_path, frame
+    ):
+        """A dv delete leaves both file lists untouched — the one
+        commit shape that LOOKS like metadata but is a content change.
+        The conflict matrix must see 'dml': a blind append may rebase
+        over it (it serializes after, rank-resolution is unaffected),
+        but ANALYZE must abort (its profile describes content the
+        delete just changed)."""
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "occ")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(frame, batch_id="seed", stats_cols=["k"])
+        a._race_once = lambda: b.delete_where(
+            spark, "k < 10", batch_id="race", mode="dv"
+        )
+        up = spark.createDataFrame([(5, 0, 1.0)], "k long, g long, v double")
+        a.commit_delta(up, ["k"], batch_id="d1")  # rebases, serializes after
+        m = a._read_manifest()
+        assert ManifestTable._commit_kind(
+            a._manifest_at(1), a._manifest_at(2)
+        ) == "dml"
+        assert m.get("dv"), "rebase must carry the concurrent dv"
+        res = a.read_resolved(spark)
+        # dv suppressed k<10; the append's k=5 wins by rank (resurrect)
+        assert res.count() == 391
+        assert res.filter("k = 5").select("v").collect()[0][0] == 1.0
+        # ANALYZE racing a dv delete must abort, not publish a profile
+        # of pre-delete content
+        a2, b2 = ManifestTable(str(tmp_path / "occ2")), None
+        a2.commit_overwrite(frame, batch_id="seed", stats_cols=["k"])
+        b2 = ManifestTable(str(tmp_path / "occ2"))
+        a2._race_once = lambda: b2.delete_where(
+            spark, "k < 10", batch_id="race", mode="dv"
+        )
+        with pytest.raises(CommitConflict, match="dml"):
+            a2.analyze(spark, ["k"], batch_id="an")
+
+    def test_dml_aborts_on_concurrent_constraint_add(
+        self, spark, tmp_path, frame
+    ):
+        """Regression (r15): the DML rebase guard must also compare
+        CONSTRAINT sets — a CHECK added concurrently was never proven
+        against the rewritten post-images."""
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "cc")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(frame, batch_id="seed", stats_cols=["k"])
+        a._race_once = lambda: b.add_check_constraint(
+            spark, "v_low", "v < 1000.0", batch_id="race"
+        )
+        with pytest.raises(CommitConflict, match="constraint"):
+            a.update_where(
+                spark, "k = 1", {"v": "v + 10000.0"}, batch_id="u1"
+            )
+
+
+class TestMergeInto:
+    """Conditional MERGE INTO: WHEN MATCHED [AND cond] UPDATE/DELETE,
+    WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE
+    — the full SQL/Delta merge surface over the pruned-CoW + typed-CDC
+    commit protocol (the reference's users run this as post_query SQL,
+    Pype.py:167)."""
+
+    @pytest.fixture()
+    def target(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, name string, qty long",
+        )
+
+    def _seed(self, tmp_path, target, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            target.repartition(2), batch_id="seed", stats_cols=["k"]
+        )
+        return t
+
+    def test_mixed_clauses_and_cdc(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "mix")
+        src = spark.createDataFrame(
+            [(2, "B", 0), (3, "C", 99), (5, "e", 50)],
+            "k long, name string, qty long",
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("delete", "s.qty = 0", None),
+                ("update", None, {"name": "s.name", "qty": "s.qty + t.qty"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="m1", stats_cols=["k"], prune_col="k",
+        )
+        assert _canon(t.read(spark)) == sorted(
+            [(1, "a", 10), (3, "C", 129), (4, "d", 40), (5, "e", 50)]
+        )
+        ch = t.changes(spark, since_version=1)
+        by_type = {
+            r["_change_type"]: (r["k"], r["name"], r["qty"])
+            for r in ch.collect()
+        }
+        assert by_type["delete"] == (2, "b", 20)
+        assert by_type["update_preimage"] == (3, "c", 30)
+        assert by_type["update_postimage"] == (3, "C", 129)
+        assert by_type["insert"] == (5, "e", 50)
+        # replay is a no-op
+        v = t._read_manifest()["version"]
+        assert t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("insert", None, "*")], batch_id="m1",
+        ) == v
+
+    def test_clause_order_first_wins(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "order")
+        src = spark.createDataFrame(
+            [(2, "x", 7)], "k long, name string, qty long"
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("update", "t.qty >= 20", {"qty": "0"}),
+                ("update", None, {"qty": "999"}),  # shadowed for k=2
+            ],
+            batch_id="m",
+        )
+        assert _canon(t.read(spark).filter("k = 2").select("qty")) == [(0,)]
+
+    def test_null_condition_is_not_matched(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "nullc")
+        src = spark.createDataFrame(
+            [(2, None, None)], "k long, name string, qty long"
+        )
+        # s.qty IS NULL => condition NULL => clause does NOT apply (SQL)
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("delete", "s.qty > 0", None)],
+            batch_id="m",
+        )
+        assert t.read(spark).count() == 4
+
+    def test_pruned_merge_rewrites_only_matched_files(
+        self, spark, tmp_path
+    ):
+        t = ManifestTable(str(tmp_path / "prune"))
+        base = spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("qty")
+        ).repartitionByRange(8, "k")
+        t.commit_overwrite(base, batch_id="seed", stats_cols=["k"])
+        m0 = t._read_manifest()
+        src = spark.createDataFrame([(7, 1), (9, 2)], "k long, qty long")
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("update", None, {"qty": "s.qty"})],
+            batch_id="m", stats_cols=["k"], prune_col="k",
+        )
+        m1 = t._read_manifest()
+        carried = set(m0["files"]) & set(m1["files"])
+        # both keys live in one range file: everything else carried
+        assert len(m0["files"]) - len(carried) == 1
+        for f in carried:
+            assert m1["stats"][f] == m0["stats"][f]
+        got = t.read(spark)
+        assert got.count() == 400
+        assert _canon(got.filter("k in (7, 9)").select("qty")) == [(1,), (2,)]
+
+    def test_by_source_clauses(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "bysrc")
+        src = spark.createDataFrame(
+            [(3, "x", 1)], "k long, name string, qty long"
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("update", None, {"qty": "t.qty + s.qty"}),
+                ("delete_by_source", "t.qty < 20", None),
+                ("update_by_source", None, {"name": "concat(t.name, '!')"}),
+            ],
+            batch_id="m",
+        )
+        assert _canon(t.read(spark)) == sorted(
+            [(2, "b!", 20), (3, "c", 31), (4, "d!", 40)]
+        )
+
+    def test_ambiguous_source_raises(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "amb")
+        dup = spark.createDataFrame(
+            [(3, "p", 1), (3, "q", 2)], "k long, name string, qty long"
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            t.merge_into(
+                spark, dup, key_columns=["k"],
+                clauses=[("update", None, "*")], batch_id="m",
+            )
+        # insert-only merges tolerate source duplicates (SQL inserts both)
+        dup2 = spark.createDataFrame(
+            [(9, "p", 1), (9, "q", 2)], "k long, name string, qty long"
+        )
+        t.merge_into(
+            spark, dup2, key_columns=["k"],
+            clauses=[("insert", None, "*")], batch_id="m2",
+        )
+        assert t.read(spark).filter("k = 9").count() == 2
+
+    def test_insert_dict_null_fills_and_casts(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "ins")
+        src = spark.createDataFrame([(8,)], "k long")
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("insert", None, {"k": "s.k", "qty": "'77'"})],
+            batch_id="m",
+        )
+        got = t.read(spark).filter("k = 8").collect()[0]
+        assert got["qty"] == 77 and got["name"] is None
+        # the string RHS was cast to the tracked long type
+        assert dict(t.read(spark).dtypes)["qty"] == "bigint"
+
+    def test_constraint_gate_on_merge(self, spark, tmp_path, target):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = self._seed(tmp_path, target, "cons")
+        t.add_check_constraint(spark, "qty_pos", "qty >= 0", batch_id="c")
+        src = spark.createDataFrame(
+            [(3, "c", -5)], "k long, name string, qty long"
+        )
+        before = _canon(t.read(spark))
+        with pytest.raises(ConstraintViolation, match="qty_pos"):
+            t.merge_into(
+                spark, src, key_columns=["k"],
+                clauses=[("update", None, "*")], batch_id="bad",
+            )
+        assert _canon(t.read(spark)) == before
+
+    def test_merge_on_column_mapped_table(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "map")
+        t.enable_column_mapping(batch_id="cm")
+        t.rename_column("qty", "amount", batch_id="rn")
+        src = spark.createDataFrame(
+            [(1, "A", 11), (6, "f", 60)], "k long, name string, amount long"
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            batch_id="m",
+        )
+        got = t.read(spark)
+        assert "amount" in got.columns
+        assert _canon(got.filter("k in (1, 6)")) == sorted(
+            [(1, "A", 11), (6, "f", 60)]
+        )
+
+    def test_empty_table_bootstrap_and_noop(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "boot"))
+        src = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, name string"
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("insert", None, "*")], batch_id="b",
+        )
+        assert t.read(spark).count() == 2
+        # nothing matched, nothing inserted => no commit at all
+        v = t._read_manifest()["version"]
+        assert t.merge_into(
+            spark, src.limit(0), key_columns=["k"],
+            clauses=[("insert", None, "*")],
+        ) == v
+
+    def test_validation_errors(self, spark, tmp_path, target):
+        t = self._seed(tmp_path, target, "val")
+        src = spark.createDataFrame([(1, "a", 1)],
+                                    "k long, name string, qty long")
+        with pytest.raises(ValueError, match="unknown kind"):
+            t.merge_into(spark, src, key_columns=["k"],
+                         clauses=[("upsert", None, "*")])
+        with pytest.raises(ValueError, match="no such target column"):
+            t.merge_into(spark, src, key_columns=["k"],
+                         clauses=[("update", None, {"nope": "1"})])
+        with pytest.raises(ValueError, match="must be a key column"):
+            t.merge_into(spark, src, key_columns=["k"],
+                         clauses=[("update", None, "*")],
+                         prune_col="qty")
+        with pytest.raises(ValueError, match="at least one clause"):
+            t.merge_into(spark, src, key_columns=["k"], clauses=[])
+        with pytest.raises(ValueError, match="takes no payload"):
+            t.merge_into(spark, src, key_columns=["k"],
+                         clauses=[("delete", None, {"k": "1"})])
+
+    def test_merge_aborts_on_concurrent_constraint_add(
+        self, spark, tmp_path, target
+    ):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        root = str(tmp_path / "occ")
+        a, b = ManifestTable(root), ManifestTable(root)
+        a.commit_overwrite(target, batch_id="seed")
+        a._race_once = lambda: b.add_not_null(
+            spark, ["name"], batch_id="race"
+        )
+        src = spark.createDataFrame(
+            [(1, "A", 11)], "k long, name string, qty long"
+        )
+        with pytest.raises(CommitConflict, match="constraint"):
+            a.merge_into(
+                spark, src, key_columns=["k"],
+                clauses=[("update", None, "*")], batch_id="m",
+            )

@@ -2889,3 +2889,291 @@ def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_delete_vector",
+    # The oracle is the SQL DELETE itself; deleted_rows/deleted_cents
+    # re-derive the feed's full-row 'delete' CDC, dv_live_rows pins the
+    # manifest's suppression count, and files_intact / dv_pruned_ok /
+    # compact_ok are computed GENUINELY Spark-side and pinned TRUE.
+    oracle="""
+    WITH dead AS (
+        SELECT * FROM customer
+        WHERE c_acctbal >= 2000.0 AND c_acctbal < 4000.0
+    ),
+    alive AS (
+        SELECT * FROM customer
+        WHERE NOT (c_acctbal >= 2000.0 AND c_acctbal < 4000.0)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS deleted_rows,
+           (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) FROM dead) AS deleted_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS dv_live_rows,
+           TRUE AS files_intact,
+           TRUE AS dv_pruned_ok,
+           TRUE AS compact_ok
+    FROM alive GROUP BY c_mktsegment
+    """,
+)
+def q_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML #3 — ``DELETE FROM t WHERE p`` via DELETION
+    VECTORS (the Delta 3.x merge-on-read DELETE): the commit records
+    the matched (file, position) pairs and rewrites NOTHING —
+    ``files_intact`` certifies the base file list is bit-identical
+    across the delete, ``dv_pruned_ok`` that only stats-overlapping
+    files got dv entries, ``dv_live_rows`` that the manifest's
+    suppression count equals the SQL-dead rows, and
+    ``deleted_rows``/``deleted_cents`` re-derive the full-row delete
+    CDC from the change feed.  The aggregate itself reads THROUGH the
+    dv (every reader anti-joins the suppression set), and
+    ``compact_ok`` certifies that compaction then materializes the dv
+    (entry cleared) without changing the logical content.  The
+    reference's users run this as ``post_query`` SQL on their target
+    DB (ref: /root/reference/pypeline/Pype.py:167).
+
+    Scale: this is the O(matched rows) DELETE — deleting 1k rows
+    scattered over 10k files of a 100 TB table writes kilobytes of dv
+    instead of rewriting 10k files; reads pay a broadcast anti-join
+    until the next scheduled OPTIMIZE materializes the suppression.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="delvec_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed",
+            stats_cols=["c_acctbal"],
+        )  # v1: narrow per-file acctbal envelopes
+        m0 = t._read_manifest()
+        overlapping = {
+            f for f in m0["files"]
+            if t._overlaps(m0, f, "c_acctbal", 2000.0, 4000.0)
+        }
+        t.delete_where(
+            spark,
+            "c_acctbal >= 2000.0 AND c_acctbal < 4000.0",
+            batch_id="dml",
+            mode="dv",
+        )  # v2: zero base-file writes
+        m1 = t._read_manifest()
+        files_intact = m1["files"] == m0["files"]
+        dv = m1.get("dv") or {"rows": {}}
+        dv_pruned_ok = (
+            set(dv["rows"]) <= overlapping
+            and len(overlapping) < len(m0["files"])
+        )
+        dv_live_rows = int(sum(dv["rows"].values()))
+        feed = t.changes(spark, 1)  # the dv commit's CDC
+        dead = feed.filter(F.col("_change_type") == "delete").agg(
+            F.count("*").cast("bigint").alias("deleted_rows"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("deleted_cents"),
+        )
+        out = (
+            t.read(spark)  # reads THROUGH the dv
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(dead))  # one-row stats frame
+            .withColumn("dv_live_rows", F.lit(dv_live_rows).cast("bigint"))
+            .withColumn("files_intact", F.lit(bool(files_intact)))
+            .withColumn("dv_pruned_ok", F.lit(bool(dv_pruned_ok)))
+        ).localCheckpoint(eager=True)
+        # compaction materializes the suppression: dv cleared, logical
+        # content (row count + cents) unchanged
+        pre = t.read(spark).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        ).first()
+        t.compact(spark, batch_id="mat", stats_cols=["c_acctbal"])
+        m2 = t._read_manifest()
+        post = t.read(spark).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        ).first()
+        compact_ok = (
+            not m2.get("dv")
+            and pre["n"] == post["n"]
+            and pre["cents"] == post["cents"]
+        )
+        return out.withColumn("compact_ok", F.lit(bool(compact_ok)))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_merge_into",
+    # The oracle expresses the conditional merge as plain SQL set
+    # algebra: matched rows route through the first applicable clause
+    # (delete if n_ord >= 20, else update), unmatched target rows face
+    # the by-source clause, unmatched source rows insert.  The clause
+    # tallies re-derive the feed's typed CDC.
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+        SELECT o_custkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_ord,
+               CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS spend
+        FROM orders WHERE o_custkey <= 600 GROUP BY o_custkey
+    ),
+    matched AS (
+        SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, s.n_ord, s.spend
+        FROM tgt t JOIN src s ON t.c_custkey = s.k
+    ),
+    final AS (
+        SELECT c_custkey, c_acctbal + spend AS c_acctbal, c_mktsegment
+        FROM matched WHERE NOT (n_ord >= 20)
+        UNION ALL
+        SELECT t.c_custkey, t.c_acctbal,
+               CASE WHEN t.c_acctbal < 0.0 THEN 'DORMANT'
+                    ELSE t.c_mktsegment END
+        FROM tgt t WHERE t.c_custkey NOT IN (SELECT k FROM src)
+        UNION ALL
+        SELECT s.k, s.spend, 'FROMORDERS'
+        FROM src s WHERE s.k NOT IN (SELECT c_custkey FROM tgt)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE n_ord >= 20) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE NOT (n_ord >= 20)) AS n_updated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+            WHERE k NOT IN (SELECT c_custkey FROM tgt)) AS n_inserted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt
+            WHERE c_custkey NOT IN (SELECT k FROM src)
+              AND c_acctbal < 0.0) AS n_by_source
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional ``MERGE INTO`` (the full SQL/Delta merge surface):
+    customers merged against a per-customer order rollup with FOUR
+    clause kinds in one statement — WHEN MATCHED AND heavy-buyer THEN
+    DELETE, WHEN MATCHED THEN UPDATE (balance += spend, RHS over both
+    aliases), WHEN NOT MATCHED THEN INSERT (explicit assignments +
+    literal segment), WHEN NOT MATCHED BY SOURCE AND negative-balance
+    THEN UPDATE (segment := 'DORMANT').  One full-outer join drives
+    every clause through a single CASE-typed action column; the
+    commit's typed CDC (delete / update_preimage / update_postimage /
+    insert) is re-derived from the change feed as the
+    ``n_deleted``/``n_updated``/``n_inserted``/``n_by_source``
+    tallies.  The reference's users run MERGE as ``post_query`` SQL on
+    their target DB (ref: /root/reference/pypeline/Pype.py:167); here
+    it is native and file-pruned.
+
+    Scale: without by-source clauses the touched slice is
+    stats-pruned + semi-join narrowed (only files holding matches
+    rewrite); with them every unmatched row may change, so the merge
+    degrades gracefully to a full CoW pass — exactly Delta's
+    behavior.  The ambiguity guard (multiple source rows per target
+    key) is one O(matched) aggregate, and the source is
+    lazily-checkpointed once for its three consumers.
+    """
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).filter(F.col("c_custkey") % 3 != 0)
+    o = load_table(spark, sf_dir, "orders")
+    src = (
+        o.filter(F.col("o_custkey") <= 600)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ord"),
+            F.sum(F.floor("o_totalprice")).cast("double").alias("spend"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="mergeinto_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )
+        t.merge_into(
+            spark,
+            src,
+            key_columns=["c_custkey"],
+            clauses=[
+                ("delete", "s.n_ord >= 20", None),
+                ("update", None, {"c_acctbal": "t.c_acctbal + s.spend"}),
+                (
+                    "insert",
+                    None,
+                    {
+                        "c_custkey": "s.c_custkey",
+                        "c_acctbal": "s.spend",
+                        "c_mktsegment": "'FROMORDERS'",
+                    },
+                ),
+                (
+                    "update_by_source",
+                    "t.c_acctbal < 0.0",
+                    {"c_mktsegment": "'DORMANT'"},
+                ),
+            ],
+            batch_id="m1",
+            stats_cols=["c_custkey"],
+        )
+        feed = t.changes(spark, 1)  # the merge commit's typed CDC
+        tallies = feed.agg(
+            F.sum((F.col("_change_type") == "delete").cast("bigint"))
+            .cast("bigint").alias("n_deleted"),
+            F.sum(
+                (F.col("_change_type") == "update_postimage").cast("bigint")
+            ).cast("bigint").alias("n_post"),
+            F.sum((F.col("_change_type") == "insert").cast("bigint"))
+            .cast("bigint").alias("n_inserted"),
+            F.sum(
+                (
+                    (F.col("_change_type") == "update_postimage")
+                    & (F.col("c_mktsegment") == "DORMANT")
+                ).cast("bigint")
+            ).cast("bigint").alias("n_by_source"),
+        ).select(
+            "n_deleted",
+            (F.col("n_post") - F.col("n_by_source")).alias("n_updated"),
+            "n_inserted",
+            "n_by_source",
+        )
+        out = (
+            t.read(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(tallies))  # one-row stats frame
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -73,11 +73,12 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # new first-certs); and (c) FIRST-certification slots for the four
 # operators added this round — predicate DML `q_delete_where`
 # (directive #2) and `q_update_where`, TIMESTAMP AS OF time travel
-# `q_time_travel_ts` (directive #3), and metadata-only type widening
-# `q_type_widening` (directive #4).  Constraints (directive #5) and
-# the multi-agg durable maintainer (directive #6) are certified by
-# their pytest batteries per the verdict's Done criteria and take no
-# window slots.
+# `q_time_travel_ts` (directive #3), metadata-only type widening
+# `q_type_widening` (directive #4), and the late-round headroom pair:
+# deletion-vector DELETE `q_delete_vector` and conditional MERGE INTO
+# `q_merge_into`.  Constraints (directive #5) and the multi-agg
+# durable maintainer (directive #6) are certified by their pytest
+# batteries per the verdict's Done criteria and take no window slots.
 #
 # Cumulative driver record after round 14: 254 of 254 registered
 # queries ever driver-green (never-certified set EMPTY);
@@ -87,19 +88,23 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # below pre-verified strict-canon green at sf0.01
 # (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
 #
-# Rotation runway (registry 258 after the r15 additions; an rN cert
+# Rotation runway (registry 260 after the r15 additions; an rN cert
 # is admissible until the newest record reaches N+6, so every cohort
 # may drain across two windows):
-#   r15 window = 5 r9 + 41 r10 head + 4 new first-certs  (this one)
-#   r16 window = 9 deferred r10 (q_rfm q_rolling_dau
-#                q_shipping_priority q_stream_enrich q_string_agg
-#                q_time_rollup q_train_shards q_unpivot q_vocab_stats
-#                — stale at r17, must re-cert at r16) + 41 r11 head
-#   r17 window = 9 r11 tail + 41 r12 head; and so on, one cohort per
-#                round with a 9-name tail riding its float window.
+#   r15 window = 5 r9 + 39 r10 head + 6 new first-certs  (this one —
+#                q_regional_revenue / q_returned_items moved to the
+#                r16 tail to make room for the two headroom certs;
+#                r10 certs stay admissible through r16)
+#   r16 window = 11 deferred r10 (q_regional_revenue q_returned_items
+#                q_rfm q_rolling_dau q_shipping_priority
+#                q_stream_enrich q_string_agg q_time_rollup
+#                q_train_shards q_unpivot q_vocab_stats — stale at
+#                r17, must re-cert at r16) + 39 r11 head
+#   r17 window = 11 r11 tail + 39 r12 head; and so on, one cohort per
+#                round with an 11-name tail riding its float window.
 # Steady state re-certifies every query at most 6 rounds apart,
-# inside the guard's >MAX_CERT_AGE_ROUNDS bound (258 queries / 50
-# slots — ceil(258/6) = 43 needed, 7 slack per window).
+# inside the guard's >MAX_CERT_AGE_ROUNDS bound (260 queries / 50
+# slots — ceil(260/6) = 44 needed, 6 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
@@ -149,12 +154,12 @@ _DRIVER_WINDOW = (
     "q_percentile",
     "q_pipeline_cdc",
     "q_recursive_cte",
-    "q_regional_revenue",
-    "q_returned_items",
     "q_delete_where",
     "q_update_where",
     "q_time_travel_ts",
     "q_type_widening",
+    "q_delete_vector",
+    "q_merge_into",
 )
 
 _OPERATOR_MODULES = (

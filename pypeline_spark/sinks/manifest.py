@@ -2535,7 +2535,7 @@ class ManifestTable:
             )
         if mode != "dv":
             raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
-        return self._delete_where_dv(spark, predicate, batch_id)
+        return self._dml_where_dv(spark, predicate, None, batch_id, ())
 
     def update_where(
         self,
@@ -2544,22 +2544,39 @@ class ManifestTable:
         assignments: dict,
         batch_id: Optional[str] = None,
         stats_cols: Sequence[str] = (),
+        mode: str = "cow",
     ) -> int:
         """``UPDATE table SET col = expr, .. WHERE predicate`` —
         ``assignments`` maps column name -> SQL expression (or Python
         literal); all right-hand sides evaluate against the OLD row
         (simultaneous assignment, the SQL rule) and each result is
         cast to the column's existing type (schema-stable — widening
-        goes through ``evolve_schema``).  Same two-phase pruned
-        copy-on-write as :meth:`delete_where`; the commit stores
-        pre- AND post-image CDC rows
+        goes through ``evolve_schema``).  The commit stores pre- AND
+        post-image CDC rows
         (``_change_type='update_preimage'/'update_postimage'`` — the
         Delta CDF vocabulary), so feed consumers see both the group a
         row left and the one it joined.  Updated rows face the
-        CHECK/NOT NULL gate like any batch."""
+        CHECK/NOT NULL gate like any batch.
+
+        ``mode='cow'`` (default): the same two-phase pruned
+        copy-on-write as :meth:`delete_where` — touched files rewrite
+        whole.  ``mode='dv'``: merge-on-read UPDATE (the Delta
+        deletion-vector UPDATE shape) — the matched rows' old
+        positions join the dv suppression set and ONLY the post-image
+        rows land as new base files, so a scattered narrow update
+        writes O(matched rows) instead of rewriting every touched
+        file; untouched rows of touched files are never copied.
+        ``stats_cols`` applies to the post-image fileset in dv mode
+        (the table's bloom property is indexed on it either way)."""
         if not assignments:
             raise ValueError("update_where needs a non-empty assignments dict")
-        return self._dml_where(
+        if mode == "cow":
+            return self._dml_where(
+                spark, predicate, dict(assignments), batch_id, stats_cols
+            )
+        if mode != "dv":
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        return self._dml_where_dv(
             spark, predicate, dict(assignments), batch_id, stats_cols
         )
 
@@ -2724,24 +2741,31 @@ class ManifestTable:
 
         return self._commit_retrying(m, build, frozenset({"metadata"}), what)
 
-    def _delete_where_dv(
+    def _dml_where_dv(
         self,
         spark: SparkSession,
         predicate: str,
+        assignments: Optional[dict],
         batch_id: Optional[str],
+        stats_cols: Sequence[str],
     ) -> int:
-        """The merge-on-read DELETE behind ``delete_where(mode='dv')``:
-        one provenance-tagged scan of the stats/bloom-pruned candidate
-        files (existing dv already applied — a row cannot be deleted
-        twice) finds the matched rows; their (file, position) pairs
-        land as a new dv fileset and their full pre-images as typed
-        CDC, and the commit just grows the manifest's dv map — zero
-        base-file I/O.  Per-file suppression counts are read back from
-        the WRITTEN dv fileset (exactly what the manifest references),
-        one metadata-sized job."""
+        """The merge-on-read DML behind ``delete_where(mode='dv')`` /
+        ``update_where(mode='dv')``: one provenance-tagged scan of the
+        stats/bloom-pruned candidate files (existing dv already
+        applied — a row cannot be matched twice) finds the matched
+        rows; their (file, position) pairs land as a new dv fileset,
+        their pre-images as typed CDC, and — for UPDATE — ONLY the
+        post-image rows land as new base files appended to the file
+        list.  Write cost is O(matched rows) for both verbs; untouched
+        rows of touched files are never copied.  Per-file suppression
+        counts are read back from the WRITTEN dv fileset (exactly what
+        the manifest references), one metadata-sized job."""
         from pyspark.sql import functions as F
 
-        what = "delete_where[dv]"
+        what = (
+            "update_where[dv]" if assignments is not None
+            else "delete_where[dv]"
+        )
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
@@ -2781,11 +2805,43 @@ class ManifestTable:
             # predicate matched no rows: no commit (the empty written
             # fileset is gc_orphans debris)
             return m["version"]
-        cdc = matched.drop("__dvf__", "__dvp__").withColumn(
-            self._CT, F.lit("delete")
-        )
+        pre = matched.drop("__dvf__", "__dvp__")
+        bloom = m.get("bloom_cols", [])
+        carry_map = self._carry_mapping(m)
+        post_files: list[str] = []
+        post_stats: dict = {}
+        post_meta: dict = {}
+        post = None
+        if assignments is not None:
+            typ = {f.name: f.dataType for f in pre.schema.fields}
+            bad = [c for c in assignments if c not in typ]
+            if bad:
+                raise ValueError(f"{what}: no such column(s) {bad}")
+            ass = {
+                c: (F.expr(e) if isinstance(e, str) else F.lit(e)).cast(
+                    typ[c]
+                )
+                for c, e in assignments.items()
+            }
+            post = pre.select(
+                *[ass.get(c, F.col(c)).alias(c) for c in pre.columns]
+            )
+            self._validate_constraints(m, post, what)
+            wdf, wstats, wbloom = self._for_write(
+                carry_map, m.get("schema"), post, stats_cols, bloom
+            )
+            post_files, post_stats, post_meta = self._write_fileset(
+                wdf, wstats, wbloom
+            )
+            cdc = pre.withColumn(
+                self._CT, F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn(self._CT, F.lit("update_postimage"))
+            )
+        else:
+            cdc = pre.withColumn(self._CT, F.lit("delete"))
         cdf, _cs, _cb = self._for_write(
-            self._carry_mapping(m), m.get("schema"), cdc, (), ()
+            carry_map, m.get("schema"), cdc, (), ()
         )
         cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
         added = sum(counts.values())
@@ -2795,16 +2851,16 @@ class ManifestTable:
                 return None
             if mm["files"] != m["files"] or mm.get("deltas"):
                 raise CommitConflict(
-                    f"{what}: file list changed under the delete"
+                    f"{what}: file list changed under the commit"
                 )
             if (
                 mm.get("schema") != m.get("schema")
                 or self._carry_mapping(mm) != self._carry_mapping(m)
                 or self._constraints(mm) != self._constraints(m)
             ):
-                # the predicate was evaluated (and the CDC fileset
-                # written) under m's schema/mapping; constraints keep
-                # the same abort rule as every DML commit
+                # the predicate was evaluated (and the CDC/post
+                # filesets written) under m's schema/mapping;
+                # constraints keep the same abort rule as every DML
                 raise CommitConflict(
                     f"{what} lost to a concurrent schema/mapping/"
                     "constraint change — re-read the table and retry"
@@ -2815,20 +2871,23 @@ class ManifestTable:
                 rows[f] = rows.get(f, 0) + n
             new = {
                 "version": mm["version"] + 1,
-                "files": mm["files"],
+                # UPDATE appends the post-image fileset; DELETE leaves
+                # the list bit-identical
+                "files": mm["files"] + post_files,
                 "deltas": [],
                 "key_columns": mm.get("key_columns"),
                 "batch_ids": mm["batch_ids"]
                 + ([batch_id] if batch_id is not None else []),
-                # base files untouched: their stats/blooms/filemeta
-                # stay verbatim as sound upper bounds
-                "stats": mm.get("stats", {}),
+                # untouched base files keep their stats/blooms/filemeta
+                # verbatim as sound upper bounds
+                "stats": {**mm.get("stats", {}), **post_stats},
                 "filemeta": {
                     **mm.get("filemeta", {}),
+                    **post_meta,
                     **dv_meta,
                     **cdc_meta,
                 },
-                "bloom_cols": mm.get("bloom_cols", []),
+                "bloom_cols": bloom,
                 "dml": True,
                 "cdc_files": cdc_files,
                 "dv": {
@@ -2843,6 +2902,11 @@ class ManifestTable:
             }
             if mm.get("schema") is not None:
                 new["schema"] = mm["schema"]
+            if mm.get("ndv_cols") and post is not None:
+                # updated values are new marks; one O(changed rows) pass
+                new["ndv"] = self._update_ndv(
+                    post, mm["ndv_cols"], mm.get("ndv", {})
+                )
             return new
 
         return self._commit_retrying(m, build, frozenset({"metadata"}), what)

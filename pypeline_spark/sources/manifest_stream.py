@@ -35,7 +35,11 @@ Design (and why it scales):
   appends) — the Delta CDF streaming column contract;
 - executors read the parquet files directly by path (pyarrow) — the
   same shared-filesystem assumption the manifest protocol already
-  makes; the driver touches only O(versions) manifest JSON.
+  makes; the driver touches only O(versions) manifest JSON;
+- ``option("max_files_per_batch", n)`` rate-limits a micro-batch (the
+  Delta ``maxFilesPerTrigger`` shape): a consumer catching up a long
+  backlog drains it in bounded batches instead of one giant one —
+  state-store pressure and commit latency stay flat while behind.
 
 Reference connection: the reference's pipelines poll their extract
 query per run (ref: /root/reference/pypeline/Pype.py:147-148); this
@@ -120,6 +124,30 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                 f"on_rewrite must be 'fail' or 'skip', got "
                 f"{self.on_rewrite!r}"
             )
+        # Rate limiting (the Delta maxFilesPerTrigger shape): cap how
+        # many change FILES one micro-batch may plan.  The offset is a
+        # version cursor, so the cap rounds to version boundaries —
+        # latestOffset() walks manifests from the reader's cursor
+        # accumulating per-commit file counts (pure metadata, the same
+        # O(backlog versions) class as partitions' own walk) and stops
+        # before the version that would exceed the cap, always
+        # admitting at least one version (progress guarantee: a single
+        # commit larger than the cap still flows, as in Delta).  The
+        # cursor is learned from initialOffset (fresh streams are
+        # capped from the FIRST batch), partitions() and commit(); the
+        # one uncapped case is the first batch after a clean restart —
+        # the Python DataSource API has no admission-control handshake
+        # that would hand the checkpointed offset to latestOffset(),
+        # and guessing low could regress the offset (worse: replayed
+        # rows).  Documented trade: one possibly-large catch-up batch,
+        # then steady-state caps.
+        mfpb = options.get("max_files_per_batch")
+        self.max_files = None if mfpb is None else int(mfpb)
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                f"max_files_per_batch must be >= 1, got {self.max_files}"
+            )
+        self._cursor: int | None = None
         self.fields = [f.name for f in schema.fields]
         # column-mapped tables store PHYSICAL names in the files;
         # capture logical→physical once at plan time (physical names
@@ -151,18 +179,48 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         # default 0 replays the whole delta history; pass
         # since_version=<seed version> to start after the initial
         # overwrite (which, being a rewrite, is not feed-derivable)
+        self._cursor = self.start
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
         from pypeline_spark.sinks.manifest import ManifestTable
 
-        return {"version": ManifestTable(self.root).version()}
+        t = ManifestTable(self.root)
+        tip = t.version()
+        lo = self._cursor
+        if self.max_files is None or lo is None or tip <= lo:
+            return {"version": tip}
+        # walk the backlog's manifests accumulating planned file
+        # counts; stop at the last version boundary under the cap
+        prev = (
+            t._manifest_at(lo) if lo > 0 else {"files": [], "deltas": []}
+        )
+        n = 0
+        end = lo
+        for v in range(lo + 1, tip + 1):
+            cur = t._manifest_at(v)
+            kind = ManifestTable._commit_kind(prev, cur)
+            if kind == "delta":
+                add = len(cur.get("deltas", [])[-1])
+            elif kind == "dml":
+                add = len(cur.get("cdc_files", []))
+            else:
+                add = 0  # metadata/reorg/rewrite plan no files here
+            if n + add > self.max_files and end > lo:
+                break  # the cap rounds down to a version boundary
+            n += add
+            end = v
+            prev = cur
+            if n >= self.max_files:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from pypeline_spark.sinks.manifest import ManifestTable
 
         t = ManifestTable(self.root)
         lo, hi = start["version"], end["version"]
+        self._cursor = hi  # rate-limit walks resume from planned work
         prev = (
             t._manifest_at(lo)
             if lo > 0
@@ -231,7 +289,9 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             yield tuple(row + [partition.version, ct])
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's streaming checkpoint
+        # offsets live in Spark's streaming checkpoint; remembering the
+        # committed end here only re-anchors the rate-limit cursor
+        self._cursor = end["version"]
 
 
 class ManifestChangesDataSource(DataSource):

@@ -5052,3 +5052,93 @@ class TestMergeInto:
                 spark, src, key_columns=["k"],
                 clauses=[("update", None, "*")], batch_id="m",
             )
+
+
+class TestDeletionVectorUpdate:
+    """update_where(mode='dv'): the Delta deletion-vector UPDATE —
+    matched rows' old positions join the suppression set and ONLY the
+    post-image rows land as new base files; untouched rows of touched
+    files are never copied."""
+
+    @pytest.fixture()
+    def seeded(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "dvu"))
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ).repartitionByRange(8, "k")
+        t.commit_overwrite(
+            df, batch_id="seed", stats_cols=["k"], bloom_cols=["k"]
+        )
+        return t
+
+    def test_update_appends_postimages_only(self, spark, tmp_path, seeded):
+        t = seeded
+        m0 = t._read_manifest()
+        t.update_where(
+            spark, "k % 40 = 0", {"v": "v + 1000.0"},
+            batch_id="u", mode="dv", stats_cols=["k"],
+        )
+        m1 = t._read_manifest()
+        # every old base file survives verbatim; post-images appended
+        assert set(m0["files"]) <= set(m1["files"])
+        assert len(m1["files"]) > len(m0["files"])
+        for f in m0["files"]:
+            assert m1["stats"][f] == m0["stats"][f]
+        assert sum(m1["dv"]["rows"].values()) == 10
+        got = t.read(spark)
+        assert got.count() == 400
+        assert got.filter("v >= 1000.0").count() == 10
+        assert got.filter("k = 80").select("v").first()[0] == 1080.0
+        # simultaneous assignment + CDC pairs through the feed
+        ch = t.changes(spark, 1)
+        assert ch.filter("_change_type = 'update_preimage'").count() == 10
+        assert ch.filter("_change_type = 'update_postimage'").count() == 10
+        # time travel unaffected; compaction materializes
+        assert t.read(spark, version=1).filter("v >= 1000.0").count() == 0
+        t.compact(spark, batch_id="c", stats_cols=["k"])
+        assert not t._read_manifest().get("dv")
+        assert t.read(spark).filter("k = 80").select("v").first()[0] == 1080.0
+
+    def test_update_constraint_gate_and_sql_rules(
+        self, spark, tmp_path, seeded
+    ):
+        from pypeline_spark.sinks.manifest import ConstraintViolation
+
+        t = seeded
+        t.add_check_constraint(spark, "v_cap", "v < 2000.0", batch_id="cc")
+        with pytest.raises(ConstraintViolation, match="v_cap"):
+            t.update_where(
+                spark, "k < 5", {"v": "v + 99999.0"},
+                batch_id="bad", mode="dv",
+            )
+        assert t.read(spark).filter("v > 2000.0").count() == 0
+        # NULL predicate rows are not matched (SQL rule), like CoW
+        t2 = ManifestTable(str(tmp_path / "nulls"))
+        base = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 5, F.col("id") * 1.0).alias("v"),
+        )
+        t2.commit_overwrite(base, batch_id="s")
+        t2.update_where(
+            spark, "v >= 3.0", {"v": "0.0"}, batch_id="u", mode="dv"
+        )
+        got = t2.read(spark)
+        assert got.count() == 10
+        # 3.0 and 4.0 zeroed; k=0 was 0.0 already; NULL v rows untouched
+        assert got.filter("v = 0.0").count() == 3
+        assert got.filter("v IS NULL").count() == 5
+        assert got.filter("v IN (1.0, 2.0)").count() == 2
+
+    def test_dv_update_then_dv_delete_stacks(self, spark, tmp_path, seeded):
+        t = seeded
+        t.update_where(
+            spark, "k = 100", {"v": "v + 1000.0"},
+            batch_id="u", mode="dv", stats_cols=["k"],
+        )
+        # the delete matches the POST-image row (in a new base file)
+        t.delete_where(spark, "v = 1100.0", batch_id="d", mode="dv")
+        got = t.read(spark)
+        assert got.count() == 399
+        assert got.filter("k = 100").count() == 0

@@ -217,3 +217,118 @@ def test_stream_reads_through_schema_evolution(spark, tmp_path, cust):
     assert got.filter(
         (F.col("_commit_version") == 2) & F.col("tier").isNotNull()
     ).count() == 0
+
+
+def test_rate_limit_caps_each_micro_batch(spark, tmp_path, cust):
+    """max_files_per_batch (the Delta maxFilesPerTrigger shape):
+    drive the reader's offset protocol directly — a 6-commit backlog
+    of 1-file deltas under a 2-file cap drains as 3 bounded batches,
+    version boundaries respected, no offset regression, and a single
+    oversized commit still flows (progress guarantee)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pypeline_spark.sources.manifest_stream import (
+        ManifestChangesDataSource,
+    )
+
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tbl")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    for i in range(6):
+        t.commit_delta(
+            cust.filter(k % 7 == i).coalesce(1).withColumn(
+                "c_acctbal", F.lit(float(i))
+            ),
+            ["c_custkey"], batch_id=f"d{i}",
+        )  # v2..v7, one file each
+    opts = {
+        "path": root,
+        "since_version": "1",
+        "max_files_per_batch": "2",
+    }
+    ds = ManifestChangesDataSource(opts)
+    reader = ds.streamReader(_parse_datatype_string(ds.schema()))
+    start = reader.initialOffset()
+    assert start == {"version": 1}
+    seen = []
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        parts = reader.partitions(start, end)
+        seen.append((start["version"], end["version"], len(parts)))
+        reader.commit(end)
+        start = end
+    # 6 one-file versions under a 2-file cap = 3 batches of 2
+    assert seen == [(1, 3, 2), (3, 5, 2), (5, 7, 2)]
+    # a single commit bigger than the cap still flows whole
+    t.commit_delta(
+        cust.limit(40).repartition(4), ["c_custkey"], batch_id="big"
+    )  # v8: 4 files > cap
+    end = reader.latestOffset()
+    assert end == {"version": 8}
+    assert len(reader.partitions(start, end)) == 4
+    reader.commit(end)
+    # dv DML commits count their CDC files against the cap, and reorg
+    # commits count zero (read through)
+    t.compact(spark, batch_id="fold")  # v9: reorg, 0 feed files
+    t.delete_where(spark, "c_custkey < 5", batch_id="dv", mode="dv")  # v10
+    t.commit_delta(
+        cust.limit(3).coalesce(1), ["c_custkey"], batch_id="tail"
+    )  # v11: 1 file
+    n_cdc = len(t._manifest_at(10).get("cdc_files", []))
+    end = reader.latestOffset()
+    assert end["version"] >= 10  # monotone, never regressing
+    parts = reader.partitions({"version": 8}, end)
+    if end["version"] == 11:
+        # everything fit: the walk admitted cdc + tail under the cap
+        assert n_cdc + 1 <= 2
+        assert len(parts) == n_cdc + 1
+    else:
+        # the cap stopped at the dv commit's version boundary
+        assert end["version"] == 10
+        assert len(parts) == n_cdc
+
+
+def test_rate_limited_stream_end_to_end(spark, tmp_path, cust):
+    """The capped source still drains correctly through a real
+    streaming query (exactly-once rows, just in more batches)."""
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tbl2")
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    expected = 0
+    for i in range(4):
+        n = 5 + i
+        t.commit_delta(
+            cust.limit(n).coalesce(1).withColumn(
+                "c_acctbal", F.lit(float(i))
+            ),
+            ["c_custkey"], batch_id=f"d{i}",
+        )
+        expected += n
+    register(spark)
+    # one availableNow pass per cap window until drained — each run's
+    # target offset is itself cap-bounded, so loop to the tip
+    for _ in range(8):
+        q = (
+            spark.readStream.format("manifest_changes")
+            .option("path", root)
+            .option("since_version", 1)
+            .option("max_files_per_batch", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        if got.count() >= expected:
+            break
+    got = spark.read.parquet(out)
+    assert got.count() == expected  # every row exactly once
+    assert got.select("_commit_version").distinct().count() == 4

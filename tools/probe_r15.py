@@ -153,6 +153,77 @@ def main() -> None:
         ).count())
         out["restore_snapshot_diff_sec"] = dt
         out["restore_snapshot_diff_rows"] = nd
+
+        # -- 6. deletion vectors: scattered DELETE, dv vs CoW ---------------
+        # range-clustered by acctbal, deleted by custkey residue — every
+        # file holds matches, so CoW must rewrite ALL files while dv
+        # writes O(matched rows)
+        full = load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).repartitionByRange(16, "c_acctbal")
+        t7 = ManifestTable(os.path.join(scratch, "dv"))
+        t7.commit_overwrite(full, batch_id="seed", stats_cols=["c_acctbal"])
+        m0 = t7._read_manifest()
+        dt, _ = _timed(lambda: t7.delete_where(
+            spark, "c_custkey % 50 = 0", batch_id="d", mode="dv"
+        ))
+        m1 = t7._read_manifest()
+        out["dv_delete_sec"] = dt
+        out["dv_rows_suppressed"] = int(sum(m1["dv"]["rows"].values()))
+        out["dv_bytes_written"] = int(sum(
+            m1["filemeta"][f]["bytes"] for f in m1["dv"]["files"]
+        ))
+        out["dv_files_rewritten"] = len(set(m0["files"]) - set(m1["files"]))
+        dt, n = _timed(lambda: t7.read(spark).count())
+        out["dv_read_through_sec"] = dt
+        out["dv_read_rows"] = n
+        t8 = ManifestTable(os.path.join(scratch, "cow"))
+        t8.commit_overwrite(full, batch_id="seed", stats_cols=["c_acctbal"])
+        m0 = t8._read_manifest()
+        dt, _ = _timed(lambda: t8.delete_where(
+            spark, "c_custkey % 50 = 0", batch_id="d",
+            stats_cols=["c_acctbal"],
+        ))
+        m1 = t8._read_manifest()
+        out["cow_delete_sec"] = dt
+        out["cow_files_rewritten"] = len(set(m0["files"]) - set(m1["files"]))
+        out["cow_files_total"] = len(m0["files"])
+        out["cow_bytes_written"] = int(sum(
+            meta["bytes"] for f, meta in m1["filemeta"].items()
+            if f in set(m1["files"]) - set(m0["files"])
+        ))
+        dt, _ = _timed(lambda: t8.read(spark).count())
+        out["cow_read_after_sec"] = dt
+
+        # -- 7. conditional MERGE: pruned touched-slice rewrite -------------
+        t9 = ManifestTable(os.path.join(scratch, "mi"))
+        t9.commit_overwrite(
+            load_table(spark, SF_DIR, "customer").select(
+                "c_custkey", "c_acctbal", "c_mktsegment"
+            ).repartitionByRange(16, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        m0 = t9._read_manifest()
+        src = load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).filter(
+            (F.col("c_custkey") >= 100) & (F.col("c_custkey") < 400)
+        ).withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+        dt, _ = _timed(lambda: t9.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[
+                ("delete", "s.c_acctbal < 0.0", None),
+                ("update", None, {"c_acctbal": "s.c_acctbal"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="m", stats_cols=["c_custkey"], prune_col="c_custkey",
+        ))
+        m1 = t9._read_manifest()
+        out["merge_into_sec"] = dt
+        out["merge_files_rewritten"] = len(
+            set(m0["files"]) - set(m1["files"])
+        )
+        out["merge_files_total"] = len(m0["files"])
         print(json.dumps(out))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -5142,3 +5142,90 @@ class TestDeletionVectorUpdate:
         got = t.read(spark)
         assert got.count() == 399
         assert got.filter("k = 100").count() == 0
+
+
+class TestDvHistoryModelProperty:
+    """Model check for deletion-vector histories: random interleavings
+    of dv deletes, dv updates, CoW deletes, compaction, OPTIMIZE and
+    RESTORE must keep every version's readable content equal to a
+    pure-Python model of the same operations — including time travel
+    back into dv'd versions and vacuum retention of dv files."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(plan=st.lists(st.integers(0, 5), min_size=3, max_size=7))
+    def test_dv_histories_match_model(self, spark, tmp_path, plan):
+        import uuid as _uuid
+
+        N = 200
+        base = spark.range(0, N).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        ).repartitionByRange(4, "k")
+        t = ManifestTable(str(tmp_path / f"dvprop-{_uuid.uuid4().hex}"))
+        t.commit_overwrite(base, batch_id="seed", stats_cols=["k"])
+        model = {k: (k % 7, float(k)) for k in range(N)}
+        snaps = {t.version(): dict(model)}
+        for i, op in enumerate(plan):
+            if op == 0:  # dv delete
+                r = i % 5
+                t.delete_where(
+                    spark, f"k % 5 = {r}", batch_id=f"dd{i}", mode="dv"
+                )
+                model = {
+                    k: gv for k, gv in model.items() if k % 5 != r
+                }
+            elif op == 1:  # dv update (simultaneous assignment)
+                r = i % 7
+                t.update_where(
+                    spark, f"g = {r}", {"v": "v + 100.0"},
+                    batch_id=f"du{i}", mode="dv", stats_cols=["k"],
+                )
+                model = {
+                    k: (g, v + 100.0 if g == r else v)
+                    for k, (g, v) in model.items()
+                }
+            elif op == 2:  # CoW delete over a k range
+                lo = (i * 37) % 150
+                t.delete_where(
+                    spark, f"k >= {lo} AND k < {lo + 20}",
+                    batch_id=f"cd{i}", stats_cols=["k"],
+                )
+                model = {
+                    k: gv for k, gv in model.items()
+                    if not (lo <= k < lo + 20)
+                }
+            elif op == 3:
+                t.compact(spark, batch_id=f"c{i}", stats_cols=["k"])
+            elif op == 4:
+                t.optimize(
+                    spark, target_rows=120, batch_id=f"o{i}",
+                    stats_cols=["k"],
+                )
+            else:  # restore to a random recorded version
+                vs = sorted(snaps)
+                target = vs[i % len(vs)]
+                t.restore(version=target, batch_id=f"r{i}")
+                model = dict(snaps[target])
+            snaps[t.version()] = dict(model)
+
+        def canon(df):
+            return {
+                (r["k"], r["g"], round(r["v"], 6)) for r in df.collect()
+            }
+
+        def mcanon(mm):
+            return {(k, g, round(v, 6)) for k, (g, v) in mm.items()}
+
+        got = t.read(spark)
+        assert (got is None and not model) or canon(got) == mcanon(model)
+        # TIME TRAVEL: every recorded version reads with ITS OWN dv
+        for w, snap in snaps.items():
+            df = t.read(spark, version=w)
+            assert (df is None and not snap) or canon(df) == mcanon(snap)
+        # vacuum retains the tip's dv files; the tip still reads right
+        t.vacuum(keep_versions=1)
+        got = t.read(spark)
+        assert (got is None and not model) or canon(got) == mcanon(model)

@@ -349,6 +349,53 @@ def main(sf_dir: str) -> None:
             print(f"19. widening + constraints: int->bigint/float->double "
                   f"cost ONE metadata commit (old files upcast at read); "
                   f"the CHECK gate then rejected a bad batch: {msg}")
+
+        # -- 20. deletion vectors: DELETE/UPDATE with zero rewrites ---------
+        dv_t = ManifestTable(os.path.join(root, "dv"))
+        dv_t.commit_overwrite(
+            cseg.repartitionByRange(8, "c_acctbal"),
+            batch_id="seed", stats_cols=["c_acctbal"],
+        )
+        files_before = list(dv_t._read_manifest()["files"])
+        dv_t.delete_where(
+            spark, "c_custkey % 50 = 0", batch_id="dvd", mode="dv"
+        )  # scattered delete: every file holds matches, none rewrite
+        dv_t.update_where(
+            spark, "c_acctbal < -900.0", {"c_mktsegment": "'FLAGGED'"},
+            batch_id="dvu", mode="dv", stats_cols=["c_acctbal"],
+        )  # only post-image rows land as new files
+        m = dv_t._read_manifest()
+        print(f"20. deletion vectors: a scattered DELETE + UPDATE kept all "
+              f"{len(files_before)} base files "
+              f"({sum(m['dv']['rows'].values())} rows suppressed via dv, "
+              f"reads anti-join it away); compact() materializes on the "
+              "maintenance schedule")
+        dv_t.compact(spark, batch_id="mat", stats_cols=["c_acctbal"])
+
+        # -- 21. conditional MERGE INTO -------------------------------------
+        mi_t = ManifestTable(os.path.join(root, "mi"))
+        mi_t.commit_overwrite(
+            cseg.repartitionByRange(8, "c_custkey"),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        src = cseg.filter(F.col("c_custkey") % 4 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2.0
+        )
+        mi_t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[
+                ("delete", "s.c_acctbal < 0.0", None),
+                ("update", None, {"c_acctbal": "s.c_acctbal"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="m1", stats_cols=["c_custkey"],
+            prune_col="c_custkey",
+        )
+        mev = mi_t.changes(spark, 1).groupBy("_change_type").count()
+        print("21. MERGE INTO (matched-delete / matched-update / "
+              "not-matched-insert in one commit; typed CDC through the "
+              "feed):")
+        mev.show()
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

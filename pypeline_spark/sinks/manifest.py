@@ -131,6 +131,75 @@ class ManifestTable:
     def applied_batch_ids(self) -> set:
         return set(self._read_manifest()["batch_ids"])
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE HISTORY`` (the Delta shape): one row per retained
+        version — commit timestamp, structural kind (the same
+        classification the feed and the OCC matrix rule on), the batch
+        id the commit appended to the exactly-once ledger, and size
+        metadata (file/delta-fileset counts, dv-suppressed rows).
+        Pure metadata: O(retained versions) manifest reads, zero data
+        I/O; vacuumed versions simply don't appear.  The frame is
+        driver-built index metadata, the same bounded class as the
+        bloom/stats jobs."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        versions: dict[int, dict] = {}
+        for f in os.listdir(self.root):
+            if not (f.startswith("_manifest.v") and f.endswith(".json")):
+                continue
+            try:
+                v = int(f[len("_manifest.v"):-len(".json")])
+            except ValueError:
+                continue
+            with open(os.path.join(self.root, f)) as fh:
+                versions[v] = json.load(fh)
+        rows = []
+        for v in sorted(versions):
+            cur = versions[v]
+            prev = versions.get(v - 1)
+            if prev is not None:
+                kind = self._commit_kind(prev, cur)
+            elif v == 1:
+                kind = "overwrite"  # the seed commit has no parent
+            else:
+                kind = "unknown"  # parent vacuumed: not derivable
+            bids = cur.get("batch_ids", [])
+            prev_bids = (prev or {}).get("batch_ids", [])
+            batch_id = (
+                bids[len(prev_bids)]
+                if prev is not None and len(bids) == len(prev_bids) + 1
+                else (bids[-1] if v == 1 and bids else None)
+            )
+            rows.append(
+                (
+                    v,
+                    float(cur.get("committed_at", 0.0)),
+                    kind,
+                    batch_id,
+                    len(cur.get("files", [])),
+                    len(cur.get("deltas", [])),
+                    int(sum((cur.get("dv") or {}).get("rows", {}).values())),
+                )
+            )
+        schema = StructType(
+            [
+                StructField("version", LongType(), False),
+                StructField("committed_at", DoubleType(), False),
+                StructField("kind", StringType(), False),
+                StructField("batch_id", StringType(), True),
+                StructField("n_files", LongType(), False),
+                StructField("n_delta_filesets", LongType(), False),
+                StructField("dv_rows", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     @staticmethod
     def _carry_meta(m: dict) -> dict:
         """Table-level metadata that rides along content-preserving /
@@ -259,7 +328,20 @@ class ManifestTable:
             # own CDC fileset — classify by its dml stamp, never as
             # metadata (a metadata classification would let OCC rebase
             # content commits straight over it)
-            return "dml" if cur.get("dml") else "metadata"
+            if cur.get("dml"):
+                return "dml"
+            if (prev.get("dv") or None) == (cur.get("dv") or None):
+                return "metadata"
+            # file lists untouched but the dv CHANGED without a dml
+            # stamp: only a RESTORE landing on the same fileset with a
+            # different suppression set does this (e.g. rolling back a
+            # dv delete) — it resurrects/removes rows, so it must never
+            # pass as metadata (the feed derives its events, OCC
+            # treats it as content)
+            return (
+                "restore" if cur.get("restore_of") is not None
+                else "rewrite"
+            )
         if cf == pf and len(cd) == len(pd) + 1 and cd[: len(pd)] == pd:
             return "delta"
         if cur.get("dml"):

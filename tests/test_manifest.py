@@ -5229,3 +5229,40 @@ class TestDvHistoryModelProperty:
         t.vacuum(keep_versions=1)
         got = t.read(spark)
         assert (got is None and not model) or canon(got) == mcanon(model)
+
+
+class TestHistory:
+    """DESCRIBE HISTORY: one metadata row per retained version with
+    the structural commit kind, the ledger batch id, and size facts."""
+
+    def test_history_rows_and_kinds(self, spark, tmp_path, customers):
+        t = ManifestTable(str(tmp_path / "hist"))
+        t.commit_overwrite(customers.limit(50), batch_id="seed")  # v1
+        t.commit_delta(
+            customers.limit(5), ["c_custkey"], batch_id="d1"
+        )  # v2
+        t.evolve_schema("tier string", batch_id="e1")  # v3
+        t.compact(spark, batch_id="c1")  # v4
+        t.delete_where(
+            spark, "c_custkey < 3", batch_id="dv1", mode="dv"
+        )  # v5
+        t.restore(version=4, batch_id="undo")  # v6
+        h = {r["version"]: r for r in t.history(spark).collect()}
+        assert [h[v]["kind"] for v in range(1, 7)] == [
+            "overwrite", "delta", "metadata", "reorg", "dml", "restore",
+        ]
+        assert [h[v]["batch_id"] for v in range(1, 7)] == [
+            "seed", "d1", "e1", "c1", "dv1", "undo",
+        ]
+        assert h[5]["dv_rows"] == 3 and h[6]["dv_rows"] == 0
+        assert h[2]["n_delta_filesets"] == 1
+        # timestamps are monotone (the publish contract)
+        ts = [h[v]["committed_at"] for v in range(1, 7)]
+        assert ts == sorted(ts)
+        # vacuumed versions drop out; the parent-less survivor is
+        # honest about underivable kind
+        t.vacuum(keep_versions=2)
+        h2 = {r["version"]: r for r in t.history(spark).collect()}
+        assert sorted(h2) == [5, 6]
+        assert h2[5]["kind"] == "unknown"
+        assert h2[6]["kind"] == "restore"

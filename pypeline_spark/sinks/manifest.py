@@ -75,6 +75,16 @@ class ManifestTable:
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
         self.occ_max_retries = self.OCC_MAX_RETRIES
+        # SHALLOW CLONE support: extra data roots this table may
+        # resolve file names against (the clone source's data dirs,
+        # recorded once at clone_to time — see _path).  Absent for
+        # ordinary tables: zero overhead on their path resolution.
+        clone_sidecar = os.path.join(root, "_clone_roots.json")
+        if os.path.exists(clone_sidecar):
+            with open(clone_sidecar) as fh:
+                self._external_roots: list[str] = json.load(fh)["roots"]
+        else:
+            self._external_roots = []
         # Test-only deterministic race injection: a zero-arg callable
         # fired ONCE immediately before the next publish attempt (i.e.
         # inside the read-modify-write window), so tests can place a
@@ -107,6 +117,22 @@ class ManifestTable:
                 return m
             with open(nxt) as fh:
                 m = json.load(fh)
+
+    def _path(self, name: str) -> str:
+        """Resolve a manifest-referenced data file name to a path:
+        this table's own ``data/`` first, then — on a SHALLOW CLONE —
+        each recorded source root in order.  New commits always write
+        locally, so a clone's external references fade as rewrites
+        materialize local copies; vacuum and GC only ever touch local
+        paths, so a clone can never reap its source's files."""
+        local = os.path.join(self.data_dir, name)
+        if not self._external_roots or os.path.exists(local):
+            return local
+        for r in self._external_roots:
+            p = os.path.join(r, name)
+            if os.path.exists(p):
+                return p
+        return local  # vacuumed everywhere: fail as a local miss
 
     def version(self) -> int:
         return self._read_manifest()["version"]
@@ -1347,7 +1373,7 @@ class ManifestTable:
                 F.col("_metadata.row_index").alias("__dvp__"),
             )
 
-        paths = [os.path.join(self.data_dir, f) for f in names]
+        paths = [self._path(f) for f in names]
         sch = m.get("schema")
         if sch is None:
             return _tag(spark.read.parquet(*paths), None)
@@ -1396,7 +1422,7 @@ class ManifestTable:
         clean = [f for f in names if f not in dset]
         ddf = self._scan_logical(spark, m, dirty, tagged=True)
         dvdf = spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in dv["files"]]
+            *[self._path(f) for f in dv["files"]]
         )
         # narrowing the dv side to the dirty files is an optimization
         # only (non-matching entries fall out of the anti-join anyway):
@@ -2322,7 +2348,7 @@ class ManifestTable:
 
             base_cols = set(
                 pq.ParquetFile(
-                    os.path.join(self.data_dir, m["files"][0])
+                    self._path(m["files"][0])
                 ).schema_arrow.names
             )
             if set(updates.columns) != base_cols:
@@ -3715,7 +3741,7 @@ class ManifestTable:
             else:
                 df = self._to_logical(
                     spark.read.parquet(
-                        *[os.path.join(self.data_dir, f) for f in names]
+                        *[self._path(f) for f in names]
                     ),
                     m,
                 )
@@ -3908,7 +3934,7 @@ class ManifestTable:
             return (
                 b
                 if b is not None
-                else os.path.getsize(os.path.join(self.data_dir, f))
+                else os.path.getsize(self._path(f))
             )
 
         carried: list[str] = []
@@ -4006,6 +4032,101 @@ class ManifestTable:
             # full rewrite on an untracked table: the rewrite frame is
             # the whole content — begin tracking here
             new["schema"] = self._merge_schema(None, rewrite)
+        self._publish(new)
+        return new["version"]
+
+    def reorg_purge(
+        self,
+        spark: SparkSession,
+        batch_id: Optional[str] = None,
+        min_dv_fraction: float = 0.0,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """``REORG TABLE .. APPLY (PURGE)`` (the Delta shape):
+        materialize deletion vectors by rewriting ONLY the files that
+        carry them — every clean file's manifest entry (name + stats +
+        bloom + filemeta) carries over verbatim, so the rewrite cost
+        is bounded by the dv'd slice, not the table.  With
+        ``min_dv_fraction`` only files whose suppressed-row share
+        exceeds the threshold rewrite (Delta's targeted purge: a file
+        with 2 deleted rows out of a million isn't worth rewriting
+        yet); files below it keep their dv entries and readers keep
+        anti-joining.  A content-preserving ``reorg`` commit: the
+        change feed reads through it, blind appends rebase over it.
+        No-op (no commit) when nothing qualifies.  Refuses outstanding
+        merge-on-read deltas (resolution needs every base row — fold
+        them with compact()/optimize() first).
+
+        Scale: this is the dv maintenance verb — dv DML keeps commits
+        O(matched rows) at ingest time, and PURGE moves the deferred
+        rewrite to the maintenance window, sized by dv density instead
+        of table size."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        dv = m.get("dv")
+        if not dv:
+            return m["version"]
+        if m.get("deltas"):
+            raise ValueError(
+                "outstanding merge-on-read deltas: reorg_purge rewrites "
+                "file subsets and cannot resolve keys — fold them with "
+                "compact()/optimize() first"
+            )
+        filemeta = m.get("filemeta", {})
+
+        def _fraction(f: str) -> float:
+            rows = filemeta.get(f, {}).get("rows")
+            if not rows:
+                return 1.0  # unknown footer count: qualify (conservative)
+            return dv["rows"].get(f, 0) / rows
+
+        pending = [
+            f
+            for f in m["files"]
+            if f in dv["rows"] and _fraction(f) > min_dv_fraction
+        ]
+        if not pending:
+            return m["version"]  # nothing dense enough: no commit
+        pending_set = set(pending)
+        carried = [f for f in m["files"] if f not in pending_set]
+        # _read_base applies the dv: the rewrite IS the materialization
+        current = self._read_base(spark, m, pending)
+        bloom = m.get("bloom_cols", [])
+        if self._mapping_enabled(m):
+            wdf, wstats, wbloom = self._for_write(
+                self._carry_mapping(m), m["schema"],
+                self._align_to_schema(current, m["schema"]),
+                stats_cols, bloom,
+            )
+        else:
+            wdf, wstats, wbloom = current, stats_cols, bloom
+        files, stats, new_meta = self._write_fileset(wdf, wstats, wbloom)
+        new = {
+            "version": m["version"] + 1,
+            "files": carried + files,
+            "deltas": [],
+            "key_columns": m.get("key_columns"),
+            "batch_ids": m["batch_ids"]
+            + ([batch_id] if batch_id is not None else []),
+            "stats": {
+                **{f: m["stats"][f] for f in carried if f in m.get("stats", {})},
+                **stats,
+            },
+            "filemeta": {
+                **{f: filemeta[f] for f in carried if f in filemeta},
+                **new_meta,
+            },
+            "bloom_cols": bloom,
+            # content-preserving on the LOGICAL rows: the rewrite only
+            # materialized suppression the dv already declared
+            "reorg": True,
+            **self._carry_meta(m),
+            **self._carry_mapping(m),
+            **self._carry_dv(m, carried),
+        }
+        if m.get("schema") is not None:
+            new["schema"] = m["schema"]
         self._publish(new)
         return new["version"]
 
@@ -4498,6 +4619,77 @@ class ManifestTable:
         self._publish(new)
         return new["version"]
 
+    def clone_to(
+        self,
+        dest_root: str,
+        version: Optional[int] = None,
+        timestamp=None,
+        batch_id: Optional[str] = None,
+    ) -> "ManifestTable":
+        """SHALLOW CLONE (the Delta ``CREATE TABLE .. SHALLOW CLONE``
+        shape): a NEW independent table at ``dest_root`` whose first
+        version references the source's data files AT ``version`` /
+        ``timestamp`` (default: current) without copying a byte —
+        cloning a 100 TB table costs one manifest write plus a tiny
+        sidecar recording the source's data roots for path resolution
+        (:meth:`_path`).  Everything rides: outstanding deltas,
+        deletion vectors, schema + column mapping, constraints, stats
+        / blooms / filemeta, NDV sketch (an upper bound for the
+        cloned subset).  The clone's history, batch-id ledger and OCC
+        are its own; its commits write to its own ``data/``, so
+        external references fade as rewrites (compact / OPTIMIZE /
+        CoW) materialize local copies, and the clone's vacuum/GC only
+        ever touch local paths — it can never reap source files.
+
+        OPERATIONAL CONTRACT (same as Delta's): the source table's
+        VACUUM does not know about clones — retain the cloned version
+        on the source (version-count or age retention) for as long as
+        the clone still references external files; a full
+        ``optimize()`` on the clone localizes everything and severs
+        the dependency.  Clones of clones chase the whole root chain.
+        The clone starts life as version 1 with ``cloned_from``
+        provenance recorded in its manifest."""
+        src_m = self._manifest_at(self._resolve_version(version, timestamp))
+        dest = ManifestTable(dest_root)
+        if dest.version() != 0 or dest._max_version_on_disk() != 0:
+            raise ValueError(
+                f"clone_to destination {dest_root!r} is not an empty "
+                "table root"
+            )
+        sidecar = os.path.join(dest_root, "_clone_roots.json")
+        roots = [os.path.abspath(self.data_dir)] + list(
+            self._external_roots
+        )
+        tmp = f"{sidecar}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"roots": roots}, fh)
+        os.replace(tmp, sidecar)
+        dest._external_roots = roots
+        new = {
+            "version": 1,
+            "files": list(src_m.get("files", [])),
+            "deltas": [list(fs) for fs in src_m.get("deltas", [])],
+            "key_columns": src_m.get("key_columns"),
+            # a clone is a NEW table: fresh exactly-once ledger
+            "batch_ids": [batch_id] if batch_id is not None else [],
+            "stats": dict(src_m.get("stats", {})),
+            "filemeta": dict(src_m.get("filemeta", {})),
+            "bloom_cols": list(src_m.get("bloom_cols", [])),
+            "cloned_from": {
+                "root": os.path.abspath(self.root),
+                "version": src_m["version"],
+            },
+            **({"schema": src_m["schema"]}
+               if src_m.get("schema") is not None else {}),
+            **({"constraints": src_m["constraints"]}
+               if src_m.get("constraints") else {}),
+            **self._carry_mapping(src_m),
+            **self._carry_meta(src_m),
+            **self._carry_dv(src_m),
+        }
+        dest._publish(new)
+        return dest
+
     # -- incremental change feed (CDF) -----------------------------------------
 
     def changes(
@@ -4693,7 +4885,7 @@ class ManifestTable:
                     continue
                 df = self._to_logical(
                     spark.read.parquet(
-                        *[os.path.join(self.data_dir, f) for f in payload]
+                        *[self._path(f) for f in payload]
                     ),
                     mhi,  # mapping as of the range end covers every
                     # file: physical names are immutable per column id
@@ -4795,7 +4987,7 @@ class ManifestTable:
         touched = (
             self._to_logical(
                 spark.read.parquet(
-                    *[os.path.join(self.data_dir, f) for f in names]
+                    *[self._path(f) for f in names]
                 ),
                 mv,
             )

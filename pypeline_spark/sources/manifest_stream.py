@@ -253,7 +253,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                 for f in cur["deltas"][-1]:
                     parts.append(
                         _DeltaFilePartition(
-                            os.path.join(t.data_dir, f), v
+                            t._path(f), v
                         )
                     )
             elif kind == "dml":
@@ -262,7 +262,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                 for f in cur.get("cdc_files", []):
                     parts.append(
                         _DeltaFilePartition(
-                            os.path.join(t.data_dir, f), v
+                            t._path(f), v
                         )
                     )
             prev = cur
@@ -346,7 +346,7 @@ class ManifestChangesDataSource(DataSource):
         seen: set[str] = set()
         for f in probes:
             sch = pq.ParquetFile(
-                os.path.join(t.data_dir, f)
+                t._path(f)
             ).schema_arrow
             for name, typ in zip(sch.names, sch.types):
                 if name == "__ct__" or name in seen:

@@ -5266,3 +5266,137 @@ class TestHistory:
         assert sorted(h2) == [5, 6]
         assert h2[5]["kind"] == "unknown"
         assert h2[6]["kind"] == "restore"
+
+
+class TestReorgPurge:
+    """REORG TABLE .. APPLY (PURGE): materialize deletion vectors by
+    rewriting ONLY dv'd files (optionally only the dv-dense ones);
+    clean files carry verbatim and the feed reads through."""
+
+    def test_purge_rewrites_only_dvd_files(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "purge"))
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(8, "k")
+        t.commit_overwrite(df, batch_id="s", stats_cols=["k"])
+        m0 = t._read_manifest()
+        t.delete_where(spark, "k < 100", batch_id="d", mode="dv")
+        dvd = set(t._read_manifest()["dv"]["rows"])
+        before = _canon(t.read(spark))
+        v = t.reorg_purge(spark, batch_id="p", stats_cols=["k"])
+        m1 = t._read_manifest()
+        assert v == 3
+        assert not m1.get("dv"), "purge materializes the whole dv"
+        # only dv'd files rewrote; every clean file carried verbatim
+        carried = set(m0["files"]) & set(m1["files"])
+        assert carried == set(m0["files"]) - dvd
+        for f in carried:
+            assert m1["stats"][f] == m0["stats"][f]
+        assert _canon(t.read(spark)) == before
+        # reorg commit: the feed reads THROUGH it
+        ch = t.changes(spark, 1)
+        assert ch.filter("_change_type = 'delete'").count() == 100
+        # idempotent + no-op without dv
+        assert t.reorg_purge(spark, batch_id="p") == v
+        assert t.reorg_purge(spark, batch_id="p2") == v
+
+    def test_purge_threshold_keeps_sparse_files(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "thresh"))
+        df = spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(8, "k")
+        t.commit_overwrite(df, batch_id="s", stats_cols=["k"])
+        # dense dv on the low file (all 50 rows), sparse everywhere else
+        t.delete_where(spark, "k < 50", batch_id="d1", mode="dv")
+        t.delete_where(spark, "k % 50 = 7", batch_id="d2", mode="dv")
+        before = _canon(t.read(spark))
+        t.reorg_purge(
+            spark, batch_id="p", min_dv_fraction=0.5, stats_cols=["k"]
+        )
+        m = t._read_manifest()
+        # the dense file is gone from the dv map; sparse entries stay
+        assert m.get("dv"), "sparse dv entries must survive the purge"
+        for f, n in m["dv"]["rows"].items():
+            assert n / m["filemeta"][f]["rows"] <= 0.5, (
+                "a dv-dense file survived the thresholded purge"
+            )
+        assert _canon(t.read(spark)) == before
+        # a full purge then clears the rest
+        t.reorg_purge(spark, batch_id="p2", stats_cols=["k"])
+        assert not t._read_manifest().get("dv")
+        assert _canon(t.read(spark)) == before
+
+
+class TestShallowClone:
+    """clone_to: a new independent table referencing the source's data
+    files at a pinned version with zero data copies; rewrites localize,
+    vacuum/GC on the clone never touch source files."""
+
+    def test_clone_reads_writes_and_isolates(
+        self, spark, tmp_path, customers
+    ):
+        src = ManifestTable(str(tmp_path / "src"))
+        src.commit_overwrite(
+            customers.limit(100).repartition(4),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        src.delete_where(
+            spark, "c_custkey < 5", batch_id="dv", mode="dv"
+        )  # clone must carry the dv
+        pinned = _canon(src.read(spark))
+        clone = src.clone_to(str(tmp_path / "dst"), batch_id="c0")
+        # zero data copied
+        assert os.listdir(clone.data_dir) == []
+        assert _canon(clone.read(spark)) == pinned
+        assert clone.version() == 1
+        m = clone._read_manifest()
+        assert m["cloned_from"]["version"] == 2
+        assert m.get("dv"), "source dv state must ride the clone"
+        # diverge: writes land locally, the source never sees them
+        clone.commit_delta(
+            customers.limit(3).withColumn("c_acctbal", F.lit(7.0)),
+            ["c_custkey"], batch_id="d1",
+        )
+        assert len(os.listdir(clone.data_dir)) > 0
+        assert _canon(src.read(spark)) == pinned
+        assert clone.read_resolved(spark).filter(
+            F.col("c_acctbal") == 7.0
+        ).count() == 3
+        # source evolution after the clone: invisible to the clone
+        src.update_where(
+            spark, "c_custkey >= 90", {"c_acctbal": "0.0"}, batch_id="u"
+        )
+        assert _canon(
+            clone.read(spark)
+        ) == pinned
+        # a full optimize LOCALIZES the clone (severs the dependency)
+        clone.optimize(spark, target_rows=200, batch_id="opt",
+                       stats_cols=["c_custkey"])
+        mm = clone._read_manifest()
+        local = set(os.listdir(clone.data_dir))
+        assert set(mm["files"]) <= local
+        # the clone's vacuum/GC never touched the source's data
+        clone.vacuum(keep_versions=1)
+        clone.gc_orphans(min_age_seconds=0)
+        assert _canon(src.read(spark)) != pinned  # src moved on
+        assert src.read(spark, version=2).count() == 95  # still readable
+
+    def test_clone_of_clone_and_nonempty_dest_refused(
+        self, spark, tmp_path, customers
+    ):
+        src = ManifestTable(str(tmp_path / "a"))
+        src.commit_overwrite(customers.limit(20), batch_id="s")
+        c1 = src.clone_to(str(tmp_path / "b"))
+        c2 = c1.clone_to(str(tmp_path / "c"))
+        assert c2.read(spark).count() == 20
+        with pytest.raises(ValueError, match="not an empty"):
+            src.clone_to(str(tmp_path / "b"))
+        # pinned-version clone
+        src.commit_delta(
+            customers.limit(5).withColumn("c_acctbal", F.lit(1.0)),
+            ["c_custkey"], batch_id="d",
+        )
+        c3 = src.clone_to(str(tmp_path / "d"), version=1)
+        assert c3.read_resolved(spark).filter(
+            F.col("c_acctbal") == 1.0
+        ).count() == 0

@@ -396,6 +396,21 @@ def main(sf_dir: str) -> None:
               "not-matched-insert in one commit; typed CDC through the "
               "feed):")
         mev.show()
+
+        # -- 22. REORG PURGE + DESCRIBE HISTORY + SHALLOW CLONE -------------
+        dv_t.delete_where(
+            spark, "c_custkey % 30 = 0", batch_id="dvd2", mode="dv"
+        )
+        clone = dv_t.clone_to(os.path.join(root, "dv_clone"))
+        dv_t.reorg_purge(spark, batch_id="purge",
+                         stats_cols=["c_acctbal"])
+        print(f"22. shallow clone pinned {clone.read(spark).count()} rows "
+              "with ZERO data copies (clone reads the source's files by "
+              "recorded roots; its own writes land locally); the source "
+              "then purged its dv — DESCRIBE HISTORY of the source:")
+        dv_t.history(spark).select(
+            "version", "kind", "batch_id", "n_files", "dv_rows"
+        ).show()
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -5400,3 +5400,142 @@ class TestShallowClone:
         assert c3.read_resolved(spark).filter(
             F.col("c_acctbal") == 1.0
         ).count() == 0
+
+
+class TestMergeIntoModelProperty:
+    """Model check for conditional MERGE: random ordered clause lists
+    over random keyed target/source tables must produce exactly the
+    content and CDC tallies of a pure-Python evaluator implementing
+    the SQL rules (population routing, first-satisfied-wins ordering,
+    simultaneous assignment, insert null-fill)."""
+
+    # (clause-for-merge_into, model twin) pairs; conditions reference
+    # only the aliases their population has (matched: t+s, insert: s,
+    # by_source: t)
+    _POOL = [
+        (("update", None, {"a": "s.a + t.a"}),
+         lambda t, s: ("update", {"a": s["a"] + t["a"]})),
+        (("update", "s.a % 2 = 0", {"a": "s.a", "b": "t.b + 100"}),
+         lambda t, s: ("update", {"a": s["a"], "b": t["b"] + 100})
+         if s["a"] % 2 == 0 else None),
+        (("update", None, "*"),
+         lambda t, s: ("update", {"a": s["a"], "b": s["b"]})),
+        (("delete", "s.a > t.a", None),
+         lambda t, s: ("delete", None) if s["a"] > t["a"] else None),
+        (("delete", None, None), lambda t, s: ("delete", None)),
+        (("insert", None, "*"),
+         lambda t, s: ("insert", {"a": s["a"], "b": s["b"]})),
+        (("insert", "s.a % 2 = 1", {"k": "s.k", "a": "s.a * 10"}),
+         lambda t, s: ("insert", {"a": s["a"] * 10, "b": None})
+         if s["a"] % 2 == 1 else None),
+        (("update_by_source", "t.b % 3 = 0", {"b": "t.b + 1"}),
+         lambda t, s: ("update", {"b": t["b"] + 1})
+         if t["b"] % 3 == 0 else None),
+        (("delete_by_source", "t.a < 0", None),
+         lambda t, s: ("delete", None) if t["a"] < 0 else None),
+    ]
+
+    @staticmethod
+    def _model(target, source, picks, pool):
+        out, tallies = {}, {"delete": 0, "update": 0, "insert": 0}
+        for k, row in target.items():
+            s = source.get(k)
+            routed = False
+            for idx in picks:
+                clause, twin = pool[idx]
+                kind = clause[0]
+                if s is not None and kind in ("update", "delete"):
+                    r = twin(row, s)
+                elif s is None and kind.endswith("_by_source"):
+                    r = twin(row, None)
+                else:
+                    continue
+                if r is None:
+                    continue
+                verb, assigns = r
+                if verb == "update":
+                    out[k] = {**row, **assigns}
+                    tallies["update"] += 1
+                else:
+                    tallies["delete"] += 1
+                routed = True
+                break
+            if not routed:
+                out[k] = row
+        for k, s in source.items():
+            if k in target:
+                continue
+            for idx in picks:
+                clause, twin = pool[idx]
+                if clause[0] != "insert":
+                    continue
+                r = twin(None, s)
+                if r is None:
+                    continue
+                out[k] = {"a": r[1]["a"], "b": r[1]["b"]}
+                tallies["insert"] += 1
+                break
+        return out, tallies
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        picks=st.lists(st.integers(0, 8), min_size=1, max_size=4),
+        tdata=st.dictionaries(
+            st.integers(0, 24),
+            st.tuples(st.integers(-5, 9), st.integers(0, 9)),
+            min_size=1, max_size=12,
+        ),
+        sdata=st.dictionaries(
+            st.integers(0, 24),
+            st.tuples(st.integers(-5, 9), st.integers(0, 9)),
+            max_size=12,
+        ),
+    )
+    def test_random_merges_match_model(
+        self, spark, tmp_path, picks, tdata, sdata
+    ):
+        import uuid as _uuid
+
+        target = {k: {"a": a, "b": b} for k, (a, b) in tdata.items()}
+        source = {k: {"a": a, "b": b} for k, (a, b) in sdata.items()}
+        t = ManifestTable(str(tmp_path / f"mprop-{_uuid.uuid4().hex}"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(k, r["a"], r["b"]) for k, r in target.items()],
+                "k long, a long, b long",
+            ).repartition(2),
+            batch_id="seed", stats_cols=["k"],
+        )
+        src_rows = [(k, r["a"], r["b"]) for k, r in source.items()]
+        src = spark.createDataFrame(
+            src_rows, "k long, a long, b long"
+        ) if src_rows else spark.createDataFrame([], "k long, a long, b long")
+        clauses = [self._POOL[i][0] for i in picks]
+        before_v = t.version()
+        t.merge_into(
+            spark, src, key_columns=["k"], clauses=clauses,
+            batch_id="m", stats_cols=["k"], prune_col="k",
+        )
+        exp, tallies = self._model(target, source, picks, self._POOL)
+        got = {
+            r["k"]: {"a": r["a"], "b": r["b"]}
+            for r in t.read_resolved(spark).collect()
+        } if t.read(spark) is not None else {}
+        assert got == exp
+        if t.version() > before_v:
+            ch = t.changes(spark, before_v)
+            counts = {
+                r["ct"]: r["n"]
+                for r in ch.groupBy(
+                    F.col("_change_type").alias("ct")
+                ).agg(F.count("*").alias("n")).collect()
+            }
+            assert counts.get("delete", 0) == tallies["delete"]
+            assert counts.get("update_postimage", 0) == tallies["update"]
+            assert counts.get("update_preimage", 0) == tallies["update"]
+            assert counts.get("insert", 0) == tallies["insert"]
+        else:
+            # no commit: the merge must have been a provable no-op
+            assert exp == target and sum(tallies.values()) == 0

@@ -332,3 +332,108 @@ def test_rate_limited_stream_end_to_end(spark, tmp_path, cust):
     got = spark.read.parquet(out)
     assert got.count() == expected  # every row exactly once
     assert got.select("_commit_version").distinct().count() == 4
+
+
+class TestRateLimitProtocolProperty:
+    """Model check for max_files_per_batch: over random commit
+    histories (multi-file deltas, dv DML, metadata, reorg) and random
+    caps, the offset walk must partition the backlog into contiguous
+    batches whose planned file count respects the cap unless a single
+    commit alone exceeds it — and the union of batches must plan every
+    feed file exactly once."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        ops=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(1, 3)),
+            min_size=2, max_size=7,
+        ),
+        cap=st.integers(1, 4),
+    )
+    def test_protocol_respects_cap_and_partitions(
+        self, spark, tmp_path, ops, cap
+    ):
+        import uuid as _uuid
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        from pypeline_spark.sources.manifest_stream import (
+            ManifestChangesDataSource,
+        )
+
+        root = str(tmp_path / f"rl-{_uuid.uuid4().hex}")
+        t = ManifestTable(root)
+        base = spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        t.commit_overwrite(base.repartition(2), batch_id="seed",
+                           stats_cols=["k"])
+        feed_files: dict[int, int] = {}  # version -> planned files
+        for i, (op, n) in enumerate(ops):
+            if op == 0:  # delta with n files
+                t.commit_delta(
+                    base.limit(4 + i).repartition(n), ["k"],
+                    batch_id=f"d{i}",
+                )
+                v = t.version()
+                feed_files[v] = len(t._manifest_at(v)["deltas"][-1])
+            elif op == 1:  # dv DML (needs a compacted table)
+                t.compact(spark, batch_id=f"cc{i}", stats_cols=["k"])
+                t.delete_where(
+                    spark, f"k % 17 = {i % 17}", batch_id=f"dv{i}",
+                    mode="dv",
+                )
+                v = t.version()
+                m = t._manifest_at(v)
+                if m.get("dml"):  # matched something
+                    feed_files[v] = len(m.get("cdc_files", []))
+            elif op == 2:
+                t.evolve_schema(f"x{i} string", batch_id=f"e{i}")
+            else:
+                t.optimize(spark, target_rows=50, batch_id=f"o{i}",
+                           stats_cols=["k"])
+        tip = t.version()
+        opts = {
+            "path": root, "since_version": "1",
+            "max_files_per_batch": str(cap),
+        }
+        ds = ManifestChangesDataSource(opts)
+        reader = ds.streamReader(_parse_datatype_string(ds.schema()))
+        start = reader.initialOffset()
+        batches = []
+        guard = 0
+        while True:
+            end = reader.latestOffset()
+            if end == start:
+                break
+            parts = reader.partitions(start, end)
+            batches.append((start["version"], end["version"], len(parts)))
+            reader.commit(end)
+            start = end
+            guard += 1
+            assert guard <= tip, "protocol failed to converge"
+        # contiguous, monotone partition of (1, tip]
+        assert all(lo < hi for lo, hi, _n in batches)
+        assert [b[0] for b in batches][1:] == [b[1] for b in batches][:-1]
+        if batches:
+            assert batches[0][0] == 1 and batches[-1][1] == tip
+        # every feed file planned exactly once
+        assert sum(n for _l, _h, n in batches) == sum(feed_files.values())
+        # the cap: a batch may only exceed it when a SINGLE commit does
+        for lo, hi, _n in batches:
+            planned = sum(
+                feed_files.get(v, 0) for v in range(lo + 1, hi + 1)
+            )
+            contributing = [
+                v for v in range(lo + 1, hi + 1) if feed_files.get(v, 0)
+            ]
+            assert planned <= cap or len(contributing) == 1, (
+                f"batch ({lo},{hi}] planned {planned} files over cap "
+                f"{cap} across {len(contributing)} commits"
+            )

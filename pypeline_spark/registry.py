@@ -99,7 +99,32 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 #                q_rfm q_rolling_dau q_shipping_priority
 #                q_stream_enrich q_string_agg q_time_rollup
 #                q_train_shards q_unpivot q_vocab_stats — stale at
-#                r17, must re-cert at r16) + 39 r11 head
+#                r17, must re-cert at r16, NON-NEGOTIABLE) + 39 r11
+#                head.  The r11 cohort, re-derived from
+#                CORRECTNESS_r01..r14 at r15 close (alphabetical;
+#                r16 takes the first 39, the 11-name tail defers to
+#                r17): q_ab_test q_anomaly_zscore q_approx_distinct
+#                q_attribution q_audio_energy q_batch_inference
+#                q_benford q_bfs_hops q_bigram_lm q_bm25
+#                q_boilerplate q_bpe_apply q_cluster_sizes
+#                q_cms_users q_containment q_coverage_topk
+#                q_delete_keys q_disjunctive_pred q_domain_cap
+#                q_dp_counts q_embedding_centroids
+#                q_excess_suppliers q_gopher_rules q_hll_rollup
+#                q_key_skew q_large_orders
+#                q_manifest_optimize_zorder q_min_cost_supplier
+#                q_nation_volume q_order_count_distribution
+#                q_pagerank q_percentile_approx q_pit_join
+#                q_priority_lateness q_product_profit
+#                q_promo_revenue q_quality_deciles q_record_linkage
+#                q_sales_opportunity | tail (r17): q_semantic_dedup
+#                q_sessionize_sql q_shipmode_priority
+#                q_small_qty_revenue q_span_dup_share
+#                q_supplier_part_counts q_top_supplier q_url_extract
+#                q_value_concentration q_variant_props
+#                q_waiting_orders.  Re-derive from
+#                CORRECTNESS_r01..r15 before pinning (r15 first-certs
+#                may change nothing here; a red r15 row would).
 #   r17 window = 11 r11 tail + 39 r12 head; and so on, one cohort per
 #                round with an 11-name tail riding its float window.
 # Steady state re-certifies every query at most 6 rounds apart,

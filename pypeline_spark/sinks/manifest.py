@@ -1365,6 +1365,13 @@ class ManifestTable:
         def _tag(df: DataFrame, cols) -> DataFrame:
             if not tagged:
                 return df.select(*cols) if cols is not None else df
+            bad = self._DV_RESERVED & set(df.columns)
+            if bad:
+                raise ValueError(
+                    f"tagged scan: column(s) {sorted(bad)} collide with "
+                    "the reserved deletion-vector names — rename them "
+                    "before using dv reads/DML"
+                )
             return df.select(
                 *(cols if cols is not None else df.columns),
                 F.element_at(
@@ -1421,26 +1428,8 @@ class ManifestTable:
         dset = set(dirty)
         clean = [f for f in names if f not in dset]
         ddf = self._scan_logical(spark, m, dirty, tagged=True)
-        dvdf = spark.read.parquet(
-            *[self._path(f) for f in dv["files"]]
-        )
-        # narrowing the dv side to the dirty files is an optimization
-        # only (non-matching entries fall out of the anti-join anyway):
-        # apply it while the IN-list stays codegen-friendly, and size
-        # the broadcast decision by what the plan actually carries
-        if len(dirty) <= 1000:
-            dvdf = dvdf.filter(F.col("__file__").isin(dirty))
-            dv_rows = sum(dv["rows"][f] for f in dirty)
-        else:
-            # unfiltered plan: size by the PHYSICAL dv row count
-            # ("total" includes entries gone stale under partial
-            # rewrites — the live-rows sum would undercount what the
-            # broadcast actually ships)
-            dv_rows = dv.get("total", sum(dv["rows"].values()))
-        if dv_rows <= self._DV_BROADCAST_ROWS:
-            dvdf = F.broadcast(dvdf)
         out = ddf.join(
-            dvdf,
+            self._dv_frame(spark, m, dirty),
             on=[
                 F.col("__dvf__") == F.col("__file__"),
                 F.col("__dvp__") == F.col("__pos__"),
@@ -1452,6 +1441,111 @@ class ManifestTable:
                 spark, m, clean, tagged=True
             ).unionByName(out)
         return out
+
+    def _dv_frame(self, spark: SparkSession, m: dict, dirty: Sequence[str]):
+        """The deletion-vector side of the suppression anti-join — the
+        ``(__file__, __pos__)`` pairs covering the ``dirty`` files,
+        broadcast while small (see ``_DV_BROADCAST_ROWS``)."""
+        from pyspark.sql import functions as F
+
+        dv = m["dv"]
+        dvdf = spark.read.parquet(
+            *[self._path(f) for f in dv["files"]]
+        )
+        # narrowing the dv side to the dirty files is an optimization
+        # only (non-matching entries fall out of the anti-join anyway):
+        # apply it while the IN-list stays codegen-friendly, and size
+        # the broadcast decision by what the plan actually carries
+        if len(dirty) <= 1000:
+            dvdf = dvdf.filter(F.col("__file__").isin(list(dirty)))
+            dv_rows = sum(dv["rows"][f] for f in dirty)
+        else:
+            # unfiltered plan: size by the PHYSICAL dv row count
+            # ("total" includes entries gone stale under partial
+            # rewrites — the live-rows sum would undercount what the
+            # broadcast actually ships)
+            dv_rows = dv.get("total", sum(dv["rows"].values()))
+        if dv_rows <= self._DV_BROADCAST_ROWS:
+            dvdf = F.broadcast(dvdf)
+        return dvdf
+
+    def _read_delta_tagged(
+        self, spark: SparkSession, m: dict, names: Sequence[str]
+    ) -> DataFrame:
+        """Provenance-tagged raw read of DELTA fileset files with the
+        version's deletion vectors applied — the delta-fileset twin of
+        :meth:`_read_base_tagged` (a dv-mode ``merge_into`` over a
+        table with outstanding deltas suppresses superseded delta rows
+        and tombstones by position, exactly like base rows).  Reads
+        RAW so the internal change-type marker survives, then maps
+        physical names back to logical on a column-mapped table (the
+        tags pass through ``_to_logical`` as unmapped columns).  Files
+        without dv entries keep their plain scan and union in."""
+        from pyspark.sql import functions as F
+
+        def _tag(df: DataFrame) -> DataFrame:
+            bad = self._DV_RESERVED & set(df.columns)
+            if bad:
+                raise ValueError(
+                    f"tagged delta scan: column(s) {sorted(bad)} collide "
+                    "with the reserved deletion-vector names — rename "
+                    "them before using dv reads/DML"
+                )
+            return df.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dvf__"),
+                F.col("_metadata.row_index").alias("__dvp__"),
+            )
+
+        dv = m.get("dv")
+        dirty = [f for f in names if dv and f in dv["rows"]]
+        dset = set(dirty)
+        clean = [f for f in names if f not in dset]
+        parts = []
+        if dirty:
+            parts.append(
+                _tag(
+                    spark.read.parquet(
+                        *[self._path(f) for f in dirty]
+                    )
+                ).join(
+                    self._dv_frame(spark, m, dirty),
+                    on=[
+                        F.col("__dvf__") == F.col("__file__"),
+                        F.col("__dvp__") == F.col("__pos__"),
+                    ],
+                    how="left_anti",
+                )
+            )
+        if clean:
+            parts.append(
+                _tag(
+                    spark.read.parquet(
+                        *[self._path(f) for f in clean]
+                    )
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return self._to_logical(out, m)
+
+    def _read_delta_logical(
+        self, spark: SparkSession, m: dict, names: Sequence[str]
+    ) -> DataFrame:
+        """Raw delta-fileset read mapped to logical names, with the
+        version's deletion vectors applied when any of ``names`` has
+        entries (the common no-dv case keeps the exact pre-dv plan)."""
+        dv = m.get("dv")
+        if dv and any(f in dv["rows"] for f in names):
+            return self._read_delta_tagged(spark, m, names).drop(
+                "__dvf__", "__dvp__"
+            )
+        return self._to_logical(
+            spark.read.parquet(*[self._path(f) for f in names]), m
+        )
 
     @staticmethod
     def _carry_dv(m: dict, carried: Optional[Sequence[str]] = None) -> dict:
@@ -2636,13 +2730,21 @@ class ManifestTable:
         read-amplification / write-amplification trade.  Per-file
         stats, blooms and row counts become sound UPPER bounds
         (deletion only removes rows), so pruning keeps working;
-        ``stats_cols`` is ignored (nothing is rewritten)."""
+        ``stats_cols`` is rejected (nothing is rewritten, so the
+        argument could only ever be silently ignored — ADVICE r15)."""
         if mode == "cow":
             return self._dml_where(
                 spark, predicate, None, batch_id, stats_cols
             )
         if mode != "dv":
             raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        if stats_cols:
+            raise ValueError(
+                "delete_where(mode='dv') rewrites no files — "
+                f"stats_cols {list(stats_cols)} would have no effect; "
+                "drop the argument (or use mode='cow' to rewrite with "
+                "fresh stats)"
+            )
         return self._dml_where_dv(spark, predicate, None, batch_id, ())
 
     def update_where(
@@ -2885,6 +2987,7 @@ class ManifestTable:
             )
         if not m["files"]:
             return m["version"]
+        self._guard_dv_reserved(m, (), what)
         pred = F.expr(predicate).cast("boolean")
         candidates = self._dml_candidates(m, predicate)
         if not candidates:
@@ -3023,84 +3126,11 @@ class ManifestTable:
         "update", "delete", "insert", "update_by_source", "delete_by_source",
     )
 
-    def merge_into(
-        self,
-        spark: SparkSession,
-        source: DataFrame,
-        key_columns: Optional[Sequence[str]] = None,
-        *,
-        clauses: Sequence[tuple],
-        batch_id: Optional[str] = None,
-        stats_cols: Sequence[str] = (),
-        prune_col: Optional[str] = None,
-    ) -> int:
-        """Conditional ``MERGE INTO`` — the full SQL/Delta merge
-        surface, of which :meth:`commit_merge` is the unconditional
-        last-writer-wins special case.  ``clauses`` is an ordered
-        sequence of ``(kind, condition, payload)``:
-
-        - ``("update", cond, {col: expr} | "*")`` — WHEN MATCHED
-          [AND cond] THEN UPDATE SET ... (``"*"`` sets every target
-          column from the like-named source column);
-        - ``("delete", cond, None)`` — WHEN MATCHED [AND cond] THEN
-          DELETE;
-        - ``("insert", cond, {col: expr} | "*")`` — WHEN NOT MATCHED
-          [AND cond] THEN INSERT (unassigned columns null-fill);
-        - ``("update_by_source", cond, {col: expr})`` /
-          ``("delete_by_source", cond, None)`` — WHEN NOT MATCHED BY
-          SOURCE [AND cond] THEN UPDATE/DELETE.
-
-        Conditions and expressions are SQL strings over the aliases
-        ``t`` (target) and ``s`` (source) — ``"s.qty > t.qty"``.
-        Within each population (matched / not-matched / not-matched-
-        by-source) clauses apply in listed order, first satisfied
-        condition wins; a row no clause claims is kept (target) or
-        ignored (source).  More than one SOURCE row matching the same
-        target key raises, the SQL/Delta ambiguity rule.  Right-hand
-        sides see the OLD target row (simultaneous assignment) and
-        results cast to each column's tracked type; updated and
-        inserted rows face the CHECK/NOT NULL gate.
-
-        Execution is Spark-first and copy-on-write: one full-outer
-        join of the TOUCHED file slice against the source drives every
-        clause through a single CASE-typed action column — no
-        per-clause scans.  Without by-source clauses the touched slice
-        is found by stats-pruned candidates (``prune_col``, a key
-        column) narrowed by one semi-join scan, so a narrow source
-        batch against a wide table rewrites only the files actually
-        holding matches; by-source clauses make every file a candidate
-        by definition (any unmatched row may change).  The commit
-        stores its exact row-level change set as typed CDC
-        (``update_preimage``/``update_postimage``, full-row
-        ``delete``, ``insert`` — the Delta CDF vocabulary), so
-        :meth:`changes`, the streaming source and the IVM maintainers
-        read straight THROUGH it.  Schema is stable across a merge
-        (evolution goes through ``evolve_schema``); OCC rebases over
-        pure-metadata commits only while schema/mapping/constraints
-        are unchanged.
-
-        The reference's users run this statement against their target
-        database (post_query, reference pypeline/Pype.py:167); here it
-        is native, file-pruned, and feeds the change feed."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
-        what = "merge_into"
-        m = self._read_manifest()
-        if batch_id is not None and batch_id in m["batch_ids"]:
-            return m["version"]
-        if m.get("deltas"):
-            raise ValueError(
-                "merge_into rewrites base files (copy-on-write): "
-                "compact() outstanding merge-on-read deltas first"
-            )
-        keys = list(key_columns or m.get("key_columns") or [])
-        if not keys:
-            raise ValueError(
-                "merge_into needs key_columns (argument or recorded "
-                "on the table)"
-            )
-        # -- clause validation ------------------------------------------
+    @classmethod
+    def _merge_parse_clauses(cls, clauses, source):
+        """Validate the ordered MERGE clause list (shared by the
+        copy-on-write and deletion-vector modes).  Returns
+        ``(parsed, matched_idx, insert_idx, by_source_idx)``."""
         matched_idx: list[int] = []
         insert_idx: list[int] = []
         by_source_idx: list[int] = []
@@ -3111,10 +3141,10 @@ class ManifestTable:
                     f"clause {i}: expected (kind, condition, payload)"
                 )
             kind, cond, payload = clause
-            if kind not in self._MERGE_KINDS:
+            if kind not in cls._MERGE_KINDS:
                 raise ValueError(
                     f"clause {i}: unknown kind {kind!r} "
-                    f"(one of {self._MERGE_KINDS})"
+                    f"(one of {cls._MERGE_KINDS})"
                 )
             if kind in ("delete", "delete_by_source"):
                 if payload is not None:
@@ -3145,6 +3175,289 @@ class ManifestTable:
             raise ValueError(
                 f"source carries reserved column(s) {sorted(bad_names)}"
             )
+        return parsed, matched_idx, insert_idx, by_source_idx
+
+    @staticmethod
+    def _merge_check_payloads(parsed, typ, tcols, src_cols):
+        """Assignment targets must be tracked target columns; a ``'*'``
+        payload needs every target column present in the source."""
+        src_set = set(src_cols)
+        for i, (kind, _c, payload) in enumerate(parsed):
+            if isinstance(payload, dict):
+                unknown = [c for c in payload if c not in typ]
+                if unknown:
+                    raise ValueError(
+                        f"clause {i}: no such target column(s) {unknown}"
+                    )
+            elif payload == "*":
+                missing = [c for c in tcols if c not in src_set]
+                if missing:
+                    raise ValueError(
+                        f"clause {i}: '*' needs every target column in "
+                        f"the source; missing {missing}"
+                    )
+
+    def _merge_ambiguity_guard(self, src, t_base, keys):
+        """The SQL/Delta multiple-match rule: more than one SOURCE row
+        matching the same target key raises (which row's assignments
+        win is undefined)."""
+        from pyspark.sql import functions as F
+
+        dup = (
+            src.join(t_base.select(*keys), on=keys, how="left_semi")
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                "merge_into: multiple source rows match the same "
+                f"target key {tuple(dup[k] for k in keys)!r} — "
+                "de-duplicate the source (the SQL MERGE ambiguity "
+                "rule: which row's assignments win is undefined)"
+            )
+
+    def _merge_plan(self, parsed, t_base, src, keys):
+        """The one-join MERGE plan shared by the cow and dv modes: one
+        full-outer join of target × source drives every clause through
+        a single CASE-typed ``__act__`` column; one CASE per column
+        routes each action to its clause's assignment (updates default
+        to the old value, inserts to NULL), cast to the tracked type.
+        Returns ``(j, proj, tcols, typ, upd_codes, del_codes,
+        ins_codes)`` where ``j`` carries the aliased join and ``proj``
+        the action-tagged content projection."""
+        from pyspark.sql import functions as F
+
+        tcols = list(t_base.columns)
+        typ = {f.name: f.dataType for f in t_base.schema.fields}
+        t = t_base.withColumn("__t__", F.lit(True)).alias("t")
+        s = src.withColumn("__s__", F.lit(True)).alias("s")
+        j = t.join(
+            s,
+            on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            how="full_outer",
+        )
+        mt = F.col("t.__t__").isNotNull()
+        ms = F.col("s.__s__").isNotNull()
+        act = None
+        for i, (kind, cond, _p) in enumerate(parsed):
+            pop = (
+                mt & ms
+                if kind in ("update", "delete")
+                else (~mt & ms if kind == "insert" else mt & ~ms)
+            )
+            if cond is not None:
+                pop = pop & F.coalesce(
+                    F.expr(cond).cast("boolean"), F.lit(False)
+                )
+            lit = F.lit(f"a{i}")
+            act = F.when(pop, lit) if act is None else act.when(pop, lit)
+        act = act.when(mt, F.lit("keep")).otherwise(F.lit("drop"))
+        j = j.withColumn("__act__", act)
+
+        def _rhs(v):
+            return F.expr(v) if isinstance(v, str) else F.lit(v)
+
+        def _content_col(c: str):
+            e = None
+            for i, (kind, _cond, payload) in enumerate(parsed):
+                if kind in ("delete", "delete_by_source"):
+                    continue
+                assigns = (
+                    {cc: f"s.{cc}" for cc in tcols}
+                    if payload == "*"
+                    else payload
+                )
+                if c in assigns:
+                    val = _rhs(assigns[c])
+                elif kind == "insert":
+                    val = F.lit(None)
+                else:
+                    val = F.col(f"t.{c}")
+                cond = F.col("__act__") == f"a{i}"
+                e = F.when(cond, val) if e is None else e.when(cond, val)
+            e = (
+                e.otherwise(F.col(f"t.{c}"))
+                if e is not None
+                else F.col(f"t.{c}")
+            )
+            return e.cast(typ[c]).alias(c)
+
+        upd_codes = [
+            f"a{i}"
+            for i, (k, _c, _p) in enumerate(parsed)
+            if k in ("update", "update_by_source")
+        ]
+        del_codes = [
+            f"a{i}"
+            for i, (k, _c, _p) in enumerate(parsed)
+            if k in ("delete", "delete_by_source")
+        ]
+        ins_codes = [
+            f"a{i}"
+            for i, (k, _c, _p) in enumerate(parsed)
+            if k == "insert"
+        ]
+        proj = j.select(
+            F.col("__act__"), *[_content_col(c) for c in tcols]
+        )
+        return j, proj, tcols, typ, upd_codes, del_codes, ins_codes
+
+    def _merge_cdc(self, j, proj, tcols, upd_codes, del_codes, ins_codes):
+        """The commit's exact row-level change set as typed CDC
+        (``update_preimage``/``update_postimage``, full-row ``delete``,
+        ``insert`` — the Delta CDF vocabulary), assembled from the
+        shared merge plan."""
+        from pyspark.sql import functions as F
+
+        t_star = [F.col(f"t.{c}").alias(c) for c in tcols]
+        cdc_parts = []
+        if upd_codes:
+            pre = j.filter(F.col("__act__").isin(upd_codes)).select(*t_star)
+            post = proj.filter(F.col("__act__").isin(upd_codes)).drop(
+                "__act__"
+            )
+            cdc_parts.append(
+                pre.withColumn(self._CT, F.lit("update_preimage"))
+            )
+            cdc_parts.append(
+                post.withColumn(self._CT, F.lit("update_postimage"))
+            )
+        if del_codes:
+            cdc_parts.append(
+                j.filter(F.col("__act__").isin(del_codes))
+                .select(*t_star)
+                .withColumn(self._CT, F.lit("delete"))
+            )
+        if ins_codes:
+            cdc_parts.append(
+                proj.filter(F.col("__act__").isin(ins_codes))
+                .drop("__act__")
+                .withColumn(self._CT, F.lit("insert"))
+            )
+        cdc = cdc_parts[0]
+        for p in cdc_parts[1:]:
+            cdc = cdc.unionByName(p)
+        return cdc
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_columns: Optional[Sequence[str]] = None,
+        *,
+        clauses: Sequence[tuple],
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+        prune_col: Optional[str] = None,
+        mode: str = "cow",
+    ) -> int:
+        """Conditional ``MERGE INTO`` — the full SQL/Delta merge
+        surface, of which :meth:`commit_merge` is the unconditional
+        last-writer-wins special case.  ``clauses`` is an ordered
+        sequence of ``(kind, condition, payload)``:
+
+        - ``("update", cond, {col: expr} | "*")`` — WHEN MATCHED
+          [AND cond] THEN UPDATE SET ... (``"*"`` sets every target
+          column from the like-named source column);
+        - ``("delete", cond, None)`` — WHEN MATCHED [AND cond] THEN
+          DELETE;
+        - ``("insert", cond, {col: expr} | "*")`` — WHEN NOT MATCHED
+          [AND cond] THEN INSERT (unassigned columns null-fill);
+        - ``("update_by_source", cond, {col: expr})`` /
+          ``("delete_by_source", cond, None)`` — WHEN NOT MATCHED BY
+          SOURCE [AND cond] THEN UPDATE/DELETE.
+
+        Conditions and expressions are SQL strings over the aliases
+        ``t`` (target) and ``s`` (source) — ``"s.qty > t.qty"``.
+        Within each population (matched / not-matched / not-matched-
+        by-source) clauses apply in listed order, first satisfied
+        condition wins; a row no clause claims is kept (target) or
+        ignored (source).  More than one SOURCE row matching the same
+        target key raises, the SQL/Delta ambiguity rule.  Right-hand
+        sides see the OLD target row (simultaneous assignment) and
+        results cast to each column's tracked type; updated and
+        inserted rows face the CHECK/NOT NULL gate.
+
+        Execution is Spark-first: one full-outer join of the target
+        slice against the source drives every clause through a single
+        CASE-typed action column — no per-clause scans.
+
+        ``mode='cow'`` (default, copy-on-write): the touched slice —
+        found by stats-pruned candidates (``prune_col``, a key column)
+        narrowed by one semi-join scan — rewrites whole, so a narrow
+        source batch against a wide table rewrites only the files
+        actually holding matches; by-source clauses make every file a
+        candidate by definition (any unmatched row may change).
+        Requires a compacted table (no outstanding merge-on-read
+        deltas).
+
+        ``mode='dv'`` (the Delta 3.x deletion-vector MERGE): NO base
+        file is rewritten — matched updates/deletes suppress the old
+        row images via deletion vectors and only the post-image/insert
+        rows land as new base files, so write cost is O(changed rows)
+        however the matches scatter.  This mode also lifts the
+        compacted-table precondition: the join runs against the
+        RESOLVED view (dv applied, outstanding deltas last-writer-wins
+        folded), and the suppression set covers EVERY stored image of
+        an acted key — base rows, superseded delta rows, and delete
+        tombstones (so an insert onto a tombstoned key genuinely
+        resurrects it).  Outstanding deltas carry through untouched;
+        reads pay the dv anti-join until :meth:`compact` /
+        :meth:`optimize` materializes the suppression (see
+        :meth:`delete_where`).  On a delta'd table the merge keys must
+        equal the recorded ``key_columns`` (resolution is only defined
+        on them).
+
+        The commit stores its exact row-level change set as typed CDC
+        (``update_preimage``/``update_postimage``, full-row
+        ``delete``, ``insert`` — the Delta CDF vocabulary), so
+        :meth:`changes`, the streaming source and the IVM maintainers
+        read straight THROUGH it.  Schema is stable across a merge
+        (evolution goes through ``evolve_schema``); OCC rebases over
+        pure-metadata commits only while schema/mapping/constraints
+        are unchanged.
+
+        The reference's users run this statement against their target
+        database (post_query, reference pypeline/Pype.py:167); here it
+        is native, file-pruned, and feeds the change feed."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if mode == "dv":
+            return self._merge_into_dv(
+                spark,
+                source,
+                key_columns,
+                clauses=clauses,
+                batch_id=batch_id,
+                stats_cols=stats_cols,
+                prune_col=prune_col,
+            )
+        if mode != "cow":
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        what = "merge_into"
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        if m.get("deltas"):
+            raise ValueError(
+                "merge_into rewrites base files (copy-on-write): "
+                "compact() outstanding merge-on-read deltas first, or "
+                "use mode='dv' (the deletion-vector MERGE works over "
+                "outstanding deltas)"
+            )
+        keys = list(key_columns or m.get("key_columns") or [])
+        if not keys:
+            raise ValueError(
+                "merge_into needs key_columns (argument or recorded "
+                "on the table)"
+            )
+        parsed, matched_idx, insert_idx, by_source_idx = (
+            self._merge_parse_clauses(clauses, source)
+        )
         # one lazy checkpoint: the source feeds up to three jobs (the
         # touched-file scan, the ambiguity guard, the merge itself) —
         # materialize its lineage once instead of recomputing a
@@ -3210,111 +3523,20 @@ class ManifestTable:
             )
         else:
             t_base = src.limit(0)  # empty untracked table: bootstrap
-        tcols = list(t_base.columns)
-        typ = {f.name: f.dataType for f in t_base.schema.fields}
-        for i, (kind, _c, payload) in enumerate(parsed):
-            if isinstance(payload, dict):
-                unknown = [c for c in payload if c not in typ]
-                if unknown:
-                    raise ValueError(
-                        f"clause {i}: no such target column(s) {unknown}"
-                    )
-            elif payload == "*":
-                missing = [c for c in tcols if c not in set(src.columns)]
-                if missing:
-                    raise ValueError(
-                        f"clause {i}: '*' needs every target column in "
-                        f"the source; missing {missing}"
-                    )
+        self._merge_check_payloads(
+            parsed,
+            {f.name: f.dataType for f in t_base.schema.fields},
+            list(t_base.columns),
+            src.columns,
+        )
         # -- ambiguity guard (the SQL/Delta multiple-match rule) ---------
         if (matched_idx or by_source_idx) and touched:
-            dup = (
-                src.join(t_base.select(*keys), on=keys, how="left_semi")
-                .groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .first()
-            )
-            if dup is not None:
-                raise ValueError(
-                    "merge_into: multiple source rows match the same "
-                    f"target key {tuple(dup[k] for k in keys)!r} — "
-                    "de-duplicate the source (the SQL MERGE ambiguity "
-                    "rule: which row's assignments win is undefined)"
-                )
+            self._merge_ambiguity_guard(src, t_base, keys)
         # -- phase 2: one full-outer join, one action column -------------
-        t = t_base.withColumn("__t__", F.lit(True)).alias("t")
-        s = src.withColumn("__s__", F.lit(True)).alias("s")
-        j = t.join(
-            s,
-            on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
-            how="full_outer",
+        j, proj, tcols, _typ, upd_codes, del_codes, ins_codes = (
+            self._merge_plan(parsed, t_base, src, keys)
         )
-        mt = F.col("t.__t__").isNotNull()
-        ms = F.col("s.__s__").isNotNull()
-        act = None
-        for i, (kind, cond, _p) in enumerate(parsed):
-            pop = (
-                mt & ms
-                if kind in ("update", "delete")
-                else (~mt & ms if kind == "insert" else mt & ~ms)
-            )
-            if cond is not None:
-                pop = pop & F.coalesce(
-                    F.expr(cond).cast("boolean"), F.lit(False)
-                )
-            lit = F.lit(f"a{i}")
-            act = F.when(pop, lit) if act is None else act.when(pop, lit)
-        act = act.when(mt, F.lit("keep")).otherwise(F.lit("drop"))
-        j = j.withColumn("__act__", act)
-
-        def _rhs(v):
-            return F.expr(v) if isinstance(v, str) else F.lit(v)
-
-        def _content_col(c: str):
-            """One CASE per column routing each action to its clause's
-            assignment (updates default to the old value, inserts to
-            NULL), cast to the tracked type."""
-            e = None
-            for i, (kind, _cond, payload) in enumerate(parsed):
-                if kind in ("delete", "delete_by_source"):
-                    continue
-                assigns = (
-                    {cc: f"s.{cc}" for cc in tcols}
-                    if payload == "*"
-                    else payload
-                )
-                if c in assigns:
-                    val = _rhs(assigns[c])
-                elif kind == "insert":
-                    val = F.lit(None)
-                else:
-                    val = F.col(f"t.{c}")
-                cond = F.col("__act__") == f"a{i}"
-                e = F.when(cond, val) if e is None else e.when(cond, val)
-            e = (
-                e.otherwise(F.col(f"t.{c}"))
-                if e is not None
-                else F.col(f"t.{c}")
-            )
-            return e.cast(typ[c]).alias(c)
-
-        upd_codes = [
-            f"a{i}"
-            for i, (k, _c, _p) in enumerate(parsed)
-            if k in ("update", "update_by_source")
-        ]
-        del_codes = [
-            f"a{i}"
-            for i, (k, _c, _p) in enumerate(parsed)
-            if k in ("delete", "delete_by_source")
-        ]
-        ins_codes = [f"a{i}" for i in insert_idx]
         keep_codes = ["keep"] + upd_codes + ins_codes
-        proj = j.select(
-            F.col("__act__"), *[_content_col(c) for c in tcols]
-        )
         new_content = proj.filter(
             F.col("__act__").isin(keep_codes)
         ).drop("__act__")
@@ -3323,34 +3545,9 @@ class ManifestTable:
         ).drop("__act__")
         self._validate_constraints(m, novel, what)
         # -- typed CDC (the commit's exact change set) --------------------
-        t_star = [F.col(f"t.{c}").alias(c) for c in tcols]
-        cdc_parts = []
-        if upd_codes:
-            pre = j.filter(F.col("__act__").isin(upd_codes)).select(*t_star)
-            post = proj.filter(F.col("__act__").isin(upd_codes)).drop(
-                "__act__"
-            )
-            cdc_parts.append(
-                pre.withColumn(self._CT, F.lit("update_preimage"))
-            )
-            cdc_parts.append(
-                post.withColumn(self._CT, F.lit("update_postimage"))
-            )
-        if del_codes:
-            cdc_parts.append(
-                j.filter(F.col("__act__").isin(del_codes))
-                .select(*t_star)
-                .withColumn(self._CT, F.lit("delete"))
-            )
-        if ins_codes:
-            cdc_parts.append(
-                proj.filter(F.col("__act__").isin(ins_codes))
-                .drop("__act__")
-                .withColumn(self._CT, F.lit("insert"))
-            )
-        cdc = cdc_parts[0]
-        for p in cdc_parts[1:]:
-            cdc = cdc.unionByName(p)
+        cdc = self._merge_cdc(
+            j, proj, tcols, upd_codes, del_codes, ins_codes
+        )
         # -- write + commit (the _dml_where protocol) ---------------------
         bloom = m.get("bloom_cols", [])
         carry_map = self._carry_mapping(m)
@@ -3417,6 +3614,309 @@ class ManifestTable:
                 new["schema"] = mm["schema"]
             if mm.get("ndv_cols"):
                 # updated + inserted values are new marks
+                new["ndv"] = self._update_ndv(
+                    novel, mm["ndv_cols"], mm.get("ndv", {})
+                )
+            return new
+
+        return self._commit_retrying(m, build, frozenset({"metadata"}), what)
+
+    #: column names the deletion-vector machinery reserves: the row
+    #: provenance tags (`__dvf__`/`__dvp__`) and the dv fileset schema
+    #: (`__file__`/`__pos__`).  A user column with one of these names
+    #: would make every dv read/DML an ambiguous-column error mid-plan,
+    #: so dv writers reject it up front (ADVICE r15).
+    _DV_RESERVED = frozenset({"__dvf__", "__dvp__", "__file__", "__pos__"})
+
+    def _guard_dv_reserved(self, m: dict, extra_cols, what: str) -> None:
+        """Reject user columns that collide with the reserved
+        deletion-vector names — the same up-front rule ``merge_into``
+        applies to ``__t__``/``__s__``/``__act__``."""
+        cols = set(extra_cols or ())
+        sch = m.get("schema")
+        if sch is not None:
+            cols |= {f["name"] for f in sch["fields"]}
+        bad = sorted(self._DV_RESERVED & cols)
+        if bad:
+            raise ValueError(
+                f"{what}: column(s) {bad} collide with the reserved "
+                f"deletion-vector names {sorted(self._DV_RESERVED)} — "
+                "rename them before using dv reads/DML"
+            )
+
+    def _merge_into_dv(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_columns: Optional[Sequence[str]] = None,
+        *,
+        clauses: Sequence[tuple],
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+        prune_col: Optional[str] = None,
+    ) -> int:
+        """The deletion-vector MERGE behind ``merge_into(mode='dv')``
+        (the Delta 3.x DV-enabled MERGE): the clause plan runs against
+        the RESOLVED view (dv applied, outstanding merge-on-read
+        deltas last-writer-wins folded), matched updates/deletes
+        suppress EVERY stored image of their key — base rows,
+        superseded delta rows and delete tombstones, found by ONE
+        provenance-tagged semi-join scan — and only the post-image /
+        insert rows land as new base files.  Write cost is O(changed
+        rows); no base or delta file is rewritten; outstanding deltas
+        carry through untouched.  Suppressing ALL images (not just the
+        winning one) is what keeps last-writer-wins resolution exact:
+        the new post-image joins the base rank, so any stale delta-rank
+        image left alive would shadow it — and an insert onto a
+        tombstoned key only resurrects if the tombstone dies too."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        what = "merge_into[dv]"
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        keys = list(key_columns or m.get("key_columns") or [])
+        if not keys:
+            raise ValueError(
+                "merge_into needs key_columns (argument or recorded "
+                "on the table)"
+            )
+        if m.get("deltas") and m.get("key_columns") and keys != m["key_columns"]:
+            raise ValueError(
+                f"{what}: merge keys {keys} must equal the recorded "
+                f"key_columns {m['key_columns']} while merge-on-read "
+                "deltas are outstanding (resolution is only defined "
+                "on them)"
+            )
+        self._guard_dv_reserved(m, source.columns, what)
+        parsed, matched_idx, insert_idx, by_source_idx = (
+            self._merge_parse_clauses(clauses, source)
+        )
+        # one lazy checkpoint: the source feeds the resolved join, the
+        # ambiguity guard and (via bounds) the suppression-scan prune
+        src = source.localCheckpoint(eager=False)
+        has_content = bool(m["files"] or m.get("deltas"))
+        # -- the resolved target, file-pruned when provably sound ------
+        prune = None
+        if prune_col is not None and has_content and not by_source_idx:
+            if prune_col not in keys:
+                raise ValueError(
+                    f"prune_col {prune_col!r} must be a key column "
+                    f"{keys} — pruning on a non-key column could "
+                    "split a key's rows across kept and pruned files"
+                )
+            bounds = self._collect_index_metadata(
+                src.agg(
+                    F.min(prune_col).alias("lo"),
+                    F.max(prune_col).alias("hi"),
+                )
+            )
+            lo = bounds.column("lo").to_pylist()[0]
+            hi = bounds.column("hi").to_pylist()[0]
+            if lo is not None:
+                prune = (prune_col, lo, hi)
+        t_base = (
+            self.read_resolved(spark, version=m["version"], prune=prune)
+            if has_content
+            else None
+        )
+        if t_base is None:
+            if m.get("schema") is not None:
+                t_base = spark.createDataFrame(
+                    [], StructType.fromJson(m["schema"])
+                )
+            else:
+                t_base = src.limit(0)  # empty untracked table: bootstrap
+        else:
+            # the resolved view (a shuffle + LWW window) feeds three
+            # jobs — the plan join, the CDC write and the ambiguity
+            # guard; materialize its lineage once
+            t_base = t_base.localCheckpoint(eager=False)
+        self._merge_check_payloads(
+            parsed,
+            {f.name: f.dataType for f in t_base.schema.fields},
+            list(t_base.columns),
+            src.columns,
+        )
+        if (matched_idx or by_source_idx) and has_content:
+            self._merge_ambiguity_guard(src, t_base, keys)
+        j, proj, tcols, _typ, upd_codes, del_codes, ins_codes = (
+            self._merge_plan(parsed, t_base, src, keys)
+        )
+        novel = proj.filter(
+            F.col("__act__").isin(upd_codes + ins_codes)
+        ).drop("__act__")
+        self._validate_constraints(m, novel, what)
+        cdc = self._merge_cdc(
+            j, proj, tcols, upd_codes, del_codes, ins_codes
+        )
+        # -- the suppression set: every stored image of an acted key ----
+        # updates/deletes always suppress; inserts only need to when
+        # deltas are outstanding (a tombstone or LWW-shadowed stale
+        # image may exist for a key the resolved view calls absent)
+        sup_codes = list(upd_codes + del_codes)
+        if m.get("deltas"):
+            sup_codes += ins_codes
+        counts: dict = {}
+        dv_files: list[str] = []
+        dv_meta: dict = {}
+        if sup_codes and has_content:
+            skeys = (
+                j.filter(F.col("__act__").isin(sup_codes))
+                .select(
+                    *[
+                        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
+                        for k in keys
+                    ]
+                )
+                .distinct()
+            )
+            base_cands = [
+                f
+                for f in m["files"]
+                if prune is None or self._overlaps(m, f, *prune)
+            ]
+            delta_cands = [
+                f
+                for fs in m.get("deltas", [])
+                for f in fs
+                if prune is None or self._overlaps(m, f, *prune)
+            ]
+            parts = []
+            if base_cands:
+                parts.append(
+                    self._read_base_tagged(spark, m, base_cands).select(
+                        *keys, "__dvf__", "__dvp__"
+                    )
+                )
+            if delta_cands:
+                parts.append(
+                    self._read_delta_tagged(spark, m, delta_cands).select(
+                        *keys, "__dvf__", "__dvp__"
+                    )
+                )
+            if parts:
+                tagged = parts[0]
+                for p in parts[1:]:
+                    tagged = tagged.unionByName(p)
+                dv_files, _ds, dv_meta = self._write_fileset(
+                    tagged.join(skeys, on=keys, how="left_semi").select(
+                        F.col("__dvf__").alias("__file__"),
+                        F.col("__dvp__").alias("__pos__"),
+                    )
+                )
+                counts_tbl = self._collect_index_metadata(
+                    spark.read.parquet(
+                        *[os.path.join(self.data_dir, f) for f in dv_files]
+                    )
+                    .groupBy("__file__")
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                )
+                counts = dict(
+                    zip(
+                        counts_tbl.column("__file__").to_pylist(),
+                        (
+                            int(n)
+                            for n in counts_tbl.column("__n__").to_pylist()
+                        ),
+                    )
+                )
+        # -- the post-image / insert fileset ----------------------------
+        bloom = m.get("bloom_cols", [])
+        carry_map = self._carry_mapping(m)
+        post_files: list[str] = []
+        post_stats: dict = {}
+        post_meta: dict = {}
+        if upd_codes or ins_codes:
+            wdf, wstats, wbloom = self._for_write(
+                carry_map, m.get("schema"), novel, stats_cols, bloom
+            )
+            post_files, post_stats, post_meta = self._write_fileset(
+                wdf, wstats, wbloom
+            )
+            # a sparse action split can stage empty part-files: keep
+            # the manifest free of zero-row entries
+            empty = {
+                f for f, v in post_meta.items() if not (v.get("rows") or 0)
+            }
+            if empty:
+                post_files = [f for f in post_files if f not in empty]
+                post_stats = {
+                    f: v for f, v in post_stats.items() if f not in empty
+                }
+                post_meta = {
+                    f: v for f, v in post_meta.items() if f not in empty
+                }
+        novel_rows = sum(v.get("rows") or 0 for v in post_meta.values())
+        if not counts and novel_rows == 0:
+            # nothing matched a clause, nothing inserted: no commit
+            # (the empty orphaned filesets are gc_orphans debris)
+            return m["version"]
+        cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
+        cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+        added = sum(counts.values())
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if (
+                mm["files"] != m["files"]
+                or mm.get("deltas") != m.get("deltas")
+                or (mm.get("dv") or None) != (m.get("dv") or None)
+            ):
+                raise CommitConflict(
+                    f"{what}: table content changed under the merge"
+                )
+            if (
+                mm.get("schema") != m.get("schema")
+                or self._carry_mapping(mm) != self._carry_mapping(m)
+                or self._constraints(mm) != self._constraints(m)
+            ):
+                raise CommitConflict(
+                    f"{what} lost to a concurrent schema/mapping/"
+                    "constraint change — re-read the table and retry"
+                )
+            old_dv = mm.get("dv") or {"files": [], "rows": {}, "total": 0}
+            rows = dict(old_dv["rows"])
+            for f, n in counts.items():
+                rows[f] = rows.get(f, 0) + n
+            new = {
+                "version": mm["version"] + 1,
+                "files": mm["files"] + post_files,
+                # outstanding deltas carry through UNTOUCHED: their
+                # acted images are dv-suppressed, their other keys
+                # still resolve by rank exactly as before
+                "deltas": mm.get("deltas", []),
+                "key_columns": mm.get("key_columns") or keys,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "stats": {**mm.get("stats", {}), **post_stats},
+                "filemeta": {
+                    **mm.get("filemeta", {}),
+                    **post_meta,
+                    **dv_meta,
+                    **cdc_meta,
+                },
+                "bloom_cols": bloom,
+                "dml": True,
+                "cdc_files": cdc_files,
+                **self._carry_meta(mm),
+                **self._carry_mapping(mm),
+            }
+            if counts:
+                new["dv"] = {
+                    "files": old_dv["files"] + dv_files,
+                    "rows": rows,
+                    "total": old_dv.get(
+                        "total", sum(old_dv["rows"].values())
+                    ) + added,
+                }
+            elif old_dv["rows"]:
+                new["dv"] = old_dv
+            if mm.get("schema") is not None:
+                new["schema"] = mm["schema"]
+            if mm.get("ndv_cols"):
                 new["ndv"] = self._update_ndv(
                     novel, mm["ndv_cols"], mm.get("ndv", {})
                 )
@@ -3736,15 +4236,12 @@ class ManifestTable:
                 # evolved merge leaves carried files without the new
                 # columns — null-fill them); delta files read raw so
                 # their internal marker column survives the union —
-                # mapped back to logical names on a column-mapped table
+                # mapped back to logical names on a column-mapped table.
+                # Both apply the version's deletion vectors (a dv-mode
+                # MERGE suppresses superseded DELTA rows too).
                 df = self._read_base(spark, m, names)
             else:
-                df = self._to_logical(
-                    spark.read.parquet(
-                        *[self._path(f) for f in names]
-                    ),
-                    m,
-                )
+                df = self._read_delta_logical(spark, m, names)
             parts.append(df.withColumn("__rank__", F.lit(rank)))
         if not parts:
             full = self.read(spark, version)

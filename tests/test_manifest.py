@@ -5481,6 +5481,7 @@ class TestMergeIntoModelProperty:
                 break
         return out, tallies
 
+    @pytest.mark.parametrize("mode", ["cow", "dv"])
     @settings(max_examples=8, deadline=None,
               suppress_health_check=[HealthCheck.too_slow,
                                      HealthCheck.function_scoped_fixture])
@@ -5498,30 +5499,70 @@ class TestMergeIntoModelProperty:
         ),
     )
     def test_random_merges_match_model(
-        self, spark, tmp_path, picks, tdata, sdata
+        self, spark, tmp_path, mode, picks, tdata, sdata
     ):
         import uuid as _uuid
 
         target = {k: {"a": a, "b": b} for k, (a, b) in tdata.items()}
         source = {k: {"a": a, "b": b} for k, (a, b) in sdata.items()}
         t = ManifestTable(str(tmp_path / f"mprop-{_uuid.uuid4().hex}"))
-        t.commit_overwrite(
-            spark.createDataFrame(
-                [(k, r["a"], r["b"]) for k, r in target.items()],
-                "k long, a long, b long",
-            ).repartition(2),
-            batch_id="seed", stats_cols=["k"],
-        )
+        if mode == "dv":
+            # messy seeding: the dv merge must see through OUTSTANDING
+            # merge-on-read state — every odd key arrives via a delta
+            # upsert superseding a deliberately stale base image, so an
+            # acted key holds TWO stored images the suppression scan
+            # must kill together
+            delta_keys = sorted(target)[1::2]
+            base_rows = [
+                (
+                    k,
+                    target[k]["a"] + (7 if k in set(delta_keys) else 0),
+                    target[k]["b"] + (3 if k in set(delta_keys) else 0),
+                )
+                for k in target
+            ]
+            t.commit_overwrite(
+                spark.createDataFrame(
+                    base_rows, "k long, a long, b long"
+                ).repartition(2),
+                batch_id="seed", stats_cols=["k"],
+            )
+            if delta_keys:
+                t.commit_delta(
+                    spark.createDataFrame(
+                        [
+                            (k, target[k]["a"], target[k]["b"])
+                            for k in delta_keys
+                        ],
+                        "k long, a long, b long",
+                    ),
+                    ["k"], batch_id="d-seed", stats_cols=["k"],
+                )
+        else:
+            t.commit_overwrite(
+                spark.createDataFrame(
+                    [(k, r["a"], r["b"]) for k, r in target.items()],
+                    "k long, a long, b long",
+                ).repartition(2),
+                batch_id="seed", stats_cols=["k"],
+            )
         src_rows = [(k, r["a"], r["b"]) for k, r in source.items()]
         src = spark.createDataFrame(
             src_rows, "k long, a long, b long"
         ) if src_rows else spark.createDataFrame([], "k long, a long, b long")
         clauses = [self._POOL[i][0] for i in picks]
         before_v = t.version()
+        pre_m = t._read_manifest()
         t.merge_into(
             spark, src, key_columns=["k"], clauses=clauses,
-            batch_id="m", stats_cols=["k"], prune_col="k",
+            batch_id="m", stats_cols=["k"], prune_col="k", mode=mode,
         )
+        if mode == "dv" and t.version() > before_v:
+            post_m = t._read_manifest()
+            # dv merge rewrites nothing: base files only ever append,
+            # outstanding deltas carry through verbatim
+            assert post_m["files"][: len(pre_m["files"])] == pre_m["files"]
+            assert post_m.get("deltas") == pre_m.get("deltas")
         exp, tallies = self._model(target, source, picks, self._POOL)
         got = {
             r["k"]: {"a": r["a"], "b": r["b"]}
@@ -5543,3 +5584,224 @@ class TestMergeIntoModelProperty:
         else:
             # no commit: the merge must have been a provable no-op
             assert exp == target and sum(tallies.values()) == 0
+
+
+class TestMergeIntoDv:
+    """merge_into(mode='dv') — the Delta 3.x deletion-vector MERGE:
+    no base/delta file rewrites, O(changed rows) write cost, works
+    over outstanding merge-on-read deltas and existing dv state."""
+
+    @staticmethod
+    def _seed_messy(spark, tmp_path):
+        """A dv'd + delta'd table resolving to keys 0..9 with a=k*10,
+        b=k: v1 overwrites keys 0..11 (extra keys 10,11 and stale
+        values for 4..7), v2 dv-deletes keys 10,11, v3 delta-upserts
+        the true images of 4..7 and tombstones key 3."""
+        t = ManifestTable(str(tmp_path / "dvm"))
+        rows = [
+            (k, k * 10 + (5 if 4 <= k <= 7 else 0), k) for k in range(12)
+        ]
+        t.commit_overwrite(
+            spark.createDataFrame(rows, "k long, a long, b long")
+            .repartitionByRange(3, "k"),
+            batch_id="seed", stats_cols=["k"],
+        )
+        t.delete_where(spark, "k >= 10", batch_id="trim", mode="dv")
+        t.commit_delta(
+            spark.createDataFrame(
+                [(k, k * 10, k) for k in range(4, 8)],
+                "k long, a long, b long",
+            ),
+            ["k"], batch_id="fix", stats_cols=["k"],
+            deletes=spark.createDataFrame([(3,)], "k long"),
+        )
+        # resolved: keys 0..9 minus tombstoned 3
+        return t
+
+    def test_dv_merge_over_deltas_and_dv(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        m0 = t._read_manifest()
+        src = spark.createDataFrame(
+            # 5: update (delta-backed key, two stored images);
+            # 1: delete (base-backed); 3: insert onto a TOMBSTONED key
+            # (resurrection needs the tombstone suppressed too);
+            # 20: plain insert
+            [(5, 1000, 0), (1, 0, 0), (3, 333, 3), (20, 2000, 20)],
+            "k long, a long, b long",
+        )
+        v = t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("delete", "t.k = 1", None),
+                ("update", None, {"a": "s.a"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="m", mode="dv", stats_cols=["k"], prune_col="k",
+        )
+        m1 = t._read_manifest()
+        assert v == m0["version"] + 1
+        # nothing rewritten: base prefix intact, deltas verbatim
+        assert m1["files"][: len(m0["files"])] == m0["files"]
+        assert m1["deltas"] == m0["deltas"]
+        got = {
+            r["k"]: (r["a"], r["b"])
+            for r in t.read_resolved(spark).collect()
+        }
+        exp = {k: (k * 10, k) for k in range(10) if k not in (1, 3)}
+        exp[5] = (1000, 5)
+        exp[3] = (333, 3)
+        exp[20] = (2000, 20)
+        assert got == exp
+        # typed CDC of the merge commit
+        ch = t.changes(spark, m0["version"])
+        counts = {
+            r["ct"]: r["n"]
+            for r in ch.groupBy(F.col("_change_type").alias("ct"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {
+            "delete": 1, "update_preimage": 1, "update_postimage": 1,
+            "insert": 2,
+        }
+
+    def test_dv_merge_matches_cow_result(self, spark, tmp_path, customers):
+        """Same clauses on the same clean table: dv and cow modes must
+        produce identical resolved content."""
+        seed = customers.limit(60)
+        src = (
+            customers.limit(80)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+        )
+        results = []
+        for mode in ("cow", "dv"):
+            t = ManifestTable(str(tmp_path / f"eq-{mode}"))
+            t.commit_overwrite(seed, batch_id="s", stats_cols=["c_custkey"])
+            t.merge_into(
+                spark, src, key_columns=["c_custkey"],
+                clauses=[
+                    ("delete", "s.c_acctbal > 5000.0", None),
+                    ("update", None, "*"),
+                    ("insert", "s.c_acctbal < 1000.0", "*"),
+                ],
+                batch_id="m", mode=mode,
+            )
+            results.append(_canon(t.read_resolved(spark)))
+        assert results[0] == results[1]
+
+    def test_dv_merge_by_source_over_deltas(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        src = spark.createDataFrame([(0, 0, 0)], "k long, a long, b long")
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("update", None, {"a": "t.a + s.a"}),
+                ("delete_by_source", "t.k >= 8", None),
+                ("update_by_source", "t.k = 2", {"b": "t.b * 100"}),
+            ],
+            batch_id="m", mode="dv",
+        )
+        got = {
+            r["k"]: (r["a"], r["b"])
+            for r in t.read_resolved(spark).collect()
+        }
+        exp = {k: (k * 10, k) for k in range(8) if k != 3}
+        exp[2] = (20, 200)
+        assert got == exp
+
+    def test_dv_merge_key_mismatch_on_deltas_raises(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        src = spark.createDataFrame([(1, 1, 1)], "k long, a long, b long")
+        with pytest.raises(ValueError, match="recorded key_columns"):
+            t.merge_into(
+                spark, src, key_columns=["a"],
+                clauses=[("update", None, {"b": "s.b"})],
+                mode="dv",
+            )
+
+    def test_dv_merge_noop_commits_nothing(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        v0 = t.version()
+        src = spark.createDataFrame([(50, 0, 0)], "k long, a long, b long")
+        v = t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("update", None, {"a": "s.a"})],
+            batch_id="noop", mode="dv",
+        )
+        assert v == v0 and t.version() == v0
+
+    def test_dv_merge_concurrent_content_aborts(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        src = spark.createDataFrame([(5, 1, 1)], "k long, a long, b long")
+        upd = spark.createDataFrame([(6, 66, 6)], "k long, a long, b long")
+        t._race_once = lambda: ManifestTable(t.root).commit_delta(
+            upd, ["k"], batch_id="race"
+        )
+        with pytest.raises(Exception, match="lost to concurrent|content changed"):
+            t.merge_into(
+                spark, src, key_columns=["k"],
+                clauses=[("update", None, {"a": "s.a"})],
+                batch_id="m", mode="dv",
+            )
+        # the racing delta won; the merge never half-applied
+        got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
+        assert got[6] == 66 and got[5] == 50
+
+    def test_dv_merge_idempotent_replay(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        src = spark.createDataFrame([(5, 77, 5)], "k long, a long, b long")
+        clauses = [("update", None, {"a": "s.a"})]
+        v1 = t.merge_into(
+            spark, src, key_columns=["k"], clauses=clauses,
+            batch_id="once", mode="dv",
+        )
+        v2 = t.merge_into(
+            spark, src, key_columns=["k"], clauses=clauses,
+            batch_id="once", mode="dv",
+        )
+        assert v1 == v2
+        got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
+        assert got[5] == 77
+
+    def test_dv_merge_then_compact_materializes(self, spark, tmp_path):
+        t = self._seed_messy(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, 1000, 0), (20, 2000, 20)], "k long, a long, b long"
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[("update", None, {"a": "s.a"}), ("insert", None, "*")],
+            batch_id="m", mode="dv",
+        )
+        before = _canon(t.read_resolved(spark))
+        t.compact(spark, batch_id="c", stats_cols=["k"])
+        m = t._read_manifest()
+        assert not m.get("dv") and not m.get("deltas")
+        assert _canon(t.read(spark)) == before
+
+    def test_dv_reserved_names_rejected(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "resv"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(1, 2)], "k long, `__file__` long"
+            ),
+            batch_id="s",
+        )
+        with pytest.raises(ValueError, match="reserved deletion-vector"):
+            t.delete_where(spark, "k = 1", mode="dv")
+        with pytest.raises(ValueError, match="reserved deletion-vector"):
+            t.merge_into(
+                spark,
+                spark.createDataFrame([(1,)], "k long"),
+                key_columns=["k"],
+                clauses=[("delete", None, None)],
+                mode="dv",
+            )
+
+    def test_dv_delete_stats_cols_rejected(self, spark, tmp_path, customers):
+        t = ManifestTable(str(tmp_path / "sc"))
+        t.commit_overwrite(customers.limit(10), batch_id="s")
+        with pytest.raises(ValueError, match="stats_cols"):
+            t.delete_where(
+                spark, "c_custkey = 1", mode="dv",
+                stats_cols=["c_custkey"],
+            )

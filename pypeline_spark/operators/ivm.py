@@ -3177,3 +3177,185 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_merge_into_dv",
+    # The SAME set-algebra oracle as q_merge_into — the deletion-vector
+    # merge must produce bit-identical content and CDC tallies — plus
+    # two structural proofs pinned TRUE: the base file list only ever
+    # APPENDS across the merge (nothing rewritten) and the outstanding
+    # merge-on-read delta fileset carries through verbatim (the merge
+    # ran over un-compacted deltas, the capability the cow mode lacks).
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+        SELECT o_custkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_ord,
+               CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS spend
+        FROM orders WHERE o_custkey <= 600 GROUP BY o_custkey
+    ),
+    matched AS (
+        SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, s.n_ord, s.spend
+        FROM tgt t JOIN src s ON t.c_custkey = s.k
+    ),
+    final AS (
+        SELECT c_custkey, c_acctbal + spend AS c_acctbal, c_mktsegment
+        FROM matched WHERE NOT (n_ord >= 20)
+        UNION ALL
+        SELECT t.c_custkey, t.c_acctbal,
+               CASE WHEN t.c_acctbal < 0.0 THEN 'DORMANT'
+                    ELSE t.c_mktsegment END
+        FROM tgt t WHERE t.c_custkey NOT IN (SELECT k FROM src)
+        UNION ALL
+        SELECT s.k, s.spend, 'FROMORDERS'
+        FROM src s WHERE s.k NOT IN (SELECT c_custkey FROM tgt)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE n_ord >= 20) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE NOT (n_ord >= 20)) AS n_updated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+            WHERE k NOT IN (SELECT c_custkey FROM tgt)) AS n_inserted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt
+            WHERE c_custkey NOT IN (SELECT k FROM src)
+              AND c_acctbal < 0.0) AS n_by_source,
+           TRUE AS files_intact,
+           TRUE AS deltas_kept
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def q_merge_into_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector ``MERGE INTO`` (the Delta 3.x DV-enabled MERGE)
+    over a table with BOTH prior deletion vectors AND outstanding
+    merge-on-read deltas — the exact state the copy-on-write merge
+    refuses.  The target (customers with ``custkey % 3 <> 0``) is
+    materialized messily: v1 overwrites ALL customers, v2 dv-deletes
+    the ``% 3 = 0`` slice (zero rewrites), v3 delta-upserts a subset
+    of the survivors (identical values — creating keys with TWO stored
+    images that resolution folds).  The same four-clause merge as
+    ``q_merge_into`` then runs with ``mode='dv'``: matched deletes /
+    updates and by-source updates suppress EVERY stored image of their
+    key by (file, position) and only post-image/insert rows land as
+    new files.  ``files_intact`` pins that the pre-merge base file
+    list survives as a prefix (nothing rewritten), ``deltas_kept``
+    that the outstanding delta fileset carries through verbatim; the
+    CDC tallies re-derive the typed feed.  Content and tallies must
+    hash-match the SAME oracle as the cow merge.
+
+    Scale: write cost is O(changed rows) however the matches scatter
+    — the merge never pays the compact() a 100 TB streaming table
+    can't afford mid-ingest; reads pay a broadcast anti-join until the
+    next scheduled OPTIMIZE (ref behavior: post_query MERGE at
+    /root/reference/pypeline/Pype.py:167)."""
+    import shutil
+    import tempfile
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    src = (
+        o.filter(F.col("o_custkey") <= 600)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ord"),
+            F.sum(F.floor("o_totalprice")).cast("double").alias("spend"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="mergedv_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )  # v1: all customers, incl. the slice the dv delete removes
+        t.delete_where(
+            spark, "c_custkey % 3 = 0", batch_id="trim", mode="dv"
+        )  # v2: prior dv state, zero rewrites
+        t.commit_delta(
+            c.filter(
+                (F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 5 == 1)
+            ),
+            ["c_custkey"],
+            batch_id="reup",
+            stats_cols=["c_custkey"],
+        )  # v3: outstanding delta — re-upserted keys now have 2 images
+        m0 = t._read_manifest()
+        t.merge_into(
+            spark,
+            src,
+            key_columns=["c_custkey"],
+            clauses=[
+                ("delete", "s.n_ord >= 20", None),
+                ("update", None, {"c_acctbal": "t.c_acctbal + s.spend"}),
+                (
+                    "insert",
+                    None,
+                    {
+                        "c_custkey": "s.c_custkey",
+                        "c_acctbal": "s.spend",
+                        "c_mktsegment": "'FROMORDERS'",
+                    },
+                ),
+                (
+                    "update_by_source",
+                    "t.c_acctbal < 0.0",
+                    {"c_mktsegment": "'DORMANT'"},
+                ),
+            ],
+            batch_id="m1",
+            stats_cols=["c_custkey"],
+            mode="dv",
+        )
+        m1 = t._read_manifest()
+        files_intact = m1["files"][: len(m0["files"])] == m0["files"]
+        deltas_kept = m1.get("deltas") == m0.get("deltas") and bool(
+            m1.get("deltas")
+        )
+        feed = t.changes(spark, m0["version"])  # the merge's typed CDC
+        tallies = feed.agg(
+            F.sum((F.col("_change_type") == "delete").cast("bigint"))
+            .cast("bigint").alias("n_deleted"),
+            F.sum(
+                (F.col("_change_type") == "update_postimage").cast("bigint")
+            ).cast("bigint").alias("n_post"),
+            F.sum((F.col("_change_type") == "insert").cast("bigint"))
+            .cast("bigint").alias("n_inserted"),
+            F.sum(
+                (
+                    (F.col("_change_type") == "update_postimage")
+                    & (F.col("c_mktsegment") == "DORMANT")
+                ).cast("bigint")
+            ).cast("bigint").alias("n_by_source"),
+        ).select(
+            "n_deleted",
+            (F.col("n_post") - F.col("n_by_source")).alias("n_updated"),
+            "n_inserted",
+            "n_by_source",
+        )
+        out = (
+            t.read_resolved(spark)  # deltas still outstanding post-merge
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(tallies))  # one-row stats frame
+            .withColumn("files_intact", F.lit(bool(files_intact)))
+            .withColumn("deltas_kept", F.lit(bool(deltas_kept)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

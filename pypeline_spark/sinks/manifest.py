@@ -92,31 +92,267 @@ class ManifestTable:
         self._race_once = None
 
     # -- manifest bookkeeping -------------------------------------------------
+    #
+    # THE COMMIT LOG (r16 directive #2 — the Delta action-log shape).
+    # ``_manifest.vN.json`` is a commit RECORD, one of two forms:
+    #
+    #   checkpoint: {"version": N, "committed_at": ts, "kind": k,
+    #                "summary": {...}, "snapshot": {full manifest}}
+    #   log:        {"version": N, "committed_at": ts, "kind": k,
+    #                "summary": {...}, "actions": {set/del/patch/lpatch}}
+    #
+    # A log record stores only the DIFF against version N-1 — added/
+    # removed file names, changed stats entries, appended batch ids —
+    # so commit cost is O(delta), not O(files): a 10^6-file table no
+    # longer serializes its whole state per commit, and retained
+    # history is O(versions × delta + checkpoints), not O(versions ×
+    # files).  A full snapshot is checkpointed every
+    # ``CHECKPOINT_INTERVAL`` commits (and at v1), bounding the replay
+    # a reader pays to O(interval) small records + one checkpoint —
+    # Delta's 10-commit parquet-checkpoint cadence, in JSON.  ``kind``
+    # and ``summary`` are stamped at publish so DESCRIBE HISTORY and
+    # the OCC conflict matrix read records directly, materializing
+    # nothing.  A file that is neither form (no "snapshot"/"actions"
+    # key) is a pre-r16 LEGACY full manifest and acts as its own
+    # checkpoint, so upgraded tables replay seamlessly.  ``vacuum``
+    # keeps the chain sound: it writes a ``_ckpt.vN.json`` sidecar at
+    # the new oldest retained version before removing older records,
+    # so every retained version stays derivable (see ``vacuum``).
+    # The pointer file is a tiny O(1) HINT ({"hint": true, "version":
+    # N}); the versioned records are the source of truth exactly as
+    # before (the put-if-absent link in ``_publish`` is the commit
+    # point).
+
+    #: full-snapshot checkpoint every K commits (v1 is always one)
+    CHECKPOINT_INTERVAL = 10
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.root, "_manifest.json")
 
+    def _ckpt_sidecar(self, version: int) -> str:
+        return os.path.join(self.root, f"_ckpt.v{version}.json")
+
+    @staticmethod
+    def _record_snapshot(rec: dict) -> Optional[dict]:
+        """The full manifest a record carries, or None for a log
+        record: ``snapshot`` for checkpoints, the record itself for a
+        pre-r16 legacy full manifest."""
+        if "snapshot" in rec:
+            return rec["snapshot"]
+        if "actions" in rec:
+            return None
+        return rec
+
+    def _load_record(self, version: int) -> dict:
+        vfile = os.path.join(self.root, f"_manifest.v{version}.json")
+        if not os.path.exists(vfile):
+            raise ValueError(f"version {version} not found (vacuumed?)")
+        with open(vfile) as fh:
+            return json.load(fh)
+
+    @classmethod
+    def _diff_dict(cls, prev: dict, cur: dict) -> dict:
+        """Action record taking ``prev`` to ``cur``: changed scalars in
+        ``set``, removed keys in ``del``, nested dicts recursively
+        patched (only their changed sub-keys ride), lists as a
+        remove-set + append suffix when expressible (``lpatch``) or
+        whole otherwise.  ``_apply_actions`` is the exact inverse by
+        construction — and ``_publish`` verifies the round-trip before
+        trusting a log record, falling back to a checkpoint on any
+        mismatch."""
+        out_set: dict = {}
+        out_del: list = []
+        out_patch: dict = {}
+        out_lp: dict = {}
+        for k in prev:
+            if k not in cur:
+                out_del.append(k)
+        for k, v in cur.items():
+            if k in prev:
+                pv = prev[k]
+                if pv == v:
+                    continue
+            else:
+                pv = None
+            if isinstance(v, dict) and isinstance(pv, dict):
+                out_patch[k] = cls._diff_dict(pv, v)
+            elif isinstance(v, list) and isinstance(pv, list):
+                out_lp[k] = cls._diff_list(pv, v)
+            else:
+                out_set[k] = v
+        out: dict = {}
+        if out_set:
+            out["set"] = out_set
+        if out_del:
+            out["del"] = out_del
+        if out_patch:
+            out["patch"] = out_patch
+        if out_lp:
+            out["lpatch"] = out_lp
+        return out
+
+    @staticmethod
+    def _diff_list(pv: list, v: list) -> dict:
+        """List diff: pure append / remove-set + append when the kept
+        prefix is order-preserved (every file-list edit this module
+        makes), else the full value."""
+        n = len(pv)
+        if v[:n] == pv:
+            return {"append": v[n:]}
+        try:
+            vset = set(v)
+            pset = set(pv)
+        except TypeError:
+            return {"full": v}  # unhashable elements (delta filesets)
+        if len(vset) != len(v) or len(pset) != len(pv):
+            return {"full": v}  # duplicates: positional identity lost
+        removed = [x for x in pv if x not in vset]
+        kept = [x for x in pv if x in vset]
+        if v[: len(kept)] == kept:
+            return {"remove": removed, "append": v[len(kept):]}
+        return {"full": v}
+
+    @classmethod
+    def _apply_actions(cls, prev: dict, actions: dict) -> dict:
+        """Replay one log record's actions over the parent manifest.
+        Copy-on-write at every patched level: untouched nested values
+        are shared, so replay cost is O(record), not O(state)."""
+        cur = dict(prev)
+        for k in actions.get("del", ()):
+            cur.pop(k, None)
+        for k, sub in actions.get("patch", {}).items():
+            base = cur.get(k)
+            cur[k] = cls._apply_actions(
+                base if isinstance(base, dict) else {}, sub
+            )
+        for k, p in actions.get("lpatch", {}).items():
+            if "full" in p:
+                cur[k] = list(p["full"])
+            else:
+                base = cur.get(k)
+                base = list(base) if isinstance(base, list) else []
+                rem = p.get("remove")
+                if rem:
+                    try:
+                        rset = set(rem)
+                    except TypeError:
+                        rset = None
+                    if rset is None:
+                        base = [x for x in base if x not in rem]
+                    else:
+                        base = [x for x in base if x not in rset]
+                cur[k] = base + list(p.get("append", ()))
+        cur.update(actions.get("set", {}))
+        return cur
+
+    def _materialize(self, version: int) -> dict:
+        """Manifest at ``version``: walk back to the nearest
+        checkpoint (snapshot record, legacy full manifest, or vacuum
+        sidecar), then replay the log records forward — O(interval)
+        small reads + one checkpoint parse."""
+        if version == 0:
+            return {"version": 0, "files": [], "deltas": [],
+                    "batch_ids": [], "stats": {}}
+        pending: list[dict] = []
+        v = version
+        while True:
+            ck = self._ckpt_sidecar(v)
+            if pending and os.path.exists(ck):
+                # sidecar checkpoints are only consulted mid-walk: for
+                # the requested version itself the record must exist
+                # (it is what makes the version valid/retained)
+                with open(ck) as fh:
+                    base = json.load(fh)
+                break
+            rec = self._load_record(v)
+            snap = self._record_snapshot(rec)
+            if snap is not None:
+                base = snap
+                break
+            if not pending and os.path.exists(ck):
+                with open(ck) as fh:
+                    base = json.load(fh)
+                break
+            pending.append(rec["actions"])
+            v -= 1
+            if v == 0:
+                raise ValueError(
+                    f"version {version} not derivable: the commit log "
+                    "below it was removed (vacuumed?)"
+                )
+        for a in reversed(pending):
+            base = self._apply_actions(base, a)
+        return base
+
     def _read_manifest(self) -> dict:
-        if not os.path.exists(self._pointer):
-            m = {"version": 0, "files": [], "batch_ids": [], "stats": {}}
-        else:
+        base = None
+        if os.path.exists(self._pointer):
             with open(self._pointer) as fh:
-                m = json.load(fh)
-        # The pointer is a read CACHE; the versioned manifest files are
-        # the source of truth (the put-if-absent link in _publish is
-        # the commit point).  Roll forward through any version that was
+                p = json.load(fh)
+            if p.get("hint"):
+                try:
+                    base = self._materialize(p["version"])
+                except ValueError:
+                    # the hinted record is gone (a racing removal):
+                    # the hint embeds a COPY of the tip record, so the
+                    # commit it points at survives exactly as the old
+                    # full-manifest pointer cache made it survive
+                    base = None
+                    rec = p.get("record")
+                    if rec is not None:
+                        snap = self._record_snapshot(rec)
+                        if snap is not None:
+                            base = snap
+                        elif "actions" in rec:
+                            try:
+                                base = self._apply_actions(
+                                    self._materialize(p["version"] - 1),
+                                    rec["actions"],
+                                )
+                            except ValueError:
+                                base = None
+            elif "snapshot" in p or "actions" in p:
+                snap = self._record_snapshot(p)
+                if snap is not None:
+                    base = snap
+                else:
+                    try:
+                        base = self._materialize(p["version"])
+                    except ValueError:
+                        base = None
+            else:
+                base = p  # legacy pointer: a full manifest cache
+        if base is None:
+            mx = self._max_version_on_disk()
+            if mx:
+                try:
+                    base = self._materialize(mx)
+                except ValueError:
+                    base = {"version": 0, "files": [], "batch_ids": [],
+                            "stats": {}}
+            else:
+                base = {"version": 0, "files": [], "batch_ids": [],
+                        "stats": {}}
+        # The pointer is a read CACHE; the versioned records are the
+        # source of truth (the put-if-absent link in _publish is the
+        # commit point).  Roll forward through any version that was
         # committed but not yet reflected — a writer crashed between
         # link and pointer refresh, or two refreshes landed out of
         # order.  One exists() check in the common case.
         while True:
             nxt = os.path.join(
-                self.root, f"_manifest.v{m['version'] + 1}.json"
+                self.root, f"_manifest.v{base['version'] + 1}.json"
             )
             if not os.path.exists(nxt):
-                return m
+                return base
             with open(nxt) as fh:
-                m = json.load(fh)
+                rec = json.load(fh)
+            snap = self._record_snapshot(rec)
+            base = (
+                snap if snap is not None
+                else self._apply_actions(base, rec["actions"])
+            )
 
     def _path(self, name: str) -> str:
         """Resolve a manifest-referenced data file name to a path:
@@ -187,12 +423,40 @@ class ManifestTable:
                 versions[v] = json.load(fh)
         rows = []
         for v in sorted(versions):
-            cur = versions[v]
+            rec = versions[v]
+            if "snapshot" in rec or "actions" in rec:
+                # commit record: kind + summary stamped at publish —
+                # nothing to materialize or diff
+                s = rec.get("summary", {})
+                rows.append(
+                    (
+                        v,
+                        float(rec.get("committed_at", 0.0)),
+                        rec.get("kind", "unknown"),
+                        s.get("batch_id"),
+                        int(s.get("n_files", 0)),
+                        int(s.get("n_delta_filesets", 0)),
+                        int(s.get("dv_rows", 0)),
+                    )
+                )
+                continue
+            # pre-r16 legacy full manifest: derive kind/batch_id by
+            # diffing against the (necessarily also legacy) parent
+            cur = rec
             prev = versions.get(v - 1)
+            if prev is not None and (
+                "snapshot" in prev or "actions" in prev
+            ):
+                prev = None  # cannot happen in practice; be safe
             if prev is not None:
                 kind = self._commit_kind(prev, cur)
             elif v == 1:
-                kind = "overwrite"  # the seed commit has no parent
+                # the seed commit has no parent; a shallow clone's
+                # seed is kind 'clone' (ADVICE r15)
+                kind = (
+                    "clone" if cur.get("cloned_from") is not None
+                    else "overwrite"
+                )
             else:
                 kind = "unknown"  # parent vacuumed: not derivable
             bids = cur.get("batch_ids", [])
@@ -287,6 +551,18 @@ class ManifestTable:
                 f"version {manifest['version']} is not ahead of the "
                 "current tip — a concurrent writer advanced the table"
             )
+        # The parent manifest: the tip just read in the common case —
+        # needed for the timestamp chain, the kind classification, and
+        # the action-record diff.
+        if rf["version"] == manifest["version"] - 1:
+            parent: Optional[dict] = rf
+        elif manifest["version"] == 1:
+            parent = None
+        else:
+            try:
+                parent = self._materialize(manifest["version"] - 1)
+            except ValueError:
+                parent = None  # parent vacuumed mid-race
         # Commit timestamp (the Delta commit-log timestamp, stamped at
         # the ONE choke point every commit kind funnels through):
         # MONOTONE by construction — max(parent's stamp, wall clock) —
@@ -296,22 +572,71 @@ class ManifestTable:
         # ``{**mm}``-style manifest spreads are overwritten here.
         import time as _time
 
-        if rf["version"] == manifest["version"] - 1:
-            parent_ct = float(rf.get("committed_at", 0.0))
-        else:
-            try:
-                parent_ct = float(
-                    self._manifest_at(manifest["version"] - 1).get(
-                        "committed_at", 0.0
-                    )
-                )
-            except ValueError:
-                parent_ct = 0.0  # parent vacuumed: wall clock rules
+        parent_ct = (
+            float(parent.get("committed_at", 0.0))
+            if parent is not None
+            else 0.0
+        )
         manifest["committed_at"] = max(parent_ct, _time.time())
+        # Structural kind + size summary, stamped INTO the record so
+        # DESCRIBE HISTORY and the OCC conflict matrix read commit
+        # records directly (no materialization, no adjacent-manifest
+        # diffing).  The seed commit of a shallow clone is kind
+        # 'clone' (ADVICE r15: provenance was hiding as 'overwrite').
+        if manifest["version"] == 1:
+            # the seed commit has no real parent (v0 is the synthetic
+            # empty table); a shallow clone's seed is kind 'clone'
+            # (ADVICE r15: provenance was hiding as 'overwrite')
+            kind = (
+                "clone" if manifest.get("cloned_from") is not None
+                else "overwrite"
+            )
+        elif parent is not None:
+            kind = self._commit_kind(parent, manifest)
+        else:
+            kind = "unknown"
+        pbids = set(parent.get("batch_ids", [])) if parent else set()
+        appended = [
+            b for b in manifest.get("batch_ids", []) if b not in pbids
+        ]
+        summary = {
+            "batch_id": appended[0] if len(appended) == 1 else None,
+            "n_files": len(manifest.get("files", [])),
+            "n_delta_filesets": len(manifest.get("deltas", [])),
+            "dv_rows": int(
+                sum((manifest.get("dv") or {}).get("rows", {}).values())
+            ),
+        }
+        # Checkpoint vs log record: v1 and every CHECKPOINT_INTERVAL-th
+        # version snapshot in full; everything else stores the O(delta)
+        # action diff — verified round-trip against the parent before
+        # being trusted (any mismatch falls back to a checkpoint, so a
+        # log record is NEVER wrong, at worst bigger).
+        ckpt = (
+            parent is None
+            or manifest["version"] == 1
+            or self.CHECKPOINT_INTERVAL <= 1
+            or manifest["version"] % self.CHECKPOINT_INTERVAL == 0
+        )
+        actions: Optional[dict] = None
+        if not ckpt:
+            actions = self._diff_dict(parent, manifest)
+            if self._apply_actions(parent, actions) != manifest:
+                ckpt = True
+        rec = {
+            "version": manifest["version"],
+            "committed_at": manifest["committed_at"],
+            "kind": kind,
+            "summary": summary,
+        }
+        if ckpt:
+            rec["snapshot"] = manifest
+        else:
+            rec["actions"] = actions
         vfile = os.path.join(self.root, f"_manifest.v{manifest['version']}.json")
         tmp = f"{vfile}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(rec, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -323,9 +648,17 @@ class ManifestTable:
             ) from None
         finally:
             os.remove(tmp)
-        # refresh the pointer cache: readers see old-or-new, never a mix
+        # refresh the pointer cache — an O(record) hint embedding a
+        # copy of the tip's commit record (so a racing removal of the
+        # version file can never lose the commit — the redundancy the
+        # old full-manifest pointer provided, at O(delta) cost):
+        # readers see old-or-new, never a mix
         tmp2 = f"{self._pointer}.{uuid.uuid4().hex}.tmp"
-        shutil.copyfile(vfile, tmp2)
+        with open(tmp2, "w") as fh:
+            json.dump(
+                {"hint": True, "version": manifest["version"], "record": rec},
+                fh,
+            )
         os.replace(tmp2, self._pointer)
 
     # -- optimistic concurrency -------------------------------------------------
@@ -386,13 +719,22 @@ class ManifestTable:
     def _intervening_kinds(self, base: dict, tip: dict) -> set:
         """Kinds of every commit published after ``base`` up to and
         including ``tip`` — the facts the conflict matrix rules on.
-        O(conflicting commits) manifest reads, no data I/O."""
+        Commit records carry their kind (stamped at publish), so this
+        is O(conflicting commits) small record reads — no manifest
+        materialization, no data I/O; only pre-r16 legacy full
+        manifests fall back to the adjacent-diff classification."""
         kinds: set = set()
-        prev = base
+        prev: Optional[dict] = base
         for v in range(base["version"] + 1, tip["version"] + 1):
-            cur = self._manifest_at(v)
-            kinds.add(self._commit_kind(prev, cur))
-            prev = cur
+            rec = self._load_record(v)
+            if "snapshot" in rec or "actions" in rec:
+                kinds.add(rec.get("kind", "unknown"))
+                prev = None  # manifests no longer tracked (not needed)
+            else:
+                if prev is None:
+                    prev = self._materialize(v - 1)
+                kinds.add(self._commit_kind(prev, rec))
+                prev = rec
         return kinds
 
     def _commit_retrying(
@@ -2125,20 +2467,13 @@ class ManifestTable:
     def _manifest_at(self, version: Optional[int]) -> dict:
         if version is None:
             return self._read_manifest()
-        if version == 0:
-            # version 0 is the empty table BEFORE any commit — no
-            # _manifest.v0.json is ever written, so synthesize it.
-            # Without this, the first commit_delta(cdc=True) on an
-            # empty table crashed probing read_resolved(version=0)
-            # (ADVICE r13), and every since_version=0 caller needed
-            # its own special case.
-            return {"version": 0, "files": [], "deltas": [],
-                    "batch_ids": [], "stats": {}}
-        vfile = os.path.join(self.root, f"_manifest.v{version}.json")
-        if not os.path.exists(vfile):
-            raise ValueError(f"version {version} not found (vacuumed?)")
-        with open(vfile) as fh:
-            return json.load(fh)
+        # version 0 is the empty table BEFORE any commit — no
+        # _manifest.v0.json is ever written, so _materialize
+        # synthesizes it.  Without this, the first
+        # commit_delta(cdc=True) on an empty table crashed probing
+        # read_resolved(version=0) (ADVICE r13), and every
+        # since_version=0 caller needed its own special case.
+        return self._materialize(version)
 
     # -- commit timestamps / TIMESTAMP AS OF ------------------------------------
 
@@ -4889,16 +5224,35 @@ class ManifestTable:
         ``_read_manifest``'s roll-forward chain — readers would serve
         a vacuumed version forever (ADVICE r13).  With the refresh
         first, a crash at ANY point leaves the pointer at (or past)
-        every retained version."""
+        every retained version.
+
+        COMMIT-LOG SOUNDNESS: a retained version whose record is a
+        log record replays from older records, so before any record
+        below it is removed, its materialized manifest is checkpointed
+        to a ``_ckpt.vN.json`` sidecar (atomic replace, idempotent —
+        a crash between sidecar and removals just leaves extra
+        checkpoints).  Every retained version therefore stays
+        derivable with exactly the same removable set as the
+        full-snapshot protocol had."""
         current = max(
             self._read_manifest()["version"], self._max_version_on_disk()
         )
         if current > 0:
-            tip_file = os.path.join(self.root, f"_manifest.v{current}.json")
-            if os.path.exists(tip_file):
-                tmp = f"{self._pointer}.{uuid.uuid4().hex}.tmp"
-                shutil.copyfile(tip_file, tmp)
-                os.replace(tmp, self._pointer)
+            try:
+                tip_rec = self._load_record(current)
+            except ValueError:
+                tip_rec = None
+            tmp = f"{self._pointer}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "hint": True,
+                        "version": current,
+                        **({"record": tip_rec} if tip_rec else {}),
+                    },
+                    fh,
+                )
+            os.replace(tmp, self._pointer)
         keep_from = current - keep_versions + 1
         import time as _time
 
@@ -4906,43 +5260,117 @@ class ManifestTable:
             None if retain_seconds is None
             else _time.time() - retain_seconds
         )
-        live: set[str] = set()
-        dead_manifests = []
-        for f in os.listdir(self.root):
-            if not (f.startswith("_manifest.v") and f.endswith(".json")):
+        log = self._scan_log()
+        by_v = {v: (rec, mf) for v, rec, mf in log}
+        protected = {
+            v
+            for v, rec, _mf in log
+            if v >= keep_from
+            or (
+                age_floor is not None
+                and float(rec.get("committed_at", 0.0)) >= age_floor
+            )
+        }
+        if not protected and log:
+            return 0  # defensive: never drop the whole log
+        # checkpoint every protected log-record version whose parent
+        # record is about to go (descending, so a cascade of
+        # un-checkpointable versions extends protection downward)
+        for v in sorted(by_v, reverse=True):
+            if v not in protected:
                 continue
-            v = int(f[len("_manifest.v"):-len(".json")])
-            with open(os.path.join(self.root, f)) as fh:
-                mf = json.load(fh)
-            # delta files are as live as base files: a retained
-            # merge-on-read version needs both to resolve — and so are
-            # the CDC files of a predicate-DML commit (the change feed
-            # reads them until the version ages out) and the deletion
-            # vector files (every read of a retained dv'd version
-            # anti-joins them)
-            files = (
-                list(mf["files"])
+            rec, mf = by_v[v]
+            if "actions" not in rec:
+                continue  # snapshot / legacy: self-contained
+            if os.path.exists(self._ckpt_sidecar(v)):
+                continue
+            prev_v = v - 1
+            if prev_v in protected or prev_v not in by_v:
+                continue
+            if mf is not None:
+                ck = self._ckpt_sidecar(v)
+                tmpck = f"{ck}.{uuid.uuid4().hex}.tmp"
+                with open(tmpck, "w") as fh:
+                    json.dump(mf, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmpck, ck)
+            else:
+                # underivable boundary (should not happen): keep the
+                # parent record rather than orphan the chain
+                protected.add(prev_v)
+
+        # delta files are as live as base files: a retained
+        # merge-on-read version needs both to resolve — and so are
+        # the CDC files of a predicate-DML commit (the change feed
+        # reads them until the version ages out) and the deletion
+        # vector files (every read of a retained dv'd version
+        # anti-joins them)
+        def _files_of(mf: dict) -> list:
+            return (
+                list(mf.get("files", []))
                 + [n for fs in mf.get("deltas", []) for n in fs]
                 + list(mf.get("cdc_files", []))
                 + list((mf.get("dv") or {}).get("files", []))
             )
-            if v >= keep_from or (
-                age_floor is not None
-                and float(mf.get("committed_at", 0.0)) >= age_floor
-            ):
-                live.update(files)
-            else:
-                dead_manifests.append((f, files))
+
+        live: set[str] = set()
+        for v in protected:
+            mf = by_v[v][1]
+            if mf is not None:
+                live.update(_files_of(mf))
         removed = 0
-        for mf, files in dead_manifests:
-            for data_file in files:
+        for v, rec, mf in log:
+            if v in protected:
+                continue
+            for data_file in _files_of(mf) if mf is not None else []:
                 if data_file not in live:
                     path = os.path.join(self.data_dir, data_file)
                     if os.path.exists(path):
                         os.remove(path)
                         removed += 1
-            os.remove(os.path.join(self.root, mf))
+            os.remove(os.path.join(self.root, f"_manifest.v{v}.json"))
+            stale_ck = self._ckpt_sidecar(v)
+            if os.path.exists(stale_ck):
+                os.remove(stale_ck)
         return removed
+
+    def _scan_log(self) -> list:
+        """``(version, record, manifest)`` ascending for every version
+        on disk — ONE sequential replay pass over the commit log
+        (O(records) small parses + O(checkpoints) full parses), the
+        shape vacuum and orphan GC consume.  ``manifest`` is None for
+        a version that is no longer derivable (broken chain — should
+        not occur; treated conservatively by callers)."""
+        versions = []
+        for f in os.listdir(self.root):
+            if not (f.startswith("_manifest.v") and f.endswith(".json")):
+                continue
+            try:
+                versions.append(int(f[len("_manifest.v"):-len(".json")]))
+            except ValueError:
+                continue
+        out = []
+        cur: Optional[dict] = None
+        for v in sorted(versions):
+            try:
+                rec = self._load_record(v)
+            except ValueError:
+                continue  # a concurrent vacuum removed it mid-listing
+            snap = self._record_snapshot(rec)
+            if snap is not None:
+                cur = snap
+            elif cur is not None and cur.get("version") == v - 1:
+                cur = self._apply_actions(cur, rec["actions"])
+            else:
+                ck = self._ckpt_sidecar(v)
+                if os.path.exists(ck):
+                    with open(ck) as fh:
+                        cur = json.load(fh)
+                else:
+                    cur = None
+            out.append((v, rec, cur))
+        return out
 
     def gc_orphans(self, min_age_seconds: float = 3600.0) -> int:
         """Remove data files referenced by NO retained manifest version
@@ -4975,14 +5403,13 @@ class ManifestTable:
         import time
 
         live: set[str] = set()
-        for f in os.listdir(self.root):
-            if f.startswith("_manifest.v") and f.endswith(".json"):
-                with open(os.path.join(self.root, f)) as fh:
-                    mf = json.load(fh)
-                live.update(mf.get("files", []))
-                live.update(n for fs in mf.get("deltas", []) for n in fs)
-                live.update(mf.get("cdc_files", []))
-                live.update((mf.get("dv") or {}).get("files", []))
+        for _v, _rec, mf in self._scan_log():
+            if mf is None:
+                continue
+            live.update(mf.get("files", []))
+            live.update(n for fs in mf.get("deltas", []) for n in fs)
+            live.update(mf.get("cdc_files", []))
+            live.update((mf.get("dv") or {}).get("files", []))
         now = time.time()
         removed = 0
         for f in os.listdir(self.data_dir):

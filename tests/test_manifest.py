@@ -91,14 +91,12 @@ def test_vacuum_drops_only_unreferenced(spark, table, customers):
     assert len(_canon(table.read(spark))) == customers.count()
     with pytest.raises(ValueError):
         table.read(spark, version=1)
-    # no dangling files: everything in data/ is referenced by a manifest
-    import json
-
+    # no dangling files: everything in data/ is referenced by a
+    # retained manifest version (materialized through the commit log)
     live = set()
-    for f in os.listdir(table.root):
-        if f.startswith("_manifest.v"):
-            with open(os.path.join(table.root, f)) as fh:
-                live.update(json.load(fh)["files"])
+    for _v, _rec, mf in table._scan_log():
+        assert mf is not None  # every retained version stays derivable
+        live.update(mf["files"])
     on_disk = set(os.listdir(table.data_dir))
     assert on_disk == live
 
@@ -1086,12 +1084,20 @@ class TestFileMetadataPlanning:
         n = base.count()
         table.commit_overwrite(base.repartition(8))
         # strip filemeta in place, as a pre-upgrade manifest would look
+        # (commit records carry the manifest under "snapshot"/"actions")
         for fname in os.listdir(table.root):
             if fname.startswith("_manifest") and fname.endswith(".json"):
                 p = os.path.join(table.root, fname)
                 with open(p) as fh:
                     m = _json.load(fh)
                 m.pop("filemeta", None)
+                if isinstance(m.get("snapshot"), dict):
+                    m["snapshot"].pop("filemeta", None)
+                if isinstance(m.get("actions"), dict):
+                    m["actions"].get("set", {}).pop("filemeta", None)
+                    m["actions"].get("patch", {}).pop("filemeta", None)
+                if isinstance(m.get("record"), dict):  # the pointer hint
+                    m["record"].get("snapshot", {}).pop("filemeta", None)
                 with open(p, "w") as fh:
                     _json.dump(m, fh)
         v = table.optimize(spark, target_rows=50, small_file_bytes=1)
@@ -3027,10 +3033,11 @@ class TestAdviceR13Fixes:
         assert w._read_manifest()["version"] == 1  # chain stops at the hole
         with pytest.raises(CommitConflict):
             w.commit_overwrite(cust.limit(5), batch_id="ow")
-        # v3 (the true tip) was never clobbered
+        # v3 (the true tip) was never clobbered — its commit record
+        # still carries d2 as the appended batch
         assert not os.path.exists(os.path.join(t.root, "_manifest.v4.json"))
         with open(os.path.join(t.root, "_manifest.v3.json")) as fh:
-            assert json.load(fh)["batch_ids"][-1] == "d2"
+            assert json.load(fh)["summary"]["batch_id"] == "d2"
 
     def test_gc_keeps_staging_tree_with_fresh_writes_inside(
         self, tmp_path, spark, cust
@@ -3654,19 +3661,28 @@ class TestCommitTimestamps:
 
     @staticmethod
     def _set_ct(table, version, ts):
-        """Test-only: rewrite a stored manifest's committed_at (and
-        the pointer cache when it is the tip) to a controlled value."""
+        """Test-only: rewrite a stored commit's committed_at (record
+        top level + the manifest inside it, and the pointer cache when
+        it is the tip) to a controlled value."""
         vfile = os.path.join(table.root, f"_manifest.v{version}.json")
         with open(vfile) as fh:
             m = json.load(fh)
         m["committed_at"] = ts
+        if isinstance(m.get("snapshot"), dict):
+            m["snapshot"]["committed_at"] = ts
+        if isinstance(m.get("actions"), dict):
+            m["actions"].setdefault("set", {})["committed_at"] = ts
         with open(vfile, "w") as fh:
             json.dump(m, fh)
         with open(table._pointer) as fh:
             p = json.load(fh)
         if p["version"] == version:
+            if p.get("hint"):
+                p["record"] = m
+            else:
+                p = m
             with open(table._pointer, "w") as fh:
-                json.dump(m, fh)
+                json.dump(p, fh)
 
     def _seed3(self, spark, tmp_path, cust, name):
         """v1 overwrite, v2/v3 deltas (fresh keys — counts add); cts
@@ -5259,12 +5275,14 @@ class TestHistory:
         # timestamps are monotone (the publish contract)
         ts = [h[v]["committed_at"] for v in range(1, 7)]
         assert ts == sorted(ts)
-        # vacuumed versions drop out; the parent-less survivor is
-        # honest about underivable kind
+        # vacuumed versions drop out; the parent-less survivor KEEPS
+        # its kind — commit records stamp it at publish, so history
+        # no longer degrades to 'unknown' when the parent is vacuumed
+        # (the pre-r16 full-snapshot protocol had to diff neighbors)
         t.vacuum(keep_versions=2)
         h2 = {r["version"]: r for r in t.history(spark).collect()}
         assert sorted(h2) == [5, 6]
-        assert h2[5]["kind"] == "unknown"
+        assert h2[5]["kind"] == "dml"
         assert h2[6]["kind"] == "restore"
 
 
@@ -5805,3 +5823,204 @@ class TestMergeIntoDv:
                 spark, "c_custkey = 1", mode="dv",
                 stats_cols=["c_custkey"],
             )
+
+
+class TestCommitLog:
+    """r16 directive #2 — the incremental commit log: per-version
+    action records + periodic checkpoints replace full-snapshot
+    manifests.  Commit cost is O(delta) bytes; every version
+    materializes identically to the full manifest the writer built;
+    vacuum keeps every retained version derivable."""
+
+    @staticmethod
+    def _synthetic(version, files, extra=None):
+        m = {
+            "version": version,
+            "files": list(files),
+            "deltas": [],
+            "batch_ids": [f"b{v}" for v in range(1, version + 1)],
+            "stats": {f: {"k": [i, i + 1]} for i, f in enumerate(files)},
+            "filemeta": {f: {"bytes": 7, "rows": 3} for f in files},
+        }
+        if extra:
+            m.update(extra)
+        return m
+
+    def test_commit_cost_is_o_delta_not_o_files(self, tmp_path):
+        """A one-file change on a 5000-file table writes an O(delta)
+        log record (< 2 KB), not an O(files) snapshot; the checkpoint
+        cadence bounds replay."""
+        t = ManifestTable(str(tmp_path / "cost"))
+        files = [f"f{i:05}.parquet" for i in range(5000)]
+        t._publish(self._synthetic(1, files))
+        sz1 = os.path.getsize(os.path.join(t.root, "_manifest.v1.json"))
+        log_sizes = []
+        for v in range(2, 10):  # v2..v9: below the v10 checkpoint
+            cur = files[: 5000 - (v - 1)] + [f"g{v}.parquet"]
+            m = self._synthetic(v, files[: 5000 - (v - 1)])
+            m["files"] = cur
+            m["stats"]["%s" % f"g{v}.parquet"] = {"k": [0, 1]}
+            m["filemeta"][f"g{v}.parquet"] = {"bytes": 7, "rows": 3}
+            m["dml"] = True
+            t._publish(m)
+            log_sizes.append(
+                os.path.getsize(
+                    os.path.join(t.root, f"_manifest.v{v}.json")
+                )
+            )
+        assert sz1 > 100_000  # the checkpoint IS O(files)
+        assert max(log_sizes) < 2_000, log_sizes  # records are O(delta)
+        # the pointer hint is O(record), never an O(files) snapshot
+        assert os.path.getsize(t._pointer) < 4_000
+        # v10 (the CHECKPOINT_INTERVAL boundary) snapshots in full
+        m10 = self._synthetic(10, files[:4991] + ["g10.parquet"])
+        t._publish(m10)
+        assert os.path.getsize(
+            os.path.join(t.root, "_manifest.v10.json")
+        ) > 100_000
+        with open(os.path.join(t.root, "_manifest.v10.json")) as fh:
+            assert "snapshot" in json.load(fh)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        steps=st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["append", "remove", "overwrite", "delta",
+                     "clear_deltas", "meta", "restore_jump"]
+                ),
+                st.integers(0, 9),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_replay_equals_snapshot_across_random_histories(
+        self, tmp_path, steps
+    ):
+        """Equivalence property: for ANY history of manifest edits —
+        appends, removals, overwrites, delta filesets, metadata ops,
+        restore-shaped jumps back to an old state — every version
+        materialized from the commit log equals the exact manifest the
+        writer published (the model keeps each full manifest in
+        memory).  Exercises log records, checkpoint boundaries and the
+        legacy fallback paths together."""
+        import uuid as _uuid
+
+        t = ManifestTable(str(tmp_path / f"hist-{_uuid.uuid4().hex}"))
+        model: dict[int, dict] = {}
+        cur = {"version": 0, "files": [], "deltas": [], "batch_ids": [],
+               "stats": {}, "filemeta": {}}
+        for i, (op, arg) in enumerate(steps):
+            m = json.loads(json.dumps(cur))  # deep copy, JSON-faithful
+            m["version"] = cur["version"] + 1
+            m["batch_ids"] = m["batch_ids"] + [f"s{i}"]
+            if op == "append":
+                nf = f"a{i}.parquet"
+                m["files"] = m["files"] + [nf]
+                m["stats"][nf] = {"k": [arg, arg + 1]}
+                m["filemeta"][nf] = {"bytes": arg, "rows": 1}
+            elif op == "remove" and m["files"]:
+                victim = m["files"][arg % len(m["files"])]
+                m["files"] = [f for f in m["files"] if f != victim]
+                m["stats"].pop(victim, None)
+                m["dml"] = True
+            elif op == "overwrite":
+                m = {
+                    "version": m["version"],
+                    "files": [f"o{i}-{j}.parquet" for j in range(arg + 1)],
+                    "deltas": [],
+                    "batch_ids": m["batch_ids"],
+                    "stats": {},
+                    "filemeta": {},
+                }
+            elif op == "delta":
+                m["deltas"] = m["deltas"] + [[f"d{i}.parquet"]]
+                m["key_columns"] = ["k"]
+            elif op == "clear_deltas":
+                m["deltas"] = []
+                m["reorg"] = True
+            elif op == "meta":
+                m["colstats"] = {"k": {"ndv": arg}}
+            elif op == "restore_jump" and model:
+                target = sorted(model)[arg % len(model)]
+                old = json.loads(json.dumps(model[target]))
+                old["version"] = m["version"]
+                old["batch_ids"] = m["batch_ids"]
+                old["restore_of"] = target
+                m = old
+            t._publish(m)
+            m.pop("committed_at", None)
+            model[m["version"]] = m
+            cur = m
+        for v, expect in model.items():
+            got = t._manifest_at(v)
+            got.pop("committed_at", None)
+            assert got == json.loads(json.dumps(expect)), f"version {v}"
+        # the tip read agrees too
+        tip = t._read_manifest()
+        tip.pop("committed_at", None)
+        assert tip == json.loads(json.dumps(model[max(model)]))
+
+    def test_vacuum_keeps_retained_versions_derivable(self, tmp_path):
+        """Vacuuming mid-segment (between checkpoints) writes a
+        sidecar checkpoint at the new horizon: every retained version
+        still materializes, every removed one raises, and a LATER
+        vacuum can advance the horizon again."""
+        t = ManifestTable(str(tmp_path / "vchain"))
+        for v in range(1, 16):
+            files = [f"f{j}.parquet" for j in range(v)]
+            t._publish(self._synthetic(v, files, {"dml": v > 1 or None}))
+        t.vacuum(keep_versions=3)  # horizon at v13, mid-segment
+        for v in (13, 14, 15):
+            assert t._manifest_at(v)["version"] == v
+        for v in (1, 5, 10, 12):
+            with pytest.raises(ValueError):
+                t._manifest_at(v)
+        assert os.path.exists(t._ckpt_sidecar(13))
+        # keep committing and vacuum again: horizon advances, the old
+        # sidecar goes with it
+        for v in range(16, 22):
+            t._publish(self._synthetic(v, [f"f{j}.parquet" for j in range(v)]))
+        t.vacuum(keep_versions=2)
+        assert not os.path.exists(t._ckpt_sidecar(13))
+        for v in (21, 20):
+            assert t._manifest_at(v)["version"] == v
+        with pytest.raises(ValueError):
+            t._manifest_at(15)
+
+    def test_legacy_full_manifests_upgrade_in_place(
+        self, spark, tmp_path, customers
+    ):
+        """A pre-r16 table (every version file a full manifest, the
+        pointer a full-manifest cache) keeps working: legacy files act
+        as their own checkpoints, new commits append log records."""
+        t = ManifestTable(str(tmp_path / "legacy"))
+        t.commit_overwrite(customers.limit(30), batch_id="s")
+        t.commit_delta(customers.limit(5), ["c_custkey"], batch_id="d")
+        # rewrite history to the LEGACY on-disk format
+        for v in (1, 2):
+            mf = t._manifest_at(v)
+            with open(
+                os.path.join(t.root, f"_manifest.v{v}.json"), "w"
+            ) as fh:
+                json.dump(mf, fh)
+        with open(t._pointer, "w") as fh:
+            json.dump(t._manifest_at(2), fh)
+        # reads, history and new commits all work across the mix
+        t2 = ManifestTable(t.root)
+        assert t2.version() == 2
+        assert t2.read_resolved(spark).count() == 30
+        t2.compact(spark, batch_id="c")  # v3: a NEW-format record
+        with open(os.path.join(t.root, "_manifest.v3.json")) as fh:
+            rec = json.load(fh)
+        assert "actions" in rec or "snapshot" in rec
+        assert t2._manifest_at(1)["files"]  # legacy still materializes
+        kinds = [
+            r["kind"]
+            for r in sorted(
+                t2.history(spark).collect(), key=lambda r: r["version"]
+            )
+        ]
+        assert kinds == ["overwrite", "delta", "reorg"]

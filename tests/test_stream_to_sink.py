@@ -349,12 +349,12 @@ def test_stream_autocompact_bounds_filesets_every_version(spark, sf_dir, tmp_pat
     assert "stream-maint-4" not in applied
 
     # the bound holds across EVERY retained version, not just the tip
-    per_version = {}
-    for f in os.listdir(str(tmp_path / "mtbl")):
-        if f.startswith("_manifest.v") and f.endswith(".json"):
-            with open(str(tmp_path / "mtbl" / f)) as fh:
-                mf = json.load(fh)
-            per_version[mf["version"]] = len(mf.get("deltas", []))
+    # (materialized through the commit log — records store diffs)
+    per_version = {
+        v: len(mf.get("deltas", []))
+        for v, _rec, mf in table._scan_log()
+        if mf is not None
+    }
     assert per_version, "no retained manifest versions found"
     assert max(per_version.values()) <= 2, per_version
     # 5 delta commits + 2 maintenance commits on top of the seed

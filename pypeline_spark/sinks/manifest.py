@@ -54,6 +54,15 @@ class ConstraintViolation(ValueError):
     never see a violating row)."""
 
 
+class StaleBatchReplay(ValueError):
+    """A commit's batch id falls at or below the per-stream high-water
+    mark of ids already EXPIRED from the bounded ledger: whether it was
+    applied can no longer be proven by membership, and its sequence
+    number says it predates retention — applying it could double-write.
+    Rejected loudly (the r15 directive) instead of Delta's documented
+    silent-double-apply hazard past ``setTransaction`` retention."""
+
+
 class CommitConflict(RuntimeError):
     """A concurrent writer published the version this commit was about
     to take.  Raised by :meth:`ManifestTable._publish` when the
@@ -393,6 +402,76 @@ class ManifestTable:
     def applied_batch_ids(self) -> set:
         return set(self._read_manifest()["batch_ids"])
 
+    # -- bounded exactly-once ledger (r16 directive #3) ------------------------
+
+    @staticmethod
+    def _split_batch_id(batch_id: str):
+        """``(stream, seq)`` for a structured id of the form
+        ``"<stream>-<int>"`` (the shape every streaming sink here
+        emits — ``stream-<epoch>``, ``stream-maint-<epoch>``), else
+        None.  The integer suffix is what lets an EXPIRED replay be
+        detected after its id left the ledger — Delta's
+        ``setTransaction (appId, version)`` monotonicity, recovered
+        from the id itself."""
+        head, sep, tail = batch_id.rpartition("-")
+        if sep and head and tail.isdigit():
+            return head, int(tail)
+        return None
+
+    def set_ledger_retention(
+        self, max_entries: Optional[int], batch_id: Optional[str] = None
+    ) -> int:
+        """Bound the exactly-once batch ledger (the Delta
+        ``setTransaction`` retention story): once set, every commit
+        keeps only the newest ``max_entries`` ids — a streaming ingest
+        at one micro-batch a minute no longer grows every manifest by
+        ~500k ids/year.  Expired STRUCTURED ids (``"<stream>-<int>"``,
+        the shape the streaming sinks emit) fold into a per-stream
+        high-water mark (``batch_hwm``, O(streams) forever), so a
+        replay from beyond retention is REJECTED with
+        :class:`StaleBatchReplay` rather than silently double-applied
+        — stronger than Delta, which documents the double-apply
+        hazard past its retention.  Expired unstructured ids are
+        simply forgotten (exactly Delta's documented trade; size the
+        retention above the longest possible replay lag).  Monotonic
+        sequence numbers per stream are the caller's contract, as with
+        ``setTransaction``.  ``None`` clears the bound (the ledger
+        grows unbounded again; the high-water marks remain).  The
+        property rides every subsequent commit and is enforced at the
+        one publish choke point, so no commit kind can miss it."""
+        if max_entries is not None and max_entries < 1:
+            raise ValueError(
+                f"max_entries must be >= 1 or None, got {max_entries}"
+            )
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+            }
+            if max_entries is None:
+                # an explicit None tombstone: absence would be
+                # re-filled by the publish-time carry from the parent
+                new["ledger_retention"] = None
+            else:
+                new["ledger_retention"] = {"max_entries": int(max_entries)}
+            new.pop("reorg", None)
+            new.pop("dml", None)
+            new.pop("cdc_files", None)
+            new.pop("restore_of", None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata"}), "set_ledger_retention"
+        )
+
     def history(self, spark: SparkSession) -> DataFrame:
         """``DESCRIBE HISTORY`` (the Delta shape): one row per retained
         version — commit timestamp, structural kind (the same
@@ -563,13 +642,48 @@ class ManifestTable:
                 parent = self._materialize(manifest["version"] - 1)
             except ValueError:
                 parent = None  # parent vacuumed mid-race
+        # -- bounded exactly-once ledger (r16 directive #3), enforced
+        # at the ONE choke point every commit kind funnels through.
+        # The retention property and the expired-id high-water marks
+        # ride every commit (builders construct manifests explicitly,
+        # so they are carried here, not in each builder).
+        if parent is not None:
+            for k in ("ledger_retention", "batch_hwm"):
+                if k not in manifest and k in parent:
+                    manifest[k] = parent[k]
+        pbids = set(parent.get("batch_ids", [])) if parent else set()
+        appended = [
+            b for b in manifest.get("batch_ids", []) if b not in pbids
+        ]
+        hwm = manifest.get("batch_hwm") or {}
+        for b in appended:
+            s = self._split_batch_id(b)
+            if s is not None and s[0] in hwm and s[1] <= hwm[s[0]]:
+                raise StaleBatchReplay(
+                    f"batch id {b!r} is at or below stream "
+                    f"{s[0]!r}'s expired high-water mark "
+                    f"{hwm[s[0]]}: it left the bounded ledger, so a "
+                    "replay can no longer be distinguished from a new "
+                    "batch — refusing to (possibly double-) apply it"
+                )
+        mx = (manifest.get("ledger_retention") or {}).get("max_entries")
+        if mx and len(manifest.get("batch_ids", [])) > mx:
+            bids = manifest["batch_ids"]
+            new_hwm = dict(hwm)
+            for b in bids[:-mx]:
+                s = self._split_batch_id(b)
+                if s is not None:
+                    new_hwm[s[0]] = max(new_hwm.get(s[0], s[1]), s[1])
+            manifest["batch_ids"] = bids[-mx:]
+            if new_hwm:
+                manifest["batch_hwm"] = new_hwm
         # Commit timestamp (the Delta commit-log timestamp, stamped at
-        # the ONE choke point every commit kind funnels through):
-        # MONOTONE by construction — max(parent's stamp, wall clock) —
-        # so TIMESTAMP AS OF resolution ("latest version <= ts") stays
-        # well-defined under clock skew or a stepped-back clock; ties
-        # resolve to the highest version.  Carried stamps from
-        # ``{**mm}``-style manifest spreads are overwritten here.
+        # the same choke point): MONOTONE by construction —
+        # max(parent's stamp, wall clock) — so TIMESTAMP AS OF
+        # resolution ("latest version <= ts") stays well-defined under
+        # clock skew or a stepped-back clock; ties resolve to the
+        # highest version.  Carried stamps from ``{**mm}``-style
+        # manifest spreads are overwritten here.
         import time as _time
 
         parent_ct = (
@@ -595,10 +709,6 @@ class ManifestTable:
             kind = self._commit_kind(parent, manifest)
         else:
             kind = "unknown"
-        pbids = set(parent.get("batch_ids", [])) if parent else set()
-        appended = [
-            b for b in manifest.get("batch_ids", []) if b not in pbids
-        ]
         summary = {
             "batch_id": appended[0] if len(appended) == 1 else None,
             "n_files": len(manifest.get("files", [])),

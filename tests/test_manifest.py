@@ -6024,3 +6024,123 @@ class TestCommitLog:
             )
         ]
         assert kinds == ["overwrite", "delta", "reorg"]
+
+
+class TestBoundedLedger:
+    """r16 directive #3 — the exactly-once batch ledger is bounded
+    (Delta setTransaction retention): commits keep only the newest
+    ``max_entries`` ids; expired structured ids fold into a per-stream
+    high-water mark so a replay from beyond retention raises
+    StaleBatchReplay instead of double-applying."""
+
+    def test_streaming_ingest_ledger_stays_bounded(
+        self, spark, tmp_path, customers
+    ):
+        from pypeline_spark.sinks.manifest import StaleBatchReplay
+
+        t = ManifestTable(str(tmp_path / "bled"))
+        t.set_ledger_retention(4)
+        n0 = customers.limit(30)
+        t.commit_overwrite(n0, batch_id="seed-0")
+        for i in range(1, 13):  # the micro-batch cadence
+            t.commit_delta(
+                customers.limit(3), ["c_custkey"],
+                batch_id=f"stream-{i}",
+            )
+            assert len(t._read_manifest()["batch_ids"]) <= 4
+        m = t._read_manifest()
+        # inside retention: exact membership, replay is a no-op
+        v = t.version()
+        t.commit_delta(
+            customers.limit(3), ["c_custkey"], batch_id="stream-12"
+        )
+        assert t.version() == v
+        # beyond retention: the structured id is below the stream's
+        # expired high-water mark — rejected loudly, nothing published
+        with pytest.raises(StaleBatchReplay, match="high-water"):
+            t.commit_delta(
+                customers.limit(3), ["c_custkey"], batch_id="stream-2"
+            )
+        assert t.version() == v
+        # the seed's expired id folded into ITS stream's mark too
+        assert m["batch_hwm"]["stream"] >= 8
+        assert m["batch_hwm"]["seed"] == 0
+        # fresh sequence numbers keep flowing
+        t.commit_delta(
+            customers.limit(3), ["c_custkey"], batch_id="stream-13"
+        )
+        assert t.version() == v + 1
+        # content was never double-applied across the whole run
+        assert t.read_resolved(spark).count() == 30
+
+    def test_unstructured_ids_expire_silently(self, spark, tmp_path, customers):
+        """Opaque ids get Delta's documented behavior: membership
+        inside retention, forgotten beyond it (no seq to rule on)."""
+        t = ManifestTable(str(tmp_path / "uled"))
+        t.set_ledger_retention(2)
+        t.commit_overwrite(customers.limit(10), batch_id="alpha")
+        t.commit_delta(customers.limit(2), ["c_custkey"], batch_id="beta")
+        t.commit_delta(customers.limit(2), ["c_custkey"], batch_id="gamma")
+        m = t._read_manifest()
+        assert "alpha" not in m["batch_ids"] and len(m["batch_ids"]) == 2
+        assert "alpha" not in (m.get("batch_hwm") or {})
+
+    def test_clearing_retention_stops_expiry(self, spark, tmp_path, customers):
+        t = ManifestTable(str(tmp_path / "cled"))
+        t.set_ledger_retention(2)
+        t.commit_overwrite(customers.limit(10), batch_id="w-1")
+        t.set_ledger_retention(None)
+        for i in range(2, 7):
+            t.commit_delta(
+                customers.limit(2), ["c_custkey"], batch_id=f"w-{i}"
+            )
+        m = t._read_manifest()
+        assert m.get("ledger_retention") is None
+        # w-1 never expired: retention was cleared while it was still
+        # inside the bound, and nothing truncates afterwards
+        assert [b for b in m["batch_ids"] if b.startswith("w-")] == [
+            f"w-{i}" for i in range(1, 7)
+        ]
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        k=st.integers(1, 4),
+        seqs=st.lists(st.integers(0, 12), min_size=1, max_size=30),
+    )
+    def test_ledger_model_property(self, tmp_path, k, seqs):
+        """Model check across random id sequences (repeats = replays,
+        arbitrary order): a commit with an id still IN the ledger is a
+        no-op; an id at-or-below the expired high-water mark raises;
+        anything else commits — and the ledger never exceeds the
+        retention bound.  Driven through real commits (the
+        set_ledger_retention metadata commit carries a batch id
+        through the same publish choke point as every content
+        commit)."""
+        import uuid as _uuid
+
+        from pypeline_spark.sinks.manifest import StaleBatchReplay
+
+        t = ManifestTable(str(tmp_path / f"led-{_uuid.uuid4().hex}"))
+        ledger: list = []
+        hwm: dict = {}
+        for seq in seqs:
+            bid = f"s-{seq}"
+            before = t.version()
+            if bid in ledger:
+                assert t.set_ledger_retention(k, batch_id=bid) == before
+                assert t.version() == before
+            elif "s" in hwm and seq <= hwm["s"]:
+                with pytest.raises(StaleBatchReplay):
+                    t.set_ledger_retention(k, batch_id=bid)
+                assert t.version() == before
+            else:
+                assert t.set_ledger_retention(k, batch_id=bid) == before + 1
+                ledger.append(bid)
+                for dropped in ledger[:-k]:
+                    dseq = int(dropped.rsplit("-", 1)[1])
+                    hwm["s"] = max(hwm.get("s", dseq), dseq)
+                ledger = ledger[-k:]
+        m = t._read_manifest()
+        assert m["batch_ids"] == ledger
+        assert (m.get("batch_hwm") or {}) == hwm

@@ -39,7 +39,17 @@ Design (and why it scales):
 - ``option("max_files_per_batch", n)`` rate-limits a micro-batch (the
   Delta ``maxFilesPerTrigger`` shape): a consumer catching up a long
   backlog drains it in bounded batches instead of one giant one —
-  state-store pressure and commit latency stay flat while behind.
+  state-store pressure and commit latency stay flat while behind;
+  ``option("max_bytes_per_batch", n)`` is the ``maxBytesPerTrigger``
+  twin — the manifest's ``filemeta`` already records per-file bytes,
+  so the same backlog walk caps on planned BYTES with zero extra I/O
+  (both caps may be set; the tighter one wins per batch);
+- ``option("cursor_sidecar", path)`` persists the committed offset to
+  a tiny sidecar file (put it under the query's checkpoint dir), so
+  the FIRST batch after a restart is rate-limited too — without it,
+  the Python DataSource API hands ``latestOffset()`` no checkpointed
+  offset and the first catch-up batch after downtime is uncapped
+  (the r15-documented trade, now closed on opt-in).
 
 Reference connection: the reference's pipelines poll their extract
 query per run (ref: /root/reference/pypeline/Pype.py:147-148); this
@@ -147,6 +157,27 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"max_files_per_batch must be >= 1, got {self.max_files}"
             )
+        # the maxBytesPerTrigger twin: planned bytes come from the
+        # manifest's filemeta (recorded at write time), so the walk
+        # costs no extra I/O; a file without recorded bytes counts 0
+        # (conservative in admission, never in correctness — the cap
+        # only decides WHERE the batch boundary lands)
+        mbpb = options.get("max_bytes_per_batch")
+        self.max_bytes = None if mbpb is None else int(mbpb)
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError(
+                f"max_bytes_per_batch must be >= 1, got {self.max_bytes}"
+            )
+        # optional offset sidecar (r16 directive #6): when set, the
+        # committed offset is persisted here and latestOffset() reads
+        # it back when the in-memory cursor is None — which happens
+        # exactly once, on the first planning call after a process
+        # restart, the one case where the rate limit used to be
+        # defeated.  Replay safety: Spark re-plans a crashed batch via
+        # partitions(start, end) (which re-anchors the cursor) BEFORE
+        # asking for new offsets, so a sidecar lagging one commit()
+        # behind is never consulted with stale state.
+        self.cursor_sidecar = options.get("cursor_sidecar")
         self._cursor: int | None = None
         self.fields = [f.name for f in schema.fields]
         # column-mapped tables store PHYSICAL names in the files;
@@ -182,36 +213,67 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         self._cursor = self.start
         return {"version": self.start}
 
+    def _restore_cursor(self) -> "int | None":
+        """The rate-limit cursor, restored from the opt-in sidecar
+        when the in-memory one is gone (fresh process after restart —
+        the one case latestOffset otherwise sees no prior offset)."""
+        if self._cursor is None and self.cursor_sidecar:
+            try:
+                import json as _json
+
+                with open(self.cursor_sidecar) as fh:
+                    self._cursor = int(_json.load(fh)["version"])
+            except (OSError, ValueError, KeyError, TypeError):
+                pass  # absent/corrupt sidecar: the documented trade
+        return self._cursor
+
     def latestOffset(self) -> dict:
         from pypeline_spark.sinks.manifest import ManifestTable
 
         t = ManifestTable(self.root)
         tip = t.version()
-        lo = self._cursor
-        if self.max_files is None or lo is None or tip <= lo:
+        lo = self._restore_cursor()
+        uncapped = self.max_files is None and self.max_bytes is None
+        if uncapped or lo is None or tip <= lo:
             return {"version": tip}
         # walk the backlog's manifests accumulating planned file
-        # counts; stop at the last version boundary under the cap
+        # counts AND planned bytes (filemeta, recorded at write time);
+        # stop at the last version boundary under whichever cap binds
+        # first, always admitting at least one version (progress)
         prev = (
             t._manifest_at(lo) if lo > 0 else {"files": [], "deltas": []}
         )
         n = 0
+        b = 0
         end = lo
         for v in range(lo + 1, tip + 1):
             cur = t._manifest_at(v)
             kind = ManifestTable._commit_kind(prev, cur)
             if kind == "delta":
-                add = len(cur.get("deltas", [])[-1])
+                names = cur.get("deltas", [])[-1]
             elif kind == "dml":
-                add = len(cur.get("cdc_files", []))
+                names = cur.get("cdc_files", [])
             else:
-                add = 0  # metadata/reorg/rewrite plan no files here
-            if n + add > self.max_files and end > lo:
-                break  # the cap rounds down to a version boundary
+                names = []  # metadata/reorg/rewrite plan no files here
+            add = len(names)
+            fm = cur.get("filemeta", {})
+            abytes = sum(
+                int((fm.get(f) or {}).get("bytes") or 0) for f in names
+            )
+            over = (
+                self.max_files is not None and n + add > self.max_files
+            ) or (
+                self.max_bytes is not None and b + abytes > self.max_bytes
+            )
+            if over and end > lo:
+                break  # the caps round down to a version boundary
             n += add
+            b += abytes
             end = v
             prev = cur
-            if n >= self.max_files:
+            if (self.max_files is not None and n >= self.max_files) or (
+                self.max_bytes is not None and b >= self.max_bytes
+            ):
                 break
         return {"version": end}
 
@@ -290,8 +352,21 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's streaming checkpoint; remembering the
-        # committed end here only re-anchors the rate-limit cursor
+        # committed end here re-anchors the rate-limit cursor — and the
+        # opt-in sidecar persists it so the cursor survives a restart
+        # (atomic replace: readers see old-or-new, never a torn write)
         self._cursor = end["version"]
+        if self.cursor_sidecar:
+            import json as _json
+            import uuid as _uuid
+
+            d = os.path.dirname(self.cursor_sidecar)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            tmp = f"{self.cursor_sidecar}.{_uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"version": end["version"]}, fh)
+            os.replace(tmp, self.cursor_sidecar)
 
 
 class ManifestChangesDataSource(DataSource):

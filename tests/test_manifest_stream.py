@@ -437,3 +437,266 @@ class TestRateLimitProtocolProperty:
                 f"batch ({lo},{hi}] planned {planned} files over cap "
                 f"{cap} across {len(contributing)} commits"
             )
+
+
+def _feed_bytes(t, v):
+    """Planned (files, bytes) for version v of the feed — the same
+    filemeta the admission walk consults."""
+    m = t._manifest_at(v)
+    prev = t._manifest_at(v - 1)
+    kind = ManifestTable._commit_kind(prev, m)
+    if kind == "delta":
+        names = m["deltas"][-1]
+    elif kind == "dml":
+        names = m.get("cdc_files", [])
+    else:
+        names = []
+    fm = m.get("filemeta", {})
+    return len(names), sum(
+        int((fm.get(f) or {}).get("bytes") or 0) for f in names
+    )
+
+
+def test_bytes_cap_protocol(spark, tmp_path, cust):
+    """max_bytes_per_batch (the Delta maxBytesPerTrigger twin):
+    version-boundary rounding, >=1-version progress on an oversized
+    commit, offsets never regress, every feed file planned exactly
+    once — driven straight through the offset protocol with expected
+    boundaries computed from the SAME filemeta the walk reads."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pypeline_spark.sources.manifest_stream import (
+        ManifestChangesDataSource,
+    )
+
+    k = F.col("c_custkey")
+    root = str(tmp_path / "btbl")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    for i in range(6):
+        t.commit_delta(
+            cust.limit(6 + i).coalesce(1).withColumn(
+                "c_acctbal", F.lit(float(i))
+            ),
+            ["c_custkey"], batch_id=f"d{i}",
+        )  # v2..v7, one file each
+    tip = t.version()
+    per_v = {v: _feed_bytes(t, v) for v in range(2, tip + 1)}
+    # a cap of two average files: admits ~2 versions per batch
+    two_files = sorted(b for _n, b in per_v.values())[0] * 2 + 1
+    opts = {
+        "path": root,
+        "since_version": "1",
+        "max_bytes_per_batch": str(two_files),
+    }
+    ds = ManifestChangesDataSource(opts)
+    reader = ds.streamReader(_parse_datatype_string(ds.schema()))
+    start = reader.initialOffset()
+    batches = []
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        assert end["version"] > start["version"]  # never regress
+        parts = reader.partitions(start, end)
+        batches.append((start["version"], end["version"], len(parts)))
+        reader.commit(end)
+        start = end
+    # contiguous cover of (1, tip], every file exactly once
+    assert batches[0][0] == 1 and batches[-1][1] == tip
+    assert [b[0] for b in batches][1:] == [b[1] for b in batches][:-1]
+    assert sum(n for _l, _h, n in batches) == sum(
+        n for n, _b in per_v.values()
+    )
+    # the byte cap holds unless a single commit alone exceeds it
+    for lo, hi, _n in batches:
+        planned = sum(per_v.get(v, (0, 0))[1] for v in range(lo + 1, hi + 1))
+        contributing = [
+            v for v in range(lo + 1, hi + 1) if per_v.get(v, (0, 0))[0]
+        ]
+        assert planned <= two_files or len(contributing) == 1
+    # >= 2 batches: the cap actually bit
+    assert len(batches) >= 2
+    # progress guarantee: a 1-byte cap still admits one version/batch
+    ds2 = ManifestChangesDataSource(
+        {"path": root, "since_version": "1", "max_bytes_per_batch": "1"}
+    )
+    r2 = ds2.streamReader(_parse_datatype_string(ds2.schema()))
+    start = r2.initialOffset()
+    steps = 0
+    while True:
+        end = r2.latestOffset()
+        if end == start:
+            break
+        assert end["version"] == start["version"] + 1  # one at a time
+        r2.partitions(start, end)
+        r2.commit(end)
+        start = end
+        steps += 1
+    assert steps == tip - 1
+
+
+def test_bytes_cap_end_to_end(spark, tmp_path, cust):
+    """The byte-capped source drains a real streaming query
+    exactly-once, just in more availableNow passes."""
+    k = F.col("c_custkey")
+    root = str(tmp_path / "btbl2")
+    out, ckpt = str(tmp_path / "bout"), str(tmp_path / "bckpt")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    expected = 0
+    for i in range(4):
+        n = 5 + i
+        t.commit_delta(
+            cust.limit(n).coalesce(1).withColumn(
+                "c_acctbal", F.lit(float(i))
+            ),
+            ["c_custkey"], batch_id=f"d{i}",
+        )
+        expected += n
+    register(spark)
+    for _ in range(8):
+        q = (
+            spark.readStream.format("manifest_changes")
+            .option("path", root)
+            .option("since_version", 1)
+            .option("max_bytes_per_batch", 1)  # one commit per pass
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        if got.count() >= expected:
+            break
+    got = spark.read.parquet(out)
+    assert got.count() == expected  # every row exactly once
+    assert got.select("_commit_version").distinct().count() == 4
+
+
+def test_cursor_sidecar_caps_first_batch_after_restart(spark, tmp_path, cust):
+    """r16 directive #6: with cursor_sidecar set, the FIRST
+    latestOffset() of a fresh reader (a process restart: in-memory
+    cursor gone, initialOffset not called) is rate-limited from the
+    persisted cursor — and the continued drain loses/duplicates
+    nothing.  Without the sidecar the first post-restart batch is the
+    old documented uncapped trade."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pypeline_spark.sources.manifest_stream import (
+        ManifestChangesDataSource,
+    )
+
+    k = F.col("c_custkey")
+    root = str(tmp_path / "sctbl")
+    sidecar = str(tmp_path / "ckdir" / "cursor.json")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    for i in range(6):
+        t.commit_delta(
+            cust.limit(4).coalesce(1).withColumn(
+                "c_acctbal", F.lit(float(i))
+            ),
+            ["c_custkey"], batch_id=f"d{i}",
+        )  # v2..v7, one file each
+    opts = {
+        "path": root,
+        "since_version": "1",
+        "max_files_per_batch": "2",
+        "cursor_sidecar": sidecar,
+    }
+    ds = ManifestChangesDataSource(opts)
+    r1 = ds.streamReader(_parse_datatype_string(ds.schema()))
+    start = r1.initialOffset()
+    end = r1.latestOffset()
+    assert end == {"version": 3}  # capped: 2 files
+    n1 = len(r1.partitions(start, end))
+    r1.commit(end)
+    assert os.path.exists(sidecar)
+    # --- process restart: fresh reader, NO initialOffset call -------
+    ds2 = ManifestChangesDataSource(dict(opts))
+    r2 = ds2.streamReader(_parse_datatype_string(ds2.schema()))
+    end2 = r2.latestOffset()
+    assert end2 == {"version": 5}  # capped from the persisted cursor
+    # continued drain from Spark's checkpointed start: no loss, no dup
+    total = n1
+    start = {"version": 3}
+    while True:
+        if start == end2:
+            end2 = r2.latestOffset()
+            if end2 == start:
+                break
+        total += len(r2.partitions(start, end2))
+        r2.commit(end2)
+        start = end2
+    assert total == 6  # six one-file commits, each planned exactly once
+    # control: the SAME restart without a sidecar is uncapped (the
+    # documented pre-r16 trade)
+    ds3 = ManifestChangesDataSource(
+        {k2: v for k2, v in opts.items() if k2 != "cursor_sidecar"}
+    )
+    r3 = ds3.streamReader(_parse_datatype_string(ds3.schema()))
+    assert r3.latestOffset() == {"version": 7}  # straight to the tip
+
+
+def test_cursor_sidecar_end_to_end_restart(spark, tmp_path, cust):
+    """Restarted streaming query (same checkpoint, fresh reader):
+    the catch-up batch respects the cap via the sidecar and the final
+    output is exactly-once."""
+    k = F.col("c_custkey")
+    root = str(tmp_path / "sctbl2")
+    out, ckpt = str(tmp_path / "scout"), str(tmp_path / "scckpt")
+    sidecar = os.path.join(ckpt, "manifest_cursor.json")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    expected = 0
+    for i in range(2):
+        t.commit_delta(
+            cust.limit(3).coalesce(1), ["c_custkey"], batch_id=f"a{i}"
+        )
+        expected += 3
+    register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("manifest_changes")
+            .option("path", root)
+            .option("since_version", 1)
+            .option("max_files_per_batch", 1)
+            .option("cursor_sidecar", sidecar)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(4):  # drain the first backlog
+        run()
+        if spark.read.parquet(out).count() >= expected:
+            break
+    assert spark.read.parquet(out).count() == expected
+    # downtime: a new backlog lands while the query is stopped
+    for i in range(3):
+        t.commit_delta(
+            cust.limit(2).coalesce(1), ["c_custkey"], batch_id=f"b{i}"
+        )
+        expected += 2
+    # restart: the first pass must be CAPPED (one file) thanks to the
+    # sidecar — without it the whole 3-commit backlog would land in
+    # one batch
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == expected - 4  # exactly one capped batch in
+    for _ in range(4):  # drain the rest
+        run()
+        if spark.read.parquet(out).count() >= expected:
+            break
+    got = spark.read.parquet(out)
+    assert got.count() == expected  # no loss, no dup
+    assert got.select("_commit_version").distinct().count() == 5

@@ -476,12 +476,20 @@ class ManifestTable:
         """``DESCRIBE HISTORY`` (the Delta shape): one row per retained
         version — commit timestamp, structural kind (the same
         classification the feed and the OCC matrix rule on), the batch
-        id the commit appended to the exactly-once ledger, and size
-        metadata (file/delta-fileset counts, dv-suppressed rows).
-        Pure metadata: O(retained versions) manifest reads, zero data
-        I/O; vacuumed versions simply don't appear.  The frame is
-        driver-built index metadata, the same bounded class as the
-        bloom/stats jobs."""
+        id the commit appended to the exactly-once ledger, size
+        metadata (file/delta-fileset counts, dv-suppressed rows), and
+        OPERATION METRICS (r16 directive #7 — the Delta
+        ``operationMetrics`` shape): files added/removed (derived from
+        the parent diff at publish), rows written for appends/
+        overwrites (``num_output_rows``, from parquet footers already
+        in filemeta), and typed row counts for DML/MERGE commits
+        (``rows_inserted``/``rows_updated``/``rows_deleted``, from the
+        commit's own CDC fileset).  Metrics are stamped into the
+        commit RECORD at publish, so this stays pure metadata:
+        O(retained versions) record reads, zero data I/O; vacuumed
+        versions simply don't appear; pre-r16 legacy versions report
+        NULL row metrics.  The frame is driver-built index metadata,
+        the same bounded class as the bloom/stats jobs."""
         from pyspark.sql.types import (
             DoubleType,
             LongType,
@@ -500,12 +508,15 @@ class ManifestTable:
                 continue
             with open(os.path.join(self.root, f)) as fh:
                 versions[v] = json.load(fh)
+        def _opt(s, k):
+            return None if s.get(k) is None else int(s[k])
+
         rows = []
         for v in sorted(versions):
             rec = versions[v]
             if "snapshot" in rec or "actions" in rec:
-                # commit record: kind + summary stamped at publish —
-                # nothing to materialize or diff
+                # commit record: kind + summary + operation metrics
+                # stamped at publish — nothing to materialize or diff
                 s = rec.get("summary", {})
                 rows.append(
                     (
@@ -516,6 +527,12 @@ class ManifestTable:
                         int(s.get("n_files", 0)),
                         int(s.get("n_delta_filesets", 0)),
                         int(s.get("dv_rows", 0)),
+                        _opt(s, "files_added"),
+                        _opt(s, "files_removed"),
+                        _opt(s, "num_output_rows"),
+                        _opt(s, "rows_inserted"),
+                        _opt(s, "rows_updated"),
+                        _opt(s, "rows_deleted"),
                     )
                 )
                 continue
@@ -545,15 +562,29 @@ class ManifestTable:
                 if prev is not None and len(bids) == len(prev_bids) + 1
                 else (bids[-1] if v == 1 and bids else None)
             )
+            # legacy full manifests predate metric stamping: derive
+            # the file deltas from the adjacent pair when available
+            pfiles = set(prev.get("files", [])) if prev else None
+            cfiles = cur.get("files", [])
             rows.append(
                 (
                     v,
                     float(cur.get("committed_at", 0.0)),
                     kind,
                     batch_id,
-                    len(cur.get("files", [])),
+                    len(cfiles),
                     len(cur.get("deltas", [])),
                     int(sum((cur.get("dv") or {}).get("rows", {}).values())),
+                    None if pfiles is None else sum(
+                        1 for f in cfiles if f not in pfiles
+                    ),
+                    None if pfiles is None else sum(
+                        1 for f in pfiles if f not in set(cfiles)
+                    ),
+                    None,
+                    None,
+                    None,
+                    None,
                 )
             )
         schema = StructType(
@@ -565,6 +596,12 @@ class ManifestTable:
                 StructField("n_files", LongType(), False),
                 StructField("n_delta_filesets", LongType(), False),
                 StructField("dv_rows", LongType(), False),
+                StructField("files_added", LongType(), True),
+                StructField("files_removed", LongType(), True),
+                StructField("num_output_rows", LongType(), True),
+                StructField("rows_inserted", LongType(), True),
+                StructField("rows_updated", LongType(), True),
+                StructField("rows_deleted", LongType(), True),
             ]
         )
         return spark.createDataFrame(rows, schema)
@@ -709,13 +746,27 @@ class ManifestTable:
             kind = self._commit_kind(parent, manifest)
         else:
             kind = "unknown"
+        # Operation metrics (r16 directive #7 — the Delta DESCRIBE
+        # HISTORY operationMetrics shape): file-level deltas derived
+        # here for free from the parent diff; row-level metrics are
+        # stamped by the writers under the transient "op_metrics" key
+        # (popped into the record — it describes ONE commit and never
+        # rides the materialized manifest, so ``{**mm}``-style spreads
+        # cannot leak it forward).
+        pfiles = set(parent.get("files", [])) if parent else set()
+        cfiles = manifest.get("files", [])
+        cset = set(cfiles)
+        op_metrics = manifest.pop("op_metrics", None) or {}
         summary = {
             "batch_id": appended[0] if len(appended) == 1 else None,
-            "n_files": len(manifest.get("files", [])),
+            "n_files": len(cfiles),
             "n_delta_filesets": len(manifest.get("deltas", [])),
             "dv_rows": int(
                 sum((manifest.get("dv") or {}).get("rows", {}).values())
             ),
+            "files_added": sum(1 for f in cfiles if f not in pfiles),
+            "files_removed": sum(1 for f in pfiles if f not in cset),
+            **op_metrics,
         }
         # Checkpoint vs log record: v1 and every CHECKPOINT_INTERVAL-th
         # version snapshot in full; everything else stores the O(delta)
@@ -2733,6 +2784,11 @@ class ManifestTable:
             "filemeta": filemeta,
             "bloom_cols": bloom,
             "schema": schema,
+            "op_metrics": {
+                "num_output_rows": sum(
+                    v.get("rows") or 0 for v in filemeta.values()
+                )
+            },
             **carry_map,
         }
         if properties is not None:
@@ -3102,6 +3158,34 @@ class ManifestTable:
                     facts.append(("in", m.group(1), vals))
         return facts
 
+    def _cdc_op_metrics(self, spark: SparkSession, cdc_files) -> dict:
+        """Typed row counts of a written CDC fileset — the per-commit
+        operation metrics DESCRIBE HISTORY exposes (r16 directive #7).
+        One metadata-sized job over the already-written (O(changed
+        rows)) CDC files; update rows are counted once (post-image)."""
+        from pyspark.sql import functions as F
+
+        if not cdc_files:
+            return {}
+        tbl = self._collect_index_metadata(
+            spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in cdc_files]
+            )
+            .groupBy(self._CT)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+        )
+        counts = dict(
+            zip(
+                tbl.column(self._CT).to_pylist(),
+                (int(n) for n in tbl.column("__n__").to_pylist()),
+            )
+        )
+        return {
+            "rows_inserted": counts.get("insert", 0),
+            "rows_updated": counts.get("update_postimage", 0),
+            "rows_deleted": counts.get("delete", 0),
+        }
+
     def _dml_candidates(self, m: dict, predicate: str) -> list[str]:
         """Files that MAY hold rows matching ``predicate``, from pure
         manifest metadata (stats envelopes; bloom probes for equality
@@ -3325,6 +3409,14 @@ class ManifestTable:
         files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
         cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
         cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+        # operation metrics from the CDC footers (free: update CDC is
+        # pre+post image pairs, delete CDC is one row per deleted row)
+        cdc_rows = sum(v.get("rows") or 0 for v in cdc_meta.values())
+        op_metrics = (
+            {"rows_updated": cdc_rows // 2}
+            if assignments is not None
+            else {"rows_deleted": cdc_rows}
+        )
 
         def build(mm: dict) -> Optional[dict]:
             if batch_id is not None and batch_id in mm["batch_ids"]:
@@ -3377,6 +3469,7 @@ class ManifestTable:
                 # the CDC fileset is the exact change set
                 "dml": True,
                 "cdc_files": cdc_files,
+                "op_metrics": op_metrics,
                 # ANALYZE profile + NDV sketch ride (provenance-kept;
                 # deletes only ever leave the HLL an upper bound);
                 # rewritten files had their dv physically applied —
@@ -3501,6 +3594,11 @@ class ManifestTable:
         )
         cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
         added = sum(counts.values())
+        op_metrics = (
+            {"rows_updated": added}
+            if assignments is not None
+            else {"rows_deleted": added}
+        )
 
         def build(mm: dict) -> Optional[dict]:
             if batch_id is not None and batch_id in mm["batch_ids"]:
@@ -3546,6 +3644,7 @@ class ManifestTable:
                 "bloom_cols": bloom,
                 "dml": True,
                 "cdc_files": cdc_files,
+                "op_metrics": op_metrics,
                 "dv": {
                     "files": old_dv["files"] + dv_files,
                     "rows": rows,
@@ -4008,6 +4107,7 @@ class ManifestTable:
             return m["version"]
         cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
         cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
+        op_metrics = self._cdc_op_metrics(spark, cdc_files)
 
         def build(mm: dict) -> Optional[dict]:
             if batch_id is not None and batch_id in mm["batch_ids"]:
@@ -4051,6 +4151,7 @@ class ManifestTable:
                 # the CDC fileset is the exact change set
                 "dml": True,
                 "cdc_files": cdc_files,
+                "op_metrics": op_metrics,
                 **self._carry_meta(mm),
                 **self._carry_mapping(mm),
                 **self._carry_dv(mm, carried),
@@ -4301,6 +4402,7 @@ class ManifestTable:
         cdf, _cs, _cb = self._for_write(carry_map, m.get("schema"), cdc, (), ())
         cdc_files, _cstats, cdc_meta = self._write_fileset(cdf)
         added = sum(counts.values())
+        op_metrics = self._cdc_op_metrics(spark, cdc_files)
 
         def build(mm: dict) -> Optional[dict]:
             if batch_id is not None and batch_id in mm["batch_ids"]:
@@ -4346,6 +4448,7 @@ class ManifestTable:
                 "bloom_cols": bloom,
                 "dml": True,
                 "cdc_files": cdc_files,
+                "op_metrics": op_metrics,
                 **self._carry_meta(mm),
                 **self._carry_mapping(mm),
             }
@@ -4531,6 +4634,11 @@ class ManifestTable:
                 "stats": {**mm.get("stats", {}), **stats},
                 "filemeta": {**mm.get("filemeta", {}), **filemeta},
                 "bloom_cols": mm.get("bloom_cols", []),
+                "op_metrics": {
+                    "num_output_rows": sum(
+                        v.get("rows") or 0 for v in filemeta.values()
+                    )
+                },
                 # ANALYZE profile + NDV sketch state ride along (an
                 # overwrite resets both); column-mapping state always
                 # rides, and so do deletion vectors (the append leaves

@@ -6144,3 +6144,84 @@ class TestBoundedLedger:
         m = t._read_manifest()
         assert m["batch_ids"] == ledger
         assert (m.get("batch_hwm") or {}) == hwm
+
+
+class TestHistoryOperationMetrics:
+    """r16 directive #7 — DESCRIBE HISTORY operation metrics (the
+    Delta operationMetrics shape) across a mixed commit history:
+    files added/removed from the publish-time diff, rows written for
+    appends/overwrites, typed row counts for DML/MERGE from each
+    commit's own CDC fileset."""
+
+    def test_per_kind_metrics_across_mixed_history(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "hm"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(k, k * 10, k) for k in range(20)], "k long, a long, b long"
+            ).repartitionByRange(4, "k"),
+            batch_id="seed", stats_cols=["k"],
+        )  # v1: overwrite, 20 rows / 4 files
+        t.update_where(
+            spark, "k >= 15", {"a": "a + 1"}, batch_id="u1"
+        )  # v2: cow UPDATE, 5 rows
+        t.delete_where(
+            spark, "k < 3", batch_id="del1", mode="dv"
+        )  # v3: dv DELETE, 3 rows, zero file writes
+        t.commit_delta(
+            spark.createDataFrame(
+                [(k, 0, 0) for k in range(20, 25)], "k long, a long, b long"
+            ).coalesce(1),
+            ["k"], batch_id="d1",
+        )  # v4: delta append, 5 rows
+        src = spark.createDataFrame(
+            [(5, 100, 0), (6, 100, 0), (7, 0, 1), (30, 300, 0)],
+            "k long, a long, b long",
+        )
+        t.merge_into(
+            spark, src, key_columns=["k"],
+            clauses=[
+                ("delete", "s.b = 1", None),
+                ("update", None, {"a": "s.a"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="m1", mode="dv",
+        )  # v5: dv MERGE — 2 updates, 1 delete, 1 insert
+        t.compact(spark, batch_id="c1", stats_cols=["k"])  # v6: reorg
+        t.evolve_schema("tag string", batch_id="e1")  # v7: metadata
+        h = {r["version"]: r for r in t.history(spark).collect()}
+
+        assert h[1]["kind"] == "overwrite"
+        assert h[1]["files_added"] == 4 and h[1]["files_removed"] == 0
+        assert h[1]["num_output_rows"] == 20
+
+        assert h[2]["kind"] == "dml"
+        assert h[2]["rows_updated"] == 5
+        assert h[2]["rows_inserted"] is None  # cow UPDATE: updates only
+        assert h[2]["files_removed"] >= 1  # the touched files rewrote
+
+        assert h[3]["kind"] == "dml"
+        assert h[3]["rows_deleted"] == 3
+        assert h[3]["files_added"] == 0 and h[3]["files_removed"] == 0
+        assert h[3]["dv_rows"] == 3  # the suppression the read pays
+
+        assert h[4]["kind"] == "delta"
+        assert h[4]["num_output_rows"] == 5
+        assert h[4]["files_added"] == 0  # delta filesets, not base files
+        assert h[4]["n_delta_filesets"] == 1
+
+        assert h[5]["kind"] == "dml"
+        assert h[5]["rows_updated"] == 2
+        assert h[5]["rows_deleted"] == 1
+        assert h[5]["rows_inserted"] == 1
+        assert h[5]["files_removed"] == 0  # dv merge rewrites nothing
+
+        assert h[6]["kind"] == "reorg"
+        assert h[6]["files_removed"] >= 4 and h[6]["files_added"] >= 1
+        assert h[6]["dv_rows"] == 0  # compaction materialized the dv
+
+        assert h[7]["kind"] == "metadata"
+        assert h[7]["files_added"] == 0 and h[7]["files_removed"] == 0
+        # content sanity: the metrics described what actually happened
+        got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
+        assert len(got) == 20 - 3 + 5 - 1 + 1
+        assert got[5] == 100 and got[15] == 151 and got[30] == 300

@@ -6225,3 +6225,21 @@ class TestHistoryOperationMetrics:
         got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
         assert len(got) == 20 - 3 + 5 - 1 + 1
         assert got[5] == 100 and got[15] == 151 and got[30] == 300
+
+    def test_clone_seed_kind_is_clone(self, spark, tmp_path, customers):
+        """ADVICE r15: a shallow clone's seed commit reports kind
+        'clone' in DESCRIBE HISTORY (provenance was hiding as
+        'overwrite'), while an ordinary seed stays 'overwrite'."""
+        src = ManifestTable(str(tmp_path / "csrc"))
+        src.commit_overwrite(customers.limit(15), batch_id="s")
+        clone = src.clone_to(str(tmp_path / "cdst"))
+        hc = {r["version"]: r for r in clone.history(spark).collect()}
+        assert hc[1]["kind"] == "clone"
+        hs = {r["version"]: r for r in src.history(spark).collect()}
+        assert hs[1]["kind"] == "overwrite"
+        # the clone keeps evolving under its own history
+        clone.commit_delta(
+            customers.limit(3), ["c_custkey"], batch_id="d"
+        )
+        hc2 = {r["version"]: r for r in clone.history(spark).collect()}
+        assert hc2[2]["kind"] == "delta"

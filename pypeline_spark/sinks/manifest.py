@@ -94,6 +94,17 @@ class ManifestTable:
                 self._external_roots: list[str] = json.load(fh)["roots"]
         else:
             self._external_roots = []
+        # Per-instance cache of MATERIALIZED manifests keyed by
+        # version (the Delta SnapshotManagement shape): version
+        # records are immutable once linked, so a hit skips the
+        # checkpoint parse + replay entirely.  Each entry is
+        # stat-validated against its record file's (mtime_ns, size) —
+        # an on-disk edit (test fixtures) or a vacuum removal drops
+        # the entry, so behavior is bit-identical to the uncached
+        # path.  CONTRACT: materialized manifests are IMMUTABLE —
+        # every commit path builds a fresh dict; nothing in this
+        # module (audited) mutates one in place.
+        self._mat_cache: dict = {}
         # Test-only deterministic race injection: a zero-arg callable
         # fired ONCE immediately before the next publish attempt (i.e.
         # inside the read-modify-write window), so tests can place a
@@ -255,34 +266,77 @@ class ManifestTable:
         cur.update(actions.get("set", {}))
         return cur
 
+    _MAT_CACHE_MAX = 32
+
+    def _cache_get(self, version: int) -> Optional[dict]:
+        ent = self._mat_cache.get(version)
+        if ent is None:
+            return None
+        try:
+            st = os.stat(
+                os.path.join(self.root, f"_manifest.v{version}.json")
+            )
+        except OSError:
+            self._mat_cache.pop(version, None)
+            return None
+        if (st.st_mtime_ns, st.st_size) != ent[0]:
+            self._mat_cache.pop(version, None)  # record edited on disk
+            return None
+        return ent[1]
+
+    def _cache_put(self, version: int, manifest: dict) -> None:
+        try:
+            st = os.stat(
+                os.path.join(self.root, f"_manifest.v{version}.json")
+            )
+        except OSError:
+            return
+        self._mat_cache[version] = ((st.st_mtime_ns, st.st_size), manifest)
+        while len(self._mat_cache) > self._MAT_CACHE_MAX:
+            self._mat_cache.pop(next(iter(self._mat_cache)))
+
     def _materialize(self, version: int) -> dict:
         """Manifest at ``version``: walk back to the nearest
-        checkpoint (snapshot record, legacy full manifest, or vacuum
-        sidecar), then replay the log records forward — O(interval)
-        small reads + one checkpoint parse."""
+        checkpoint (snapshot record, legacy full manifest, vacuum
+        sidecar, or a cached materialization), then replay the log
+        records forward — O(interval) small reads + one checkpoint
+        parse on a miss, one ``os.stat`` on a hit.  The returned dict
+        may be cached and shared: treat it as IMMUTABLE (every commit
+        path builds fresh dicts — the module-wide contract)."""
         if version == 0:
             return {"version": 0, "files": [], "deltas": [],
                     "batch_ids": [], "stats": {}}
+        hit = self._cache_get(version)
+        if hit is not None:
+            return hit
         pending: list[dict] = []
         v = version
         while True:
-            ck = self._ckpt_sidecar(v)
-            if pending and os.path.exists(ck):
-                # sidecar checkpoints are only consulted mid-walk: for
-                # the requested version itself the record must exist
-                # (it is what makes the version valid/retained)
-                with open(ck) as fh:
-                    base = json.load(fh)
-                break
+            if pending:
+                # mid-walk shortcuts: a cached ancestor or a vacuum
+                # sidecar ends the walk early (for the requested
+                # version itself the record must exist — it is what
+                # makes the version valid/retained)
+                hit = self._cache_get(v)
+                if hit is not None:
+                    base = hit
+                    break
+                ck = self._ckpt_sidecar(v)
+                if os.path.exists(ck):
+                    with open(ck) as fh:
+                        base = json.load(fh)
+                    break
             rec = self._load_record(v)
             snap = self._record_snapshot(rec)
             if snap is not None:
                 base = snap
                 break
-            if not pending and os.path.exists(ck):
-                with open(ck) as fh:
-                    base = json.load(fh)
-                break
+            if not pending:
+                ck = self._ckpt_sidecar(v)
+                if os.path.exists(ck):
+                    with open(ck) as fh:
+                        base = json.load(fh)
+                    break
             pending.append(rec["actions"])
             v -= 1
             if v == 0:
@@ -292,6 +346,7 @@ class ManifestTable:
                 )
         for a in reversed(pending):
             base = self._apply_actions(base, a)
+        self._cache_put(version, base)
         return base
 
     def _read_manifest(self) -> dict:

@@ -6243,3 +6243,55 @@ class TestHistoryOperationMetrics:
         )
         hc2 = {r["version"]: r for r in clone.history(spark).collect()}
         assert hc2[2]["kind"] == "delta"
+
+
+class TestMaterializationCache:
+    """The per-instance version-keyed manifest cache (the Delta
+    SnapshotManagement shape): hits skip the checkpoint parse +
+    replay; stat-validation keeps behavior bit-identical under
+    on-disk edits and vacuum."""
+
+    def test_cache_hit_returns_same_content_and_respects_vacuum(
+        self, tmp_path
+    ):
+        import json as _json
+
+        t = ManifestTable(str(tmp_path / "mc"))
+        files = [f"f{i}.parquet" for i in range(50)]
+        t._publish({"version": 1, "files": files, "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        for v in range(2, 9):
+            m = _json.loads(_json.dumps(t._read_manifest()))
+            m["version"] = v
+            m["files"] = m["files"] + [f"g{v}.parquet"]
+            m["dml"] = True
+            t._publish(m)
+        a = t._manifest_at(5)
+        assert t._cache_get(5) is a  # cached, shared object
+        b = t._manifest_at(5)
+        assert b is a  # the hit path
+        # a second instance materializes independently but equally
+        t2 = ManifestTable(t.root)
+        assert t2._manifest_at(5) == a
+        t.vacuum(keep_versions=2)
+        with pytest.raises(ValueError):
+            t._manifest_at(5)  # the stat validation dropped the entry
+        assert t._read_manifest()["version"] == 8
+
+    def test_cache_honors_on_disk_record_edits(self, tmp_path):
+        """A version record rewritten on disk (test fixtures do this
+        for commit timestamps) must invalidate the cached entry."""
+        import json as _json
+
+        t = ManifestTable(str(tmp_path / "mce"))
+        t._publish({"version": 1, "files": ["a.parquet"], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        assert t._manifest_at(1)["files"] == ["a.parquet"]
+        vfile = os.path.join(t.root, "_manifest.v1.json")
+        with open(vfile) as fh:
+            rec = _json.load(fh)
+        rec["snapshot"]["files"] = ["b.parquet"]
+        with open(vfile, "w") as fh:
+            _json.dump(rec, fh)
+        os.utime(vfile, ns=(1, 1))  # force a distinct stat signature
+        assert t._manifest_at(1)["files"] == ["b.parquet"]

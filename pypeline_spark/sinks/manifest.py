@@ -146,6 +146,13 @@ class ManifestTable:
     #: full-snapshot checkpoint every K commits (v1 is always one)
     CHECKPOINT_INTERVAL = 10
 
+    #: commit-record protocol this build reads and writes (the Delta
+    #: minReaderVersion shape): 1 = pre-r16 full-snapshot manifests
+    #: (implied by the absence of a stamp), 2 = checkpoint/log records.
+    #: A record stamped HIGHER than this fails loudly instead of being
+    #: misparsed by an older build.
+    PROTOCOL_VERSION = 2
+
     @property
     def _pointer(self) -> str:
         return os.path.join(self.root, "_manifest.json")
@@ -169,7 +176,15 @@ class ManifestTable:
         if not os.path.exists(vfile):
             raise ValueError(f"version {version} not found (vacuumed?)")
         with open(vfile) as fh:
-            return json.load(fh)
+            rec = json.load(fh)
+        if int(rec.get("protocol", 1)) > self.PROTOCOL_VERSION:
+            raise ValueError(
+                f"version {version} was written under commit-record "
+                f"protocol {rec['protocol']}; this build reads up to "
+                f"{self.PROTOCOL_VERSION} — upgrade before reading "
+                "this table"
+            )
+        return rec
 
     @classmethod
     def _diff_dict(cls, prev: dict, cur: dict) -> dict:
@@ -841,6 +856,7 @@ class ManifestTable:
                 ckpt = True
         rec = {
             "version": manifest["version"],
+            "protocol": self.PROTOCOL_VERSION,
             "committed_at": manifest["committed_at"],
             "kind": kind,
             "summary": summary,

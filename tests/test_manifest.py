@@ -6295,3 +6295,24 @@ class TestMaterializationCache:
             _json.dump(rec, fh)
         os.utime(vfile, ns=(1, 1))  # force a distinct stat signature
         assert t._manifest_at(1)["files"] == ["b.parquet"]
+
+    def test_future_protocol_record_fails_loudly(self, tmp_path):
+        """A record stamped with a HIGHER protocol than this build
+        reads (the Delta minReaderVersion rule) raises a clear error
+        instead of being misparsed."""
+        import json as _json
+
+        t = ManifestTable(str(tmp_path / "proto"))
+        t._publish({"version": 1, "files": [], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        vfile = os.path.join(t.root, "_manifest.v1.json")
+        with open(vfile) as fh:
+            rec = _json.load(fh)
+        assert rec["protocol"] == ManifestTable.PROTOCOL_VERSION
+        rec["protocol"] = ManifestTable.PROTOCOL_VERSION + 1
+        with open(vfile, "w") as fh:
+            _json.dump(rec, fh)
+        os.utime(vfile, ns=(1, 1))
+        t2 = ManifestTable(t.root)
+        with pytest.raises(ValueError, match="protocol"):
+            t2._manifest_at(1)

@@ -676,6 +676,66 @@ class ManifestTable:
         )
         return spark.createDataFrame(rows, schema)
 
+    def describe_detail(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE DETAIL`` (the Delta shape): ONE row of
+        table-level facts from pure metadata — current version, live
+        base-file count and bytes, outstanding delta filesets and
+        their bytes, dv-suppressed rows, key/bloom/NDV column
+        properties, constraint counts, ledger size and retention, and
+        the commit-record protocol version.  One manifest
+        materialization, zero data I/O."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        m = self._read_manifest()
+        fm = m.get("filemeta", {})
+
+        def _bytes(names) -> int:
+            return int(
+                sum((fm.get(f) or {}).get("bytes") or 0 for f in names)
+            )
+
+        delta_files = [f for fs in m.get("deltas", []) for f in fs]
+        cons = self._constraints(m)
+        ret = m.get("ledger_retention") or {}
+        row = (
+            int(m["version"]),
+            len(m.get("files", [])),
+            _bytes(m.get("files", [])),
+            len(m.get("deltas", [])),
+            _bytes(delta_files),
+            int(sum((m.get("dv") or {}).get("rows", {}).values())),
+            ",".join(m.get("key_columns") or []) or None,
+            ",".join(m.get("bloom_cols") or []) or None,
+            ",".join(m.get("ndv_cols") or []) or None,
+            len(cons["checks"]) + len(cons["not_null"]),
+            len(m.get("batch_ids", [])),
+            int(ret["max_entries"]) if ret.get("max_entries") else None,
+            int(self.PROTOCOL_VERSION),
+        )
+        schema = StructType(
+            [
+                StructField("version", LongType(), False),
+                StructField("num_files", LongType(), False),
+                StructField("size_bytes", LongType(), False),
+                StructField("num_delta_filesets", LongType(), False),
+                StructField("delta_size_bytes", LongType(), False),
+                StructField("dv_rows", LongType(), False),
+                StructField("key_columns", StringType(), True),
+                StructField("bloom_cols", StringType(), True),
+                StructField("ndv_cols", StringType(), True),
+                StructField("num_constraints", LongType(), False),
+                StructField("ledger_size", LongType(), False),
+                StructField("ledger_retention", LongType(), True),
+                StructField("protocol", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([row], schema)
+
     @staticmethod
     def _carry_meta(m: dict) -> dict:
         """Table-level metadata that rides along content-preserving /
@@ -5491,6 +5551,7 @@ class ManifestTable:
         self,
         keep_versions: int = 1,
         retain_seconds: Optional[float] = None,
+        dry_run: bool = False,
     ) -> int:
         """Drop data files referenced only by manifests older than the
         newest ``keep_versions``; returns files removed.  Readers of
@@ -5522,11 +5583,15 @@ class ManifestTable:
         a crash between sidecar and removals just leaves extra
         checkpoints).  Every retained version therefore stays
         derivable with exactly the same removable set as the
-        full-snapshot protocol had."""
+        full-snapshot protocol had.
+
+        ``dry_run=True`` (the Delta ``VACUUM .. DRY RUN`` shape):
+        report how many data files WOULD be removed without removing
+        anything — no pointer heal, no sidecar writes, no deletions."""
         current = max(
             self._read_manifest()["version"], self._max_version_on_disk()
         )
-        if current > 0:
+        if current > 0 and not dry_run:
             try:
                 tip_rec = self._load_record(current)
             except ValueError:
@@ -5577,6 +5642,8 @@ class ManifestTable:
             if prev_v in protected or prev_v not in by_v:
                 continue
             if mf is not None:
+                if dry_run:
+                    continue
                 ck = self._ckpt_sidecar(v)
                 tmpck = f"{ck}.{uuid.uuid4().hex}.tmp"
                 with open(tmpck, "w") as fh:
@@ -5609,15 +5676,20 @@ class ManifestTable:
             if mf is not None:
                 live.update(_files_of(mf))
         removed = 0
+        reaped: set = set()
         for v, rec, mf in log:
             if v in protected:
                 continue
             for data_file in _files_of(mf) if mf is not None else []:
-                if data_file not in live:
+                if data_file not in live and data_file not in reaped:
                     path = os.path.join(self.data_dir, data_file)
                     if os.path.exists(path):
-                        os.remove(path)
+                        if not dry_run:
+                            os.remove(path)
+                        reaped.add(data_file)
                         removed += 1
+            if dry_run:
+                continue
             os.remove(os.path.join(self.root, f"_manifest.v{v}.json"))
             stale_ck = self._ckpt_sidecar(v)
             if os.path.exists(stale_ck):

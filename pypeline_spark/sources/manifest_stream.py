@@ -117,7 +117,22 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
         self.root = options["path"]
-        self.start = int(options.get("since_version", "0"))
+        if "since_timestamp" in options:
+            # the Delta startingTimestamp shape: start AFTER the latest
+            # commit at-or-before ts (its content is the baseline
+            # snapshot; changes stream from the next commit on) —
+            # resolved once at plan time via the monotone commit stamps
+            if "since_version" in options:
+                raise ValueError(
+                    "pass since_version OR since_timestamp, not both"
+                )
+            from pypeline_spark.sinks.manifest import ManifestTable
+
+            self.start = ManifestTable(self.root).version_at_timestamp(
+                float(options["since_timestamp"])
+            )
+        else:
+            self.start = int(options.get("since_version", "0"))
         # 'fail' (default): a content rewrite in range raises, the
         # consumer restarts from a fresh snapshot (the changes()
         # contract).  'skip': the rewrite contributes NO rows and the

@@ -6316,3 +6316,56 @@ class TestMaterializationCache:
         t2 = ManifestTable(t.root)
         with pytest.raises(ValueError, match="protocol"):
             t2._manifest_at(1)
+
+
+class TestVacuumDryRunAndDetail:
+    """VACUUM DRY RUN (report without removing) and DESCRIBE DETAIL
+    (one-row table facts from pure metadata)."""
+
+    def test_vacuum_dry_run_reports_without_removing(
+        self, spark, tmp_path, customers
+    ):
+        t = ManifestTable(str(tmp_path / "vdr"))
+        t.commit_overwrite(customers.limit(50), batch_id="a")
+        t.commit_overwrite(customers.limit(80), batch_id="b")
+        t.commit_overwrite(customers.limit(20), batch_id="c")
+        files_before = sorted(os.listdir(t.data_dir))
+        manifests_before = sorted(
+            f for f in os.listdir(t.root) if f.startswith("_manifest")
+        )
+        would = t.vacuum(keep_versions=1, dry_run=True)
+        assert would > 0
+        # nothing moved: data, records, pointer, no sidecars
+        assert sorted(os.listdir(t.data_dir)) == files_before
+        assert sorted(
+            f for f in os.listdir(t.root) if f.startswith("_manifest")
+        ) == manifests_before
+        assert not any(
+            f.startswith("_ckpt.") for f in os.listdir(t.root)
+        )
+        assert t.read(spark, version=1).count() == 50  # still readable
+        # the real vacuum then removes exactly what the dry run said
+        assert t.vacuum(keep_versions=1) == would
+        with pytest.raises(ValueError):
+            t.read(spark, version=1)
+
+    def test_describe_detail(self, spark, tmp_path, customers):
+        t = ManifestTable(str(tmp_path / "dd"))
+        t.set_ledger_retention(10)
+        t.commit_overwrite(
+            customers.limit(40), batch_id="s",
+            bloom_cols=["c_custkey"], ndv_cols=["c_custkey"],
+        )
+        t.commit_delta(customers.limit(5), ["c_custkey"], batch_id="d")
+        t.add_not_null(spark, ["c_custkey"], batch_id="nn")
+        d = t.describe_detail(spark).collect()[0]
+        m = t._read_manifest()
+        assert d["version"] == t.version()
+        assert d["num_files"] == len(m["files"]) and d["size_bytes"] > 0
+        assert d["num_delta_filesets"] == 1 and d["delta_size_bytes"] > 0
+        assert d["key_columns"] == "c_custkey"
+        assert d["bloom_cols"] == "c_custkey"
+        assert d["num_constraints"] == 1
+        assert d["ledger_size"] == len(m["batch_ids"])
+        assert d["ledger_retention"] == 10
+        assert d["protocol"] == ManifestTable.PROTOCOL_VERSION

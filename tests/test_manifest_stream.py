@@ -700,3 +700,38 @@ def test_cursor_sidecar_end_to_end_restart(spark, tmp_path, cust):
     got = spark.read.parquet(out)
     assert got.count() == expected  # no loss, no dup
     assert got.select("_commit_version").distinct().count() == 5
+
+
+def test_since_timestamp_option(spark, tmp_path, cust):
+    """since_timestamp (the Delta startingTimestamp shape): the stream
+    starts after the latest commit at-or-before ts — resolved via the
+    monotone commit stamps; exclusive with since_version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pypeline_spark.sources.manifest_stream import (
+        ManifestChangesDataSource,
+    )
+
+    k = F.col("c_custkey")
+    root = str(tmp_path / "tstbl")
+    t = ManifestTable(root)
+    t.commit_overwrite(cust.filter(k % 3 != 0), batch_id="seed")  # v1
+    t.commit_delta(
+        cust.limit(4).coalesce(1), ["c_custkey"], batch_id="d1"
+    )  # v2
+    ts_after_v2 = t._manifest_at(2)["committed_at"]
+    t.commit_delta(
+        cust.limit(6).coalesce(1), ["c_custkey"], batch_id="d2"
+    )  # v3
+    opts = {"path": root, "since_timestamp": str(ts_after_v2)}
+    ds = ManifestChangesDataSource(opts)
+    r = ds.streamReader(_parse_datatype_string(ds.schema()))
+    start = r.initialOffset()
+    assert start == {"version": 2}  # v2's content is the baseline
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert end == {"version": 3} and len(parts) == 1  # v3 only
+    with pytest.raises(Exception, match="not both"):
+        ManifestChangesDataSource(
+            {**opts, "since_version": "1"}
+        ).streamReader(_parse_datatype_string(ds.schema()))

@@ -411,6 +411,41 @@ def main(sf_dir: str) -> None:
         dv_t.history(spark).select(
             "version", "kind", "batch_id", "n_files", "dv_rows"
         ).show()
+
+        # -- 23. r16: dv MERGE over outstanding deltas + the commit log -----
+        mor16 = ManifestTable(os.path.join(root, "mor16"))
+        c16 = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        mor16.commit_overwrite(
+            c16, batch_id="seed16", stats_cols=["c_custkey"]
+        )
+        mor16.commit_delta(
+            c16.filter(F.col("c_custkey") % 4 == 1),
+            ["c_custkey"], batch_id="d16",
+        )  # outstanding merge-on-read delta
+        mor16.merge_into(
+            spark,
+            c16.filter(F.col("c_custkey") % 50 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 5.0),
+            key_columns=["c_custkey"],
+            clauses=[("update", None, {"c_acctbal": "s.c_acctbal"})],
+            batch_id="m16", stats_cols=["c_custkey"],
+            prune_col="c_custkey", mode="dv",
+        )
+        m16 = mor16._read_manifest()
+        rec_sz = os.path.getsize(
+            os.path.join(mor16.root, f"_manifest.v{m16['version']}.json")
+        )
+        print("23. dv MERGE over OUTSTANDING deltas (no compact needed): "
+              f"deltas still outstanding={len(m16['deltas'])}, dv rows="
+              f"{sum((m16.get('dv') or {}).get('rows', {}).values())}, "
+              f"and its commit-log record is {rec_sz} bytes (an O(delta) "
+              "action diff, not an O(files) snapshot).")
+        would = mor16.vacuum(keep_versions=1, dry_run=True)
+        print(f"    VACUUM DRY RUN would reap {would} files (nothing "
+              "was touched); DESCRIBE DETAIL:")
+        mor16.describe_detail(spark).show(truncate=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

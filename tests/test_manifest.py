@@ -6369,3 +6369,95 @@ class TestVacuumDryRunAndDetail:
         assert d["ledger_size"] == len(m["batch_ids"])
         assert d["ledger_retention"] == 10
         assert d["protocol"] == ManifestTable.PROTOCOL_VERSION
+
+
+class TestOccDvMergeInterleaving:
+    """OCC posture of the r16 dv MERGE: it REBASES over racing
+    pure-metadata commits (schema/mapping/constraints unchanged), and
+    blind delta appends rebase over IT (kind 'dml'), with commit-order
+    content in both cases."""
+
+    def test_dv_merge_rebases_over_racing_metadata(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "dvmm"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(10)], "k long, a long"
+            ),
+            batch_id="seed", stats_cols=["k"],
+        )
+        b = ManifestTable(t.root)
+        t._race_once = lambda: b.set_ledger_retention(50, batch_id="meta")
+        v = t.merge_into(
+            spark,
+            spark.createDataFrame([(3, 999)], "k long, a long"),
+            key_columns=["k"],
+            clauses=[("update", None, {"a": "s.a"})],
+            batch_id="m", mode="dv",
+        )
+        assert v == 3  # seed + racing metadata + the rebased merge
+        m = t._read_manifest()
+        assert {"seed", "meta", "m"} <= set(m["batch_ids"])
+        assert (m.get("ledger_retention") or {}).get("max_entries") == 50
+        got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
+        assert got[3] == 999 and len(got) == 10
+
+    def test_dv_merge_aborts_on_racing_schema_change(self, spark, tmp_path):
+        from pypeline_spark.sinks.manifest import CommitConflict
+
+        t = ManifestTable(str(tmp_path / "dvms"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(10)], "k long, a long"
+            ),
+            batch_id="seed", stats_cols=["k"],
+        )
+        b = ManifestTable(t.root)
+        t._race_once = lambda: b.evolve_schema("tag string", batch_id="e")
+        with pytest.raises(CommitConflict, match="schema|rebased"):
+            t.merge_into(
+                spark,
+                spark.createDataFrame([(3, 999)], "k long, a long"),
+                key_columns=["k"],
+                clauses=[("update", None, {"a": "s.a"})],
+                batch_id="m", mode="dv",
+            )
+        # the schema change won; the merge never half-applied
+        m = ManifestTable(t.root)._read_manifest()
+        assert "e" in m["batch_ids"] and "m" not in m["batch_ids"]
+        assert not m.get("dv")
+
+    def test_append_rebases_over_racing_dv_merge(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "dvma"))
+        t.commit_overwrite(
+            spark.createDataFrame(
+                [(k, k * 10) for k in range(10)], "k long, a long"
+            ),
+            batch_id="seed", stats_cols=["k"],
+        )
+        b = ManifestTable(t.root)
+
+        def race():
+            b.merge_into(
+                spark,
+                spark.createDataFrame([(2, -1), (20, 200)], "k long, a long"),
+                key_columns=["k"],
+                clauses=[
+                    ("delete", "s.a < 0", None),
+                    ("insert", None, "*"),
+                ],
+                batch_id="m", mode="dv",
+            )
+
+        a = ManifestTable(t.root)
+        a._race_once = race
+        a.commit_delta(
+            spark.createDataFrame([(5, 555), (30, 300)], "k long, a long"),
+            ["k"], batch_id="d",
+        )
+        m = ManifestTable(t.root)._read_manifest()
+        assert {"seed", "m", "d"} <= set(m["batch_ids"])
+        got = {r["k"]: r["a"] for r in t.read_resolved(spark).collect()}
+        # merge applied (k=2 deleted, k=20 inserted), then the append
+        assert 2 not in got and got[20] == 200
+        assert got[5] == 555 and got[30] == 300
+        assert len(got) == 10 - 1 + 1 + 1

@@ -5580,7 +5580,10 @@ class TestMergeIntoModelProperty:
             # dv merge rewrites nothing: base files only ever append,
             # outstanding deltas carry through verbatim
             assert post_m["files"][: len(pre_m["files"])] == pre_m["files"]
-            assert post_m.get("deltas") == pre_m.get("deltas")
+            # an overwrite-seeded manifest has no "deltas" key at all
+            # (None), the merge writes an explicit [] — both mean "no
+            # outstanding deltas"
+            assert (post_m.get("deltas") or []) == (pre_m.get("deltas") or [])
         exp, tallies = self._model(target, source, picks, self._POOL)
         got = {
             r["k"]: {"a": r["a"], "b": r["b"]}

@@ -73,6 +73,17 @@ class CommitConflict(RuntimeError):
     :meth:`ManifestTable._commit_retrying`."""
 
 
+class ProtocolTooNew(RuntimeError):
+    """A commit record is stamped with a protocol version HIGHER than
+    this build reads.  Deliberately NOT a ``ValueError``: the manifest
+    code catches ``ValueError`` in many places to mean "record removed
+    by a racing vacuum — fall back", and a protocol mismatch riding
+    that path would be silently misparsed (served as a manifest, or —
+    worse — treated by vacuum/GC as a nonexistent version whose data
+    files are dead).  Every reader must fail LOUDLY on it (ADVICE
+    r16)."""
+
+
 class ManifestTable:
     """A versioned parquet table committed via an atomic manifest swap."""
 
@@ -178,7 +189,7 @@ class ManifestTable:
         with open(vfile) as fh:
             rec = json.load(fh)
         if int(rec.get("protocol", 1)) > self.PROTOCOL_VERSION:
-            raise ValueError(
+            raise ProtocolTooNew(
                 f"version {version} was written under commit-record "
                 f"protocol {rec['protocol']}; this build reads up to "
                 f"{self.PROTOCOL_VERSION} — upgrade before reading "
@@ -379,6 +390,18 @@ class ManifestTable:
                     # full-manifest pointer cache made it survive
                     base = None
                     rec = p.get("record")
+                    if rec is not None and (
+                        int(rec.get("protocol", 1)) > self.PROTOCOL_VERSION
+                    ):
+                        # the embedded copy carries the record's
+                        # protocol stamp: a newer-build hint must fail
+                        # loudly, not be misparsed (ADVICE r16)
+                        raise ProtocolTooNew(
+                            f"pointer hint embeds a record written "
+                            f"under commit-record protocol "
+                            f"{rec['protocol']}; this build reads up "
+                            f"to {self.PROTOCOL_VERSION}"
+                        )
                     if rec is not None:
                         snap = self._record_snapshot(rec)
                         if snap is not None:
@@ -425,8 +448,18 @@ class ManifestTable:
             )
             if not os.path.exists(nxt):
                 return base
-            with open(nxt) as fh:
-                rec = json.load(fh)
+            # _load_record, not a raw json.load: a record stamped with
+            # a newer protocol must raise ProtocolTooNew here instead
+            # of being misparsed into a manifest (ADVICE r16).  A
+            # racing vacuum between exists() and the read surfaces as
+            # ValueError — the version below it is still the tip we
+            # proved derivable, so serve that.
+            try:
+                rec = self._load_record(base["version"] + 1)
+            except ValueError:
+                if os.path.exists(nxt):
+                    raise  # record present but unparseable: corruption
+                return base
             snap = self._record_snapshot(rec)
             base = (
                 snap if snap is not None
@@ -576,8 +609,16 @@ class ManifestTable:
                 v = int(f[len("_manifest.v"):-len(".json")])
             except ValueError:
                 continue
-            with open(os.path.join(self.root, f)) as fh:
-                versions[v] = json.load(fh)
+            # _load_record so the protocol guard covers DESCRIBE
+            # HISTORY too (ADVICE r16): a future-protocol record
+            # raises ProtocolTooNew instead of being misclassified as
+            # a legacy full manifest.  A racing vacuum removing the
+            # file mid-listing surfaces as ValueError — skip it, the
+            # version is simply no longer retained.
+            try:
+                versions[v] = self._load_record(v)
+            except ValueError:
+                continue
         def _opt(s, k):
             return None if s.get(k) is None else int(s[k])
 
@@ -2808,8 +2849,10 @@ class ManifestTable:
                 v = int(f[len("_manifest.v"):-len(".json")])
             except ValueError:
                 continue
-            with open(os.path.join(self.root, f)) as fh:
-                ct = float(json.load(fh).get("committed_at", 0.0))
+            try:
+                ct = float(self._load_record(v).get("committed_at", 0.0))
+            except ValueError:
+                continue  # removed by a racing vacuum mid-listing
             if earliest is None or ct < earliest:
                 earliest = ct
             if ct <= ts and v > best:
@@ -6070,8 +6113,12 @@ class ManifestTable:
                     v = int(f[len("_manifest.v"):-len(".json")])
                 except ValueError:
                     continue
-                with open(os.path.join(self.root, f)) as fh:
-                    ct = float(json.load(fh).get("committed_at", 0.0))
+                try:
+                    ct = float(
+                        self._load_record(v).get("committed_at", 0.0)
+                    )
+                except ValueError:
+                    continue  # removed by a racing vacuum mid-listing
                 if ct < ts and v > since_version:
                     since_version = v
         elif since_version is None:

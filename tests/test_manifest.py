@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from pypeline_spark.session import load_table
 from pypeline_spark.sinks.keyed import upsert
-from pypeline_spark.sinks.manifest import ManifestTable
+from pypeline_spark.sinks.manifest import ManifestTable, ProtocolTooNew
 
 
 @pytest.fixture()
@@ -6317,8 +6317,92 @@ class TestMaterializationCache:
             _json.dump(rec, fh)
         os.utime(vfile, ns=(1, 1))
         t2 = ManifestTable(t.root)
-        with pytest.raises(ValueError, match="protocol"):
+        with pytest.raises(ProtocolTooNew, match="protocol"):
             t2._manifest_at(1)
+
+    @staticmethod
+    def _stamp_future(t, version):
+        """Rewrite version ``version``'s record with protocol+1."""
+        import json as _json
+
+        vfile = os.path.join(t.root, f"_manifest.v{version}.json")
+        with open(vfile) as fh:
+            rec = _json.load(fh)
+        rec["protocol"] = ManifestTable.PROTOCOL_VERSION + 1
+        with open(vfile, "w") as fh:
+            _json.dump(rec, fh)
+        os.utime(vfile, ns=(1, 1))
+
+    def test_rollforward_rejects_future_protocol_tip(self, tmp_path):
+        """ADVICE r16 (medium): the _read_manifest roll-forward loop
+        must NOT raw-parse a future-protocol record and silently serve
+        its snapshot as the manifest — it must raise loudly."""
+        t = ManifestTable(str(tmp_path / "pr"))
+        t._publish({"version": 1, "files": ["a.parquet"], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        t._publish({"version": 2, "files": ["a.parquet", "b.parquet"],
+                    "deltas": [], "batch_ids": [], "stats": {},
+                    "filemeta": {}})
+        # lag the pointer to v1 so the roll-forward walks v2
+        with open(t._pointer, "w") as fh:
+            json.dump({"hint": True, "version": 1}, fh)
+        self._stamp_future(t, 2)
+        t2 = ManifestTable(t.root)
+        with pytest.raises(ProtocolTooNew, match="protocol"):
+            t2._read_manifest()
+
+    def test_hint_fallback_rejects_future_protocol(self, tmp_path):
+        """The pointer hint's EMBEDDED record copy carries the stamp
+        too: a racing removal must not let a future-protocol embed be
+        misparsed (ADVICE r16 low)."""
+        t = ManifestTable(str(tmp_path / "ph"))
+        t._publish({"version": 1, "files": ["a.parquet"], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        with open(os.path.join(t.root, "_manifest.v1.json")) as fh:
+            rec = json.load(fh)
+        rec["protocol"] = ManifestTable.PROTOCOL_VERSION + 1
+        with open(t._pointer, "w") as fh:
+            json.dump({"hint": True, "version": 1, "record": rec}, fh)
+        os.remove(os.path.join(t.root, "_manifest.v1.json"))
+        t2 = ManifestTable(t.root)
+        with pytest.raises(ProtocolTooNew, match="protocol"):
+            t2._read_manifest()
+
+    def test_history_rejects_future_protocol(self, spark, tmp_path):
+        """ADVICE r16 (low): DESCRIBE HISTORY must fail loudly on a
+        future-protocol record instead of misreporting it (or
+        misclassifying it as a legacy full manifest)."""
+        t = ManifestTable(str(tmp_path / "phh"))
+        t._publish({"version": 1, "files": [], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        t._publish({"version": 2, "files": [], "deltas": [],
+                    "batch_ids": [], "stats": {}, "filemeta": {}})
+        self._stamp_future(t, 2)
+        t2 = ManifestTable(t.root)
+        with pytest.raises(ProtocolTooNew, match="protocol"):
+            t2.history(spark)
+
+    def test_vacuum_gc_abort_on_future_protocol(
+        self, spark, tmp_path, customers
+    ):
+        """ADVICE r16 (medium): _scan_log's removed-mid-listing skip
+        must NOT swallow a protocol mismatch — vacuum and gc_orphans
+        on a table containing a newer-protocol commit abort loudly
+        (the alternative silently excludes that version's data files
+        from the live set and can DELETE files a live newer-protocol
+        version references)."""
+        t = ManifestTable(str(tmp_path / "pvg"))
+        t.commit_overwrite(customers.limit(20), batch_id="a")
+        t.commit_overwrite(customers.limit(30), batch_id="b")
+        self._stamp_future(t, 2)
+        t2 = ManifestTable(t.root)
+        data_before = sorted(os.listdir(t.data_dir))
+        with pytest.raises(ProtocolTooNew, match="protocol"):
+            t2.gc_orphans(min_age_seconds=0.0)
+        with pytest.raises(ProtocolTooNew, match="protocol"):
+            t2.vacuum(keep_versions=1)
+        # nothing was deleted before the abort
+        assert sorted(os.listdir(t.data_dir)) == data_before
 
 
 class TestVacuumDryRunAndDetail:

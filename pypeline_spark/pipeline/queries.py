@@ -209,3 +209,191 @@ def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = Pypeline(spark, config)
     pipeline.run("corpus_ingest")
     return pipeline.catalog.get("corpus")
+
+
+_LAKEHOUSE_CONFIG = {
+    "pypes": {
+        "sync_orders": {
+            "extract_query": (
+                "SELECT o_custkey AS c_custkey, "
+                "CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS c_acctbal, "
+                "'FROMORD' AS c_mktsegment "
+                "FROM orders WHERE o_custkey <= {max_key} GROUP BY o_custkey"
+            ),
+            "target_table": "accounts",
+            "type": "lakehouse",
+            "lakehouse_op": "upsert",
+            "key_columns": ["c_custkey"],
+            "fields_excluded_from_update": ["c_mktsegment"],
+            "batch_id": "orders-{seq}",
+        },
+        "flag_whales": {
+            # inter-step dataflow: reads the RESOLVED view step 1
+            # registered (the reference's dataflow-through-target,
+            # Pype.py:36), matched-only merge back onto the table
+            "extract_query": (
+                "SELECT c_custkey, 'WHALE' AS c_mktsegment "
+                "FROM accounts WHERE c_acctbal > 100000"
+            ),
+            "target_table": "accounts",
+            "type": "lakehouse",
+            "lakehouse_op": "update",
+            "key_columns": ["c_custkey"],
+            "batch_id": "whales-{seq}",
+        },
+        "purge_ninths": {
+            "extract_query": (
+                "SELECT c_custkey FROM accounts WHERE c_custkey % 9 = 0"
+            ),
+            "target_table": "accounts",
+            "type": "lakehouse",
+            "lakehouse_op": "delete",
+            "identifier": "c_custkey",
+            "batch_id": "purge-{seq}",
+        },
+    },
+    "pypelines": {"account_lakehouse": ["sync_orders", "flag_whales", "purge_ninths"]},
+}
+
+
+@query(
+    "q_pipeline_lakehouse",
+    # Replays the three steps as set algebra; the three structural
+    # proofs are pinned TRUE: the pre-pipeline base file list survives
+    # as a prefix across ALL THREE steps (every write ran in
+    # deletion-vector mode — nothing rewritten), the outstanding
+    # merge-on-read delta fileset carries through verbatim, and a
+    # SECOND run of the whole pipeline with the same batch ids is a
+    # version-level no-op (the exactly-once ledger absorbing a
+    # restart-driven replay through the YAML surface).
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 2 = 1
+    ),
+    src AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS spend
+        FROM orders WHERE o_custkey <= 800 GROUP BY o_custkey
+    ),
+    after_upsert AS (
+        SELECT t.c_custkey,
+               CASE WHEN s.k IS NOT NULL THEN s.spend
+                    ELSE t.c_acctbal END AS c_acctbal,
+               t.c_mktsegment
+        FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+        UNION ALL
+        SELECT s.k, s.spend, 'FROMORD' FROM src s
+        WHERE s.k NOT IN (SELECT c_custkey FROM tgt)
+    ),
+    after_update AS (
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN c_acctbal > 100000 THEN 'WHALE'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM after_upsert
+    ),
+    final AS (SELECT * FROM after_update WHERE c_custkey % 9 <> 0)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           TRUE AS files_intact,
+           TRUE AS deltas_kept,
+           TRUE AS replay_noop
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def q_pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML pipeline landing on the ACID lakehouse tier (r17
+    directive #2): three ``type: lakehouse`` steps — a keyed upsert
+    (MERGE with WHEN MATCHED UPDATE honouring
+    ``fields_excluded_from_update`` + WHEN NOT MATCHED INSERT), a
+    matched-only update merge reading the resolved view the previous
+    step registered, and a keyed delete merge — against a
+    ManifestTable that enters the pipeline MESSY: prior deletion
+    vectors AND outstanding merge-on-read deltas (the state the
+    copy-on-write forms refuse).  Every step auto-selects
+    ``mode='dv'``, so the pipeline never forces the mid-ingest
+    compact a 100 TB streaming table can't afford; each step's
+    hydrated ``batch_id`` lands in the bounded exactly-once ledger,
+    and the whole pipeline is RE-RUN with the same ids to prove the
+    replay is a version-level no-op (``replay_noop``).
+
+    Scale: write cost of every step is O(changed rows) however the
+    matches scatter (deletion vectors, no base rewrites —
+    ``files_intact``); the extract/merge joins shuffle on the table
+    key only; reads pay a broadcast anti-join until the next
+    scheduled OPTIMIZE."""
+    import shutil
+    import tempfile
+
+    from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
+    from pypeline_spark.sinks.manifest import ManifestTable
+
+    register_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from pypeline_spark.session import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    scratch = tempfile.mkdtemp(prefix="pipelh_")
+    try:
+        cat = LakehouseCatalog(scratch)
+        t = cat.table("accounts")
+        # the table enters the pipeline messy: v1 all customers,
+        # v2 dv-deletes the even slice (zero rewrites), v3 an
+        # outstanding delta re-upserting IDENTICAL rows (keys with
+        # two stored images that resolution folds — content unchanged)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )
+        t.delete_where(
+            spark, "c_custkey % 2 = 0", batch_id="trim", mode="dv"
+        )
+        t.commit_delta(
+            c.filter(
+                (F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") % 5 == 2)
+            ),
+            ["c_custkey"],
+            batch_id="reup",
+            stats_cols=["c_custkey"],
+        )
+        m0 = t._read_manifest()
+        config = PipelineConfig.from_dict(_LAKEHOUSE_CONFIG)
+        pipeline = Pypeline(
+            spark, config, placeholders={"max_key": 800, "seq": 1},
+            lakehouse=cat,
+        )
+        pipeline.run("account_lakehouse")
+        v_first = t.version()
+        m1 = t._read_manifest()
+        files_intact = m1["files"][: len(m0["files"])] == m0["files"]
+        deltas_kept = m1.get("deltas") == m0.get("deltas")
+        # restart replay: the SAME pipeline again, same batch ids —
+        # every step must be a ledger no-op
+        pipeline.run("account_lakehouse")
+        replay_noop = t.version() == v_first
+        out = (
+            t.read(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                "c_mktsegment",
+                "n_rows",
+                "sum_cents",
+                F.lit(bool(files_intact)).alias("files_intact"),
+                F.lit(bool(deltas_kept)).alias("deltas_kept"),
+                F.lit(bool(replay_noop)).alias("replay_noop"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

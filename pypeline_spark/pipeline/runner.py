@@ -77,12 +77,16 @@ class Pypeline:
         catalog: Optional[MemoryCatalog] = None,
         placeholders: Optional[Mapping[str, object]] = None,
         debug: bool = False,
+        lakehouse=None,
     ) -> None:
         self.spark = spark
         self.config = config
         self.catalog = catalog if catalog is not None else MemoryCatalog()
         self.placeholders = dict(placeholders or {})
         self.debug = debug
+        # LakehouseCatalog for `type: lakehouse` steps (the ACID tier);
+        # None until a pipeline actually uses one.
+        self.lakehouse = lakehouse
 
     def run(
         self, name: str, placeholders: Optional[Mapping[str, object]] = None
@@ -99,15 +103,21 @@ class Pypeline:
     def _run_step(self, spec: PypeSpec, ph: Mapping[str, object]) -> StepMetrics:
         m = StepMetrics(name=spec.name)
 
-        # extract (N1/N9): hydrate then spark.sql
+        # extract (N1/N9): hydrate then spark.sql.  The lakehouse
+        # UPDATE/DELETE .. WHERE forms consume no extract (the
+        # predicate runs against the target) — spec validation only
+        # admits an empty extract_query for those.
         t0 = time.time()
-        sql = hydrate_query(spec.extract_query, ph)
-        df = self.spark.sql(sql)
+        if spec.extract_query:
+            sql = hydrate_query(spec.extract_query, ph)
+            df = self.spark.sql(sql)
+        else:
+            df = None
         m.extract_secs = time.time() - t0
 
         # transform chain (N3/N4)
         t0 = time.time()
-        if spec.transformers:
+        if spec.transformers and df is not None:
             chain = load_transformers(spec.transformers)
             df = apply_transform_chain(df, chain, spec.transformer_schema)
         m.transform_secs = time.time() - t0
@@ -117,8 +127,27 @@ class Pypeline:
         # Observation-API metrics were tried and rejected: the catalog's
         # localCheckpoint severs the plan before any SQL action covers
         # the CollectMetrics node, so the metric silently reads 0.
-        if self.debug or spec.debug:
+        if (self.debug or spec.debug) and df is not None:
             m.rows_in = df.count()
+
+        # lakehouse sink (r17): the same YAML surface over
+        # ManifestTable MERGE/DML with the exactly-once batch ledger —
+        # post_query then runs over the RESOLVED view.
+        if spec.type == "lakehouse":
+            from pypeline_spark.pipeline.lakehouse import run_lakehouse_step
+
+            if self.lakehouse is None:
+                raise ValueError(
+                    f"pype {spec.name!r} is a lakehouse step but the "
+                    "Pypeline was built without a LakehouseCatalog "
+                    "(pass lakehouse=LakehouseCatalog(base_dir))"
+                )
+            t0 = time.time()
+            run_lakehouse_step(self.spark, self.lakehouse, spec, df, ph)
+            resolved = self.lakehouse.get(self.spark, spec.target_table)
+            resolved.createOrReplaceTempView(spec.target_table)
+            m.load_secs = time.time() - t0
+            return self._finish_step(spec, ph, m, target=resolved)
 
         # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92).
         # Merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) get
@@ -239,7 +268,11 @@ class Pypeline:
         return self._finish_step(spec, ph, m)
 
     def _finish_step(
-        self, spec: PypeSpec, ph: Mapping[str, object], m: StepMetrics
+        self,
+        spec: PypeSpec,
+        ph: Mapping[str, object],
+        m: StepMetrics,
+        target: Optional[DataFrame] = None,
     ) -> StepMetrics:
         # post hook (N10; ref: Pype.py:164-167)
         if spec.post_query:
@@ -247,7 +280,9 @@ class Pypeline:
             self.spark.sql(post)
 
         if self.debug or spec.debug:
-            m.rows_out = self.catalog.get(spec.target_table).count()
+            if target is None:
+                target = self.catalog.get(spec.target_table)
+            m.rows_out = target.count()
             m.rss_mb = _rss_mb()
             log.info(
                 "pype %s: rows_in=%d rows=%d extract=%.2fs transform=%.2fs "

@@ -17,8 +17,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional, Sequence
 
-VALID_TYPES = ("upsert", "update", "delete", "overwrite", "append", "cdc", "dedup")
+VALID_TYPES = (
+    "upsert", "update", "delete", "overwrite", "append", "cdc", "dedup",
+    "lakehouse",
+)
 VALID_DEDUP_METHODS = ("exact", "minhash")
+VALID_LAKEHOUSE_OPS = ("upsert", "update", "delete")
 
 
 class SpecError(ValueError):
@@ -56,9 +60,24 @@ class PypeSpec:
     op_column: str = "op"  # cdc: 'upsert' | 'delete' per log row
     dedup_method: str = "exact"  # dedup: 'exact' | 'minhash'
     text_column: str = "text"  # dedup: content column fingerprinted
+    # lakehouse: which ManifestTable op the step dispatches to
+    lakehouse_op: str = "upsert"
+    # lakehouse: ledger batch-id template ({name} placeholders hydrate
+    # with the run's placeholder map — same surface as extract_query)
+    batch_id: Optional[str] = None
+    # lakehouse update/delete: SQL predicate over the TARGET columns
+    # (the UPDATE/DELETE .. WHERE forms, which consume no extract)
+    where: Optional[str] = None
+    # lakehouse update+where: column -> SQL expression assignments
+    assignments: Optional[dict] = None
 
     def __post_init__(self) -> None:
-        if not self.extract_query:
+        lakehouse_predicate_op = (
+            self.type == "lakehouse"
+            and self.lakehouse_op in ("update", "delete")
+            and self.where is not None
+        )
+        if not self.extract_query and not lakehouse_predicate_op:
             raise SpecError(f"pype {self.name!r}: extract_query is required")
         if not self.target_table:
             raise SpecError(f"pype {self.name!r}: target_table is required")
@@ -82,6 +101,46 @@ class PypeSpec:
                 )
             if not self.text_column:
                 raise SpecError(f"pype {self.name!r}: dedup requires text_column")
+        if self.type == "lakehouse":
+            if self.lakehouse_op not in VALID_LAKEHOUSE_OPS:
+                raise SpecError(
+                    f"pype {self.name!r}: lakehouse_op "
+                    f"{self.lakehouse_op!r} not in {VALID_LAKEHOUSE_OPS}"
+                )
+            if self.lakehouse_op == "upsert" and not self.key_columns:
+                raise SpecError(
+                    f"pype {self.name!r}: lakehouse upsert requires key_columns"
+                )
+            if self.lakehouse_op == "update":
+                if self.where is not None and not self.assignments:
+                    raise SpecError(
+                        f"pype {self.name!r}: lakehouse update with "
+                        "'where' requires 'assignments'"
+                    )
+                if self.where is None and not self.key_columns:
+                    raise SpecError(
+                        f"pype {self.name!r}: lakehouse update requires "
+                        "key_columns (or 'where' + 'assignments')"
+                    )
+            if (
+                self.lakehouse_op == "delete"
+                and self.where is None
+                and not self.identifier
+            ):
+                raise SpecError(
+                    f"pype {self.name!r}: lakehouse delete requires "
+                    "identifier (or 'where')"
+                )
+        elif (
+            self.where is not None
+            or self.assignments is not None
+            or self.batch_id is not None
+        ):
+            raise SpecError(
+                f"pype {self.name!r}: 'where'/'assignments'/'batch_id' "
+                "only apply to type 'lakehouse' (other sinks have no "
+                "exactly-once ledger to key)"
+            )
 
 
 @dataclass

@@ -629,6 +629,128 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(verified, d.select("doc_id"))
 
 
+def dedup_representatives(
+    scored: DataFrame, clusters: DataFrame, id_col: str = "doc_id",
+    score_col: str = "__score",
+) -> DataFrame:
+    """Keep-BEST-per-cluster selection (r17 directive #5): the
+    representative of each near-dup cluster is the member with the
+    highest score (quality, LM perplexity rank, recency — the
+    caller's column), ties broken by smallest id so the choice is
+    deterministic.  This is the policy production corpus pipelines
+    actually want — min-id keep-one discards a well-formed page in
+    favour of its boilerplate-ridden twin whenever the twin's id
+    sorts lower.
+
+    ``scored`` is (id, score); ``clusters`` is the
+    :func:`near_dup_clusters` output (id, cluster_id).  Returns one
+    row per cluster: (cluster_id, rep_id, n_members, rep_score).
+
+    Scale: one join keyed by id, then a groupBy keyed by cluster_id —
+    ``max_by(id, struct(score, -id))`` aggregates with a map-side
+    partial (no window, no per-cluster sort), so the selection is two
+    shuffles linear in the corpus however the cluster sizes skew."""
+    j = clusters.join(scored, id_col)
+    return j.groupBy("cluster_id").agg(
+        F.expr(
+            f"max_by({id_col}, struct({score_col}, -{id_col}))"
+        ).cast("bigint").alias("rep_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max(score_col).alias("rep_score"),
+    )
+
+
+@query(
+    "q_dedup_representative",
+    # The SAME recursive-CTE closure as q_dedup_clusters, then a
+    # first-principles arg-max replay: per cluster the rep is the
+    # highest-quality member (q_quality_score's exact formula), ties
+    # to the smallest doc_id; singleton clusters are dropped (no
+    # dedup decision to make).
+    oracle=_SQL_SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + _SQL_MINHASH_BODY
+    + ", verified AS ("
+    + _SQL_MINHASH_PAIRS_SELECT
+    + r"""
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    clusters AS (
+        SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               COALESCE(ROUND(
+                   LEAST(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0) * 0.5
+                   + LEAST(1.0, len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> list_contains(
+                             ['the','a','an','and','or','of','to','in','is','it'],
+                             lower(w)))) * 5.0
+                     / len(string_split_regex(trim(text), '\s+'))) * 0.5,
+                   4), -1.0) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS rep_quality
+    FROM ranked GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative dedup with KEEP-BEST selection: MinHash-
+    LSH verified pairs -> connected components -> per cluster keep the
+    member with the highest heuristic quality score (ties to the
+    smallest doc_id) instead of blindly keeping min-id.  Output is one
+    row per multi-member cluster with its chosen representative —
+    the decision table a corpus pipeline joins back to select
+    survivors.
+
+    Scale: inherits the banded LSH shape (no all-pairs); the
+    selection itself adds one id-keyed join plus one cluster-keyed
+    groupBy with map-side partial aggregation — no windows, no skew
+    sensitivity to giant clusters."""
+    from pypeline_spark.functions.text import quality_expr, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
+    sigs = minhash_signature(d, arrs=arrs)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    verified = jaccard_from_arrays(pairs, arrs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    clusters = near_dup_clusters(verified, d.select("doc_id"))
+    scored = d.select(
+        "doc_id",
+        F.coalesce(quality_expr(tokens(F.col("text"))), F.lit(-1.0)).alias(
+            "__score"
+        ),
+    )
+    reps = dedup_representatives(scored, clusters)
+    return reps.filter(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "rep_id",
+        "n_members",
+        F.col("rep_score").alias("rep_quality"),
+    )
+
+
 INCR_SPLIT = 300  # fixture split: doc_id < 300 = standing corpus, rest = new batch
 
 

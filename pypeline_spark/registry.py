@@ -62,108 +62,107 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-16 window is the staleness rotation the r15 verdict
-# directed (directive #1): (a) the 11 deferred r10 queries — stale at
-# r17, must re-cert THIS round, NON-NEGOTIABLE per the verdict;
-# (b) 38 of the 50-query r11 cohort (alphabetical head), deferring a
-# 12-name tail to r17 (r11 certs are admissible through r17, so the
-# tail keeps one window of float — the verdict allows displacing one
-# r11 name for a new first-cert, exactly as r15 displaced two r10
-# names); and (c) ONE first-certification slot for the operator added
-# this round: the deletion-vector MERGE `q_merge_into_dv`
-# (directive #4 — "Done = q_merge_into_dv cert (window slot)").  The
-# incremental commit log (directive #2), the bounded batch ledger
-# (#3), bytes-based stream admission (#5), the restart-capped first
-# batch (#6) and history metrics (#7) are certified by their pytest
-# batteries per the verdict's Done criteria and take no window slots.
+# The round-17 window is the staleness rotation the r16 verdict
+# directed (directive #1): (a) the 12-name r11 tail — stale at r18,
+# must re-cert THIS round, NON-NEGOTIABLE per the verdict; (b) 36 of
+# the 50-query r12 cohort (alphabetical head, re-derived from
+# CORRECTNESS_r01..r16 before pinning), deferring the 14-name r12
+# tail (q_sample_weighted .. q_winsorize) to the r18 window inside
+# its float (r12 certs are admissible through r18); and (c) TWO
+# first-certification slots for the operators added this round, as
+# the verdict allows ("a new first-cert may displace r12 head names
+# into the r18 tail"): the lakehouse pipeline step's
+# `q_pipeline_lakehouse` (directive #2) and the keep-best cluster
+# representative `q_dedup_representative` (directive #5).  The
+# ProtocolTooNew hardening (ADVICE), columnar checkpoints (#3),
+# vectorized prune planning (#4), generated columns (#6) and row
+# tracking (#7) are certified by pytest batteries / probes per the
+# verdict's Done criteria and take no window slots.
 #
-# Cumulative driver record after round 15: 260 of 260 registered
+# Cumulative driver record after round 16: 261 of 261 registered
 # queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram re-derived from CORRECTNESS_r01..r15 before
-# pinning: 11@r10 / 50@r11 / 50@r12 / 49@r13 / 50@r14 / 50@r15 — the
-# derivation matched the r15-planned r10/r11 lists name for name.
+# latest-cert histogram re-derived from CORRECTNESS_r01..r16 before
+# pinning: 12@r11 / 50@r12 / 49@r13 / 50@r14 / 50@r15 / 50@r16 — the
+# derivation matched the r16-planned r11 tail name for name.
 # All 50 below pre-verified strict-canon green at sf0.01
 # (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
 #
-# Rotation runway (registry 261 after the r16 addition; an rN cert
+# Rotation runway (registry 263 after the r17 additions; an rN cert
 # is admissible until the newest record reaches N+6, so every cohort
 # may drain across two windows):
-#   r16 window = 11 r10 + 38 r11 head + 1 new first-cert  (this one —
-#                q_sales_opportunity moved to the r17 tail to make
-#                room for q_merge_into_dv; r11 certs stay admissible
-#                through r17)
-#   r17 window = the 12-name r11 tail (q_sales_opportunity
-#                q_semantic_dedup q_sessionize_sql
-#                q_shipmode_priority q_small_qty_revenue
-#                q_span_dup_share q_supplier_part_counts
-#                q_top_supplier q_url_extract q_value_concentration
-#                q_variant_props q_waiting_orders — stale at r18,
-#                must re-cert at r17, NON-NEGOTIABLE) + 38 r12 head
-#                (alphabetical, re-derive from CORRECTNESS_r01..r16
-#                before pinning) with the last r12 names deferring to
-#                the r18 tail; and so on, one cohort per round with a
-#                tail riding its float window.
+#   r17 window = 12 r11 tail + 36 r12 head + 2 new first-certs (this
+#                one; the r12 tail q_sample_weighted q_schema_drift
+#                q_session_rollup q_shard_balance q_span_dedup
+#                q_stream_autocompact q_time_travel_diff
+#                q_time_weighted_avg q_token_entropy q_top_terms
+#                q_train_val_split q_union_evolve q_weekday_profile
+#                q_winsorize stays admissible through r18)
+#   r18 window = the 14-name r12 tail (stale at r19, NON-NEGOTIABLE)
+#                + ~36 of the r13 cohort (alphabetical head,
+#                re-derive from CORRECTNESS_r01..r17 before pinning)
+#                with the r13 tail deferring to r19; and so on, one
+#                cohort per round with a tail riding its float.
 # Steady state re-certifies every query at most 6 rounds apart,
-# inside the guard's >MAX_CERT_AGE_ROUNDS bound (261 queries / 50
-# slots — ceil(261/6) = 44 needed, 6 slack per window).
+# inside the guard's >MAX_CERT_AGE_ROUNDS bound (263 queries / 50
+# slots — ceil(263/6) = 44 needed, 6 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # -- the 11 deferred r10 names (stale at r17: re-cert NOW) --------
-    "q_regional_revenue",
-    "q_returned_items",
-    "q_rfm",
-    "q_rolling_dau",
-    "q_shipping_priority",
-    "q_stream_enrich",
-    "q_string_agg",
-    "q_time_rollup",
-    "q_train_shards",
-    "q_unpivot",
-    "q_vocab_stats",
-    # -- 38 of the r11 cohort (alphabetical head) ---------------------
-    "q_ab_test",
-    "q_anomaly_zscore",
-    "q_approx_distinct",
-    "q_attribution",
-    "q_audio_energy",
-    "q_batch_inference",
-    "q_benford",
-    "q_bfs_hops",
-    "q_bigram_lm",
-    "q_bm25",
-    "q_boilerplate",
-    "q_bpe_apply",
-    "q_cluster_sizes",
-    "q_cms_users",
-    "q_containment",
-    "q_coverage_topk",
-    "q_delete_keys",
-    "q_disjunctive_pred",
-    "q_domain_cap",
-    "q_dp_counts",
-    "q_embedding_centroids",
-    "q_excess_suppliers",
-    "q_gopher_rules",
-    "q_hll_rollup",
-    "q_key_skew",
-    "q_large_orders",
-    "q_manifest_optimize_zorder",
-    "q_min_cost_supplier",
-    "q_nation_volume",
-    "q_order_count_distribution",
-    "q_pagerank",
-    "q_percentile_approx",
-    "q_pit_join",
-    "q_priority_lateness",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_quality_deciles",
-    "q_record_linkage",
-    # -- first-certification slot (r16 directive #4) ------------------
-    "q_merge_into_dv",
+    # -- the 12-name r11 tail (stale at r18: re-cert NOW) -------------
+    "q_sales_opportunity",
+    "q_semantic_dedup",
+    "q_sessionize_sql",
+    "q_shipmode_priority",
+    "q_small_qty_revenue",
+    "q_span_dup_share",
+    "q_supplier_part_counts",
+    "q_top_supplier",
+    "q_url_extract",
+    "q_value_concentration",
+    "q_variant_props",
+    "q_waiting_orders",
+    # -- 36 of the r12 cohort (alphabetical head) ---------------------
+    "q_agg_distinct",
+    "q_agg_pricing",
+    "q_agg_stats",
+    "q_anti",
+    "q_arg_minmax",
+    "q_epoch_shuffle",
+    "q_equidepth_hist",
+    "q_heavy_hitters_cms",
+    "q_image_phash",
+    "q_image_resize",
+    "q_ivm_rollup",
+    "q_jaccard_prefix",
+    "q_kanon",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_lang_drift",
+    "q_langid_confusion",
+    "q_latency_bands",
+    "q_linear_trend",
+    "q_manifest_analyze",
+    "q_manifest_changes",
+    "q_manifest_merge_prune",
+    "q_manifest_ndv",
+    "q_manifest_prune",
+    "q_manifest_restore",
+    "q_merge_variance",
+    "q_mixture_temperature",
+    "q_mode",
+    "q_multimodal_decode",
+    "q_ohlc",
+    "q_outliers_mad",
+    "q_partition_evolution",
+    "q_pattern_match",
+    "q_pattern_var",
+    "q_period_growth",
+    "q_pipeline_dedup",
+    # -- first-certification slots (r17 directives #2 and #5) ---------
+    "q_pipeline_lakehouse",
+    "q_dedup_representative",
 )
 
 _OPERATOR_MODULES = (

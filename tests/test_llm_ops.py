@@ -537,3 +537,30 @@ class TestJaccardPrefix:
         # than the full token join would have produced
         assert len(got) <= full_cand
         assert full_cand > 0
+
+
+class TestDedupRepresentatives:
+    def test_keep_best_with_min_id_tiebreak(self, spark):
+        from pypeline_spark.functions.dedup import dedup_representatives
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+            "doc_id bigint, cluster_id bigint",
+        )
+        scored = spark.createDataFrame(
+            [
+                (1, 0.2), (2, 0.9), (3, 0.9),   # tie at 0.9 -> min id 2
+                (4, 0.5), (5, 0.7),             # clear best 5
+                (9, 0.1),                        # singleton keeps itself
+            ],
+            "doc_id bigint, __score double",
+        )
+        got = {
+            r.cluster_id: (r.rep_id, r.n_members, r.rep_score)
+            for r in dedup_representatives(scored, clusters).collect()
+        }
+        assert got == {
+            1: (2, 3, 0.9),
+            4: (5, 2, 0.7),
+            9: (9, 1, 0.1),
+        }

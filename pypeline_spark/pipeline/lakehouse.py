@@ -57,11 +57,14 @@ class LakehouseCatalog:
         return t
 
     def get(self, spark: SparkSession, name: str) -> Optional[DataFrame]:
-        """The RESOLVED current view (dv applied, deltas folded), or
-        None when the table has no committed version yet."""
+        """The RESOLVED current view — dv applied, outstanding
+        merge-on-read deltas last-writer-wins folded — or None when
+        the table has no committed version yet."""
         t = self.table(name)
         if t.version() == 0:
             return None
+        if t._read_manifest().get("deltas"):
+            return t.read_resolved(spark)
         return t.read(spark)
 
 

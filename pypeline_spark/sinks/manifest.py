@@ -116,6 +116,8 @@ class ManifestTable:
         # every commit path builds a fresh dict; nothing in this
         # module (audited) mutates one in place.
         self._mat_cache: dict = {}
+        # per-(version, stat-key) vectorized prune index (r17 #4)
+        self._prune_idx: dict = {}
         # Test-only deterministic race injection: a zero-arg callable
         # fired ONCE immediately before the next publish attempt (i.e.
         # inside the read-modify-write window), so tests can place a
@@ -157,12 +159,26 @@ class ManifestTable:
     #: full-snapshot checkpoint every K commits (v1 is always one)
     CHECKPOINT_INTERVAL = 10
 
-    #: commit-record protocol this build reads and writes (the Delta
+    #: commit-record protocol this build READS (the Delta
     #: minReaderVersion shape): 1 = pre-r16 full-snapshot manifests
-    #: (implied by the absence of a stamp), 2 = checkpoint/log records.
-    #: A record stamped HIGHER than this fails loudly instead of being
-    #: misparsed by an older build.
-    PROTOCOL_VERSION = 2
+    #: (implied by the absence of a stamp), 2 = checkpoint/log
+    #: records, 3 = columnar checkpoints (JSON core + parquet file
+    #: sidecar — r17 directive #3).  A record stamped HIGHER than this
+    #: fails loudly instead of being misparsed by an older build.
+    #: Records are stamped with the MINIMUM protocol that can read
+    #: them (log records and inline-snapshot checkpoints stay 2), so a
+    #: table only demands protocol 3 of its readers once a checkpoint
+    #: actually goes columnar.
+    PROTOCOL_VERSION = 3
+
+    #: checkpoints whose file list is at least this long store the
+    #: per-file state (names, stats min/max, filemeta, bloom hex) in a
+    #: compressed parquet sidecar instead of inline JSON — at 10^6
+    #: files the inline form is a ~100 MB single-threaded JSON parse
+    #: per cold read and per checkpoint write (the Delta
+    #: parquet-checkpoint rationale).  Below the threshold the inline
+    #: JSON path is both faster and older-reader compatible.
+    SIDECAR_MIN_FILES = 512
 
     @property
     def _pointer(self) -> str:
@@ -172,15 +188,357 @@ class ManifestTable:
         return os.path.join(self.root, f"_ckpt.v{version}.json")
 
     @staticmethod
-    def _record_snapshot(rec: dict) -> Optional[dict]:
+    def _is_record(rec: dict) -> bool:
+        """True for a commit RECORD (inline snapshot, columnar
+        checkpoint core, or action diff) as opposed to a pre-r16
+        legacy full manifest."""
+        return (
+            "snapshot" in rec
+            or "snapshot_core" in rec
+            or "actions" in rec
+        )
+
+    def _record_snapshot(self, rec: dict) -> Optional[dict]:
         """The full manifest a record carries, or None for a log
-        record: ``snapshot`` for checkpoints, the record itself for a
-        pre-r16 legacy full manifest."""
+        record: ``snapshot`` for inline checkpoints, ``snapshot_core``
+        + parquet ``sidecar`` for columnar checkpoints (reconstructed
+        here — raises ValueError if the sidecar was vacuumed, the same
+        class as a missing record so every racing-removal fallback
+        treats it identically), the record itself for a pre-r16 legacy
+        full manifest."""
         if "snapshot" in rec:
             return rec["snapshot"]
+        if "snapshot_core" in rec:
+            return self._load_parquet_checkpoint(rec)
         if "actions" in rec:
             return None
         return rec
+
+    # -- columnar checkpoints (r17 directive #3) --------------------------------
+
+    @staticmethod
+    def _stats_min_max_typed(entries: list) -> dict:
+        """Best-effort TYPED projection columns for the sidecar —
+        ``min#<col>`` / ``max#<col>`` / ``bloom#<col>`` — so a
+        columnar consumer (external scanner, the prune planner at a
+        checkpoint boundary) reads data-skipping stats with pure
+        column projection, never touching the JSON.  A column whose
+        min/max values mix incompatible python types across files is
+        skipped (reconstruction never reads these — the per-file JSON
+        column is the exact-round-trip source of truth)."""
+        cols: dict[str, list] = {}
+        for entry in entries:
+            if not entry:
+                continue
+            for c, v in entry.items():
+                if c in ("bloom", "bloom_v"):
+                    continue
+                if isinstance(v, (list, tuple)) and len(v) == 2:
+                    cols.setdefault(c, [])
+        out: dict[str, list] = {}
+        for c in cols:
+            mins, maxs = [], []
+            for entry in entries:
+                v = (entry or {}).get(c)
+                if isinstance(v, (list, tuple)) and len(v) == 2:
+                    mins.append(v[0])
+                    maxs.append(v[1])
+                else:
+                    mins.append(None)
+                    maxs.append(None)
+            tset = {type(x) for x in mins + maxs if x is not None}
+            if tset <= {int} or tset <= {float} or tset <= {str} or tset <= {bool}:
+                out[f"min#{c}"] = mins
+                out[f"max#{c}"] = maxs
+        blooms = [
+            (entry or {}).get("bloom") or {} for entry in entries
+        ]
+        bcols = {c for b in blooms for c in b}
+        for c in sorted(bcols):
+            out[f"bloom#{c}"] = [b.get(c) for b in blooms]
+        if any("bloom_v" in (e or {}) for e in entries):
+            out["bloom_v"] = [(e or {}).get("bloom_v") for e in entries]
+        return out
+
+    @staticmethod
+    def _stats_from_typed(files: list, typed: dict) -> dict:
+        """Rebuild the per-file stats dict from the typed sidecar
+        columns — the read fast path.  Only trusted when the WRITER
+        verified the rebuild equals the original (``sidecar_typed``
+        flag): anything the typed columns cannot express exactly
+        (mixed value types, [None, None] envelopes, nested extras)
+        fails that verify and rides the JSON columns instead."""
+        scols = sorted(
+            c[len("min#"):] for c in typed if c.startswith("min#")
+        )
+        bcols = sorted(
+            c[len("bloom#"):] for c in typed if c.startswith("bloom#")
+        )
+        bver = typed.get("bloom_v")
+        entries: list = [None] * len(files)
+        # column-major fill: one tight zip pass per stats column (no
+        # per-cell key formatting / dict lookups — this is the cold
+        # checkpoint-read hot loop at 10^5+ files)
+        for c in scols:
+            mn_l = typed[f"min#{c}"]
+            mx_l = typed[f"max#{c}"]
+            for i, (mn, mx) in enumerate(zip(mn_l, mx_l)):
+                if mn is not None or mx is not None:
+                    e = entries[i]
+                    if e is None:
+                        e = entries[i] = {}
+                    e[c] = [mn, mx]
+        for c in bcols:
+            for i, v in enumerate(typed[f"bloom#{c}"]):
+                if v is not None:
+                    e = entries[i]
+                    if e is None:
+                        e = entries[i] = {}
+                    e.setdefault("bloom", {})[c] = v
+        if bver is not None:
+            for i, v in enumerate(bver):
+                if v is not None:
+                    e = entries[i]
+                    if e is None:
+                        e = entries[i] = {}
+                    e["bloom_v"] = v
+        return {f: e for f, e in zip(files, entries) if e is not None}
+
+    def _write_parquet_checkpoint(self, manifest: dict) -> tuple[dict, str, list, dict]:
+        """Split ``manifest`` into a small JSON core (everything but
+        the per-file state) and a zstd parquet sidecar holding one row
+        per file.  Stats land as TYPED ``min#<col>``/``max#<col>``/
+        ``bloom#<col>`` columns and filemeta as ``fm_bytes``/
+        ``fm_rows`` whenever a write-time verify proves the typed
+        rebuild is bit-identical to the source dicts (the common case
+        — every fileset this module writes); anything the typed form
+        cannot express exactly falls back to per-file JSON columns.
+        Returns ``(core, sidecar_name, present_keys, typed_flags)``;
+        the sidecar is uniquely named per publish attempt (two
+        same-slot racers never collide) and the loser removes its own
+        file on CommitConflict."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = manifest.get("files", [])
+        stats = manifest.get("stats", {})
+        filemeta = manifest.get("filemeta", {})
+        entries = [stats.get(f) for f in files]
+        data: dict = {"name": list(files)}
+        typed_flags = {"stats": False, "filemeta": False}
+        # stats/filemeta may reference names outside the file list
+        # (hypothesis-synthesized manifests; defensive) — those ride
+        # dedicated JSON rows and force the JSON path for their map
+        extra = sorted((set(stats) | set(filemeta)) - set(files))
+
+        typed = self._stats_min_max_typed(entries)
+        if typed and not (set(stats) - set(files)):
+            rebuilt = self._stats_from_typed(files, typed)
+            want = {f: e for f, e in zip(files, entries) if e is not None}
+            if rebuilt == want:
+                typed_flags["stats"] = True
+                data.update(typed)
+        if not typed_flags["stats"]:
+            data["stats_json"] = [
+                json.dumps(e, sort_keys=True) if e is not None else None
+                for e in entries
+            ]
+
+        def _int_ok(x, none_ok=False):
+            if x is None:
+                return none_ok
+            return isinstance(x, int) and not isinstance(x, bool)
+
+        fm_vals = [filemeta.get(f) for f in files]
+        if not (set(filemeta) - set(files)) and all(
+            v is None
+            or (
+                set(v) in ({"bytes", "rows"}, {"bytes", "rows", "schema_v"})
+                and _int_ok(v["bytes"])
+                and _int_ok(v["rows"], none_ok=True)
+                and _int_ok(v.get("schema_v", 0))
+            )
+            for v in fm_vals
+        ):
+            typed_flags["filemeta"] = True
+            data["fm_present"] = [v is not None for v in fm_vals]
+            data["fm_bytes"] = [
+                v["bytes"] if v is not None else None for v in fm_vals
+            ]
+            data["fm_rows"] = [
+                v["rows"] if v is not None else None for v in fm_vals
+            ]
+            if any(v is not None and "schema_v" in v for v in fm_vals):
+                data["fm_schema_v"] = [
+                    v.get("schema_v") if v is not None else None
+                    for v in fm_vals
+                ]
+        else:
+            data["filemeta_json"] = [
+                json.dumps(v, sort_keys=True) if v is not None else None
+                for v in fm_vals
+            ]
+        if extra:
+            n = len(files)
+            for k in data:
+                data[k] = list(data[k]) + [None] * len(extra)
+            data["extra_name"] = [None] * n + extra
+            data["extra_stats_json"] = [None] * n + [
+                json.dumps(stats[f], sort_keys=True) if f in stats else None
+                for f in extra
+            ]
+            data["extra_filemeta_json"] = [None] * n + [
+                json.dumps(filemeta[f], sort_keys=True)
+                if f in filemeta else None
+                for f in extra
+            ]
+        name = (
+            f"_manifest.v{manifest['version']}.ckpt-{uuid.uuid4().hex}.parquet"
+        )
+        path = os.path.join(self.root, name)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        try:
+            table = pa.table(data)
+        except (pa.ArrowInvalid, OverflowError):
+            # a value the arrow types can't hold (huge ints) — fall
+            # back to pure JSON columns, which always can
+            data = {
+                "name": list(files),
+                "stats_json": [
+                    json.dumps(e, sort_keys=True) if e is not None else None
+                    for e in entries
+                ],
+                "filemeta_json": [
+                    json.dumps(v, sort_keys=True) if v is not None else None
+                    for v in fm_vals
+                ],
+            }
+            typed_flags = {"stats": False, "filemeta": False}
+            if extra:
+                n = len(files)
+                for k in data:
+                    data[k] = list(data[k]) + [None] * len(extra)
+                data["extra_name"] = [None] * n + extra
+                data["extra_stats_json"] = [None] * n + [
+                    json.dumps(stats[f], sort_keys=True)
+                    if f in stats else None
+                    for f in extra
+                ]
+                data["extra_filemeta_json"] = [None] * n + [
+                    json.dumps(filemeta[f], sort_keys=True)
+                    if f in filemeta else None
+                    for f in extra
+                ]
+            table = pa.table(data)
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
+        core = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("files", "stats", "filemeta")
+        }
+        # exact round-trip: reconstruction must not invent a key the
+        # manifest never had (an absent 'filemeta' and an empty one
+        # are different dicts to the replay-equivalence verify)
+        present = [
+            k for k in ("files", "stats", "filemeta") if k in manifest
+        ]
+        return core, name, present, typed_flags
+
+    def _load_parquet_checkpoint(self, rec: dict) -> dict:
+        """Reconstruct the full manifest from a columnar checkpoint
+        record: JSON core + the parquet sidecar's exact-round-trip
+        columns (column-projected read — the typed min/max columns are
+        never touched here).  A vacuumed sidecar raises ValueError
+        ('not derivable'), the racing-removal class every caller
+        already handles."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, rec["sidecar"])
+        if not os.path.exists(path):
+            raise ValueError(
+                f"checkpoint sidecar {rec['sidecar']} not found "
+                "(vacuumed?)"
+            )
+        cols = set(pq.read_schema(path).names)
+        typed = rec.get("sidecar_typed") or {}
+        want = ["name"]
+        if typed.get("stats"):
+            want += [
+                c for c in cols
+                if c.startswith(("min#", "max#", "bloom#")) or c == "bloom_v"
+            ]
+        elif "stats_json" in cols:
+            want.append("stats_json")
+        if typed.get("filemeta"):
+            want += ["fm_present", "fm_bytes", "fm_rows"]
+            if "fm_schema_v" in cols:
+                want.append("fm_schema_v")
+        elif "filemeta_json" in cols:
+            want.append("filemeta_json")
+        if "extra_name" in cols:
+            want += ["extra_name", "extra_stats_json", "extra_filemeta_json"]
+        t = pq.read_table(path, columns=sorted(set(want) & cols | {"name"}))
+        names = t.column("name").to_pylist()
+        files = [n for n in names if n is not None]
+        stats: dict = {}
+        filemeta: dict = {}
+        if typed.get("stats"):
+            tcols = {
+                c: t.column(c).to_pylist()
+                for c in t.schema.names
+                if c.startswith(("min#", "max#", "bloom#")) or c == "bloom_v"
+            }
+            stats = self._stats_from_typed(files, tcols)
+        elif "stats_json" in t.schema.names:
+            for n, sj in zip(names, t.column("stats_json").to_pylist()):
+                if n is not None and sj is not None:
+                    stats[n] = json.loads(sj)
+        if typed.get("filemeta"):
+            sv_l = (
+                t.column("fm_schema_v").to_pylist()
+                if "fm_schema_v" in t.schema.names
+                else [None] * len(names)
+            )
+            for n, p, b, r, sv in zip(
+                names,
+                t.column("fm_present").to_pylist(),
+                t.column("fm_bytes").to_pylist(),
+                t.column("fm_rows").to_pylist(),
+                sv_l,
+            ):
+                if n is not None and p:
+                    e = {"bytes": b, "rows": r}
+                    if sv is not None:
+                        e["schema_v"] = sv
+                    filemeta[n] = e
+        elif "filemeta_json" in t.schema.names:
+            for n, fj in zip(names, t.column("filemeta_json").to_pylist()):
+                if n is not None and fj is not None:
+                    filemeta[n] = json.loads(fj)
+        if "extra_name" in cols:
+            for n, sj, fj in zip(
+                t.column("extra_name").to_pylist(),
+                t.column("extra_stats_json").to_pylist(),
+                t.column("extra_filemeta_json").to_pylist(),
+            ):
+                if n is None:
+                    continue
+                if sj is not None:
+                    stats[n] = json.loads(sj)
+                if fj is not None:
+                    filemeta[n] = json.loads(fj)
+        manifest = dict(rec["snapshot_core"])
+        present = rec.get(
+            "sidecar_keys", ["files", "stats", "filemeta"]
+        )
+        if "files" in present:
+            manifest["files"] = files
+        if "stats" in present:
+            manifest["stats"] = stats
+        if "filemeta" in present:
+            manifest["filemeta"] = filemeta
+        return manifest
 
     def _load_record(self, version: int) -> dict:
         vfile = os.path.join(self.root, f"_manifest.v{version}.json")
@@ -403,7 +761,13 @@ class ManifestTable:
                             f"to {self.PROTOCOL_VERSION}"
                         )
                     if rec is not None:
-                        snap = self._record_snapshot(rec)
+                        try:
+                            snap = self._record_snapshot(rec)
+                        except ValueError:
+                            # the embedded record is a columnar
+                            # checkpoint whose sidecar went with the
+                            # racing vacuum — recover from disk below
+                            snap = None
                         if snap is not None:
                             base = snap
                         elif "actions" in rec:
@@ -414,7 +778,7 @@ class ManifestTable:
                                 )
                             except ValueError:
                                 base = None
-            elif "snapshot" in p or "actions" in p:
+            elif "snapshot" in p or "snapshot_core" in p or "actions" in p:
                 snap = self._record_snapshot(p)
                 if snap is not None:
                     base = snap
@@ -625,7 +989,7 @@ class ManifestTable:
         rows = []
         for v in sorted(versions):
             rec = versions[v]
-            if "snapshot" in rec or "actions" in rec:
+            if self._is_record(rec):
                 # commit record: kind + summary + operation metrics
                 # stamped at publish — nothing to materialize or diff
                 s = rec.get("summary", {})
@@ -651,9 +1015,7 @@ class ManifestTable:
             # diffing against the (necessarily also legacy) parent
             cur = rec
             prev = versions.get(v - 1)
-            if prev is not None and (
-                "snapshot" in prev or "actions" in prev
-            ):
+            if prev is not None and self._is_record(prev):
                 prev = None  # cannot happen in practice; be safe
             if prev is not None:
                 kind = self._commit_kind(prev, cur)
@@ -900,6 +1262,57 @@ class ManifestTable:
             else 0.0
         )
         manifest["committed_at"] = max(parent_ct, _time.time())
+        # Column-DEFAULT file dating (r17 #6): once any DEFAULT /
+        # generated column is declared, every file ADDED by a commit
+        # is stamped with the committing version in its filemeta
+        # (``schema_v``), so reads can tell 'file predates the column
+        # → fill default' from 'file postdates it → its nulls are
+        # real'.  One choke point covers every commit kind; files
+        # carried from the parent keep their entries untouched
+        # (materialized manifests are immutable — only this commit's
+        # OWN fresh entries are replaced).
+        if manifest.get("column_defaults") and manifest.get("filemeta"):
+            pfm = (parent or {}).get("filemeta") or {}
+            fm = manifest["filemeta"]
+            fresh = [
+                f for f, e in fm.items()
+                if f not in pfm
+                and isinstance(e, dict)
+                and "schema_v" not in e
+            ]
+            if fresh:
+                fm = dict(fm)
+                for f in fresh:
+                    fm[f] = {**fm[f], "schema_v": manifest["version"]}
+                manifest["filemeta"] = fm
+        # Row tracking (r17 #7): every file this commit ADDS gets its
+        # base_row_id from the monotone high-water mark, in file-list
+        # order — one choke point, every commit kind.  Ids implied by
+        # a file's (base, position) range are never reused even when
+        # some rows carry materialized ids instead (the hwm advances
+        # by the full footer row count).
+        if manifest.get("row_tracking") and manifest.get("filemeta"):
+            pfm = (parent or {}).get("filemeta") or {}
+            fm = manifest["filemeta"]
+            fresh = [
+                f for f in manifest.get("files", [])
+                if f in fm and f not in pfm
+                and "base_row_id" not in fm[f]
+            ]
+            if fresh:
+                hwm = int(manifest.get("row_id_hwm") or 0)
+                fm = dict(fm)
+                for f in fresh:
+                    rows = fm[f].get("rows")
+                    if rows is None:
+                        raise ValueError(
+                            f"row tracking: file {f} committed without "
+                            "a footer row count — cannot assign row ids"
+                        )
+                    fm[f] = {**fm[f], "base_row_id": hwm}
+                    hwm += int(rows)
+                manifest["filemeta"] = fm
+                manifest["row_id_hwm"] = hwm
         # Structural kind + size summary, stamped INTO the record so
         # DESCRIBE HISTORY and the OCC conflict matrix read commit
         # records directly (no materialization, no adjacent-manifest
@@ -955,15 +1368,32 @@ class ManifestTable:
             actions = self._diff_dict(parent, manifest)
             if self._apply_actions(parent, actions) != manifest:
                 ckpt = True
+        # Records are stamped with the MINIMUM protocol able to read
+        # them: log records and inline-snapshot checkpoints stay 2
+        # (older builds keep reading them); only a columnar checkpoint
+        # demands protocol 3.
         rec = {
             "version": manifest["version"],
-            "protocol": self.PROTOCOL_VERSION,
+            "protocol": 2,
             "committed_at": manifest["committed_at"],
             "kind": kind,
             "summary": summary,
         }
+        sidecar_name: Optional[str] = None
         if ckpt:
-            rec["snapshot"] = manifest
+            if (
+                len(manifest.get("files", ())) >= self.SIDECAR_MIN_FILES
+            ):
+                core, sidecar_name, present, typed_flags = (
+                    self._write_parquet_checkpoint(manifest)
+                )
+                rec["snapshot_core"] = core
+                rec["sidecar"] = sidecar_name
+                rec["sidecar_keys"] = present
+                rec["sidecar_typed"] = typed_flags
+                rec["protocol"] = 3
+            else:
+                rec["snapshot"] = manifest
         else:
             rec["actions"] = actions
         vfile = os.path.join(self.root, f"_manifest.v{manifest['version']}.json")
@@ -975,6 +1405,13 @@ class ManifestTable:
         try:
             os.link(tmp, vfile)  # atomic create-if-absent, complete file
         except FileExistsError:
+            if sidecar_name is not None:
+                # the loser's uniquely-named sidecar is debris — the
+                # winner's record never references it
+                try:
+                    os.remove(os.path.join(self.root, sidecar_name))
+                except OSError:
+                    pass
             raise CommitConflict(
                 f"version {manifest['version']} was published by a "
                 "concurrent writer"
@@ -1060,7 +1497,7 @@ class ManifestTable:
         prev: Optional[dict] = base
         for v in range(base["version"] + 1, tip["version"] + 1):
             rec = self._load_record(v)
-            if "snapshot" in rec or "actions" in rec:
+            if self._is_record(rec):
                 kinds.add(rec.get("kind", "unknown"))
                 prev = None  # manifests no longer tracked (not needed)
             else:
@@ -1224,7 +1661,13 @@ class ManifestTable:
                 out[i] = cls._merged_field(out[i], f)
         return StructType(out).jsonValue()
 
-    def evolve_schema(self, new_columns, batch_id: Optional[str] = None) -> int:
+    def evolve_schema(
+        self,
+        new_columns,
+        batch_id: Optional[str] = None,
+        defaults: Optional[dict] = None,
+        generated: Optional[dict] = None,
+    ) -> int:
         """``ALTER TABLE .. ADD COLUMN(S)``: widen the tracked table
         schema by METADATA ONLY — no data file is read, written or
         rewritten; every existing file null-fills the new columns at
@@ -1247,11 +1690,31 @@ class ManifestTable:
         is no authoritative column set to widen — raising beats
         guessing from one parquet footer.
 
+        ``defaults`` (r17 directive #6 — ``ADD COLUMN .. DEFAULT``,
+        the Delta column-defaults + Iceberg initial-default shape)
+        maps a NEWLY added column to a SQL expression of constants
+        (``"0.0"``, ``"'N/A'"``, ``"current_date()"`` — it must not
+        reference table columns; use ``generated`` for that): files
+        written BEFORE the column fill it with the default at read
+        instead of null (per-file ``schema_v`` in filemeta dates each
+        file against the column's ``added_v``), and writes that OMIT
+        the column get it filled at commit.  A post-add write that
+        explicitly stores NULL keeps NULL — missing-vs-null is
+        file-dated, never guessed from the value.
+
+        ``generated`` maps a newly added column to an expression over
+        OTHER table columns (Delta generated columns): computed at
+        write when the batch omits it, VALIDATED when the batch
+        provides it (a mismatching value raises
+        ``ConstraintViolation`` — the Delta rule), and computed from
+        each old file's own rows at read for pre-add files.
+
         Scale: this is why adding a column to a 100 TB table costs
         one manifest write — the lakehouse ALTER TABLE story; the
         change feed and streaming source classify it 'metadata' and
         read straight through it, emitting rows under the evolved
-        superset schema (old rows null-fill)."""
+        superset schema (old rows null-fill, or default/generated-fill
+        when declared)."""
         from pyspark.sql.types import StructField, StructType
 
         if isinstance(new_columns, str):
@@ -1264,6 +1727,28 @@ class ManifestTable:
                 "evolve_schema needs a DDL string, StructType, or "
                 "non-empty list of StructFields"
             )
+        defaults = dict(defaults or {})
+        generated = dict(generated or {})
+        both = set(defaults) & set(generated)
+        if both:
+            raise ValueError(
+                f"column(s) {sorted(both)} declared both DEFAULT and "
+                "generated — pick one"
+            )
+        fnames = {f.name for f in fields}
+        for label, mapping in (("defaults", defaults), ("generated", generated)):
+            bad = set(mapping) - fnames
+            if bad:
+                raise ValueError(
+                    f"{label} for column(s) {sorted(bad)} that are not "
+                    "in new_columns — DEFAULT/generated attach at ADD "
+                    "COLUMN time"
+                )
+            for c, e in mapping.items():
+                if not isinstance(e, str) or not e.strip():
+                    raise ValueError(
+                        f"{label}[{c!r}] must be a SQL expression string"
+                    )
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
@@ -1309,6 +1794,16 @@ class ManifestTable:
                                 f"{g.dataType.simpleString()} -> "
                                 f"{f.dataType.simpleString()}"
                             )
+            if defaults or generated:
+                existing = {f.name for f in cur.fields}
+                already = (set(defaults) | set(generated)) & existing
+                if already:
+                    raise ValueError(
+                        f"column(s) {sorted(already)} already exist — "
+                        "DEFAULT/generated only attach to columns being "
+                        "ADDED (existing rows could not be file-dated "
+                        "against them)"
+                    )
             schema = StructType(out).jsonValue()
             new = {
                 **mm,
@@ -1317,6 +1812,19 @@ class ManifestTable:
                 + ([batch_id] if batch_id is not None else []),
                 "schema": schema,
             }
+            if defaults or generated:
+                added_v = mm["version"] + 1
+                cd = dict(mm.get("column_defaults") or {})
+                for c, e in defaults.items():
+                    cd[c] = {"expr": e, "added_v": added_v}
+                for c, e in generated.items():
+                    cd[c] = {"expr": e, "added_v": added_v,
+                             "generated": True}
+                new["column_defaults"] = cd
+                if generated:
+                    gc = dict(mm.get("generated_columns") or {})
+                    gc.update(generated)
+                    new["generated_columns"] = gc
             if self._mapping_enabled(mm):
                 # new columns mint fresh ids + physical names — a
                 # re-add after drop_column can never alias the retired
@@ -1356,6 +1864,103 @@ class ManifestTable:
     # constraint scan-validates the CURRENT snapshot once (the Delta
     # ALTER TABLE ADD CONSTRAINT rule), so commits never re-prove old
     # rows.
+
+    def _apply_column_defaults(
+        self, m: dict, df: DataFrame, what: str
+    ) -> DataFrame:
+        """Write-side half of column DEFAULTS / generated columns
+        (r17 #6): a batch that OMITS a defaulted column gets it filled
+        with the default expression (cast to the tracked type); a
+        batch that omits a GENERATED column gets it computed from its
+        expression over the batch's own rows; a batch that PROVIDES a
+        generated column is validated against the expression in one
+        batch-sized aggregation (a mismatch raises
+        ``ConstraintViolation`` — the Delta generated-column rule) —
+        explicitly provided values for plain DEFAULT columns always
+        win.  Fill order is ADD-COLUMN order so generated expressions
+        see their (possibly also defaulted) dependencies."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cd = m.get("column_defaults") or {}
+        if not cd:
+            return df
+        sch = m.get("schema")
+        typ = (
+            {f.name: f.dataType for f in StructType.fromJson(sch).fields}
+            if sch is not None else {}
+        )
+        provided_gen = []
+        for c in sorted(cd, key=lambda c: (cd[c]["added_v"], c)):
+            d = cd[c]
+            if c in df.columns:
+                if d.get("generated"):
+                    provided_gen.append((c, d["expr"]))
+                continue
+            e = F.expr(d["expr"])
+            if c in typ:
+                e = e.cast(typ[c])
+            df = df.withColumn(c, e)
+        if provided_gen:
+            checks = [
+                F.sum(
+                    (~F.col(c).eqNullSafe(F.expr(e))).cast("bigint")
+                ).alias(c)
+                for c, e in provided_gen
+            ]
+            row = self._collect_index_metadata(df.agg(*checks))
+            for c, e in provided_gen:
+                n = row.column(c).to_pylist()[0] or 0
+                if n:
+                    raise ConstraintViolation(
+                        f"{what}: {n} row(s) provide generated column "
+                        f"{c!r} values that do not match its "
+                        f"generation expression ({e}) — generated "
+                        "columns are always derived (omit the column "
+                        "or provide matching values)"
+                    )
+        return df
+
+    def clear_column_default(
+        self, col: str, batch_id: Optional[str] = None
+    ) -> int:
+        """``ALTER TABLE .. ALTER COLUMN .. DROP DEFAULT`` — remove a
+        column's DEFAULT / generated declaration (metadata-only).  The
+        column stays in the schema; pre-add files go back to reading
+        it as null."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            cd = dict(mm.get("column_defaults") or {})
+            if col not in cd:
+                raise ValueError(
+                    f"column {col!r} has no DEFAULT/generated "
+                    "declaration"
+                )
+            cd.pop(col)
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "column_defaults": cd,
+            }
+            gc = dict(mm.get("generated_columns") or {})
+            if col in gc:
+                gc.pop(col)
+                new["generated_columns"] = gc
+            for k in ("reorg", "dml", "cdc_files", "restore_of"):
+                new.pop(k, None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata", "delta", "reorg", "dml"}),
+            "clear_column_default",
+        )
 
     def _constraints(self, m: dict) -> dict:
         c = m.get("constraints") or {}
@@ -1434,6 +2039,16 @@ class ManifestTable:
             raise ValueError(
                 f"{what}({col!r}): column is referenced by CHECK "
                 f"constraint(s) {hit} — drop_constraint them first"
+            )
+        ghit = [
+            c
+            for c, e in (m.get("generated_columns") or {}).items()
+            if c != col and pat.search(e)
+        ]
+        if ghit:
+            raise ValueError(
+                f"{what}({col!r}): column is referenced by generated "
+                f"column(s) {ghit} — clear_column_default them first"
             )
 
     def add_check_constraint(
@@ -1774,6 +2389,10 @@ class ManifestTable:
                 "max_column_id",
                 "retired_cols",
                 "constraints",
+                "column_defaults",
+                "generated_columns",
+                "row_tracking",
+                "row_id_hwm",
             )
             if k in m
         }
@@ -1985,6 +2604,17 @@ class ManifestTable:
                         c: v for c, v in cs["columns"].items() if c != name
                     },
                 }
+            cd = new_m.get("column_defaults") or {}
+            if name in cd:
+                # the DEFAULT/generated declaration goes with its column
+                new_m["column_defaults"] = {
+                    c: v for c, v in cd.items() if c != name
+                }
+            gc = new_m.get("generated_columns") or {}
+            if name in gc:
+                new_m["generated_columns"] = {
+                    c: v for c, v in gc.items() if c != name
+                }
             new_m.pop("reorg", None)
             new_m.pop("dml", None)
             new_m.pop("cdc_files", None)
@@ -2027,13 +2657,73 @@ class ManifestTable:
         m: dict,
         names: Sequence[str],
         tagged: bool = False,
+        rowid: bool = False,
+    ) -> DataFrame:
+        """Tracked-schema scan with column DEFAULT / generated-column
+        fill (r17 #6): files predating a defaulted column (their
+        filemeta ``schema_v`` < the column's ``added_v``; files with
+        no stamp predate everything) read that column as its DEFAULT
+        expression — or its generation expression over the file's own
+        rows — instead of null.  Files are grouped by their fill-set,
+        so the common case (no defaults, or every file postdates them)
+        stays ONE scan with zero plan change, and a mixed base costs
+        one scan per distinct fill-set (bounded by the number of
+        ADD COLUMN DEFAULT commits, not by files)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        cd = m.get("column_defaults") or {}
+        sch = m.get("schema")
+        if not cd or sch is None or not names:
+            return self._scan_logical_raw(spark, m, names, tagged, rowid)
+        tracked = {f.name: f.dataType for f in StructType.fromJson(sch).fields}
+        live = {c: d for c, d in cd.items() if c in tracked}
+        if not live:
+            return self._scan_logical_raw(spark, m, names, tagged, rowid)
+        fm = m.get("filemeta") or {}
+        groups: dict[frozenset, list] = {}
+        for f in names:
+            sv = (fm.get(f) or {}).get("schema_v") or 0
+            fill = frozenset(
+                c for c, d in live.items() if sv < d["added_v"]
+            )
+            groups.setdefault(fill, []).append(f)
+        if set(groups) == {frozenset()}:
+            return self._scan_logical_raw(spark, m, names, tagged, rowid)
+        out = None
+        for fill, group in groups.items():
+            df = self._scan_logical_raw(spark, m, group, tagged, rowid)
+            # fill in ADD-COLUMN order: a generated column may only
+            # reference columns that existed at its add time, so any
+            # defaulted dependency has a smaller added_v and fills
+            # first
+            for c in sorted(
+                fill, key=lambda c: (live[c]["added_v"], c)
+            ):
+                df = df.withColumn(
+                    c, F.expr(live[c]["expr"]).cast(tracked[c])
+                )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _scan_logical_raw(
+        self,
+        spark: SparkSession,
+        m: dict,
+        names: Sequence[str],
+        tagged: bool = False,
+        rowid: bool = False,
     ) -> DataFrame:
         """The raw tracked-schema scan behind :meth:`_read_base` (no dv
         application).  ``tagged=True`` adds row provenance columns
         ``__dvf__`` (file basename) / ``__dvp__`` (position in file)
         from the parquet ``_metadata`` struct — computed AT THE SCAN,
         so they stay correct above joins where ``input_file_name()``
-        is undefined."""
+        is undefined.  ``rowid=True`` (row tracking, r17 #7) extends
+        the read schema with the hidden physical ``__row_id__`` column
+        — files that carry materialized ids (rewrites) surface them,
+        everything else reads null and resolves to
+        base_row_id + position in :meth:`_rowid_resolve`."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
@@ -2057,9 +2747,21 @@ class ManifestTable:
 
         paths = [self._path(f) for f in names]
         sch = m.get("schema")
+        if rowid and (sch is None or self._mapping_enabled(m)):
+            raise ValueError(
+                "row tracking requires a schema-tracked, unmapped "
+                "table (enable_row_tracking enforces this)"
+            )
         if sch is None:
             return _tag(spark.read.parquet(*paths), None)
         st = StructType.fromJson(sch)
+        if rowid:
+            from pyspark.sql.types import LongType
+
+            st = StructType(
+                list(st.fields)
+                + [StructField("__row_id__", LongType(), True)]
+            )
         if not self._mapping_enabled(m):
             return _tag(spark.read.schema(st).parquet(*paths), None)
         phys = StructType(
@@ -2083,7 +2785,8 @@ class ManifestTable:
     _DV_BROADCAST_ROWS = 1_000_000
 
     def _read_base_tagged(
-        self, spark: SparkSession, m: dict, names: Sequence[str]
+        self, spark: SparkSession, m: dict, names: Sequence[str],
+        rowid: bool = False,
     ) -> DataFrame:
         """Provenance-tagged base read with the version's deletion
         vectors applied: rows carry ``__dvf__``/``__dvp__`` and any
@@ -2099,10 +2802,12 @@ class ManifestTable:
         dv = m.get("dv")
         dirty = [f for f in names if dv and f in dv["rows"]]
         if not dirty:
-            return self._scan_logical(spark, m, names, tagged=True)
+            return self._scan_logical(
+                spark, m, names, tagged=True, rowid=rowid
+            )
         dset = set(dirty)
         clean = [f for f in names if f not in dset]
-        ddf = self._scan_logical(spark, m, dirty, tagged=True)
+        ddf = self._scan_logical(spark, m, dirty, tagged=True, rowid=rowid)
         out = ddf.join(
             self._dv_frame(spark, m, dirty),
             on=[
@@ -2113,7 +2818,7 @@ class ManifestTable:
         )
         if clean:
             out = self._scan_logical(
-                spark, m, clean, tagged=True
+                spark, m, clean, tagged=True, rowid=rowid
             ).unionByName(out)
         return out
 
@@ -2277,6 +2982,166 @@ class ManifestTable:
             return None
         return self._read_base(spark, m, m["files"])
 
+    # -- row tracking (r17 directive #7, the Delta 3.x row-id shape) ------------
+
+    def enable_row_tracking(self, batch_id: Optional[str] = None) -> int:
+        """Give every row a STABLE numeric identity that survives
+        reorganization: each file's ``filemeta`` gains a
+        ``base_row_id`` and a row's id is ``base_row_id + position``
+        until a rewrite MATERIALIZES ids into the new files as a
+        hidden physical ``__row_id__`` column (invisible to normal
+        reads — the tracked schema never contains it).  Fresh ids come
+        from a monotone ``row_id_hwm`` advanced at the publish choke
+        point, so every commit kind participates without its own
+        logic.
+
+        Scope contract (enforced loudly): the table must be
+        schema-tracked, UNMAPPED, and delta-free, and once tracking is
+        on the merge-on-read delta tier and the copy-on-write DML /
+        MERGE forms are refused — deletion-vector DML and the dv MERGE
+        preserve ids by construction (nothing rewrites), and
+        compact/OPTIMIZE materialize them.  This matches how the ids
+        are consumed: ``read_rowids`` surfaces ``_row_id`` and the
+        change feed carries ``__row_id__`` on every CDC image, so IVM
+        consumers pair update pre/post by identity instead of
+        re-keying by business key (the r16 verdict's missing piece
+        #5)."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if mm.get("row_tracking"):
+                return None  # idempotent
+            if mm.get("schema") is None:
+                raise ValueError(
+                    "enable_row_tracking needs a schema-tracked table"
+                )
+            if self._mapping_enabled(mm):
+                raise ValueError(
+                    "row tracking and column mapping are mutually "
+                    "exclusive in this build"
+                )
+            if mm.get("deltas"):
+                raise ValueError(
+                    "enable_row_tracking: compact() outstanding "
+                    "merge-on-read deltas first (row identity is not "
+                    "defined across LWW resolution)"
+                )
+            if any(
+                f["name"] == "__row_id__"
+                for f in mm["schema"]["fields"]
+            ):
+                raise ValueError(
+                    "__row_id__ is reserved for row tracking — rename "
+                    "the column first"
+                )
+            fm = dict(mm.get("filemeta") or {})
+            hwm = 0
+            for f in mm["files"]:
+                rows = (fm.get(f) or {}).get("rows")
+                if rows is None:
+                    raise ValueError(
+                        f"enable_row_tracking: file {f} has no recorded "
+                        "row count (legacy manifest) — run optimize() "
+                        "once first"
+                    )
+                fm[f] = {**fm[f], "base_row_id": hwm}
+                hwm += int(rows)
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "filemeta": fm,
+                "row_tracking": True,
+                "row_id_hwm": hwm,
+            }
+            for k in ("reorg", "dml", "cdc_files", "restore_of"):
+                new.pop(k, None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata"}), "enable_row_tracking"
+        )
+
+    def _require_no_row_tracking(self, m: dict, what: str) -> None:
+        if m.get("row_tracking"):
+            raise ValueError(
+                f"{what} is a copy-on-write / merge-on-read form that "
+                "does not preserve row identity — this table has row "
+                "tracking enabled; use the deletion-vector forms "
+                "(mode='dv') or merge_into(mode='dv') instead"
+            )
+
+    def _rowid_resolve(
+        self, spark: SparkSession, m: dict, df: DataFrame,
+        names: Sequence[str],
+    ) -> DataFrame:
+        """Resolve the raw physical ``__row_id__`` of a tagged+rowid
+        scan: materialized ids win, everything else derives
+        ``base_row_id + position`` via one BROADCAST join against the
+        O(files) id map (metadata-sized — never a shuffle)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        fm = m.get("filemeta") or {}
+        bmap = spark.createDataFrame(
+            [(f, (fm.get(f) or {}).get("base_row_id")) for f in names],
+            StructType([
+                StructField("__rtf__", StringType(), False),
+                StructField("__rtb__", LongType(), True),
+            ]),
+        )
+        keep = [c for c in df.columns if c != "__row_id__"]
+        return (
+            df.join(
+                F.broadcast(bmap),
+                F.col("__dvf__") == F.col("__rtf__"),
+                "left",
+            ).select(
+                *keep,
+                F.coalesce(
+                    F.col("__row_id__"),
+                    F.col("__rtb__") + F.col("__dvp__"),
+                ).cast("long").alias("__row_id__"),
+            )
+        )
+
+    def _rowid_content(
+        self, spark: SparkSession, m: dict, names: Sequence[str]
+    ) -> Optional[DataFrame]:
+        """Content columns + resolved ``__row_id__`` with the
+        version's deletion vectors applied — the read every
+        id-preserving rewrite and the public ``read_rowids`` share."""
+        if not names:
+            return None
+        df = self._read_base_tagged(spark, m, names, rowid=True)
+        return self._rowid_resolve(spark, m, df, names).drop(
+            "__dvf__", "__dvp__"
+        )
+
+    def read_rowids(
+        self, spark: SparkSession, version: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Snapshot read with the stable row id surfaced as
+        ``_row_id`` (the Delta ``_metadata.row_id`` shape): tracked
+        columns + one long column, unique over the visible rows of the
+        version, stable across OPTIMIZE/compact, dv DELETE/UPDATE and
+        the dv MERGE's updates."""
+        m = self._manifest_at(version)
+        if not m.get("row_tracking"):
+            raise ValueError(
+                "row tracking is not enabled on this table (or not at "
+                "this version) — call enable_row_tracking() first"
+            )
+        if not m["files"]:
+            return None
+        out = self._rowid_content(spark, m, m["files"])
+        return out.withColumnRenamed("__row_id__", "_row_id")
+
     # -- write path -----------------------------------------------------------
 
     def _write_fileset(
@@ -2351,6 +3216,10 @@ class ManifestTable:
                 "bytes": os.path.getsize(src),
                 "rows": info.get("rows"),
             }
+            if "__row_id__" in df.columns:
+                # row tracking: this fileset carries MATERIALIZED ids
+                # (an id-preserving rewrite / dv-merge post images)
+                filemeta[name]["row_id_phys"] = True
             os.replace(src, os.path.join(self.data_dir, name))
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
@@ -2670,13 +3539,28 @@ class ManifestTable:
         """(files that may contain col == value, total) — combines the
         [min, max] envelope with the bloom bitset, metadata-only."""
         m = self._manifest_at(version)
+        files = m["files"]
+        mask = (
+            self._prune_mask(m, {col: (value, value)}) if files else None
+        )
+        if mask is not None:
+            import numpy as np
+
+            # envelope vectorized; the bloom probe runs only over the
+            # envelope survivors (already the small set)
+            keep = [
+                files[i]
+                for i in np.nonzero(mask)[0]
+                if self._bloom_may_contain(m, files[i], col, value)
+            ]
+            return keep, len(files)
         keep = [
             f
-            for f in m["files"]
+            for f in files
             if self._overlaps(m, f, col, value, value)
             and self._bloom_may_contain(m, f, col, value)
         ]
-        return keep, len(m["files"])
+        return keep, len(files)
 
     def read_pruned_eq(
         self, spark: SparkSession, col: str, value, version: Optional[int] = None
@@ -2720,11 +3604,77 @@ class ManifestTable:
         if s is None:
             return True
         fmin, fmax = s
-        if lo is not None and fmax < lo:
+        # a None envelope side is 'unknown' (an all-null column's
+        # footer min/max) — keep, never crash (found by the r17
+        # vectorized-prune property battery)
+        if lo is not None and fmax is not None and fmax < lo:
             return False
-        if hi is not None and fmin > hi:
+        if hi is not None and fmin is not None and fmin > hi:
             return False
         return True
+
+    _PRUNE_IDX_MAX = 16
+    _F64_EXACT = float(2**53)  # ints beyond this round in float64
+
+    def _prune_index(self, m: dict, col: str):
+        """Per-(version, stat-key) NUMERIC stats index: aligned numpy
+        float64 (mins, maxs) arrays with NaN for files without stats —
+        NaN compares False against any bound, which is exactly the
+        conservative 'unknown → keep' rule, so one vectorized compare
+        replaces the per-file Python loop (r17 directive #4: O(files)
+        interpreter work per plan was the planning bottleneck at 10^5+
+        files).  Returns None when the column's stats are not exactly
+        representable in float64 (strings, |int| > 2^53) — those fall
+        back to the scalar loop, whose keep-set the property battery
+        pins as identical.  Cache entries are validated by IDENTITY of
+        the manifest's file list (materialized manifests are immutable
+        and cache-shared, so same list object == same version
+        content)."""
+        skey = self._stat_key(m, col)
+        files = m.get("files", [])
+        key = (m.get("version"), skey)
+        ent = self._prune_idx.get(key)
+        if ent is not None and ent[0] is files:
+            return ent[1]
+        import math
+
+        import numpy as np
+
+        stats = m.get("stats", {})
+        n = len(files)
+        mins = np.full(n, np.nan)
+        maxs = np.full(n, np.nan)
+        idx = (mins, maxs)
+        for i, f in enumerate(files):
+            s = stats.get(f)
+            s = s.get(skey) if s else None
+            if s is None:
+                continue
+            fmin, fmax = s
+            ok = True
+            for v in (fmin, fmax):
+                if v is None:
+                    continue
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    ok = False
+                    break
+                if isinstance(v, int) and abs(v) > self._F64_EXACT:
+                    ok = False
+                    break
+                if isinstance(v, float) and math.isnan(v):
+                    ok = False  # NaN stat means 'unknown', not 'keep-proof'
+                    break
+            if not ok:
+                idx = None
+                break
+            if fmin is not None:
+                mins[i] = fmin
+            if fmax is not None:
+                maxs[i] = fmax
+        self._prune_idx[key] = (files, idx)
+        while len(self._prune_idx) > self._PRUNE_IDX_MAX:
+            self._prune_idx.pop(next(iter(self._prune_idx)))
+        return idx
 
     def prune_plan(
         self, col: str, lo=None, hi=None, version: Optional[int] = None
@@ -2732,6 +3682,32 @@ class ManifestTable:
         """(files that may match [lo, hi], total file count) for a
         version — metadata-only, no data files opened."""
         return self.prune_plan_multi({col: (lo, hi)}, version)
+
+    def _prune_mask(self, m: dict, bounds: dict):
+        """Boolean numpy keep-mask over ``m['files']`` for a
+        conjunction of range bounds, or None when any bounded column
+        needs the scalar fallback (non-float64-exact stats or a
+        non-numeric probe value)."""
+        import numpy as np
+
+        mask = None
+        for col, (lo, hi) in bounds.items():
+            for b in (lo, hi):
+                if b is not None and (
+                    isinstance(b, bool) or not isinstance(b, (int, float))
+                ):
+                    return None
+            idx = self._prune_index(m, col)
+            if idx is None:
+                return None
+            mins, maxs = idx
+            drop = np.zeros(len(mins), dtype=bool)
+            if lo is not None:
+                drop |= maxs < lo  # NaN < lo is False: unknown kept
+            if hi is not None:
+                drop |= mins > hi
+            mask = ~drop if mask is None else mask & ~drop
+        return mask
 
     def prune_plan_multi(
         self, bounds: dict, version: Optional[int] = None
@@ -2742,17 +3718,30 @@ class ManifestTable:
         This is what a Z-order-clustered layout exists for — each
         file's envelope is narrow in ALL clustered dimensions, so a
         predicate on either (or both) columns skips files; a layout
-        clustered on one key prunes only that key."""
+        clustered on one key prunes only that key.
+
+        Planning cost: one vectorized numpy compare per bounded column
+        over a per-version cached index (built once, O(files)); the
+        scalar per-file loop remains only as the fallback for stats
+        float64 cannot represent exactly (strings, huge ints) — the
+        keep-sets are property-tested identical."""
         m = self._manifest_at(version)
+        files = m["files"]
+        mask = self._prune_mask(m, bounds) if files else None
+        if mask is not None:
+            import numpy as np
+
+            keep = [files[i] for i in np.nonzero(mask)[0]]
+            return keep, len(files)
         keep = [
             f
-            for f in m["files"]
+            for f in files
             if all(
                 self._overlaps(m, f, col, lo, hi)
                 for col, (lo, hi) in bounds.items()
             )
         ]
-        return keep, len(m["files"])
+        return keep, len(files)
 
     def read_pruned(
         self,
@@ -2915,6 +3904,7 @@ class ManifestTable:
             return m["version"]  # replay detected: no-op
         # declared invariants gate the replacement content too (an
         # overwrite that would break CHECK/NOT NULL is rejected whole)
+        df = self._apply_column_defaults(m, df, "commit_overwrite")
         self._validate_constraints(m, df, "commit_overwrite")
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         ndv_track = (
@@ -3014,8 +4004,10 @@ class ManifestTable:
                 "outstanding merge-on-read deltas: compact() before "
                 "switching to copy-on-write commits"
             )
+        self._require_no_row_tracking(m, "commit_merge")
         # existing rows were proven at their own commits — only the
         # incoming batch needs the CHECK/NOT NULL gate
+        updates = self._apply_column_defaults(m, updates, "commit_merge")
         self._validate_constraints(m, updates, "commit_merge")
         evolved_schema = None
         carry_map = self._carry_mapping(m)
@@ -3507,6 +4499,7 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        self._require_no_row_tracking(m, what)
         if m.get("deltas"):
             raise ValueError(
                 f"{what} rewrites base files (copy-on-write): compact() "
@@ -3704,7 +4697,13 @@ class ManifestTable:
         candidates = self._dml_candidates(m, predicate)
         if not candidates:
             return m["version"]  # provably nothing matches
-        matched = self._read_base_tagged(spark, m, candidates).filter(pred)
+        matched = self._read_base_tagged(
+            spark, m, candidates, rowid=bool(m.get("row_tracking"))
+        ).filter(pred)
+        if m.get("row_tracking"):
+            # resolved id rides the pre/post images (and so the CDC):
+            # a dv UPDATE preserves identity by construction
+            matched = self._rowid_resolve(spark, m, matched, candidates)
         dv_files, _ds, dv_meta = self._write_fileset(
             matched.select(
                 F.col("__dvf__").alias("__file__"),
@@ -3740,6 +4739,11 @@ class ManifestTable:
             bad = [c for c in assignments if c not in typ]
             if bad:
                 raise ValueError(f"{what}: no such column(s) {bad}")
+            if "__row_id__" in assignments:
+                raise ValueError(
+                    f"{what}: __row_id__ is the row-tracking identity "
+                    "— it cannot be assigned"
+                )
             ass = {
                 c: (F.expr(e) if isinstance(e, str) else F.lit(e)).cast(
                     typ[c]
@@ -3907,8 +4911,16 @@ class ManifestTable:
                     raise ValueError(
                         f"clause {i}: no such target column(s) {unknown}"
                     )
+                if "__row_id__" in payload:
+                    raise ValueError(
+                        f"clause {i}: __row_id__ is the row-tracking "
+                        "identity — it cannot be assigned"
+                    )
             elif payload == "*":
-                missing = [c for c in tcols if c not in src_set]
+                missing = [
+                    c for c in tcols
+                    if c not in src_set and c != "__row_id__"
+                ]
                 if missing:
                     raise ValueError(
                         f"clause {i}: '*' needs every target column in "
@@ -3937,12 +4949,15 @@ class ManifestTable:
                 "rule: which row's assignments win is undefined)"
             )
 
-    def _merge_plan(self, parsed, t_base, src, keys):
+    def _merge_plan(self, parsed, t_base, src, keys, defaults=None):
         """The one-join MERGE plan shared by the cow and dv modes: one
         full-outer join of target × source drives every clause through
         a single CASE-typed ``__act__`` column; one CASE per column
         routes each action to its clause's assignment (updates default
-        to the old value, inserts to NULL), cast to the tracked type.
+        to the old value, inserts to NULL — or to the column's DEFAULT
+        expression when one is declared; generated columns must be
+        explicitly assigned in a merge, their join-context derivation
+        is ambiguous), cast to the tracked type.
         Returns ``(j, proj, tcols, typ, upd_codes, del_codes,
         ins_codes)`` where ``j`` carries the aliased join and ``proj``
         the action-tagged content projection."""
@@ -3984,14 +4999,23 @@ class ManifestTable:
                 if kind in ("delete", "delete_by_source"):
                     continue
                 assigns = (
-                    {cc: f"s.{cc}" for cc in tcols}
+                    {
+                        cc: f"s.{cc}"
+                        for cc in tcols
+                        if cc != "__row_id__"
+                    }
                     if payload == "*"
                     else payload
                 )
                 if c in assigns:
                     val = _rhs(assigns[c])
                 elif kind == "insert":
-                    val = F.lit(None)
+                    d = (defaults or {}).get(c)
+                    val = (
+                        F.expr(d["expr"])
+                        if d is not None and not d.get("generated")
+                        else F.lit(None)
+                    )
                 else:
                     val = F.col(f"t.{c}")
                 cond = F.col("__act__") == f"a{i}"
@@ -4160,6 +5184,7 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        self._require_no_row_tracking(m, "merge_into(mode='cow')")
         if m.get("deltas"):
             raise ValueError(
                 "merge_into rewrites base files (copy-on-write): "
@@ -4252,7 +5277,10 @@ class ManifestTable:
             self._merge_ambiguity_guard(src, t_base, keys)
         # -- phase 2: one full-outer join, one action column -------------
         j, proj, tcols, _typ, upd_codes, del_codes, ins_codes = (
-            self._merge_plan(parsed, t_base, src, keys)
+            self._merge_plan(
+                parsed, t_base, src, keys,
+                defaults=m.get("column_defaults"),
+            )
         )
         keep_codes = ["keep"] + upd_codes + ins_codes
         new_content = proj.filter(
@@ -4410,6 +5438,12 @@ class ManifestTable:
                 "on them)"
             )
         self._guard_dv_reserved(m, source.columns, what)
+        if m.get("row_tracking") and "__row_id__" in source.columns:
+            raise ValueError(
+                f"{what}: __row_id__ is the row-tracking identity — "
+                "drop it from the source (ids are never assigned by a "
+                "merge)"
+            )
         parsed, matched_idx, insert_idx, by_source_idx = (
             self._merge_parse_clauses(clauses, source)
         )
@@ -4436,11 +5470,23 @@ class ManifestTable:
             hi = bounds.column("hi").to_pylist()[0]
             if lo is not None:
                 prune = (prune_col, lo, hi)
-        t_base = (
-            self.read_resolved(spark, version=m["version"], prune=prune)
-            if has_content
-            else None
-        )
+        if m.get("row_tracking") and has_content:
+            # thread the stable row id through the merge: updates keep
+            # the matched target row's id (it rides tcols into the
+            # post images and the CDC), inserts mint fresh ids at read
+            # via their file's base_row_id + position
+            names = m["files"]
+            if prune is not None:
+                names, _n = self.prune_plan(
+                    prune[0], prune[1], prune[2], version=m["version"]
+                )
+            t_base = self._rowid_content(spark, m, names)
+        elif has_content:
+            t_base = self.read_resolved(
+                spark, version=m["version"], prune=prune
+            )
+        else:
+            t_base = None
         if t_base is None:
             if m.get("schema") is not None:
                 t_base = spark.createDataFrame(
@@ -4462,7 +5508,10 @@ class ManifestTable:
         if (matched_idx or by_source_idx) and has_content:
             self._merge_ambiguity_guard(src, t_base, keys)
         j, proj, tcols, _typ, upd_codes, del_codes, ins_codes = (
-            self._merge_plan(parsed, t_base, src, keys)
+            self._merge_plan(
+                parsed, t_base, src, keys,
+                defaults=m.get("column_defaults"),
+            )
         )
         novel = proj.filter(
             F.col("__act__").isin(upd_codes + ins_codes)
@@ -4710,6 +5759,7 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        self._require_no_row_tracking(m, "commit_delta")
         keys = list(key_columns)
         if m.get("key_columns") not in (None, keys):
             raise ValueError(
@@ -4717,7 +5767,11 @@ class ManifestTable:
             )
         if updates is not None:
             # upsert rows face the CHECK/NOT NULL gate; tombstones are
-            # exempt (keys + marker only — the Delta delete rule)
+            # exempt (keys + marker only — the Delta delete rule).
+            # DEFAULT/generated columns fill first, so a reference-
+            # shaped producer that never heard of the new column still
+            # commits complete rows.
+            updates = self._apply_column_defaults(m, updates, "commit_delta")
             self._validate_constraints(m, updates, "commit_delta")
         batch = updates
         if batch is not None and cdc:
@@ -5027,7 +6081,11 @@ class ManifestTable:
         # fresh manifest below carries no dv — compaction restores
         # join-free reads on every file
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
-        resolved = self.read_resolved(spark)
+        resolved = (
+            self._rowid_content(spark, m, m["files"])
+            if m.get("row_tracking")
+            else self.read_resolved(spark)
+        )
         if self._mapping_enabled(m):
             # content-preserving: the tracked schema (with its ids)
             # carries; align the resolved view to it (a pure-delta
@@ -5181,7 +6239,11 @@ class ManifestTable:
             current = self.read_resolved(spark).localCheckpoint(eager=False)
             total = current.count()
         else:
-            current = self._read_base(spark, m, touched)
+            current = (
+                self._rowid_content(spark, m, touched)
+                if m.get("row_tracking")
+                else self._read_base(spark, m, touched)
+            )
             rows = [filemeta.get(f, {}).get("rows") for f in touched]
             if all(r is not None for r in rows):
                 # pure metadata: zero data passes — footer counts minus
@@ -5737,6 +6799,14 @@ class ManifestTable:
             stale_ck = self._ckpt_sidecar(v)
             if os.path.exists(stale_ck):
                 os.remove(stale_ck)
+            # a removed columnar checkpoint's parquet sidecar goes
+            # with its record (uniquely named per publish attempt —
+            # the record names exactly one)
+            if rec.get("sidecar"):
+                try:
+                    os.remove(os.path.join(self.root, rec["sidecar"]))
+                except FileNotFoundError:
+                    pass
         return removed
 
     def _scan_log(self) -> list:
@@ -5761,7 +6831,16 @@ class ManifestTable:
                 rec = self._load_record(v)
             except ValueError:
                 continue  # a concurrent vacuum removed it mid-listing
-            snap = self._record_snapshot(rec)
+            try:
+                snap = self._record_snapshot(rec)
+            except ValueError:
+                # columnar checkpoint whose sidecar went with a racing
+                # vacuum: the version is no longer derivable from this
+                # record — conservative None (same class as a broken
+                # chain); a ProtocolTooNew still propagates loudly
+                out.append((v, rec, None))
+                cur = None
+                continue
             if snap is not None:
                 cur = snap
             elif cur is not None and cur.get("version") == v - 1:
@@ -5807,7 +6886,10 @@ class ManifestTable:
         import time
 
         live: set[str] = set()
-        for _v, _rec, mf in self._scan_log():
+        live_sidecars: set[str] = set()
+        for _v, rec, mf in self._scan_log():
+            if rec.get("sidecar"):
+                live_sidecars.add(rec["sidecar"])
             if mf is None:
                 continue
             live.update(mf.get("files", []))
@@ -5828,6 +6910,25 @@ class ManifestTable:
             except FileNotFoundError:
                 pass  # a concurrent GC got it first
         for f in os.listdir(self.root):
+            # orphaned columnar-checkpoint sidecars: a same-slot
+            # publish loser that crashed before its own cleanup (the
+            # winner's record never references it).  Same age floor —
+            # an in-flight publish's sidecar legitimately precedes its
+            # record link.
+            if (
+                f.startswith("_manifest.v")
+                and ".ckpt-" in f
+                and f.endswith(".parquet")
+                and f not in live_sidecars
+            ):
+                p = os.path.join(self.root, f)
+                try:
+                    if now - os.stat(p).st_mtime >= min_age_seconds:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+                continue
             if not f.startswith("staging-"):
                 continue
             p = os.path.join(self.root, f)
@@ -6150,6 +7251,19 @@ class ManifestTable:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in StructType.fromJson(sch).fields
             ]
+            if mhi.get("row_tracking"):
+                # row tracking (r17 #7): the stable row id recorded in
+                # each CDC fileset rides the feed, so consumers pair
+                # update pre/post images by identity, not business key
+                # (pre-enable ranges null-fill it — same rule as any
+                # evolved column)
+                cols.append(
+                    (
+                        F.col("__row_id__")
+                        if "__row_id__" in have
+                        else F.lit(None)
+                    ).cast("long").alias("__row_id__")
+                )
             return df.select(*cols, "_commit_version", "_change_type")
 
         def _empty_feed() -> Optional[DataFrame]:

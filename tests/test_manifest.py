@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from pypeline_spark.session import load_table
 from pypeline_spark.sinks.keyed import upsert
-from pypeline_spark.sinks.manifest import ManifestTable, ProtocolTooNew
+from pypeline_spark.sinks.manifest import (
+    ConstraintViolation,
+    ManifestTable,
+    ProtocolTooNew,
+)
 
 
 @pytest.fixture()
@@ -5871,18 +5875,33 @@ class TestCommitLog:
                     os.path.join(t.root, f"_manifest.v{v}.json")
                 )
             )
-        assert sz1 > 100_000  # the checkpoint IS O(files)
+        # the checkpoint is COLUMNAR at this file count (r17 #3): a
+        # small JSON core + a parquet sidecar carrying the per-file
+        # state — the record itself is no longer O(files) JSON
+        with open(os.path.join(t.root, "_manifest.v1.json")) as fh:
+            rec1 = json.load(fh)
+        assert "snapshot_core" in rec1 and rec1["protocol"] == 3
+        assert sz1 < 4_000
+        side = os.path.join(t.root, rec1["sidecar"])
+        assert os.path.exists(side)
+        assert os.path.getsize(side) > 10_000  # the per-file state
         assert max(log_sizes) < 2_000, log_sizes  # records are O(delta)
         # the pointer hint is O(record), never an O(files) snapshot
         assert os.path.getsize(t._pointer) < 4_000
-        # v10 (the CHECKPOINT_INTERVAL boundary) snapshots in full
+        # v10 (the CHECKPOINT_INTERVAL boundary) checkpoints columnar
         m10 = self._synthetic(10, files[:4991] + ["g10.parquet"])
         t._publish(m10)
         assert os.path.getsize(
             os.path.join(t.root, "_manifest.v10.json")
-        ) > 100_000
+        ) < 4_000
         with open(os.path.join(t.root, "_manifest.v10.json")) as fh:
-            assert "snapshot" in json.load(fh)
+            rec10 = json.load(fh)
+        assert "snapshot_core" in rec10
+        # and it reconstructs bit-identically
+        got = t._manifest_at(10)
+        got.pop("committed_at", None)
+        m10.pop("committed_at", None)
+        assert got == m10
 
     @settings(max_examples=20, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -5909,6 +5928,39 @@ class TestCommitLog:
         writer published (the model keeps each full manifest in
         memory).  Exercises log records, checkpoint boundaries and the
         legacy fallback paths together."""
+        self._replay_equivalence_body(tmp_path, steps)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        steps=st.lists(
+            st.tuples(
+                st.sampled_from(
+                    ["append", "remove", "overwrite", "delta",
+                     "clear_deltas", "meta", "restore_jump"]
+                ),
+                st.integers(0, 9),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_replay_equivalence_over_columnar_checkpoints(
+        self, tmp_path, steps
+    ):
+        """The SAME equivalence property with every checkpoint forced
+        COLUMNAR (r17 directive #3): JSON core + parquet sidecar must
+        reconstruct each checkpointed manifest bit-identically —
+        including key presence (absent vs empty stats/filemeta),
+        mixed-type stats entries, and the restore/legacy paths."""
+        prev = ManifestTable.SIDECAR_MIN_FILES
+        ManifestTable.SIDECAR_MIN_FILES = 0
+        try:
+            self._replay_equivalence_body(tmp_path, steps)
+        finally:
+            ManifestTable.SIDECAR_MIN_FILES = prev
+
+    def _replay_equivalence_body(self, tmp_path, steps):
         import uuid as _uuid
 
         t = ManifestTable(str(tmp_path / f"hist-{_uuid.uuid4().hex}"))
@@ -6548,3 +6600,370 @@ class TestOccDvMergeInterleaving:
         assert 2 not in got and got[20] == 200
         assert got[5] == 555 and got[30] == 300
         assert len(got) == 10 - 1 + 1 + 1
+
+
+class TestVectorizedPrune:
+    """r17 directive #4 — vectorized prune planning must produce
+    keep-sets IDENTICAL to the per-file scalar loop for any stats
+    content, falling back to the loop wherever float64 cannot
+    represent the stats exactly."""
+
+    @staticmethod
+    def _loop_keep(t, m, bounds):
+        return [
+            f for f in m["files"]
+            if all(
+                t._overlaps(m, f, col, lo, hi)
+                for col, (lo, hi) in bounds.items()
+            )
+        ]
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        entries=st.lists(
+            st.one_of(
+                st.none(),  # no stats: must always be kept
+                st.tuples(
+                    st.one_of(
+                        st.integers(-(2**60), 2**60),  # incl. > 2^53
+                        st.floats(allow_nan=True, allow_infinity=True),
+                        st.text(min_size=0, max_size=4),
+                        st.none(),
+                    ),
+                    st.one_of(
+                        st.integers(-(2**60), 2**60),
+                        st.floats(allow_nan=True, allow_infinity=True),
+                        st.text(min_size=0, max_size=4),
+                        st.none(),
+                    ),
+                ),
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        lo=st.one_of(st.none(), st.integers(-100, 100),
+                     st.floats(allow_nan=False, allow_infinity=False,
+                               min_value=-1e6, max_value=1e6)),
+        hi=st.one_of(st.none(), st.integers(-100, 100),
+                     st.floats(allow_nan=False, allow_infinity=False,
+                               min_value=-1e6, max_value=1e6)),
+    )
+    def test_keep_sets_identical_to_scalar_loop(
+        self, tmp_path, entries, lo, hi
+    ):
+        import uuid as _uuid
+
+        t = ManifestTable(str(tmp_path / f"vp-{_uuid.uuid4().hex}"))
+        files = [f"f{i}.parquet" for i in range(len(entries))]
+        stats = {}
+        for f, e in zip(files, entries):
+            if e is None:
+                continue
+            a, b = e
+            # scalar _overlaps requires comparable types within one
+            # compare; mixed str/num pairs would crash BOTH paths —
+            # keep pairs homogeneous like real footer stats
+            if isinstance(a, str) != isinstance(b, str):
+                b = a
+            stats[f] = {"k": [a, b]}
+        t._publish({
+            "version": 1, "files": files, "deltas": [],
+            "batch_ids": ["s"], "stats": stats, "filemeta": {},
+        })
+        m = t._read_manifest()
+        bounds = {"k": (lo, hi)}
+
+        def safe(fn):
+            try:
+                return fn(), None
+            except TypeError as exc:  # str-vs-num compare: both raise
+                return None, "type"
+
+        vec, verr = safe(lambda: t.prune_plan_multi(bounds)[0])
+        loop, lerr = safe(lambda: self._loop_keep(t, m, bounds))
+        assert verr == lerr
+        if verr is None:
+            assert vec == loop
+
+    def test_string_stats_fall_back_and_match(self, tmp_path):
+        t = ManifestTable(str(tmp_path / "vps"))
+        files = [f"f{i}.parquet" for i in range(6)]
+        stats = {
+            "f0.parquet": {"k": ["aa", "cc"]},
+            "f1.parquet": {"k": ["dd", "ff"]},
+            "f3.parquet": {"k": ["b", "e"]},
+        }
+        t._publish({
+            "version": 1, "files": files, "deltas": [],
+            "batch_ids": ["s"], "stats": stats, "filemeta": {},
+        })
+        m = t._read_manifest()
+        bounds = {"k": ("c", "d")}
+        assert t.prune_plan_multi(bounds)[0] == self._loop_keep(t, m, bounds)
+        # index cache records the fallback; a second plan agrees too
+        bounds2 = {"k": ("a", "b")}
+        assert t.prune_plan_multi(bounds2)[0] == self._loop_keep(t, m, bounds2)
+
+    def test_index_invalidates_across_versions(self, tmp_path):
+        t = ManifestTable(str(tmp_path / "vpv"))
+        t._publish({
+            "version": 1, "files": ["a.parquet"], "deltas": [],
+            "batch_ids": ["s1"], "stats": {"a.parquet": {"k": [0, 10]}},
+            "filemeta": {},
+        })
+        assert t.prune_plan("k", 5, 6)[0] == ["a.parquet"]
+        t._publish({
+            "version": 2, "files": ["a.parquet", "b.parquet"],
+            "deltas": [], "batch_ids": ["s1", "s2"],
+            "stats": {"a.parquet": {"k": [0, 10]},
+                      "b.parquet": {"k": [20, 30]}},
+            "filemeta": {}, "dml": True,
+        })
+        assert t.prune_plan("k", 25, 26)[0] == ["b.parquet"]
+        assert t.prune_plan("k", 5, 6, version=1)[0] == ["a.parquet"]
+
+
+class TestColumnDefaults:
+    """r17 directive #6 — ADD COLUMN .. DEFAULT and generated columns:
+    metadata-only declaration, default/generated fill on evolved reads
+    (file-dated, never value-guessed), write-side fill + validation,
+    DML/CDF/time-travel interaction, constraint composition."""
+
+    @pytest.fixture()
+    def cust(self, spark, sf_dir):
+        from pypeline_spark.session import load_table
+
+        return load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    def _seeded(self, tmp_path, cust, name):
+        t = ManifestTable(str(tmp_path / name))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 50),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        return t
+
+    def test_pre_files_read_default_not_null(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "d1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        got = t.read(spark)
+        assert got.filter(F.col("tier") != "BASIC").count() == 0
+        assert got.filter(F.col("tier").isNull()).count() == 0
+        # time travel BEFORE the add: no such column
+        assert "tier" not in t.read(spark, version=1).columns
+
+    def test_post_add_null_stays_null(self, spark, tmp_path, cust):
+        """missing-vs-null is FILE-dated: a post-add write that stores
+        an explicit NULL keeps it (coalesce-at-read would lie)."""
+        t = self._seeded(tmp_path, cust, "d2")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        batch = (
+            cust.filter(
+                (F.col("c_custkey") > 50) & (F.col("c_custkey") <= 55)
+            ).withColumn("tier", F.lit(None).cast("string"))
+        )
+        t.commit_delta(batch, ["c_custkey"], batch_id="d")
+        r = t.read_resolved(spark)
+        assert r.filter(F.col("tier").isNull()).count() == 5
+        assert r.filter(F.col("tier") == "BASIC").count() == 51
+
+    def test_write_omitting_column_gets_default(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "d3")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        t.commit_delta(
+            cust.filter(
+                (F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)
+            ),
+            ["c_custkey"], batch_id="d",
+        )
+        r = t.read_resolved(spark)
+        assert r.count() == 61
+        assert r.filter(F.col("tier").isNull()).count() == 0
+
+    def test_generated_computed_validated_and_rejected(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seeded(tmp_path, cust, "g1")
+        t.evolve_schema(
+            "cents bigint", batch_id="e",
+            generated={"cents": "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"},
+        )
+        bad = t.read(spark).filter(
+            F.col("cents")
+            != F.floor(F.col("c_acctbal") * 100).cast("bigint")
+        )
+        assert bad.count() == 0
+        t.commit_delta(
+            cust.filter(
+                (F.col("c_custkey") > 50) & (F.col("c_custkey") <= 55)
+            ),
+            ["c_custkey"], batch_id="d1",
+        )
+        assert (
+            t.read_resolved(spark).filter(F.col("cents").isNull()).count()
+            == 0
+        )
+        wrong = cust.filter(
+            (F.col("c_custkey") > 55) & (F.col("c_custkey") <= 60)
+        ).withColumn("cents", F.lit(0).cast("bigint"))
+        v = t.version()
+        with pytest.raises(ConstraintViolation, match="generated"):
+            t.commit_delta(wrong, ["c_custkey"], batch_id="d2")
+        assert t.version() == v
+        right = cust.filter(
+            (F.col("c_custkey") > 55) & (F.col("c_custkey") <= 60)
+        ).withColumn(
+            "cents", F.floor(F.col("c_acctbal") * 100).cast("bigint")
+        )
+        t.commit_delta(right, ["c_custkey"], batch_id="d3")
+        assert t.read_resolved(spark).count() == 61
+
+    def test_merge_insert_fills_literal_default(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "m1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'NEW'"})
+        src = spark.range(900, 905).select(
+            F.col("id").alias("c_custkey"), F.lit(1.5).alias("c_acctbal")
+        )
+        t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[(
+                "insert", None,
+                {"c_custkey": "s.c_custkey", "c_acctbal": "s.c_acctbal"},
+            )],
+            batch_id="m",
+        )
+        ins = t.read(spark).filter(F.col("c_custkey") >= 900)
+        assert ins.count() == 5
+        assert ins.filter(F.col("tier") != "NEW").count() == 0
+
+    def test_compaction_materializes_then_fill_stops(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seeded(tmp_path, cust, "c1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        # OPTIMIZE reads through the fill and rewrites: values become
+        # physical, and the new files carry schema_v past added_v
+        t.optimize(spark, target_rows=30, batch_id="opt",
+                   stats_cols=["c_custkey"])
+        # clearing the default no longer changes reads
+        t.clear_column_default("tier", batch_id="clr")
+        r = t.read(spark)
+        assert r.filter(F.col("tier") == "BASIC").count() == 51
+
+    def test_clear_default_reverts_prefiles_to_null(
+        self, spark, tmp_path, cust
+    ):
+        t = self._seeded(tmp_path, cust, "c2")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        t.clear_column_default("tier", batch_id="clr")
+        assert (
+            t.read(spark).filter(F.col("tier").isNull()).count() == 51
+        )
+        with pytest.raises(ValueError, match="no DEFAULT"):
+            t.clear_column_default("tier")
+
+    def test_cdf_and_dml_carry_defaults(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "f1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        v = t.version()
+        t.update_where(
+            spark, "c_custkey <= 5", {"c_acctbal": "c_acctbal + 1.0"},
+            batch_id="u",
+        )
+        feed = t.changes(spark, v)
+        post = feed.filter(F.col("_change_type") == "update_postimage")
+        assert post.count() == 6
+        # pre/post images read through the default fill
+        assert post.filter(F.col("tier") != "BASIC").count() == 0
+        t.delete_where(spark, "tier = 'BASIC' AND c_custkey > 45",
+                       batch_id="dw")
+        assert t.read(spark).count() == 46
+
+    def test_constraint_interaction(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "k1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        # ADD CONSTRAINT scan-validates the snapshot WITH the default
+        # applied (pre-files read 'BASIC', which passes)
+        t.add_check_constraint(
+            spark, "tier_ok", "tier IN ('BASIC', 'GOLD')", batch_id="cc"
+        )
+        # a new batch whose EXPLICIT tier violates the check is
+        # rejected AFTER the fill (fill cannot mask a bad value)
+        bad = cust.filter(F.col("c_custkey") == 60).withColumn(
+            "tier", F.lit("JUNK")
+        )
+        with pytest.raises(ConstraintViolation):
+            t.commit_delta(bad, ["c_custkey"], batch_id="b")
+        # an omitting batch passes: the filled default satisfies it
+        t.commit_delta(
+            cust.filter(F.col("c_custkey") == 60), ["c_custkey"],
+            batch_id="ok",
+        )
+        # dropping a column a generated col references is refused
+        t2 = self._seeded(tmp_path, cust, "k2")
+        t2.enable_column_mapping(batch_id="cm")
+        t2.evolve_schema(
+            "cents bigint", batch_id="e2",
+            generated={"cents": "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"},
+        )
+        with pytest.raises(ValueError, match="generated"):
+            t2.drop_column("c_acctbal", batch_id="dc")
+
+    def test_overwrite_carries_declarations(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "o1")
+        t.evolve_schema("tier string", batch_id="e",
+                        defaults={"tier": "'BASIC'"})
+        # an overwrite whose batch omits the column: the declaration
+        # is a table property — the fill completes the new content
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 20), batch_id="ow"
+        )
+        r = t.read(spark)
+        assert r.count() == 21
+        assert r.filter(F.col("tier") != "BASIC").count() == 0
+        assert "tier" in r.columns
+
+    def test_defaults_survive_columnar_checkpoint(
+        self, spark, tmp_path, cust
+    ):
+        prev = ManifestTable.SIDECAR_MIN_FILES
+        ManifestTable.SIDECAR_MIN_FILES = 0
+        try:
+            t = self._seeded(tmp_path, cust, "s1")
+            t.evolve_schema("tier string", batch_id="e",
+                            defaults={"tier": "'BASIC'"})
+            for i in range(2, 12):  # cross a checkpoint boundary
+                t.commit_delta(
+                    cust.filter(F.col("c_custkey") == 50 + i),
+                    ["c_custkey"], batch_id=f"d-{i}",
+                )
+            t2 = ManifestTable(t.root)  # cold
+            m = t2._read_manifest()
+            assert "tier" in (m.get("column_defaults") or {})
+            r = t2.read_resolved(spark)
+            assert r.filter(F.col("tier").isNull()).count() == 0
+        finally:
+            ManifestTable.SIDECAR_MIN_FILES = prev
+
+    def test_declaration_validation(self, spark, tmp_path, cust):
+        t = self._seeded(tmp_path, cust, "v1")
+        with pytest.raises(ValueError, match="not in new_columns"):
+            t.evolve_schema("a string", defaults={"b": "'x'"})
+        with pytest.raises(ValueError, match="both"):
+            t.evolve_schema(
+                "a string", defaults={"a": "'x'"}, generated={"a": "'y'"}
+            )
+        t.evolve_schema("a string", batch_id="e1")
+        with pytest.raises(ValueError, match="already exist"):
+            t.evolve_schema("a string", defaults={"a": "'x'"})

@@ -1,0 +1,233 @@
+"""Row tracking (r17 directive #7 — the Delta 3.x row-id shape):
+stable row identity assigned at ingest from a monotone high-water
+mark, carried through OPTIMIZE/compact via materialized hidden
+``__row_id__`` columns, preserved by the deletion-vector DML and the
+dv MERGE, surfaced as ``_row_id`` on ``read_rowids`` and as
+``__row_id__`` on every CDC image so the feed pairs update pre/post
+by identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeline_spark.session import load_table
+from pypeline_spark.sinks.manifest import ManifestTable
+
+
+@pytest.fixture()
+def cust(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def _tracked(tmp_path, cust, name, hi=80):
+    t = ManifestTable(str(tmp_path / name))
+    t.commit_overwrite(
+        cust.filter(F.col("c_custkey") <= hi).repartitionByRange(
+            4, "c_custkey"
+        ),
+        batch_id="seed", stats_cols=["c_custkey"],
+    )
+    t.enable_row_tracking(batch_id="rt")
+    return t
+
+
+def _ids(spark, t):
+    return {
+        r["c_custkey"]: r["_row_id"]
+        for r in t.read_rowids(spark).collect()
+    }
+
+
+class TestRowTracking:
+    def test_ids_unique_and_dense_from_hwm(self, spark, tmp_path, cust):
+        t = _tracked(tmp_path, cust, "u1")
+        ids = _ids(spark, t)
+        assert len(ids) == 81
+        assert len(set(ids.values())) == 81
+        assert min(ids.values()) == 0
+        assert max(ids.values()) == 80
+        assert t._read_manifest()["row_id_hwm"] == 81
+
+    def test_stable_across_reorg(self, spark, tmp_path, cust):
+        t = _tracked(tmp_path, cust, "r1")
+        before = _ids(spark, t)
+        t.optimize(spark, target_rows=20, batch_id="opt",
+                   stats_cols=["c_custkey"])
+        assert _ids(spark, t) == before
+        # the rewritten files carry MATERIALIZED ids
+        m = t._read_manifest()
+        assert all(
+            m["filemeta"][f].get("row_id_phys") for f in m["files"]
+        )
+        # a second reorg (now from physical ids) is still stable
+        t.optimize(spark, target_rows=50, batch_id="opt2",
+                   stats_cols=["c_custkey"])
+        assert _ids(spark, t) == before
+        # and normal reads never see the hidden column
+        assert "__row_id__" not in t.read(spark).columns
+
+    def test_stable_across_dv_dml(self, spark, tmp_path, cust):
+        t = _tracked(tmp_path, cust, "d1")
+        before = _ids(spark, t)
+        t.delete_where(spark, "c_custkey % 7 = 3", batch_id="dd",
+                       mode="dv")
+        t.update_where(spark, "c_custkey % 7 = 4",
+                       {"c_acctbal": "c_acctbal + 9.0"},
+                       batch_id="du", mode="dv")
+        after = _ids(spark, t)
+        assert set(after) == {k for k in before if k % 7 != 3}
+        assert all(after[k] == before[k] for k in after)
+        assert len(set(after.values())) == len(after)
+
+    def test_merge_updates_keep_ids_inserts_mint_fresh(
+        self, spark, tmp_path, cust
+    ):
+        t = _tracked(tmp_path, cust, "m1")
+        before = _ids(spark, t)
+        hwm0 = t._read_manifest()["row_id_hwm"]
+        src = cust.filter(
+            (F.col("c_custkey") <= 10) | (F.col("c_custkey") > 140)
+        ).select("c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal"))
+        t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            batch_id="mg", mode="dv",
+        )
+        after = _ids(spark, t)
+        # updated + untouched rows keep their identity
+        assert all(after[k] == before[k] for k in before)
+        # inserted rows mint ids from the high-water mark (never reuse)
+        fresh = {after[k] for k in after if k not in before}
+        assert fresh and all(i >= hwm0 for i in fresh)
+        assert len(set(after.values())) == len(after)
+
+    def test_feed_pairs_update_images_by_row_id(
+        self, spark, tmp_path, cust
+    ):
+        t = _tracked(tmp_path, cust, "f1")
+        snapshot = _ids(spark, t)
+        v0 = t.version()
+        src = cust.filter(F.col("c_custkey") <= 10).select(
+            "c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal")
+        )
+        t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[("update", None, "*")], batch_id="mg", mode="dv",
+        )
+        feed = t.changes(spark, v0)
+        pre = {
+            r["__row_id__"]: (r["c_custkey"], r["c_acctbal"])
+            for r in feed.filter(
+                F.col("_change_type") == "update_preimage"
+            ).collect()
+        }
+        post = {
+            r["__row_id__"]: (r["c_custkey"], r["c_acctbal"])
+            for r in feed.filter(
+                F.col("_change_type") == "update_postimage"
+            ).collect()
+        }
+        assert pre and set(pre) == set(post)
+        for i in pre:
+            assert pre[i][0] == post[i][0]
+            assert post[i][1] == pytest.approx(2 * pre[i][1])
+            assert snapshot[pre[i][0]] == i  # the SNAPSHOT identity
+        # dv delete emits the deleted rows' ids too
+        t.delete_where(spark, "c_custkey = 20", batch_id="dd2",
+                       mode="dv")
+        dels = t.changes(spark, t.version() - 1).filter(
+            F.col("_change_type") == "delete"
+        ).collect()
+        assert [r["__row_id__"] for r in dels] == [snapshot[20]]
+
+    def test_time_travel_reads_each_versions_ids(
+        self, spark, tmp_path, cust
+    ):
+        t = _tracked(tmp_path, cust, "t1")
+        v_rt = t.version()
+        before = _ids(spark, t)
+        t.delete_where(spark, "c_custkey <= 5", batch_id="dd",
+                       mode="dv")
+        # the pre-delete version still shows every id
+        old = {
+            r["c_custkey"]: r["_row_id"]
+            for r in t.read_rowids(spark, version=v_rt).collect()
+        }
+        assert old == before
+        # a pre-tracking version refuses loudly
+        with pytest.raises(ValueError, match="row tracking"):
+            t.read_rowids(spark, version=1)
+
+    def test_cow_forms_refused(self, spark, tmp_path, cust):
+        t = _tracked(tmp_path, cust, "c1")
+        with pytest.raises(ValueError, match="row tracking"):
+            t.commit_delta(
+                cust.filter(F.col("c_custkey") > 140),
+                ["c_custkey"], batch_id="x1",
+            )
+        with pytest.raises(ValueError, match="row tracking"):
+            t.delete_where(spark, "c_custkey = 1", batch_id="x2")
+        with pytest.raises(ValueError, match="row tracking"):
+            t.update_where(spark, "c_custkey = 1",
+                           {"c_acctbal": "0.0"}, batch_id="x3")
+        src = cust.filter(F.col("c_custkey") <= 3)
+        with pytest.raises(ValueError, match="row tracking"):
+            t.merge_into(
+                spark, src, key_columns=["c_custkey"],
+                clauses=[("update", None, "*")], batch_id="x4",
+            )
+        with pytest.raises(ValueError, match="row tracking"):
+            t.commit_merge(spark, src, ["c_custkey"], batch_id="x5")
+
+    def test_enable_preconditions(self, spark, tmp_path, cust):
+        t = ManifestTable(str(tmp_path / "p1"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") <= 30),
+                           batch_id="seed")
+        t.commit_delta(cust.filter(F.col("c_custkey") > 140),
+                       ["c_custkey"], batch_id="d")
+        with pytest.raises(ValueError, match="deltas"):
+            t.enable_row_tracking(batch_id="rt")
+        t.compact(spark, batch_id="cpt")
+        t.enable_row_tracking(batch_id="rt")
+        # idempotent re-enable
+        v = t.version()
+        t.enable_row_tracking(batch_id="rt2")
+        assert t.version() == v
+        # mapping exclusion
+        t2 = ManifestTable(str(tmp_path / "p2"))
+        t2.commit_overwrite(cust.filter(F.col("c_custkey") <= 10),
+                            batch_id="seed")
+        t2.enable_column_mapping(batch_id="cm")
+        with pytest.raises(ValueError, match="mapping"):
+            t2.enable_row_tracking(batch_id="rt")
+
+    def test_id_assignment_and_merge_guards(self, spark, tmp_path, cust):
+        t = _tracked(tmp_path, cust, "g1")
+        src = cust.filter(F.col("c_custkey") <= 3).withColumn(
+            "__row_id__", F.lit(7).cast("long")
+        )
+        with pytest.raises(ValueError, match="__row_id__"):
+            t.merge_into(
+                spark, src, key_columns=["c_custkey"],
+                clauses=[("update", None, "*")], batch_id="x",
+                mode="dv",
+            )
+        with pytest.raises(ValueError, match="__row_id__"):
+            t.update_where(
+                spark, "c_custkey = 1", {"__row_id__": "0"},
+                batch_id="y", mode="dv",
+            )
+
+    def test_overwrite_resets_rows_but_never_reuses_ids(
+        self, spark, tmp_path, cust
+    ):
+        t = _tracked(tmp_path, cust, "o1")
+        hwm0 = t._read_manifest()["row_id_hwm"]
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 20), batch_id="ow"
+        )
+        ids = _ids(spark, t)
+        assert len(ids) == 21
+        assert all(i >= hwm0 for i in ids.values())
+        assert t._read_manifest()["row_id_hwm"] == hwm0 + 21

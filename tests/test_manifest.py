@@ -6363,7 +6363,10 @@ class TestMaterializationCache:
         vfile = os.path.join(t.root, "_manifest.v1.json")
         with open(vfile) as fh:
             rec = _json.load(fh)
-        assert rec["protocol"] == ManifestTable.PROTOCOL_VERSION
+        # minimum-reader rule (r17): an inline-snapshot record stamps
+        # protocol 2 even though this build READS up to
+        # PROTOCOL_VERSION (columnar checkpoints stamp 3)
+        assert rec["protocol"] == 2 <= ManifestTable.PROTOCOL_VERSION
         rec["protocol"] = ManifestTable.PROTOCOL_VERSION + 1
         with open(vfile, "w") as fh:
             _json.dump(rec, fh)

@@ -187,6 +187,19 @@ class ManifestTable:
     def _ckpt_sidecar(self, version: int) -> str:
         return os.path.join(self.root, f"_ckpt.v{version}.json")
 
+    def _load_ckpt_sidecar(self, path: str) -> dict:
+        """Read a vacuum-horizon sidecar: either a full JSON manifest
+        (small tables / pre-r17) or — above SIDECAR_MIN_FILES — a
+        columnar wrapper {"snapshot_core", "sidecar", ...} whose
+        per-file state lives in the same parquet form the commit
+        checkpoints use (a vacuumed parquet file raises ValueError,
+        the not-derivable class)."""
+        with open(path) as fh:
+            d = json.load(fh)
+        if "snapshot_core" in d:
+            return self._load_parquet_checkpoint(d)
+        return d
+
     @staticmethod
     def _is_record(rec: dict) -> bool:
         """True for a commit RECORD (inline snapshot, columnar
@@ -350,13 +363,16 @@ class ManifestTable:
             return isinstance(x, int) and not isinstance(x, bool)
 
         fm_vals = [filemeta.get(f) for f in files]
+        _FM_OPT = ("schema_v", "base_row_id", "row_id_phys")
         if not (set(filemeta) - set(files)) and all(
             v is None
             or (
-                set(v) in ({"bytes", "rows"}, {"bytes", "rows", "schema_v"})
+                {"bytes", "rows"} <= set(v) <= {"bytes", "rows", *_FM_OPT}
                 and _int_ok(v["bytes"])
                 and _int_ok(v["rows"], none_ok=True)
                 and _int_ok(v.get("schema_v", 0))
+                and _int_ok(v.get("base_row_id", 0))
+                and v.get("row_id_phys", True) is True
             )
             for v in fm_vals
         ):
@@ -368,11 +384,12 @@ class ManifestTable:
             data["fm_rows"] = [
                 v["rows"] if v is not None else None for v in fm_vals
             ]
-            if any(v is not None and "schema_v" in v for v in fm_vals):
-                data["fm_schema_v"] = [
-                    v.get("schema_v") if v is not None else None
-                    for v in fm_vals
-                ]
+            for k in _FM_OPT:
+                if any(v is not None and k in v for v in fm_vals):
+                    data[f"fm_{k}"] = [
+                        v.get(k) if v is not None else None
+                        for v in fm_vals
+                    ]
         else:
             data["filemeta_json"] = [
                 json.dumps(v, sort_keys=True) if v is not None else None
@@ -472,8 +489,11 @@ class ManifestTable:
             want.append("stats_json")
         if typed.get("filemeta"):
             want += ["fm_present", "fm_bytes", "fm_rows"]
-            if "fm_schema_v" in cols:
-                want.append("fm_schema_v")
+            want += [
+                c for c in (
+                    "fm_schema_v", "fm_base_row_id", "fm_row_id_phys"
+                ) if c in cols
+            ]
         elif "filemeta_json" in cols:
             want.append("filemeta_json")
         if "extra_name" in cols:
@@ -495,22 +515,30 @@ class ManifestTable:
                 if n is not None and sj is not None:
                     stats[n] = json.loads(sj)
         if typed.get("filemeta"):
-            sv_l = (
-                t.column("fm_schema_v").to_pylist()
-                if "fm_schema_v" in t.schema.names
-                else [None] * len(names)
-            )
-            for n, p, b, r, sv in zip(
+            def _opt_col(c):
+                return (
+                    t.column(c).to_pylist()
+                    if c in t.schema.names
+                    else [None] * len(names)
+                )
+
+            for n, p, b, r, sv, br, ph in zip(
                 names,
                 t.column("fm_present").to_pylist(),
                 t.column("fm_bytes").to_pylist(),
                 t.column("fm_rows").to_pylist(),
-                sv_l,
+                _opt_col("fm_schema_v"),
+                _opt_col("fm_base_row_id"),
+                _opt_col("fm_row_id_phys"),
             ):
                 if n is not None and p:
                     e = {"bytes": b, "rows": r}
                     if sv is not None:
                         e["schema_v"] = sv
+                    if br is not None:
+                        e["base_row_id"] = br
+                    if ph is not None:
+                        e["row_id_phys"] = ph
                     filemeta[n] = e
         elif "filemeta_json" in t.schema.names:
             for n, fj in zip(names, t.column("filemeta_json").to_pylist()):
@@ -707,8 +735,7 @@ class ManifestTable:
                     break
                 ck = self._ckpt_sidecar(v)
                 if os.path.exists(ck):
-                    with open(ck) as fh:
-                        base = json.load(fh)
+                    base = self._load_ckpt_sidecar(ck)
                     break
             rec = self._load_record(v)
             snap = self._record_snapshot(rec)
@@ -718,8 +745,7 @@ class ManifestTable:
             if not pending:
                 ck = self._ckpt_sidecar(v)
                 if os.path.exists(ck):
-                    with open(ck) as fh:
-                        base = json.load(fh)
+                    base = self._load_ckpt_sidecar(ck)
                     break
             pending.append(rec["actions"])
             v -= 1
@@ -1920,6 +1946,46 @@ class ManifestTable:
                         "or provide matching values)"
                     )
         return df
+
+    def _generated_recompute(self, m: dict, assignments: dict) -> list:
+        """Generated columns an UPDATE must RECOMPUTE because the
+        assignment touches their source columns (transitive — a
+        generated column feeding another propagates), in ADD-COLUMN
+        order so chains evaluate dependencies first.  Assigning a
+        generated column directly is rejected (it is always derived —
+        the Delta rule).  Detection is the same conservative
+        word-boundary match the rename/drop guards use."""
+        import re as _re
+
+        gc = m.get("generated_columns") or {}
+        if not gc:
+            return []
+        direct = sorted(set(assignments) & set(gc))
+        if direct:
+            raise ValueError(
+                f"generated column(s) {direct} are always derived — "
+                "assign their source columns and they recompute"
+            )
+        cd = m.get("column_defaults") or {}
+        changed = set(assignments)
+        out: list = []
+        progress = True
+        while progress:
+            progress = False
+            for g, e in gc.items():
+                if g in changed:
+                    continue
+                if any(
+                    _re.search(rf"\b{_re.escape(c)}\b", e)
+                    for c in changed
+                ):
+                    out.append((g, e))
+                    changed.add(g)
+                    progress = True
+        out.sort(key=lambda ge: (
+            (cd.get(ge[0]) or {}).get("added_v", 0), ge[0]
+        ))
+        return out
 
     def clear_column_default(
         self, col: str, batch_id: Optional[str] = None
@@ -4558,6 +4624,12 @@ class ManifestTable:
             post = matched.select(
                 *[ass.get(c, F.col(c)).alias(c) for c in tdf.columns]
             )
+            # generated columns whose sources this UPDATE touches
+            # recompute from the POST values (simultaneous assignment
+            # first, derivation second — the Delta generated-column
+            # update rule)
+            for g, ge in self._generated_recompute(m, assignments):
+                post = post.withColumn(g, F.expr(ge).cast(typ[g]))
             self._validate_constraints(m, post, what)
             new_content = kept.unionByName(post)
             cdc = matched.withColumn(
@@ -4753,6 +4825,8 @@ class ManifestTable:
             post = pre.select(
                 *[ass.get(c, F.col(c)).alias(c) for c in pre.columns]
             )
+            for g, ge in self._generated_recompute(m, assignments):
+                post = post.withColumn(g, F.expr(ge).cast(typ[g]))
             self._validate_constraints(m, post, what)
             wdf, wstats, wbloom = self._for_write(
                 carry_map, m.get("schema"), post, stats_cols, bloom
@@ -4900,10 +4974,14 @@ class ManifestTable:
         return parsed, matched_idx, insert_idx, by_source_idx
 
     @staticmethod
-    def _merge_check_payloads(parsed, typ, tcols, src_cols):
+    def _merge_check_payloads(parsed, typ, tcols, src_cols, generated=()):
         """Assignment targets must be tracked target columns; a ``'*'``
-        payload needs every target column present in the source."""
+        payload needs every target column present in the source —
+        except ``__row_id__`` (identity) and generated columns (always
+        derived: the merge recomputes them from the post values, and
+        assigning one directly is rejected like the UPDATE rule)."""
         src_set = set(src_cols)
+        gset = set(generated)
         for i, (kind, _c, payload) in enumerate(parsed):
             if isinstance(payload, dict):
                 unknown = [c for c in payload if c not in typ]
@@ -4916,10 +4994,19 @@ class ManifestTable:
                         f"clause {i}: __row_id__ is the row-tracking "
                         "identity — it cannot be assigned"
                     )
+                gbad = sorted(gset & set(payload))
+                if gbad:
+                    raise ValueError(
+                        f"clause {i}: generated column(s) {gbad} are "
+                        "always derived — assign their source columns "
+                        "and they recompute"
+                    )
             elif payload == "*":
                 missing = [
                     c for c in tcols
-                    if c not in src_set and c != "__row_id__"
+                    if c not in src_set
+                    and c != "__row_id__"
+                    and c not in gset
                 ]
                 if missing:
                     raise ValueError(
@@ -4965,6 +5052,12 @@ class ManifestTable:
 
         tcols = list(t_base.columns)
         typ = {f.name: f.dataType for f in t_base.schema.fields}
+        gens = {
+            c: d["expr"]
+            for c, d in (defaults or {}).items()
+            if d.get("generated") and c in typ
+        }
+        gset = set(gens)
         t = t_base.withColumn("__t__", F.lit(True)).alias("t")
         s = src.withColumn("__s__", F.lit(True)).alias("s")
         j = t.join(
@@ -5002,7 +5095,7 @@ class ManifestTable:
                     {
                         cc: f"s.{cc}"
                         for cc in tcols
-                        if cc != "__row_id__"
+                        if cc != "__row_id__" and cc not in gset
                     }
                     if payload == "*"
                     else payload
@@ -5045,6 +5138,23 @@ class ManifestTable:
         proj = j.select(
             F.col("__act__"), *[_content_col(c) for c in tcols]
         )
+        # generated columns recompute from the POST values on every
+        # updated/inserted row — kept rows keep their stored value
+        # (the Delta generated-column rule; explicit assignment was
+        # rejected in _merge_check_payloads)
+        if gens:
+            act_codes = upd_codes + ins_codes
+            cd = defaults or {}
+            for g in sorted(
+                gens, key=lambda c: ((cd.get(c) or {}).get("added_v", 0), c)
+            ):
+                proj = proj.withColumn(
+                    g,
+                    F.when(
+                        F.col("__act__").isin(act_codes),
+                        F.expr(gens[g]).cast(typ[g]),
+                    ).otherwise(F.col(g)),
+                )
         return j, proj, tcols, typ, upd_codes, del_codes, ins_codes
 
     def _merge_cdc(self, j, proj, tcols, upd_codes, del_codes, ins_codes):
@@ -5271,6 +5381,7 @@ class ManifestTable:
             {f.name: f.dataType for f in t_base.schema.fields},
             list(t_base.columns),
             src.columns,
+            generated=set(m.get("generated_columns") or ()),
         )
         # -- ambiguity guard (the SQL/Delta multiple-match rule) ---------
         if (matched_idx or by_source_idx) and touched:
@@ -5504,6 +5615,7 @@ class ManifestTable:
             {f.name: f.dataType for f in t_base.schema.fields},
             list(t_base.columns),
             src.columns,
+            generated=set(m.get("generated_columns") or ()),
         )
         if (matched_idx or by_source_idx) and has_content:
             self._merge_ambiguity_guard(src, t_base, keys)
@@ -6750,9 +6862,25 @@ class ManifestTable:
                 if dry_run:
                     continue
                 ck = self._ckpt_sidecar(v)
+                if len(mf.get("files", ())) >= self.SIDECAR_MIN_FILES:
+                    # the horizon checkpoint goes COLUMNAR exactly like
+                    # a commit checkpoint (r17 #3): tiny JSON wrapper +
+                    # parquet per-file state instead of an O(files)
+                    # JSON blob per vacuum
+                    core, side, present, typed = (
+                        self._write_parquet_checkpoint(mf)
+                    )
+                    payload = {
+                        "snapshot_core": core,
+                        "sidecar": side,
+                        "sidecar_keys": present,
+                        "sidecar_typed": typed,
+                    }
+                else:
+                    payload = mf
                 tmpck = f"{ck}.{uuid.uuid4().hex}.tmp"
                 with open(tmpck, "w") as fh:
-                    json.dump(mf, fh)
+                    json.dump(payload, fh)
                     fh.flush()
                     os.fsync(fh.fileno())
                 os.replace(tmpck, ck)
@@ -6798,7 +6926,22 @@ class ManifestTable:
             os.remove(os.path.join(self.root, f"_manifest.v{v}.json"))
             stale_ck = self._ckpt_sidecar(v)
             if os.path.exists(stale_ck):
-                os.remove(stale_ck)
+                try:
+                    with open(stale_ck) as fh:
+                        ckd = json.load(fh)
+                    if ckd.get("sidecar"):
+                        try:
+                            os.remove(
+                                os.path.join(self.root, ckd["sidecar"])
+                            )
+                        except FileNotFoundError:
+                            pass
+                except (OSError, ValueError):
+                    pass  # a racing vacuum got it first
+                try:
+                    os.remove(stale_ck)
+                except FileNotFoundError:
+                    pass
             # a removed columnar checkpoint's parquet sidecar goes
             # with its record (uniquely named per publish attempt —
             # the record names exactly one)
@@ -6848,8 +6991,10 @@ class ManifestTable:
             else:
                 ck = self._ckpt_sidecar(v)
                 if os.path.exists(ck):
-                    with open(ck) as fh:
-                        cur = json.load(fh)
+                    try:
+                        cur = self._load_ckpt_sidecar(ck)
+                    except ValueError:
+                        cur = None  # parquet half vacuumed mid-race
                 else:
                     cur = None
             out.append((v, rec, cur))
@@ -6887,6 +7032,16 @@ class ManifestTable:
 
         live: set[str] = set()
         live_sidecars: set[str] = set()
+        # vacuum-horizon wrappers reference parquet sidecars too
+        for f in os.listdir(self.root):
+            if f.startswith("_ckpt.v") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(self.root, f)) as fh:
+                        side = json.load(fh).get("sidecar")
+                except (OSError, ValueError):
+                    continue
+                if side:
+                    live_sidecars.add(side)
         for _v, rec, mf in self._scan_log():
             if rec.get("sidecar"):
                 live_sidecars.add(rec["sidecar"])

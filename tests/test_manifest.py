@@ -6970,3 +6970,234 @@ class TestColumnDefaults:
         t.evolve_schema("a string", batch_id="e1")
         with pytest.raises(ValueError, match="already exist"):
             t.evolve_schema("a string", defaults={"a": "'x'"})
+
+
+class TestGeneratedRecompute:
+    """Generated columns RECOMPUTE when DML/MERGE touches their source
+    columns (the Delta rule) — and direct assignment is rejected."""
+
+    @pytest.fixture()
+    def gt(self, spark, sf_dir, tmp_path):
+        from pypeline_spark.session import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        t = ManifestTable(str(tmp_path / "gr"))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 60),
+            batch_id="seed", stats_cols=["c_custkey"],
+        )
+        t.evolve_schema(
+            "cents bigint", batch_id="e",
+            generated={"cents": "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"},
+        )
+        return t
+
+    @staticmethod
+    def _consistent(df):
+        return (
+            df.filter(
+                ~F.col("cents").eqNullSafe(
+                    F.floor(F.col("c_acctbal") * 100).cast("bigint")
+                )
+            ).count()
+            == 0
+        )
+
+    def test_update_where_recomputes_both_modes(self, spark, gt):
+        gt.update_where(
+            spark, "c_custkey <= 10", {"c_acctbal": "c_acctbal + 3.5"},
+            batch_id="u1",
+        )
+        assert self._consistent(gt.read(spark))
+        gt.update_where(
+            spark, "c_custkey BETWEEN 11 AND 20",
+            {"c_acctbal": "c_acctbal * 2"},
+            batch_id="u2", mode="dv",
+        )
+        assert self._consistent(gt.read(spark))
+        # the CDC post-images carry the recomputed value too
+        post = gt.changes(spark, gt.version() - 1).filter(
+            F.col("_change_type") == "update_postimage"
+        )
+        assert post.count() == 10 and self._consistent(post)
+
+    def test_direct_assignment_rejected(self, spark, gt):
+        with pytest.raises(ValueError, match="derived"):
+            gt.update_where(
+                spark, "c_custkey = 1", {"cents": "0"}, batch_id="x"
+            )
+        src = spark.range(1, 3).select(
+            F.col("id").alias("c_custkey"),
+            F.lit(5.0).alias("c_acctbal"),
+            F.lit(0).cast("bigint").alias("cents"),
+        )
+        with pytest.raises(ValueError, match="derived"):
+            gt.merge_into(
+                spark, src, key_columns=["c_custkey"],
+                clauses=[("update", None, {"cents": "s.cents"})],
+                batch_id="y",
+            )
+
+    def test_merge_recomputes_updates_and_inserts(self, spark, gt):
+        src = spark.range(50, 70).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") * 1.25).alias("c_acctbal"),
+        )
+        gt.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            batch_id="m",
+        )
+        r = gt.read(spark)
+        assert r.count() == 70
+        assert self._consistent(r)
+        # inserted rows (61..69) got their generated value computed
+        ins = r.filter(F.col("c_custkey") > 60)
+        assert ins.count() == 9
+        assert self._consistent(ins)
+        assert ins.filter(F.col("cents").isNull()).count() == 0
+
+    def test_chained_generated_recompute(self, spark, sf_dir, tmp_path):
+        from pypeline_spark.session import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        t = ManifestTable(str(tmp_path / "chain"))
+        t.commit_overwrite(
+            cust.filter(F.col("c_custkey") <= 30), batch_id="seed"
+        )
+        t.evolve_schema(
+            "cents bigint", batch_id="e1",
+            generated={"cents": "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"},
+        )
+        t.evolve_schema(
+            "euros bigint", batch_id="e2",
+            generated={"euros": "cents DIV 100"},
+        )
+        t.update_where(
+            spark, "c_custkey <= 5", {"c_acctbal": "c_acctbal + 11.0"},
+            batch_id="u",
+        )
+        r = t.read(spark)
+        bad = r.filter(
+            ~F.col("euros").eqNullSafe(
+                F.expr("cents DIV 100").cast("bigint")
+            )
+            | ~F.col("cents").eqNullSafe(
+                F.floor(F.col("c_acctbal") * 100).cast("bigint")
+            )
+        )
+        assert bad.count() == 0
+
+
+class TestColumnarVacuumSidecars:
+    """Vacuum-horizon checkpoints (`_ckpt.vN.json`) go COLUMNAR above
+    SIDECAR_MIN_FILES — same core+parquet form as commit checkpoints —
+    and the whole chain (materialize, _scan_log, later vacuums, GC)
+    reads through them."""
+
+    def test_horizon_checkpoint_columnar_and_derivable(self, tmp_path):
+        import json as _json
+
+        prev = ManifestTable.SIDECAR_MIN_FILES
+        ManifestTable.SIDECAR_MIN_FILES = 4
+        try:
+            t = ManifestTable(str(tmp_path / "cv"))
+            for v in range(1, 16):
+                files = [f"f{j}.parquet" for j in range(5 + v)]
+                t._publish({
+                    "version": v, "files": files, "deltas": [],
+                    "batch_ids": [f"b{i}" for i in range(1, v + 1)],
+                    "stats": {f: {"k": [i, i + 1]}
+                              for i, f in enumerate(files)},
+                    "filemeta": {f: {"bytes": 7, "rows": 3}
+                                 for f in files},
+                    **({"dml": True} if v > 1 else {}),
+                })
+            t.vacuum(keep_versions=3)  # horizon v13, mid-segment
+            ck = t._ckpt_sidecar(13)
+            assert os.path.exists(ck)
+            with open(ck) as fh:
+                wrap = _json.load(fh)
+            assert "snapshot_core" in wrap and wrap.get("sidecar")
+            assert os.path.exists(os.path.join(t.root, wrap["sidecar"]))
+            # every retained version still materializes exactly
+            t2 = ManifestTable(t.root)
+            for v in (13, 14, 15):
+                got = t2._manifest_at(v)
+                assert got["version"] == v
+                assert len(got["files"]) == 5 + v
+                assert got["stats"]["f0.parquet"] == {"k": [0, 1]}
+            # GC keeps the wrapper's parquet alive
+            t2.gc_orphans(min_age_seconds=0.0)
+            assert os.path.exists(os.path.join(t.root, wrap["sidecar"]))
+            assert t2._manifest_at(13)["version"] == 13
+            # a later vacuum advances the horizon and reaps BOTH halves
+            for v in range(16, 22):
+                files = [f"f{j}.parquet" for j in range(5 + v)]
+                t2._publish({
+                    "version": v, "files": files, "deltas": [],
+                    "batch_ids": [f"b{i}" for i in range(1, v + 1)],
+                    "stats": {}, "filemeta": {}, "dml": True,
+                })
+            t2.vacuum(keep_versions=2)
+            assert not os.path.exists(ck)
+            assert not os.path.exists(
+                os.path.join(t.root, wrap["sidecar"])
+            )
+            assert t2._manifest_at(21)["version"] == 21
+        finally:
+            ManifestTable.SIDECAR_MIN_FILES = prev
+
+    def test_row_tracked_filemeta_stays_typed(self, spark, tmp_path, sf_dir):
+        """base_row_id / row_id_phys / schema_v ride the TYPED
+        checkpoint columns (no JSON fallback for row-tracked
+        tables)."""
+        from pypeline_spark.session import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        prev = ManifestTable.SIDECAR_MIN_FILES
+        ManifestTable.SIDECAR_MIN_FILES = 0
+        try:
+            import json as _json
+
+            t = ManifestTable(str(tmp_path / "rtck"))
+            t.commit_overwrite(
+                cust.filter(F.col("c_custkey") <= 40),
+                batch_id="seed", stats_cols=["c_custkey"],
+            )
+            t.enable_row_tracking(batch_id="rt")
+            t.optimize(spark, target_rows=15, batch_id="opt",
+                       stats_cols=["c_custkey"])
+            # drive to the v10 CHECKPOINT boundary and inspect it
+            t.add_not_null(spark, ["c_custkey"], batch_id="nn")
+            k = 5
+            while t.version() < 10:
+                t.set_ledger_retention(k, batch_id=f"lr-{k}")
+                k += 1
+            tip = t.version()
+            with open(
+                os.path.join(t.root, f"_manifest.v{tip}.json")
+            ) as fh:
+                rec = _json.load(fh)
+            assert rec.get("sidecar_typed", {}).get("filemeta") is True
+            # cold reconstruction keeps ids + phys flags exactly
+            t2 = ManifestTable(t.root)
+            m = t2._materialize(tip)
+            assert all(
+                m["filemeta"][f].get("row_id_phys")
+                and "base_row_id" in m["filemeta"][f]
+                for f in m["files"]
+            )
+            ids = {
+                r["c_custkey"]: r["_row_id"]
+                for r in t2.read_rowids(spark).collect()
+            }
+            assert len(set(ids.values())) == len(ids) == 41
+        finally:
+            ManifestTable.SIDECAR_MIN_FILES = prev

@@ -446,6 +446,63 @@ def main(sf_dir: str) -> None:
         print(f"    VACUUM DRY RUN would reap {would} files (nothing "
               "was touched); DESCRIBE DETAIL:")
         mor16.describe_detail(spark).show(truncate=False)
+
+        # -- round 17: YAML pipeline onto the lakehouse + defaults +
+        #    row tracking ------------------------------------------------
+        from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
+        from pypeline_spark.pipeline.runner import Pypeline
+        from pypeline_spark.pipeline.spec import PipelineConfig
+        from pypeline_spark.session import register_tables
+
+        register_tables(spark, sf_dir)  # the extract reads temp views
+        cat = LakehouseCatalog(os.path.join(root, "lh17"))
+        cfg = PipelineConfig.from_dict({
+            "pypes": {
+                "sync": {
+                    "extract_query": (
+                        "SELECT c_custkey, c_acctbal FROM customer "
+                        "WHERE c_custkey <= {hi}"
+                    ),
+                    "target_table": "accounts",
+                    "type": "lakehouse",
+                    "lakehouse_op": "upsert",
+                    "key_columns": ["c_custkey"],
+                    "batch_id": "sync-{seq}",
+                },
+            },
+            "pypelines": {"p": ["sync"]},
+        })
+        pl = Pypeline(spark, cfg, lakehouse=cat)
+        pl.run("p", {"hi": 100, "seq": 1})
+        pl.run("p", {"hi": 120, "seq": 2})   # MERGE: updates + inserts
+        pl.run("p", {"hi": 120, "seq": 2})   # restart replay: ledger no-op
+        acc = cat.table("accounts")
+        print("24. `lakehouse` YAML step (r17): the reference pipeline "
+              f"surface over ManifestTable — version {acc.version()} "
+              "after seed + merge + a REPLAYED merge (the exactly-once "
+              "ledger absorbed the restart as a no-op).")
+
+        acc.evolve_schema("tier string", batch_id="e1",
+                          defaults={"tier": "'BASIC'"})
+        acc.evolve_schema(
+            "cents bigint", batch_id="e2",
+            generated={"cents": "CAST(FLOOR(c_acctbal * 100) AS BIGINT)"},
+        )
+        acc.enable_row_tracking(batch_id="rt")
+        acc.update_where(spark, "c_custkey < 5",
+                         {"c_acctbal": "c_acctbal + 1.0"},
+                         batch_id="u17", mode="dv")
+        rows = (
+            acc.read_rowids(spark)
+            .orderBy("c_custkey").limit(3).collect()
+        )
+        print("25. ADD COLUMN DEFAULT + generated column + row tracking "
+              "(r17): pre-add files read tier='BASIC' and compute cents "
+              "from their own rows; the dv UPDATE recomputed cents and "
+              "kept each row's identity:")
+        for r in rows:
+            print(f"    key={r['c_custkey']} tier={r['tier']} "
+                  f"cents={r['cents']} _row_id={r['_row_id']}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -59,13 +59,26 @@ class LakehouseCatalog:
     def get(self, spark: SparkSession, name: str) -> Optional[DataFrame]:
         """The RESOLVED current view — dv applied, outstanding
         merge-on-read deltas last-writer-wins folded — or None when
-        the table has no committed version yet."""
+        the table has no committed version yet.  A table a predicate
+        DML emptied (``ManifestTable.read`` returns None on an empty
+        file list) still resolves to a zero-row frame under its
+        tracked schema, so a ``DELETE .. WHERE`` step that removes the
+        last row keeps the target view registrable (ADVICE r18)."""
         t = self.table(name)
         if t.version() == 0:
             return None
-        if t._read_manifest().get("deltas"):
+        m = t._read_manifest()
+        if m.get("deltas"):
             return t.read_resolved(spark)
-        return t.read(spark)
+        out = t.read(spark)
+        if out is None:
+            sch = m.get("schema")
+            if sch is None:
+                return None
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(sch))
+        return out
 
 
 def _hydrate_batch_id(
@@ -117,7 +130,16 @@ def run_lakehouse_step(
     t = catalog.table(spec.target_table)
     batch_id = _hydrate_batch_id(spec.batch_id, ph)
     op = spec.lakehouse_op
-    mode = "dv" if t.version() > 0 and t._read_manifest().get("deltas") else "cow"
+    # dv whenever outstanding merge-on-read deltas make copy-on-write
+    # illegal, AND on row-tracked tables (ADVICE r18): CoW forms now
+    # preserve ids too (r18 directive #4), but the deletion-vector
+    # path is the O(changed rows) one a tracked streaming table wants.
+    meta = t._read_manifest() if t.version() > 0 else {}
+    mode = (
+        "dv"
+        if meta.get("deltas") or meta.get("row_tracking")
+        else "cow"
+    )
 
     if op == "upsert":
         keys = list(spec.key_columns)

@@ -145,6 +145,18 @@ class Pypeline:
             t0 = time.time()
             run_lakehouse_step(self.spark, self.lakehouse, spec, df, ph)
             resolved = self.lakehouse.get(self.spark, spec.target_table)
+            if resolved is None:
+                # version 0 (a predicate-only step against a table no
+                # prior step seeded) or an emptied UNTRACKED table —
+                # fail with the step/table names instead of an
+                # AttributeError off the None (ADVICE r18)
+                raise ValueError(
+                    f"lakehouse step {spec.name!r}: target table "
+                    f"{spec.target_table!r} has no readable view "
+                    "(never seeded, or emptied without a tracked "
+                    "schema) — seed it with an upsert/append/overwrite "
+                    "step first"
+                )
             resolved.createOrReplaceTempView(spec.target_table)
             m.load_secs = time.time() - t0
             return self._finish_step(spec, ph, m, target=resolved)

@@ -117,6 +117,18 @@ class PypeSpec:
                         f"pype {self.name!r}: lakehouse update with "
                         "'where' requires 'assignments'"
                     )
+                if self.assignments and self.where is None:
+                    # the keyed-merge form takes its update payload
+                    # from the extracted source columns — silently
+                    # dropping the user's assignment expressions would
+                    # be worse than rejecting them (ADVICE r18)
+                    raise SpecError(
+                        f"pype {self.name!r}: lakehouse update with "
+                        "'assignments' requires 'where' (the keyed "
+                        "form updates from the source columns; use "
+                        "'where' + 'assignments' for expression "
+                        "updates)"
+                    )
                 if self.where is None and not self.key_columns:
                     raise SpecError(
                         f"pype {self.name!r}: lakehouse update requires "

@@ -1672,7 +1672,16 @@ class ManifestTable:
         from pyspark.sql.types import StructType
 
         batch = StructType(
-            [f for f in df.schema.fields if f.name != cls._CT]
+            # the change-type marker and the row-tracking identity are
+            # internal physical columns — a rewrite frame carrying
+            # materialized ``__row_id__`` (compact/optimize on a
+            # tracked table) must never leak it into the TRACKED
+            # schema (reads would then collide with the hidden rowid
+            # read column)
+            [
+                f for f in df.schema.fields
+                if f.name not in (cls._CT, "__row_id__")
+            ]
         )
         if prev is None:
             return batch.jsonValue()
@@ -3063,10 +3072,16 @@ class ManifestTable:
 
         Scope contract (enforced loudly): the table must be
         schema-tracked, UNMAPPED, and delta-free, and once tracking is
-        on the merge-on-read delta tier and the copy-on-write DML /
-        MERGE forms are refused — deletion-vector DML and the dv MERGE
-        preserve ids by construction (nothing rewrites), and
-        compact/OPTIMIZE materialize them.  This matches how the ids
+        on the merge-on-read delta tier (``commit_delta``) is refused
+        — a delta fileset's rows have no defined identity before
+        last-writer-wins resolution.  Every other write preserves ids:
+        deletion-vector DML and the dv MERGE by construction (nothing
+        rewrites), compact/OPTIMIZE by materializing them, and — r18
+        directive #4 — the COPY-ON-WRITE DML/MERGE forms by reading
+        their slice with resolved ids and materializing ``__row_id__``
+        into the files they rewrite anyway (surviving and updated rows
+        keep identity; merge inserts mint fresh ids from the
+        high-water mark at publish).  This matches how the ids
         are consumed: ``read_rowids`` surfaces ``_row_id`` and the
         change feed carries ``__row_id__`` on every CDC image, so IVM
         consumers pair update pre/post by identity instead of
@@ -3134,12 +3149,20 @@ class ManifestTable:
         )
 
     def _require_no_row_tracking(self, m: dict, what: str) -> None:
+        """Only the BLIND-append delta tier still refuses row tracking
+        (r18 directive #4 brought the copy-on-write DML/MERGE forms
+        into the contract — they materialize ids into the files they
+        rewrite anyway): a delta fileset's rows have no defined
+        identity until last-writer-wins resolution, so appending one
+        to a tracked table would create rows whose ids depend on a
+        future compaction's row order."""
         if m.get("row_tracking"):
             raise ValueError(
-                f"{what} is a copy-on-write / merge-on-read form that "
-                "does not preserve row identity — this table has row "
-                "tracking enabled; use the deletion-vector forms "
-                "(mode='dv') or merge_into(mode='dv') instead"
+                f"{what} appends merge-on-read delta filesets whose "
+                "rows have no defined identity before resolution — "
+                "this table has row tracking enabled; use merge_into "
+                "(mode='dv' or 'cow'), the predicate DML forms, or "
+                "commit_append instead"
             )
 
     def _rowid_resolve(
@@ -4070,7 +4093,13 @@ class ManifestTable:
                 "outstanding merge-on-read deltas: compact() before "
                 "switching to copy-on-write commits"
             )
-        self._require_no_row_tracking(m, "commit_merge")
+        rowtrack = bool(m.get("row_tracking"))
+        if rowtrack and "__row_id__" in updates.columns:
+            raise ValueError(
+                "commit_merge: __row_id__ is the row-tracking "
+                "identity — the table assigns it; drop the column "
+                "from the batch"
+            )
         # existing rows were proven at their own commits — only the
         # incoming batch needs the CHECK/NOT NULL gate
         updates = self._apply_column_defaults(m, updates, "commit_merge")
@@ -4128,9 +4157,27 @@ class ManifestTable:
         if not m["files"]:
             current = None
         elif touched:
-            current = self._read_base(spark, m, touched)
+            # row tracking (r18 directive #4): the CoW merge reads the
+            # slice WITH resolved ids and carries them through —
+            # surviving rows keep identity, updated rows keep the
+            # target row's id (one key-map join below), inserts write
+            # null and mint fresh ids positionally at publish (the
+            # coalesce(physical, base + position) read rule)
+            current = (
+                self._rowid_content(spark, m, touched)
+                if rowtrack
+                else self._read_base(spark, m, touched)
+            )
         else:
             current = None  # nothing overlaps: the whole batch inserts
+        if current is not None and rowtrack:
+            from pyspark.sql import functions as F
+
+            updates = updates.join(
+                current.select(*key_columns, "__row_id__"),
+                on=list(key_columns),
+                how="left",
+            )
         if current is not None:
             from pyspark.sql import functions as F
 
@@ -4565,7 +4612,12 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
-        self._require_no_row_tracking(m, what)
+        rowtrack = bool(m.get("row_tracking"))
+        if rowtrack and assignments is not None and "__row_id__" in assignments:
+            raise ValueError(
+                f"{what}: __row_id__ is the row-tracking identity — "
+                "it cannot be assigned"
+            )
         if m.get("deltas"):
             raise ValueError(
                 f"{what} rewrites base files (copy-on-write): compact() "
@@ -4606,8 +4658,16 @@ class ManifestTable:
         tset = set(touched)
         carried = [f for f in m["files"] if f not in tset]
         # phase 2: rewrite ONLY the touched files (deterministic
-        # explicit-path reads — both passes see identical rows)
-        tdf = self._read_base(spark, m, touched)
+        # explicit-path reads — both passes see identical rows).  On a
+        # row-tracked table (r18 directive #4) the rewrite reads the
+        # slice WITH resolved ids and materializes them into the new
+        # files — kept and updated rows preserve identity through the
+        # copy-on-write rewrite, exactly like compact/OPTIMIZE.
+        tdf = (
+            self._rowid_content(spark, m, touched)
+            if rowtrack
+            else self._read_base(spark, m, touched)
+        )
         matched = tdf.filter(pred)
         kept = tdf.filter(not_pred)  # FALSE and NULL rows stay (SQL rule)
         if assignments is not None:
@@ -5294,7 +5354,12 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
-        self._require_no_row_tracking(m, "merge_into(mode='cow')")
+        rowtrack = bool(m.get("row_tracking"))
+        if rowtrack and "__row_id__" in source.columns:
+            raise ValueError(
+                f"{what}: __row_id__ is the row-tracking identity — "
+                "the table assigns it; drop the column from the source"
+            )
         if m.get("deltas"):
             raise ValueError(
                 "merge_into rewrites base files (copy-on-write): "
@@ -5366,14 +5431,32 @@ class ManifestTable:
             return m["version"]  # nothing matched, nothing to insert
         carried = [f for f in m["files"] if f not in set(touched)]
         # -- the target slice (schema-complete even when empty) ----------
+        # On a row-tracked table (r18 directive #4) the slice reads
+        # WITH resolved ids: the merge plan then preserves
+        # ``t.__row_id__`` on kept/updated rows ('*' payloads exclude
+        # it, assignments reject it), inserts write null and mint
+        # fresh ids positionally at publish — the CoW MERGE preserves
+        # identity exactly like the dv MERGE.
         if touched:
-            t_base = self._read_base(spark, m, touched)
+            t_base = (
+                self._rowid_content(spark, m, touched)
+                if rowtrack
+                else self._read_base(spark, m, touched)
+            )
         elif m["files"]:
-            t_base = self._read_base(spark, m, m["files"][:1]).limit(0)
+            t_base = (
+                self._rowid_content(spark, m, m["files"][:1])
+                if rowtrack
+                else self._read_base(spark, m, m["files"][:1])
+            ).limit(0)
         elif m.get("schema") is not None:
             t_base = spark.createDataFrame(
                 [], StructType.fromJson(m["schema"])
             )
+            if rowtrack:
+                t_base = t_base.withColumn(
+                    "__row_id__", F.lit(None).cast("long")
+                )
         else:
             t_base = src.limit(0)  # empty untracked table: bootstrap
         self._merge_check_payloads(

@@ -159,26 +159,134 @@ class TestRowTracking:
         with pytest.raises(ValueError, match="row tracking"):
             t.read_rowids(spark, version=1)
 
-    def test_cow_forms_refused(self, spark, tmp_path, cust):
+    def test_delta_tier_still_refused(self, spark, tmp_path, cust):
+        """Only the blind-append delta tier refuses a tracked table
+        (its rows have no identity before LWW resolution); every CoW
+        form now preserves ids (r18 directive #4)."""
         t = _tracked(tmp_path, cust, "c1")
         with pytest.raises(ValueError, match="row tracking"):
             t.commit_delta(
                 cust.filter(F.col("c_custkey") > 140),
                 ["c_custkey"], batch_id="x1",
             )
-        with pytest.raises(ValueError, match="row tracking"):
-            t.delete_where(spark, "c_custkey = 1", batch_id="x2")
-        with pytest.raises(ValueError, match="row tracking"):
-            t.update_where(spark, "c_custkey = 1",
-                           {"c_acctbal": "0.0"}, batch_id="x3")
-        src = cust.filter(F.col("c_custkey") <= 3)
-        with pytest.raises(ValueError, match="row tracking"):
-            t.merge_into(
-                spark, src, key_columns=["c_custkey"],
-                clauses=[("update", None, "*")], batch_id="x4",
+
+    def test_cow_dml_preserves_ids(self, spark, tmp_path, cust):
+        """Copy-on-write DELETE/UPDATE (r18 #4): the rewrite
+        materializes ids into the new files — survivors keep identity,
+        updates keep the target row's id."""
+        t = _tracked(tmp_path, cust, "cd1")
+        before = _ids(spark, t)
+        t.delete_where(spark, "c_custkey % 7 = 3", batch_id="dd")
+        t.update_where(spark, "c_custkey % 7 = 4",
+                       {"c_acctbal": "c_acctbal + 9.0"}, batch_id="du")
+        after = _ids(spark, t)
+        assert set(after) == {k for k in before if k % 7 != 3}
+        assert all(after[k] == before[k] for k in after)
+        assert len(set(after.values())) == len(after)
+        # the rewritten files carry MATERIALIZED ids
+        m = t._read_manifest()
+        assert any(
+            m["filemeta"][f].get("row_id_phys") for f in m["files"]
+        )
+
+    def test_cow_feed_pairs_update_images_by_row_id(
+        self, spark, tmp_path, cust
+    ):
+        """The CDC feed pairs pre/post images by row id ACROSS a CoW
+        rewrite (the r18 directive's Done criterion)."""
+        t = _tracked(tmp_path, cust, "cf1")
+        snapshot = _ids(spark, t)
+        v0 = t.version()
+        t.update_where(spark, "c_custkey <= 10",
+                       {"c_acctbal": "c_acctbal * 2"}, batch_id="du")
+        feed = t.changes(spark, v0)
+        pre = {
+            r["__row_id__"]: (r["c_custkey"], r["c_acctbal"])
+            for r in feed.filter(
+                F.col("_change_type") == "update_preimage"
+            ).collect()
+        }
+        post = {
+            r["__row_id__"]: (r["c_custkey"], r["c_acctbal"])
+            for r in feed.filter(
+                F.col("_change_type") == "update_postimage"
+            ).collect()
+        }
+        assert pre and set(pre) == set(post)
+        for i in pre:
+            assert pre[i][0] == post[i][0]
+            assert post[i][1] == pytest.approx(2 * pre[i][1])
+            assert snapshot[pre[i][0]] == i
+        # CoW delete emits the deleted rows' ids too
+        t.delete_where(spark, "c_custkey = 20", batch_id="dd2")
+        dels = t.changes(spark, t.version() - 1).filter(
+            F.col("_change_type") == "delete"
+        ).collect()
+        assert [r["__row_id__"] for r in dels] == [snapshot[20]]
+
+    def test_cow_merge_updates_keep_ids_inserts_mint_fresh(
+        self, spark, tmp_path, cust
+    ):
+        """mode='cow' MERGE: the dv-mode identity contract holds on
+        the copy-on-write path too."""
+        t = _tracked(tmp_path, cust, "cm1")
+        before = _ids(spark, t)
+        hwm0 = t._read_manifest()["row_id_hwm"]
+        src = cust.filter(
+            (F.col("c_custkey") <= 10) | (F.col("c_custkey") > 140)
+        ).select("c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal"))
+        t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            batch_id="mg", mode="cow",
+        )
+        after = _ids(spark, t)
+        assert all(after[k] == before[k] for k in before)
+        fresh = {after[k] for k in after if k not in before}
+        assert fresh and all(i >= hwm0 for i in fresh)
+        assert len(set(after.values())) == len(after)
+
+    def test_commit_merge_preserves_ids(self, spark, tmp_path, cust):
+        """The unconditional LWW upsert (commit_merge) keeps matched
+        rows' ids via one key-map join and mints fresh for inserts."""
+        t = _tracked(tmp_path, cust, "km1")
+        before = _ids(spark, t)
+        hwm0 = t._read_manifest()["row_id_hwm"]
+        src = cust.filter(
+            (F.col("c_custkey").between(5, 15))
+            | (F.col("c_custkey") > 140)
+        ).select("c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal"))
+        t.commit_merge(spark, src, ["c_custkey"], batch_id="cm",
+                       stats_cols=["c_custkey"], prune_col="c_custkey")
+        after = _ids(spark, t)
+        assert all(after[k] == before[k] for k in before)
+        fresh = {after[k] for k in after if k not in before}
+        assert fresh and all(i >= hwm0 for i in fresh)
+        assert len(set(after.values())) == len(after)
+        with pytest.raises(ValueError, match="__row_id__"):
+            t.commit_merge(
+                spark,
+                src.withColumn("__row_id__", F.lit(1).cast("long")),
+                ["c_custkey"], batch_id="cm2",
             )
-        with pytest.raises(ValueError, match="row tracking"):
-            t.commit_merge(spark, src, ["c_custkey"], batch_id="x5")
+
+    def test_compact_after_dv_keeps_schema_clean(
+        self, spark, tmp_path, cust
+    ):
+        """Regression (r18): compact() of a dv'd row-tracked table must
+        not leak the materialized ``__row_id__`` into the TRACKED
+        schema (reads then collide with the hidden rowid column)."""
+        t = _tracked(tmp_path, cust, "cs1")
+        before = _ids(spark, t)
+        t.delete_where(spark, "c_custkey % 5 = 0", batch_id="dd",
+                       mode="dv")
+        t.compact(spark, batch_id="cpt")
+        m = t._read_manifest()
+        assert "__row_id__" not in [
+            f["name"] for f in m["schema"]["fields"]
+        ]
+        after = _ids(spark, t)
+        assert after == {k: v for k, v in before.items() if k % 5 != 0}
 
     def test_enable_preconditions(self, spark, tmp_path, cust):
         t = ManifestTable(str(tmp_path / "p1"))
@@ -217,6 +325,18 @@ class TestRowTracking:
             t.update_where(
                 spark, "c_custkey = 1", {"__row_id__": "0"},
                 batch_id="y", mode="dv",
+            )
+        # the copy-on-write forms enforce the same guards (r18 #4)
+        with pytest.raises(ValueError, match="__row_id__"):
+            t.merge_into(
+                spark, src, key_columns=["c_custkey"],
+                clauses=[("update", None, "*")], batch_id="x2",
+                mode="cow",
+            )
+        with pytest.raises(ValueError, match="__row_id__"):
+            t.update_where(
+                spark, "c_custkey = 1", {"__row_id__": "0"},
+                batch_id="y2", mode="cow",
             )
 
     def test_overwrite_resets_rows_but_never_reuses_ids(

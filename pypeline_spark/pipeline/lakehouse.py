@@ -203,5 +203,71 @@ def run_lakehouse_step(
                 batch_id=batch_id,
                 mode=mode,
             )
+    elif op in ("append", "overwrite"):
+        # the plain ingest forms (r18 directive #2): append commits
+        # the batch as NEW base files through the ledger — no existing
+        # file read or rewritten; overwrite replaces the content.
+        # Per-file skipping stats come from the declared key columns
+        # (the columns later steps predicate on), skipping any the
+        # batch doesn't carry.
+        stats = [c for c in spec.key_columns if c in source.columns]
+        if op == "append":
+            t.commit_append(source, batch_id=batch_id, stats_cols=stats)
+        else:
+            t.commit_overwrite(
+                source, batch_id=batch_id, stats_cols=stats
+            )
     else:  # pragma: no cover - spec validation rejects earlier
         raise ValueError(f"unknown lakehouse_op {op!r}")
+
+
+def run_lakehouse_stream(
+    spark: SparkSession,
+    catalog: LakehouseCatalog,
+    spec,
+    sdf: DataFrame,
+    ph: Mapping[str, object],
+):
+    """Micro-batch a STREAMING extract into the lakehouse step's table
+    (r18 directive #2): ``foreachBatch`` dispatches every micro-batch
+    through :func:`run_lakehouse_step` with the step's ``batch_id``
+    template hydrated per batch — ``{seq}`` binds to the Structured
+    Streaming epoch id, so each trigger lands in the table's bounded
+    exactly-once ledger under a monotone per-stream id
+    (``stream-{seq}`` → the ``(stream, seq)`` high-water-mark shape).
+    A post-crash checkpoint replay re-delivers the same epoch id with
+    the same rows, and the ledger makes the re-commit a version-level
+    no-op — the hand-written shape of tests/test_stream_to_sink.py as
+    a declarative YAML step.
+
+    Runs with ``availableNow`` (drain the backlog, then stop): the
+    batch-pipeline runner awaits termination so later steps see the
+    fully-ingested table.  A long-lived continuous ingest would start
+    the same binding with a processing-time trigger instead."""
+    template = spec.batch_id
+    if template is None or "{seq}" not in template:
+        raise ValueError(
+            f"pype {spec.name!r}: a streaming lakehouse step needs a "
+            "batch_id template containing '{seq}' (e.g. "
+            "'stream-{seq}') — without a per-epoch ledger id a "
+            "checkpoint replay after a crash would double-apply the "
+            "batch"
+        )
+    if not spec.checkpoint_dir:
+        raise ValueError(
+            f"pype {spec.name!r}: a streaming lakehouse step needs "
+            "checkpoint_dir (the Structured Streaming offset log)"
+        )
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        run_lakehouse_step(
+            spark, catalog, spec, batch_df,
+            {**ph, "seq": int(epoch_id)},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", spec.checkpoint_dir)
+        .start()
+    )

@@ -397,3 +397,157 @@ def q_pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_lakehouse_append",
+    # Replays the ingest as set algebra (seed customers + every order
+    # batch row); the structural proofs are pinned TRUE: every
+    # post-seed commit classified kind='append' (no base file read or
+    # rewritten — the O(batch) ingest shape), a full pipeline re-run
+    # from the same streaming checkpoint lands ZERO new versions
+    # (restart exactly-once), and a direct post-crash replay of an
+    # already-applied epoch's commit is a ledger no-op.
+    oracle="""
+    WITH seed AS (
+        SELECT c_custkey AS k, 'CUST' AS src,
+               CAST(FLOOR(c_acctbal) AS DOUBLE) AS amount
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    batches AS (
+        SELECT o_orderkey AS k, 'ORD' AS src,
+               CAST(FLOOR(o_totalprice) AS DOUBLE) AS amount
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    final AS (SELECT * FROM seed UNION ALL SELECT * FROM batches)
+    SELECT src,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(amount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           TRUE AS appends_only,
+           TRUE AS restart_noop,
+           TRUE AS ledger_noop
+    FROM final GROUP BY src
+    """,
+)
+def q_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full declarative ingest lifecycle (r18 directive #2): a
+    YAML pipeline whose first step seeds the table through the
+    lakehouse ``overwrite`` op and whose second step binds a
+    STREAMING source — three parquet files micro-batched one per
+    trigger — to the lakehouse ``append`` op via ``foreachBatch``,
+    each epoch committing NEW base files through the bounded
+    exactly-once ledger under a ``stream-{seq}``-shaped batch id.
+    Exactly-once is proven twice: the whole pipeline re-runs from the
+    same Structured Streaming checkpoint (a restart) and lands zero
+    new versions, and a direct replay of an already-applied epoch's
+    ``commit_append`` (what a foreachBatch retry does after a crash
+    between commit and checkpoint advance) is a version-level no-op.
+    Every ingest commit is structurally classified ``kind='append'``
+    — the parent file list survives as a prefix, so the change feed
+    and the streaming CDF source read straight through the whole run.
+
+    Scale: each micro-batch costs one fileset write plus one O(1)
+    manifest publish — no base file is ever read or rewritten,
+    whatever the table size; per-file skipping stats on the ingest
+    key ride each commit, and blind-append OCC lets concurrent
+    appenders serialize without aborts."""
+    import shutil
+    import tempfile
+
+    from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
+    from pypeline_spark.session import load_table
+
+    register_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    seed_sql = (
+        "SELECT c_custkey AS k, 'CUST' AS src, "
+        "CAST(FLOOR(c_acctbal) AS DOUBLE) AS amount "
+        "FROM customer WHERE c_custkey % 2 = 0"
+    )
+    batches = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("ORD").alias("src"),
+        F.floor("o_totalprice").cast("double").alias("amount"),
+    )
+    scratch = tempfile.mkdtemp(prefix="lhappend_")
+    try:
+        stream_dir = f"{scratch}/in"
+        for i in range(3):
+            batches.filter(F.pmod(F.col("k"), 3) == i).write.mode(
+                "overwrite"
+            ).parquet(f"{stream_dir}/b{i}")
+        spark.readStream.schema(batches.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{stream_dir}/b*").createOrReplaceTempView(
+            "order_stream"
+        )
+        config = PipelineConfig.from_dict({
+            "pypes": {
+                "seed_ledger": {
+                    "extract_query": seed_sql,
+                    "target_table": "ledger",
+                    "type": "lakehouse",
+                    "lakehouse_op": "overwrite",
+                    "key_columns": ["k"],
+                    "batch_id": "seed-{seq}",
+                },
+                "ingest_orders": {
+                    "extract_query": "SELECT * FROM order_stream",
+                    "target_table": "ledger",
+                    "type": "lakehouse",
+                    "lakehouse_op": "append",
+                    "key_columns": ["k"],
+                    "batch_id": "stream-{seq}",
+                    "checkpoint_dir": f"{scratch}/ckpt",
+                },
+            },
+            "pypelines": {"order_ingest": ["seed_ledger", "ingest_orders"]},
+        })
+        cat = LakehouseCatalog(scratch)
+        pipeline = Pypeline(
+            spark, config, placeholders={"seq": 1}, lakehouse=cat
+        )
+        pipeline.run("order_ingest")
+        t = cat.table("ledger")
+        v_first = t.version()
+        # every post-seed commit is a structural 'append' (no base
+        # file read or rewritten — the O(batch) ingest shape)
+        kinds = {
+            t._load_record(v).get("kind") for v in range(2, v_first + 1)
+        }
+        appends_only = kinds == {"append"} and v_first == 1 + 3
+        # restart: the WHOLE pipeline again — the seed replays through
+        # the ledger, the stream resumes from its checkpoint with no
+        # new files; zero new versions
+        pipeline.run("order_ingest")
+        restart_noop = t.version() == v_first
+        # post-crash foreachBatch retry: re-commit an already-applied
+        # epoch directly — the ledger absorbs it
+        b0 = spark.read.parquet(f"{stream_dir}/b0")
+        ledger_noop = (
+            t.commit_append(b0, batch_id="stream-0") == v_first
+            and t.version() == v_first
+        )
+        out = (
+            t.read(spark)
+            .groupBy("src")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("amount") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                "src",
+                "n_rows",
+                "sum_cents",
+                F.lit(bool(appends_only)).alias("appends_only"),
+                F.lit(bool(restart_noop)).alias("restart_noop"),
+                F.lit(bool(ledger_noop)).alias("ledger_noop"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

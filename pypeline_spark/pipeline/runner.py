@@ -127,14 +127,18 @@ class Pypeline:
         # Observation-API metrics were tried and rejected: the catalog's
         # localCheckpoint severs the plan before any SQL action covers
         # the CollectMetrics node, so the metric silently reads 0.
-        if (self.debug or spec.debug) and df is not None:
+        streaming = df is not None and df.isStreaming
+        if (self.debug or spec.debug) and df is not None and not streaming:
             m.rows_in = df.count()
 
         # lakehouse sink (r17): the same YAML surface over
         # ManifestTable MERGE/DML with the exactly-once batch ledger —
         # post_query then runs over the RESOLVED view.
         if spec.type == "lakehouse":
-            from pypeline_spark.pipeline.lakehouse import run_lakehouse_step
+            from pypeline_spark.pipeline.lakehouse import (
+                run_lakehouse_step,
+                run_lakehouse_stream,
+            )
 
             if self.lakehouse is None:
                 raise ValueError(
@@ -143,7 +147,23 @@ class Pypeline:
                     "(pass lakehouse=LakehouseCatalog(base_dir))"
                 )
             t0 = time.time()
-            run_lakehouse_step(self.spark, self.lakehouse, spec, df, ph)
+            if streaming:
+                # a STREAMING extract (the query selected from a
+                # streaming temp view): micro-batch into the table via
+                # foreachBatch with per-epoch ledger ids, drain with
+                # availableNow, then continue the pipeline over the
+                # fully-ingested table (r18 directive #2)
+                q = run_lakehouse_stream(
+                    self.spark, self.lakehouse, spec, df, ph
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(
+                        f"pype {spec.name!r}: streaming ingest did not "
+                        "drain within 600s"
+                    )
+            else:
+                run_lakehouse_step(self.spark, self.lakehouse, spec, df, ph)
             resolved = self.lakehouse.get(self.spark, spec.target_table)
             if resolved is None:
                 # version 0 (a predicate-only step against a table no
@@ -160,6 +180,13 @@ class Pypeline:
             resolved.createOrReplaceTempView(spec.target_table)
             m.load_secs = time.time() - t0
             return self._finish_step(spec, ph, m, target=resolved)
+
+        if streaming:
+            raise ValueError(
+                f"pype {spec.name!r}: a streaming extract_query is only "
+                "supported on 'type: lakehouse' steps (foreachBatch + "
+                "the exactly-once ledger); other sinks are batch-only"
+            )
 
         # keyed sink dispatch (N5-N7; ref: Pype.py:58-61,89-92).
         # Merge-capable catalogs (JdbcMergeCatalog / DeltaCatalog) get

@@ -22,7 +22,7 @@ VALID_TYPES = (
     "lakehouse",
 )
 VALID_DEDUP_METHODS = ("exact", "minhash")
-VALID_LAKEHOUSE_OPS = ("upsert", "update", "delete")
+VALID_LAKEHOUSE_OPS = ("upsert", "update", "delete", "append", "overwrite")
 
 
 class SpecError(ValueError):
@@ -70,6 +70,10 @@ class PypeSpec:
     where: Optional[str] = None
     # lakehouse update+where: column -> SQL expression assignments
     assignments: Optional[dict] = None
+    # lakehouse + streaming extract (the extract_query selects from a
+    # STREAMING temp view): Structured Streaming checkpoint location
+    # for the foreachBatch micro-batch binding (r18 directive #2)
+    checkpoint_dir: Optional[str] = None
 
     def __post_init__(self) -> None:
         lakehouse_predicate_op = (
@@ -147,11 +151,12 @@ class PypeSpec:
             self.where is not None
             or self.assignments is not None
             or self.batch_id is not None
+            or self.checkpoint_dir is not None
         ):
             raise SpecError(
-                f"pype {self.name!r}: 'where'/'assignments'/'batch_id' "
-                "only apply to type 'lakehouse' (other sinks have no "
-                "exactly-once ledger to key)"
+                f"pype {self.name!r}: 'where'/'assignments'/'batch_id'/"
+                "'checkpoint_dir' only apply to type 'lakehouse' "
+                "(other sinks have no exactly-once ledger to key)"
             )
 
 

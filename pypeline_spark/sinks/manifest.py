@@ -1510,7 +1510,22 @@ class ManifestTable:
             # filesets (see changes()/_restore_events) — when that
             # range is itself derivable
             return "restore"
-        return "reorg" if cur.get("reorg") else "rewrite"
+        if cur.get("reorg"):
+            return "reorg"
+        if (
+            len(cf) > len(pf)
+            and cf[: len(pf)] == pf
+            and cd == pd
+            and (prev.get("dv") or None) == (cur.get("dv") or None)
+        ):
+            # base-file APPEND (commit_append, or an insert-only pruned
+            # merge that carried every existing file): the parent's
+            # file list survives as a prefix and nothing else moved, so
+            # the fresh files ARE the exact change set — the feed and
+            # the streaming source read through it, and blind appends
+            # rebase over it
+            return "append"
+        return "rewrite"
 
     def _intervening_kinds(self, base: dict, tip: dict) -> set:
         """Kinds of every commit published after ``base`` up to and
@@ -4052,6 +4067,160 @@ class ManifestTable:
         self._publish(new)
         return new["version"]
 
+    def commit_append(
+        self,
+        df: DataFrame,
+        batch_id: Optional[str] = None,
+        stats_cols: Sequence[str] = (),
+    ) -> int:
+        """Plain INSERT-style append (the Delta ``mode='append'`` /
+        reference full-load shape, r18 directive #2): the batch lands
+        as NEW base files added to the end of the file list — no
+        existing file is read or rewritten, no keys are involved.
+        This is the single most common ingest op of a fact table: one
+        fileset write plus one O(1) manifest publish per batch,
+        whatever the table size.
+
+        Blind-append concurrency (the WriteSerializable story): OCC
+        rebases over concurrent deltas, other appends, metadata-only
+        commits, content-preserving reorgs and predicate DML — two
+        racing appenders both land, in some order; a concurrent
+        constraint add aborts the rebase (the batch was never proven
+        against the new invariant).  The commit classifies as kind
+        ``'append'`` (structurally: the parent's file list survives as
+        a prefix), so :meth:`changes` and the streaming source read
+        straight THROUGH it — the appended files ARE the change set,
+        emitted as untyped ``'upsert'`` events like any blind append.
+
+        Schema: additive evolution exactly like :meth:`commit_delta`
+        (new columns widen a tracked schema; carried files null-fill
+        at read); the first append on an EMPTY untracked table begins
+        schema tracking; appending to a non-empty untracked table
+        requires an exact column match (one footer peek — a
+        heterogeneous untracked base would be unreadable).  Appended
+        rows face the CHECK/NOT NULL gate and DEFAULT/generated-column
+        fill; the table's recorded bloom property is indexed on the
+        new files.  Row tracking: fresh files take their
+        ``base_row_id`` range at the publish choke point — appends
+        compose with tracking for free."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+        df = self._apply_column_defaults(m, df, "commit_append")
+        self._validate_constraints(m, df, "commit_append")
+        if m.get("row_tracking") and "__row_id__" in df.columns:
+            raise ValueError(
+                "commit_append: __row_id__ is the row-tracking "
+                "identity — the table assigns it; drop the column "
+                "from the batch"
+            )
+        if m.get("schema") is None and m["files"]:
+            # untracked non-empty base: nothing can null-fill a column
+            # mismatch at read — require an exact match (metadata-only
+            # footer peek), same rule as commit_merge's carried path
+            import pyarrow.parquet as pq
+
+            base_cols = set(
+                pq.ParquetFile(self._path(m["files"][0])).schema_arrow.names
+            )
+            if set(df.columns) != base_cols:
+                raise ValueError(
+                    "commit_append: batch columns "
+                    f"{sorted(set(df.columns) ^ base_cols)} differ from "
+                    "the untracked table's — record a schema first "
+                    "(commit_overwrite/compact) so existing files "
+                    "null-fill at read"
+                )
+        bloom = m.get("bloom_cols", [])
+        # fileset written ONCE before the OCC loop (the commit_delta
+        # discipline): on a mapped table the physical names are fixed
+        # by the assignment as of m — rebase only while it holds
+        write_schema = None
+        write_max = m.get("max_column_id")
+        if m.get("schema") is not None:
+            write_schema = self._merge_schema(m["schema"], df)
+            if self._mapping_enabled(m):
+                write_schema, write_max = self._assign_column_ids(
+                    m, write_schema
+                )
+        wdf, wstats, wbloom = self._for_write(
+            self._carry_mapping(m), write_schema, df, stats_cols, bloom
+        )
+        files, stats, filemeta = self._write_fileset(wdf, wstats, wbloom)
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if self._constraints(mm) != self._constraints(m):
+                raise CommitConflict(
+                    "commit_append lost to a concurrent constraint "
+                    "change — re-read the table and retry (the batch "
+                    "must be re-validated)"
+                )
+            new = {
+                "version": mm["version"] + 1,
+                "files": mm["files"] + files,
+                "deltas": mm.get("deltas", []),
+                "key_columns": mm.get("key_columns"),
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "stats": {**mm.get("stats", {}), **stats},
+                "filemeta": {**mm.get("filemeta", {}), **filemeta},
+                "bloom_cols": mm.get("bloom_cols", []),
+                "op_metrics": {
+                    "num_output_rows": sum(
+                        v.get("rows") or 0 for v in filemeta.values()
+                    )
+                },
+                # appends touch no existing file: the ANALYZE profile
+                # stays provenance-correct for the carried rows, the
+                # mapping/constraint properties ride, and every carried
+                # file keeps its deletion-vector entries
+                **self._carry_meta(mm),
+                **self._carry_mapping(mm),
+                **self._carry_dv(mm),
+            }
+            if mm.get("schema") is not None and self._mapping_enabled(mm):
+                if (
+                    mm["schema"] == m.get("schema")
+                    and mm.get("max_column_id") == m.get("max_column_id")
+                ):
+                    new["schema"] = write_schema
+                    new["max_column_id"] = write_max
+                else:
+                    merged = self._merge_schema(mm["schema"], df)
+                    bcols = set(df.columns)
+                    if merged == mm["schema"] and self._cm_assignment(
+                        mm, bcols
+                    ) == self._cm_assignment(m, bcols):
+                        new["schema"] = mm["schema"]
+                    else:
+                        raise CommitConflict(
+                            "append on a column-mapped table lost to a "
+                            "concurrent schema change (widened schema "
+                            "or re-keyed column assignment) — re-read "
+                            "the table and retry"
+                        )
+            elif mm.get("schema") is not None:
+                new["schema"] = self._merge_schema(mm["schema"], df)
+            elif not mm["files"]:
+                # first content on an empty untracked table: begin
+                # tracking here (like commit_overwrite), so later
+                # appends may evolve additively
+                new["schema"] = self._merge_schema(None, df)
+            if mm.get("ndv_cols"):
+                new["ndv"] = self._update_ndv(
+                    df, mm["ndv_cols"], mm.get("ndv", {})
+                )
+            return new
+
+        return self._commit_retrying(
+            m,
+            build,
+            frozenset({"delta", "metadata", "reorg", "dml", "append"}),
+            "commit_append",
+        )
+
     def commit_merge(
         self,
         spark: SparkSession,
@@ -6124,10 +6293,11 @@ class ManifestTable:
             return new
 
         # blind append: serializes after concurrent deltas (same keys,
-        # re-checked above), metadata-only commits and content-
-        # preserving reorgs; content rewrites abort
+        # re-checked above), base-file appends, metadata-only commits
+        # and content-preserving reorgs; content rewrites abort
         return self._commit_retrying(
-            m, build, frozenset({"delta", "metadata", "reorg", "dml"}),
+            m, build,
+            frozenset({"delta", "metadata", "reorg", "dml", "append"}),
             "commit_delta",
         )
 
@@ -7378,8 +7548,10 @@ class ManifestTable:
         (``delete_where`` — those carry the FULL pre-image row),
         ``'update_preimage'``/``'update_postimage'`` pairs for
         ``update_where`` (the Delta CDF vocabulary), and ``'upsert'``
-        for blind appends — including every pre-CDC legacy delta
-        file.  A delta commit's
+        for blind appends — every pre-CDC legacy delta file AND the
+        fresh files of a base-file ``commit_append`` (kind
+        ``'append'``: the appended files are the exact change set, so
+        the feed reads through it).  A delta commit's
         fileset IS its change set, so the feed reads ONLY the files
         those commits appended — O(changed rows), never a table scan
         or a snapshot diff — which is what lets a downstream consumer
@@ -7533,6 +7705,13 @@ class ManifestTable:
                 continue
             if kind == "delta":
                 tags.append(("files", v, mv.get("deltas", [])[-1]))
+            elif kind == "append":
+                # a base-file append's fresh files ARE its change set —
+                # untyped blind-append events ('upsert'), like the
+                # delta tier's legacy filesets
+                tags.append(
+                    ("files", v, mv["files"][len(prev.get("files", [])):])
+                )
             elif kind == "dml":
                 # a predicate DELETE/UPDATE records its exact row-level
                 # change set as typed CDC files — the feed reads those

@@ -266,6 +266,8 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             kind = ManifestTable._commit_kind(prev, cur)
             if kind == "delta":
                 names = cur.get("deltas", [])[-1]
+            elif kind == "append":
+                names = cur["files"][len(prev.get("files", [])):]
             elif kind == "dml":
                 names = cur.get("cdc_files", [])
             else:
@@ -328,6 +330,15 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                 )
             if kind == "delta":
                 for f in cur["deltas"][-1]:
+                    parts.append(
+                        _DeltaFilePartition(
+                            t._path(f), v
+                        )
+                    )
+            elif kind == "append":
+                # a base-file append's fresh files ARE its change set
+                # (untyped 'upsert' events, like a legacy delta fileset)
+                for f in cur["files"][len(prev.get("files", [])):]:
                     parts.append(
                         _DeltaFilePartition(
                             t._path(f), v

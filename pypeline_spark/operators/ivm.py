@@ -3359,3 +3359,164 @@ def q_merge_into_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "q_sql_merge",
+    # The SAME set-algebra oracle as q_merge_into: the SQL-string path
+    # must produce bit-identical content and CDC tallies to the
+    # API-built merge (r18 directive #3's Done criterion) — plus one
+    # structural proof pinned TRUE: DESCRIBE HISTORY dispatched through
+    # the same router reads the two commits back.
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+        SELECT o_custkey AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_ord,
+               CAST(SUM(FLOOR(o_totalprice)) AS DOUBLE) AS spend
+        FROM orders WHERE o_custkey <= 600 GROUP BY o_custkey
+    ),
+    matched AS (
+        SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, s.n_ord, s.spend
+        FROM tgt t JOIN src s ON t.c_custkey = s.k
+    ),
+    final AS (
+        SELECT c_custkey, c_acctbal + spend AS c_acctbal, c_mktsegment
+        FROM matched WHERE NOT (n_ord >= 20)
+        UNION ALL
+        SELECT t.c_custkey, t.c_acctbal,
+               CASE WHEN t.c_acctbal < 0.0 THEN 'DORMANT'
+                    ELSE t.c_mktsegment END
+        FROM tgt t WHERE t.c_custkey NOT IN (SELECT k FROM src)
+        UNION ALL
+        SELECT s.k, s.spend, 'FROMORDERS'
+        FROM src s WHERE s.k NOT IN (SELECT c_custkey FROM tgt)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE n_ord >= 20) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE NOT (n_ord >= 20)) AS n_updated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+            WHERE k NOT IN (SELECT c_custkey FROM tgt)) AS n_inserted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt
+            WHERE c_custkey NOT IN (SELECT k FROM src)
+              AND c_acctbal < 0.0) AS n_by_source,
+           TRUE AS history_routed
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL statement front-end for the manifest tier (r18
+    directive #3): the exact four-clause merge of ``q_merge_into`` —
+    WHEN MATCHED AND heavy-buyer DELETE, WHEN MATCHED UPDATE, WHEN NOT
+    MATCHED INSERT (explicit column/VALUES lists), WHEN NOT MATCHED BY
+    SOURCE AND negative-balance UPDATE — expressed as ONE ``MERGE
+    INTO`` SQL string with user aliases (``acct``/``u``), parsed by
+    the six-shape router (``sinks/sql.py``) and dispatched onto
+    ``ManifestTable.merge_into``: equi-key extraction from the ON
+    conjunction, alias canonicalization onto the plan's ``t``/``s``,
+    payload dicts from SET / INSERT-VALUES lists.  ``DESCRIBE HISTORY``
+    runs through the same router to read the commits back
+    (``history_routed``).  The oracle is VERBATIM ``q_merge_into``'s —
+    the SQL path must hash-match the API path's set algebra exactly.
+
+    This closes the reference-parity ergonomic gap: its users run
+    MERGE/UPDATE/DELETE as post_query SQL strings on their target DB
+    (ref: /root/reference/pypeline/Pype.py:167); the router makes the
+    same strings write-capable on the jar-free ACID tier (and
+    ``post_query`` on lakehouse pipeline steps routes through it).
+
+    Scale: the router is O(statement length) driver-side parsing —
+    the plan it dispatches to is the same file-pruned one-join merge
+    as ``q_merge_into``; nothing is re-implemented."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pypeline_spark.sinks.manifest import ManifestTable
+    from pypeline_spark.sinks.sql import execute_table_sql
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).filter(F.col("c_custkey") % 3 != 0)
+    o = load_table(spark, sf_dir, "orders")
+    src_view = f"sqlmerge_src_{_uuid.uuid4().hex[:8]}"
+    (
+        o.filter(F.col("o_custkey") <= 600)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ord"),
+            F.sum(F.floor("o_totalprice")).cast("double").alias("spend"),
+        )
+    ).createOrReplaceTempView(src_view)
+    scratch = tempfile.mkdtemp(prefix="sqlmerge_")
+    try:
+        t = ManifestTable(scratch)
+        t.commit_overwrite(
+            c.repartitionByRange(8, "c_custkey"),
+            batch_id="seed",
+            stats_cols=["c_custkey"],
+        )
+        execute_table_sql(
+            spark,
+            lambda name: t,
+            f"""
+            MERGE INTO accounts AS acct USING {src_view} AS u
+            ON acct.c_custkey = u.c_custkey
+            WHEN MATCHED AND u.n_ord >= 20 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+                c_acctbal = acct.c_acctbal + u.spend
+            WHEN NOT MATCHED THEN INSERT
+                (c_custkey, c_acctbal, c_mktsegment)
+                VALUES (u.c_custkey, u.spend, 'FROMORDERS')
+            WHEN NOT MATCHED BY SOURCE AND acct.c_acctbal < 0.0
+                THEN UPDATE SET c_mktsegment = 'DORMANT'
+            """,
+            batch_id="m1",
+        )
+        hist = execute_table_sql(
+            spark, lambda name: t, "DESCRIBE HISTORY accounts"
+        )
+        history_routed = hist.count() == 2
+        feed = t.changes(spark, 1)  # the merge commit's typed CDC
+        tallies = feed.agg(
+            F.sum((F.col("_change_type") == "delete").cast("bigint"))
+            .cast("bigint").alias("n_deleted"),
+            F.sum(
+                (F.col("_change_type") == "update_postimage").cast("bigint")
+            ).cast("bigint").alias("n_post"),
+            F.sum((F.col("_change_type") == "insert").cast("bigint"))
+            .cast("bigint").alias("n_inserted"),
+            F.sum(
+                (
+                    (F.col("_change_type") == "update_postimage")
+                    & (F.col("c_mktsegment") == "DORMANT")
+                ).cast("bigint")
+            ).cast("bigint").alias("n_by_source"),
+        ).select(
+            "n_deleted",
+            (F.col("n_post") - F.col("n_by_source")).alias("n_updated"),
+            "n_inserted",
+            "n_by_source",
+        )
+        out = (
+            t.read(spark)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+                .cast("bigint").alias("sum_cents"),
+            )
+            .crossJoin(F.broadcast(tallies))  # one-row stats frame
+            .withColumn("history_routed", F.lit(bool(history_routed)))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -313,10 +313,33 @@ class Pypeline:
         m: StepMetrics,
         target: Optional[DataFrame] = None,
     ) -> StepMetrics:
-        # post hook (N10; ref: Pype.py:164-167)
+        # post hook (N10; ref: Pype.py:164-167).  On the lakehouse
+        # tier the hook is WRITE-CAPABLE (r18 directive #3): a
+        # MERGE/UPDATE/DELETE/DESCRIBE HISTORY/VACUUM/RESTORE
+        # statement against a catalog table dispatches through the
+        # SQL router onto ManifestTable — the reference's users
+        # express exactly these as post_query SQL on their target DB;
+        # anything else still runs through spark.sql over the
+        # registered views.
         if spec.post_query:
             post = hydrate_query(spec.post_query, ph)
-            self.spark.sql(post)
+            routed = False
+            if self.lakehouse is not None and spec.type == "lakehouse":
+                from pypeline_spark.sinks.sql import try_execute_table_sql
+
+                routed, _res, tname = try_execute_table_sql(
+                    self.spark, self.lakehouse, post
+                )
+                if routed:
+                    # the statement may have written: re-register the
+                    # resolved view so later steps see the new state
+                    refreshed = self.lakehouse.get(self.spark, tname)
+                    if refreshed is not None:
+                        refreshed.createOrReplaceTempView(tname)
+                        if tname == spec.target_table:
+                            target = refreshed
+            if not routed:
+                self.spark.sql(post)
 
         if self.debug or spec.debug:
             if target is None:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from typing import Optional, Sequence
@@ -3287,7 +3288,25 @@ class ManifestTable:
         # Invisibility comes from the manifest protocol (nothing
         # references staged files), not from the name.
         staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        # Write timestamps as INT64 micros (the Delta/Iceberg physical
+        # type), not Spark's legacy INT96 default: INT96 columns carry
+        # NO footer min/max statistics, so a ts stats_col would
+        # silently record nothing and every time-range prune would
+        # keep every file.  Saved/restored around the one write.
+        spark = df.sparkSession
+        _ts_key = "spark.sql.parquet.outputTimestampType"
+        try:
+            _ts_prev = spark.conf.get(_ts_key)
+        except Exception:
+            _ts_prev = None
+        spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+        finally:
+            if _ts_prev is not None:
+                spark.conf.set(_ts_key, _ts_prev)
+            else:
+                spark.conf.unset(_ts_key)
         blooms: dict = {}
         if bloom_cols:
             blooms = self._build_blooms_distributed(
@@ -3334,9 +3353,15 @@ class ManifestTable:
         """Per-column [min, max] from the parquet footer's row-group
         statistics (no data pages read).  A column with missing stats
         in any row group is omitted — readers treat a missing stat as
-        'unknown, cannot prune' (conservative)."""
+        'unknown, cannot prune' (conservative).  Timestamp/date stats
+        canonicalize to ISO strings (fixed-shape, lexicographic order
+        == value order) so they survive the manifest's JSON round-trip
+        and compare exactly in the scalar prune path; value types JSON
+        cannot carry order-faithfully (bytes, Decimal) are omitted —
+        unknown, never wrong."""
         import pyarrow.parquet as pq
 
+        canon = ManifestTable._prune_canon
         meta = pq.ParquetFile(path).metadata
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         out: dict = {}
@@ -3353,7 +3378,11 @@ class ManifestTable:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
             if ok and lo is not None:
-                out[col] = [lo, hi]
+                lo, hi = canon(lo), canon(hi)
+                if all(
+                    isinstance(v, (int, float, str)) for v in (lo, hi)
+                ):
+                    out[col] = [lo, hi]
         return out
 
     @staticmethod
@@ -3644,8 +3673,9 @@ class ManifestTable:
         [min, max] envelope with the bloom bitset, metadata-only."""
         m = self._manifest_at(version)
         files = m["files"]
+        pv = self._prune_canon(value)
         mask = (
-            self._prune_mask(m, {col: (value, value)}) if files else None
+            self._prune_mask(m, {col: (pv, pv)}) if files else None
         )
         if mask is not None:
             import numpy as np
@@ -3699,23 +3729,226 @@ class ManifestTable:
 
     # -- stats-based file pruning ----------------------------------------
 
+    # -- generation-expression pruning (r18 directive #5) -----------------
+    #
+    # A table that declares ``event_date`` generated as
+    # ``CAST(ts AS DATE)`` exists to be PRUNED on ``event_date`` —
+    # Delta derives partition/file skipping through the generation
+    # expression, and so does this planner: for the recognized
+    # MONOTONE forms below, a file's stats on the source column prove
+    # bounds on the generated column ((f(lo), f(hi)) covers f over
+    # [lo, hi]) and a predicate's bounds map forward the same way, so
+    # BOTH directions skip files — a predicate on the generated column
+    # prunes via source-column stats, and a predicate on the source
+    # prunes via generated-column stats.  Every derived test is one
+    # more INDEPENDENT disjointness proof: a file is dropped when ANY
+    # proof shows it cannot match, kept otherwise (conservative).
+    #
+    # Recognized forms (parsed from the declared expression text):
+    #   CAST(s AS DATE) / to_date(s) / date(s)      — ISO prefix [:10]
+    #   date_trunc('YEAR|MONTH|DAY|HOUR|MINUTE', s) — ISO truncation
+    #   year(s)                                     — int(ISO[:4])
+    #   s + c / s - c / c + s / s * c / c * s / s / c   (c > 0 for */)
+    #   s % N / pmod(s, N)                          — residue proof for
+    #       equality probes: a file spanning < N consecutive ints can
+    #       only contain residues in its wrapped window.
+    # Timestamp/date stats are ISO strings (see _footer_stats), whose
+    # lexicographic order equals value order, so prefix truncation is
+    # monotone by construction.
+
+    _GEN_DATE_RE = re.compile(
+        r"(?is)^\s*(?:CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)"
+        r"|TO_DATE\s*\(\s*(\w+)\s*\)|DATE\s*\(\s*(\w+)\s*\))\s*$"
+    )
+    _GEN_TRUNC_RE = re.compile(
+        r"(?is)^\s*DATE_TRUNC\s*\(\s*'(YEAR|MONTH|DAY|HOUR|MINUTE)'\s*,"
+        r"\s*(\w+)\s*\)\s*$"
+    )
+    _GEN_YEAR_RE = re.compile(r"(?is)^\s*YEAR\s*\(\s*(\w+)\s*\)\s*$")
+    _GEN_AFFINE_RE = re.compile(
+        r"(?s)^\s*(\w+)\s*([+\-*/])\s*(\d+(?:\.\d+)?)\s*$"
+    )
+    _GEN_AFFINE_L_RE = re.compile(
+        r"(?s)^\s*(\d+(?:\.\d+)?)\s*([+*])\s*(\w+)\s*$"
+    )
+    _GEN_MOD_RE = re.compile(
+        r"(?is)^\s*(?:(\w+)\s*%\s*(\d+)|PMOD\s*\(\s*(\w+)\s*,\s*(\d+)\s*\))\s*$"
+    )
+    _TRUNC_CUT = {"YEAR": 4, "MONTH": 7, "DAY": 10, "HOUR": 13, "MINUTE": 16}
+    _TRUNC_PAD = {
+        "YEAR": "-01-01 00:00:00",
+        "MONTH": "-01 00:00:00",
+        "DAY": " 00:00:00",
+        "HOUR": ":00:00",
+        "MINUTE": ":00",
+    }
+
+    @staticmethod
+    def _prune_canon(v):
+        """Canonical JSON-safe prune value: timestamps/dates become
+        ISO strings whose lexicographic order equals value order
+        (``isoformat(sep=' ')`` — fixed-width prefix, fractional
+        seconds only lengthen).  Aware timestamps normalize to naive
+        UTC first so footer stats (pyarrow: UTC-aware) and probe
+        values (usually naive, session tz is UTC) compare in ONE
+        format — a trailing ``+00:00`` on one side only would shift
+        boundary comparisons."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return v
+
+    @classmethod
+    def _gen_forms(cls, m: dict) -> dict:
+        """``{generated_col: (source_col, kind, param)}`` for the
+        declared generation expressions the pruner understands;
+        unrecognized expressions simply contribute no derived proof."""
+        gc = m.get("generated_columns") or {}
+        out: dict = {}
+        for g, e in gc.items():
+            mm = cls._GEN_DATE_RE.match(e)
+            if mm:
+                out[g] = (next(filter(None, mm.groups())), "date", None)
+                continue
+            mm = cls._GEN_TRUNC_RE.match(e)
+            if mm:
+                out[g] = (mm.group(2), "trunc", mm.group(1).upper())
+                continue
+            mm = cls._GEN_YEAR_RE.match(e)
+            if mm:
+                out[g] = (mm.group(1), "year", None)
+                continue
+            mm = cls._GEN_AFFINE_RE.match(e)
+            if mm:
+                src, op, c = mm.group(1), mm.group(2), float(mm.group(3))
+                if not src[0].isdigit() and (op in "+-" or c > 0):
+                    out[g] = (src, "affine", (op, c))
+                continue
+            mm = cls._GEN_AFFINE_L_RE.match(e)
+            if mm:
+                c, op, src = float(mm.group(1)), mm.group(2), mm.group(3)
+                if not src[0].isdigit() and (op == "+" or c > 0):
+                    out[g] = (src, "affine", (op, c))
+                continue
+            mm = cls._GEN_MOD_RE.match(e)
+            if mm:
+                src = mm.group(1) or mm.group(3)
+                n = int(mm.group(2) or mm.group(4))
+                if n > 0:
+                    out[g] = (src, "mod", n)
+        return out
+
+    @classmethod
+    def _gen_apply(cls, kind: str, param, v):
+        """Map one value through a monotone generated form; None in or
+        an un-mappable value yields None ('unknown' — no proof)."""
+        if v is None:
+            return None
+        v = cls._prune_canon(v)
+        if kind == "affine":
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                return None
+            op, c = param
+            return (
+                v + c if op == "+"
+                else v - c if op == "-"
+                else v * c if op == "*"
+                else v / c
+            )
+        if not isinstance(v, str):
+            return None
+        if kind == "date":
+            return v[:10] if len(v) >= 10 else None
+        if kind == "year":
+            return int(v[:4]) if len(v) >= 4 and v[:4].isdigit() else None
+        # trunc
+        cut = cls._TRUNC_CUT[param]
+        if len(v) < cut:
+            return None
+        return v[:cut] + cls._TRUNC_PAD[param]
+
+    @staticmethod
+    def _prune_disjoint(lo, hi, fmin, fmax) -> bool:
+        """Provably-disjoint test with None = unknown/unbounded (never
+        a proof) and mixed-type comparisons treated as unknown."""
+        try:
+            if lo is not None and fmax is not None and fmax < lo:
+                return True
+            if hi is not None and fmin is not None and fmin > hi:
+                return True
+        except TypeError:
+            return False
+        return False
+
     def _overlaps(self, m: dict, name: str, col: str, lo, hi) -> bool:
         """True when file ``name`` may contain rows with col in [lo, hi]
         — missing stats mean 'unknown' and the file is kept (pruning
         must be conservative, exactly like Iceberg's inclusive
-        projection)."""
-        s = m.get("stats", {}).get(name, {}).get(self._stat_key(m, col))
-        if s is None:
-            return True
-        fmin, fmax = s
+        projection).  When the table declares generated columns in a
+        recognized monotone form, the source/generated counterpart's
+        stats contribute additional disjointness proofs (r18 #5)."""
+        lo, hi = self._prune_canon(lo), self._prune_canon(hi)
+        stats = m.get("stats", {}).get(name, {})
+        s = stats.get(self._stat_key(m, col))
         # a None envelope side is 'unknown' (an all-null column's
         # footer min/max) — keep, never crash (found by the r17
         # vectorized-prune property battery)
-        if lo is not None and fmax is not None and fmax < lo:
+        if s is not None and self._prune_disjoint(lo, hi, s[0], s[1]):
             return False
-        if hi is not None and fmin is not None and fmin > hi:
-            return False
+        forms = self._gen_forms(m)
+        if forms:
+            f = forms.get(col)
+            if f is not None:
+                src, kind, param = f
+                ss = stats.get(self._stat_key(m, src))
+                if ss is not None:
+                    if kind == "mod":
+                        if not self._mod_may_contain(ss, param, lo, hi):
+                            return False
+                    else:
+                        if self._prune_disjoint(
+                            lo,
+                            hi,
+                            self._gen_apply(kind, param, ss[0]),
+                            self._gen_apply(kind, param, ss[1]),
+                        ):
+                            return False
+            for g, (src, kind, param) in forms.items():
+                if src != col or kind == "mod":
+                    continue
+                gs = stats.get(self._stat_key(m, g))
+                if gs is not None and self._prune_disjoint(
+                    self._gen_apply(kind, param, lo),
+                    self._gen_apply(kind, param, hi),
+                    gs[0],
+                    gs[1],
+                ):
+                    return False
         return True
+
+    @staticmethod
+    def _mod_may_contain(src_stats, n: int, lo, hi) -> bool:
+        """Residue proof for ``g = s % N`` equality probes: a file
+        whose source spans fewer than N consecutive integers can only
+        contain the residues of its wrapped window."""
+        if lo is None or lo != hi:
+            return True  # only equality probes prove anything
+        smin, smax = src_stats
+        if not all(
+            isinstance(v, int) and not isinstance(v, bool)
+            for v in (smin, smax, lo)
+        ):
+            return True
+        if smax - smin >= n - 1:
+            return True  # every residue present
+        return (lo - smin) % n <= smax - smin
 
     _PRUNE_IDX_MAX = 16
     _F64_EXACT = float(2**53)  # ints beyond this round in float64
@@ -3791,9 +4024,13 @@ class ManifestTable:
         """Boolean numpy keep-mask over ``m['files']`` for a
         conjunction of range bounds, or None when any bounded column
         needs the scalar fallback (non-float64-exact stats or a
-        non-numeric probe value)."""
+        non-numeric probe value).  NUMERIC generated forms (affine,
+        mod) contribute their derived disjointness proofs vectorized
+        too; the date/ISO-string forms land in the scalar path by
+        construction (string probes/stats void the float64 index)."""
         import numpy as np
 
+        forms = self._gen_forms(m)
         mask = None
         for col, (lo, hi) in bounds.items():
             for b in (lo, hi):
@@ -3810,8 +4047,72 @@ class ManifestTable:
                 drop |= maxs < lo  # NaN < lo is False: unknown kept
             if hi is not None:
                 drop |= mins > hi
+            # derived proofs through generated forms (r18 #5)
+            f = forms.get(col)
+            if f is not None and f[1] not in ("affine", "mod"):
+                # a numeric probe on a date/trunc/year generated column
+                # (e.g. eyear = 2025) can only be proven against the
+                # source's ISO-string stats by the SCALAR path — a
+                # numeric mask here would silently lose the proof
+                return None
+            if f is not None and f[1] in ("affine", "mod"):
+                src, kind, param = f
+                sidx = self._prune_index(m, src)
+                if sidx is None:
+                    return None
+                smin, smax = sidx
+                if kind == "affine":
+                    glo = self._affine_vec(np, smin, param)
+                    ghi = self._affine_vec(np, smax, param)
+                    if lo is not None:
+                        drop |= ghi < lo
+                    if hi is not None:
+                        drop |= glo > hi
+                elif (
+                    lo is not None
+                    and lo == hi
+                    and float(lo).is_integer()
+                ):
+                    span = smax - smin  # NaN propagates → False → keep
+                    with np.errstate(invalid="ignore"):
+                        absent = ~(
+                            (span >= param - 1)
+                            | (np.mod(float(lo) - smin, param) <= span)
+                        )
+                    absent &= ~np.isnan(span)
+                    drop |= absent
+            for g, (src, kind, param) in forms.items():
+                if src != col or kind not in ("affine",):
+                    continue
+                gidx = self._prune_index(m, g)
+                if gidx is None:
+                    return None
+                gmin, gmax = gidx
+                flo = (
+                    self._gen_apply(kind, param, lo)
+                    if lo is not None else None
+                )
+                fhi = (
+                    self._gen_apply(kind, param, hi)
+                    if hi is not None else None
+                )
+                if flo is not None:
+                    drop |= gmax < flo
+                if fhi is not None:
+                    drop |= gmin > fhi
             mask = ~drop if mask is None else mask & ~drop
         return mask
+
+    @staticmethod
+    def _affine_vec(np, arr, param):
+        op, c = param
+        if op == "+":
+            return arr + c
+        if op == "-":
+            return arr - c
+        if op == "*":
+            return arr * c
+        return arr / c
 
     def prune_plan_multi(
         self, bounds: dict, version: Optional[int] = None
@@ -3828,8 +4129,20 @@ class ManifestTable:
         over a per-version cached index (built once, O(files)); the
         scalar per-file loop remains only as the fallback for stats
         float64 cannot represent exactly (strings, huge ints) — the
-        keep-sets are property-tested identical."""
+        keep-sets are property-tested identical.
+
+        Generated columns (r18 #5): bounds on a column that IS a
+        declared generated column in a recognized monotone form — or
+        that is the SOURCE of one — additionally prune through the
+        counterpart column's stats (``event_date = CAST(ts AS DATE)``
+        prunes on either column's stats from a predicate on either).
+        Probe values canonicalize like the stats do (datetime/date →
+        ISO strings), so time-typed bounds compare exactly."""
         m = self._manifest_at(version)
+        bounds = {
+            c: (self._prune_canon(lo), self._prune_canon(hi))
+            for c, (lo, hi) in bounds.items()
+        }
         files = m["files"]
         mask = self._prune_mask(m, bounds) if files else None
         if mask is not None:

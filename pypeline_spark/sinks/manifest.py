@@ -2141,6 +2141,13 @@ class ManifestTable:
                 f"{what}({col!r}): column is referenced by generated "
                 f"column(s) {ghit} — clear_column_default them first"
             )
+        if col in (m.get("identity_cols") or {}):
+            raise ValueError(
+                f"{what}({col!r}): column is a declared IDENTITY "
+                "column — its values derive from the row-tracking "
+                "allocator and cannot be renamed or dropped in this "
+                "build"
+            )
 
     def add_check_constraint(
         self,
@@ -2484,6 +2491,7 @@ class ManifestTable:
                 "generated_columns",
                 "row_tracking",
                 "row_id_hwm",
+                "identity_cols",
             )
             if k in m
         }
@@ -2735,6 +2743,12 @@ class ManifestTable:
         method, so a dv is applied uniformly to snapshot reads, pruned
         reads, merge-on-read resolution and DML/maintenance rewrites.
         Files without dv entries keep their exact pre-dv scan plan."""
+        if m.get("identity_cols"):
+            # identity columns derive from the resolved row id — the
+            # tagged read resolves + applies them (r18 #6)
+            return self._read_base_tagged(spark, m, names).drop(
+                "__dvf__", "__dvp__"
+            )
         dv = m.get("dv")
         if dv and any(f in dv["rows"] for f in names):
             return self._read_base_tagged(spark, m, names).drop(
@@ -2887,30 +2901,51 @@ class ManifestTable:
         while its metadata-known row count stays under
         ``_DV_BROADCAST_ROWS`` (suppression then costs a map-side
         hash probe per row, no shuffle); past that it degrades to a
-        shuffled anti-join, never an executor OOM."""
+        shuffled anti-join, never an executor OOM.
+
+        ``rowid=True`` additionally RESOLVES the stable row id
+        (materialized physical ids win, everything else derives
+        ``base_row_id + position`` — one broadcast metadata join) and
+        keeps ``__row_id__`` in the output.  On a table with declared
+        IDENTITY columns (r18 #6) the resolution runs on EVERY tagged
+        read and the identity columns are overwritten with their
+        derived ``start + step * row_id`` values — stored bytes are
+        never trusted — with ``__row_id__`` dropped again unless
+        requested."""
         from pyspark.sql import functions as F
 
+        idc = m.get("identity_cols") or {}
+        want_ids = rowid or bool(idc)
         dv = m.get("dv")
         dirty = [f for f in names if dv and f in dv["rows"]]
         if not dirty:
-            return self._scan_logical(
-                spark, m, names, tagged=True, rowid=rowid
-            )
-        dset = set(dirty)
-        clean = [f for f in names if f not in dset]
-        ddf = self._scan_logical(spark, m, dirty, tagged=True, rowid=rowid)
-        out = ddf.join(
-            self._dv_frame(spark, m, dirty),
-            on=[
-                F.col("__dvf__") == F.col("__file__"),
-                F.col("__dvp__") == F.col("__pos__"),
-            ],
-            how="left_anti",
-        )
-        if clean:
             out = self._scan_logical(
-                spark, m, clean, tagged=True, rowid=rowid
-            ).unionByName(out)
+                spark, m, names, tagged=True, rowid=want_ids
+            )
+        else:
+            dset = set(dirty)
+            clean = [f for f in names if f not in dset]
+            ddf = self._scan_logical(
+                spark, m, dirty, tagged=True, rowid=want_ids
+            )
+            out = ddf.join(
+                self._dv_frame(spark, m, dirty),
+                on=[
+                    F.col("__dvf__") == F.col("__file__"),
+                    F.col("__dvp__") == F.col("__pos__"),
+                ],
+                how="left_anti",
+            )
+            if clean:
+                out = self._scan_logical(
+                    spark, m, clean, tagged=True, rowid=want_ids
+                ).unionByName(out)
+        if want_ids:
+            out = self._rowid_resolve(spark, m, out, names)
+            if idc:
+                out = self._apply_identity(m, out)
+            if not rowid:
+                out = out.drop("__row_id__")
         return out
 
     def _dv_frame(self, spark: SparkSession, m: dict, dirty: Sequence[str]):
@@ -3164,6 +3199,127 @@ class ManifestTable:
             m, build, frozenset({"metadata"}), "enable_row_tracking"
         )
 
+    # -- identity columns (r18 directive #6, the Delta IDENTITY shape) ----------
+
+    def add_identity_column(
+        self,
+        name: str,
+        start: int = 1,
+        step: int = 1,
+        batch_id: Optional[str] = None,
+    ) -> int:
+        """``ALTER TABLE .. ADD COLUMN .. GENERATED ALWAYS AS IDENTITY
+        (START WITH start INCREMENT BY step)`` — a monotone
+        auto-increment surrogate key, allocated from the table's
+        row-id high-water mark at the ``_publish`` choke point: the
+        value of a row is ``start + step * __row_id__``, where the row
+        id is the stable identity row tracking already mints for every
+        row.  That construction gives the Delta IDENTITY guarantees
+        for free:
+
+        - **collision-safe under OCC retry**: ids are implied by
+          ``base_row_id`` ranges assigned AT PUBLISH, after conflict
+          arbitration — two racing writers can never bake overlapping
+          values into their files, because values are never baked in
+          (reads derive them; rewrites may materialize row ids, whose
+          ranges the hwm already reserved);
+        - **monotone, gaps allowed** (exactly Delta's contract): the
+          hwm only grows; rewrites burn id space without reuse;
+        - **GENERATED ALWAYS**: every write path rejects a batch that
+          provides the column — the table assigns it.
+
+        Requires row tracking (``enable_row_tracking`` first — the
+        machinery IS the allocator), which also means schema-tracked,
+        unmapped, delta-tier-refused.  ``step`` may be negative
+        (descending identity); zero raises.  The column is surfaced on
+        every read (snapshot, pruned, DML/MERGE target slices, the
+        change feed's DML/MERGE images); the CDC image of a row
+        INSERTED by the same commit carries null — its id is minted at
+        publish, after the CDC fileset is written — and resolves on
+        the next snapshot read (blind-append feed events null-fill the
+        same way)."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["version"]
+
+        def build(mm: dict) -> Optional[dict]:
+            if batch_id is not None and batch_id in mm["batch_ids"]:
+                return None
+            if not mm.get("row_tracking"):
+                raise ValueError(
+                    "add_identity_column needs row tracking (the row-id "
+                    "high-water mark is the identity allocator) — call "
+                    "enable_row_tracking() first"
+                )
+            if name in (mm.get("identity_cols") or {}):
+                return None  # idempotent
+            if any(
+                f["name"] == name for f in mm["schema"]["fields"]
+            ):
+                raise ValueError(
+                    f"add_identity_column: column {name!r} already "
+                    "exists — identity only attaches to a NEW column"
+                )
+            if name == "__row_id__" or name in self._DV_RESERVED:
+                raise ValueError(f"{name!r} is a reserved column name")
+            schema = {
+                **mm["schema"],
+                "fields": list(mm["schema"]["fields"])
+                + [{
+                    "name": name,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }],
+            }
+            idc = dict(mm.get("identity_cols") or {})
+            idc[name] = {"start": int(start), "step": int(step)}
+            new = {
+                **mm,
+                "version": mm["version"] + 1,
+                "batch_ids": mm["batch_ids"]
+                + ([batch_id] if batch_id is not None else []),
+                "schema": schema,
+                "identity_cols": idc,
+            }
+            for k in ("reorg", "dml", "cdc_files", "restore_of"):
+                new.pop(k, None)
+            return new
+
+        return self._commit_retrying(
+            m, build, frozenset({"metadata"}), "add_identity_column"
+        )
+
+    def _apply_identity(self, m: dict, df: DataFrame) -> DataFrame:
+        """Overwrite every declared identity column with its derived
+        value ``start + step * __row_id__`` (stored bytes are never
+        trusted — a rewrite may have persisted stale/null values; the
+        derivation is the source of truth)."""
+        from pyspark.sql import functions as F
+
+        for c, d in (m.get("identity_cols") or {}).items():
+            df = df.withColumn(
+                c,
+                (
+                    F.lit(int(d["start"]))
+                    + F.lit(int(d["step"])) * F.col("__row_id__")
+                ).cast("long"),
+            )
+        return df
+
+    def _require_no_identity_values(
+        self, m: dict, cols, what: str
+    ) -> None:
+        bad = sorted(set(m.get("identity_cols") or {}) & set(cols))
+        if bad:
+            raise ValueError(
+                f"{what}: identity column(s) {bad} are GENERATED "
+                "ALWAYS — the table assigns them; drop them from the "
+                "batch/source"
+            )
+
     def _require_no_row_tracking(self, m: dict, what: str) -> None:
         """Only the BLIND-append delta tier still refuses row tracking
         (r18 directive #4 brought the copy-on-write DML/MERGE forms
@@ -3220,11 +3376,12 @@ class ManifestTable:
     ) -> Optional[DataFrame]:
         """Content columns + resolved ``__row_id__`` with the
         version's deletion vectors applied — the read every
-        id-preserving rewrite and the public ``read_rowids`` share."""
+        id-preserving rewrite and the public ``read_rowids`` share
+        (the tagged read resolves ids — and derives identity columns —
+        itself)."""
         if not names:
             return None
-        df = self._read_base_tagged(spark, m, names, rowid=True)
-        return self._rowid_resolve(spark, m, df, names).drop(
+        return self._read_base_tagged(spark, m, names, rowid=True).drop(
             "__dvf__", "__dvp__"
         )
 
@@ -4321,6 +4478,7 @@ class ManifestTable:
             return m["version"]  # replay detected: no-op
         # declared invariants gate the replacement content too (an
         # overwrite that would break CHECK/NOT NULL is rejected whole)
+        self._require_no_identity_values(m, df.columns, "commit_overwrite")
         df = self._apply_column_defaults(m, df, "commit_overwrite")
         self._validate_constraints(m, df, "commit_overwrite")
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
@@ -4337,6 +4495,20 @@ class ManifestTable:
         # own manifests and the mapping never forks.
         schema = self._merge_schema(None, df)
         carry_map = self._carry_mapping(m)
+        if m.get("identity_cols"):
+            # identity survives an overwrite (table property, Delta
+            # rule): the columns re-attach to the reset schema and the
+            # replacement rows mint fresh values from the carried hwm
+            schema = {
+                **schema,
+                "fields": list(schema["fields"])
+                + [{
+                    "name": c,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                } for c in m["identity_cols"]],
+            }
         if self._mapping_enabled(m):
             prev_md = {
                 f["name"]: f.get("metadata")
@@ -4419,6 +4591,7 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        self._require_no_identity_values(m, df.columns, "commit_append")
         df = self._apply_column_defaults(m, df, "commit_append")
         self._validate_constraints(m, df, "commit_append")
         if m.get("row_tracking") and "__row_id__" in df.columns:
@@ -4582,6 +4755,9 @@ class ManifestTable:
                 "identity — the table assigns it; drop the column "
                 "from the batch"
             )
+        self._require_no_identity_values(
+            m, updates.columns, "commit_merge"
+        )
         # existing rows were proven at their own commits — only the
         # incoming batch needs the CHECK/NOT NULL gate
         updates = self._apply_column_defaults(m, updates, "commit_merge")
@@ -4595,13 +4771,27 @@ class ManifestTable:
             # a nothing-overlaps prune would skip any later check);
             # the same merge result becomes the new tracked schema
             tracked = [f["name"] for f in m["schema"]["fields"]]
-            missing = [c for c in tracked if c not in set(updates.columns)]
+            idset = set(m.get("identity_cols") or {})
+            missing = [
+                c for c in tracked
+                if c not in set(updates.columns) and c not in idset
+            ]
             if missing:
                 raise ValueError(
                     f"updates batch lacks existing column(s) {missing}: "
                     "keyed upserts replace whole rows — include them "
                     "(nulls allowed)"
                 )
+            if idset:
+                # identity columns are table-assigned: null-fill the
+                # batch so the merge frame is schema-complete (reads
+                # derive the real values from the row id)
+                from pyspark.sql import functions as F
+
+                for c in sorted(idset):
+                    updates = updates.withColumn(
+                        c, F.lit(None).cast("long")
+                    )
             evolved_schema = self._merge_schema(m["schema"], updates)
             if self._mapping_enabled(m):
                 # new columns mint ids + physical names (existing ones
@@ -5100,6 +5290,8 @@ class ManifestTable:
                 f"{what}: __row_id__ is the row-tracking identity — "
                 "it cannot be assigned"
             )
+        if assignments is not None:
+            self._require_no_identity_values(m, assignments, what)
         if m.get("deltas"):
             raise ValueError(
                 f"{what} rewrites base files (copy-on-write): compact() "
@@ -5358,6 +5550,7 @@ class ManifestTable:
                     f"{what}: __row_id__ is the row-tracking identity "
                     "— it cannot be assigned"
                 )
+            self._require_no_identity_values(m, assignments, what)
             ass = {
                 c: (F.expr(e) if isinstance(e, str) else F.lit(e)).cast(
                     typ[c]
@@ -5578,7 +5771,9 @@ class ManifestTable:
                 "rule: which row's assignments win is undefined)"
             )
 
-    def _merge_plan(self, parsed, t_base, src, keys, defaults=None):
+    def _merge_plan(
+        self, parsed, t_base, src, keys, defaults=None, identity=()
+    ):
         """The one-join MERGE plan shared by the cow and dv modes: one
         full-outer join of target × source drives every clause through
         a single CASE-typed ``__act__`` column; one CASE per column
@@ -5599,7 +5794,11 @@ class ManifestTable:
             for c, d in (defaults or {}).items()
             if d.get("generated") and c in typ
         }
-        gset = set(gens)
+        # identity columns behave like generated ones in the plan:
+        # never copied from the source ('*' skips them), updates keep
+        # the target's value, inserts write null (the id — and with it
+        # the identity value — is minted at publish)
+        gset = set(gens) | set(identity)
         t = t_base.withColumn("__t__", F.lit(True)).alias("t")
         s = src.withColumn("__s__", F.lit(True)).alias("s")
         j = t.join(
@@ -5842,6 +6041,7 @@ class ManifestTable:
                 f"{what}: __row_id__ is the row-tracking identity — "
                 "the table assigns it; drop the column from the source"
             )
+        self._require_no_identity_values(m, source.columns, what)
         if m.get("deltas"):
             raise ValueError(
                 "merge_into rewrites base files (copy-on-write): "
@@ -5946,7 +6146,8 @@ class ManifestTable:
             {f.name: f.dataType for f in t_base.schema.fields},
             list(t_base.columns),
             src.columns,
-            generated=set(m.get("generated_columns") or ()),
+            generated=set(m.get("generated_columns") or ())
+            | set(m.get("identity_cols") or {}),
         )
         # -- ambiguity guard (the SQL/Delta multiple-match rule) ---------
         if (matched_idx or by_source_idx) and touched:
@@ -5956,6 +6157,7 @@ class ManifestTable:
             self._merge_plan(
                 parsed, t_base, src, keys,
                 defaults=m.get("column_defaults"),
+                identity=set(m.get("identity_cols") or {}),
             )
         )
         keep_codes = ["keep"] + upd_codes + ins_codes
@@ -6120,6 +6322,7 @@ class ManifestTable:
                 "drop it from the source (ids are never assigned by a "
                 "merge)"
             )
+        self._require_no_identity_values(m, source.columns, what)
         parsed, matched_idx, insert_idx, by_source_idx = (
             self._merge_parse_clauses(clauses, source)
         )
@@ -6180,7 +6383,8 @@ class ManifestTable:
             {f.name: f.dataType for f in t_base.schema.fields},
             list(t_base.columns),
             src.columns,
-            generated=set(m.get("generated_columns") or ()),
+            generated=set(m.get("generated_columns") or ())
+            | set(m.get("identity_cols") or {}),
         )
         if (matched_idx or by_source_idx) and has_content:
             self._merge_ambiguity_guard(src, t_base, keys)
@@ -6188,6 +6392,7 @@ class ManifestTable:
             self._merge_plan(
                 parsed, t_base, src, keys,
                 defaults=m.get("column_defaults"),
+                identity=set(m.get("identity_cols") or {}),
             )
         )
         novel = proj.filter(

@@ -62,107 +62,106 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-17 window is the staleness rotation the r16 verdict
-# directed (directive #1): (a) the 12-name r11 tail — stale at r18,
-# must re-cert THIS round, NON-NEGOTIABLE per the verdict; (b) 36 of
-# the 50-query r12 cohort (alphabetical head, re-derived from
-# CORRECTNESS_r01..r16 before pinning), deferring the 14-name r12
-# tail (q_sample_weighted .. q_winsorize) to the r18 window inside
-# its float (r12 certs are admissible through r18); and (c) TWO
-# first-certification slots for the operators added this round, as
-# the verdict allows ("a new first-cert may displace r12 head names
-# into the r18 tail"): the lakehouse pipeline step's
-# `q_pipeline_lakehouse` (directive #2) and the keep-best cluster
-# representative `q_dedup_representative` (directive #5).  The
-# ProtocolTooNew hardening (ADVICE), columnar checkpoints (#3),
-# vectorized prune planning (#4), generated columns (#6) and row
-# tracking (#7) are certified by pytest batteries / probes per the
+# The round-18 window is the staleness rotation the r17 verdict
+# directed (directive #1): (a) the 14-name r12 tail — stale at r19,
+# must re-cert THIS round, NON-NEGOTIABLE per the verdict; (b) 34 of
+# the 49-query r13 cohort (alphabetical head, re-derived from
+# CORRECTNESS_r01..r17 before pinning — the derivation matched the
+# verdict's planned names exactly), deferring q_scan/q_semi plus the
+# 13-name r13 tail (q_table_evolve .. q_window_topn) to the r19
+# window inside their float (r13 certs are admissible through r19);
+# and (c) TWO first-certification slots for the operators added this
+# round, as the verdict allows ("a new first-cert may displace r13
+# head names into the r19 tail"): the declarative streaming-append
+# ingest lifecycle `q_lakehouse_append` (directive #2) and the SQL
+# statement router `q_sql_merge` (directive #3).  Row tracking
+# through CoW (#4), generation-expression pruning (#5) and identity
+# columns (#6) are certified by pytest batteries / probes per the
 # verdict's Done criteria and take no window slots.
 #
-# Cumulative driver record after round 16: 261 of 261 registered
+# Cumulative driver record after round 17: 263 of 263 registered
 # queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram re-derived from CORRECTNESS_r01..r16 before
-# pinning: 12@r11 / 50@r12 / 49@r13 / 50@r14 / 50@r15 / 50@r16 — the
-# derivation matched the r16-planned r11 tail name for name.
+# latest-cert histogram re-derived from CORRECTNESS_r01..r17 before
+# pinning: 14@r12 / 49@r13 / 50@r14 / 50@r15 / 50@r16 / 50@r17.
 # All 50 below pre-verified strict-canon green at sf0.01
 # (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
 #
-# Rotation runway (registry 263 after the r17 additions; an rN cert
+# Rotation runway (registry 265 after the r18 additions; an rN cert
 # is admissible until the newest record reaches N+6, so every cohort
 # may drain across two windows):
-#   r17 window = 12 r11 tail + 36 r12 head + 2 new first-certs (this
-#                one; the r12 tail q_sample_weighted q_schema_drift
-#                q_session_rollup q_shard_balance q_span_dedup
-#                q_stream_autocompact q_time_travel_diff
-#                q_time_weighted_avg q_token_entropy q_top_terms
-#                q_train_val_split q_union_evolve q_weekday_profile
-#                q_winsorize stays admissible through r18)
-#   r18 window = the 14-name r12 tail (stale at r19, NON-NEGOTIABLE)
-#                + ~36 of the r13 cohort (alphabetical head,
-#                re-derive from CORRECTNESS_r01..r17 before pinning)
-#                with the r13 tail deferring to r19; and so on, one
+#   r18 window = 14 r12 tail + 34 r13 head + 2 new first-certs (this
+#                one)
+#   r19 window = the 15 deferred r13 names (q_scan q_semi
+#                q_table_evolve q_to_json q_topk q_try_cast
+#                q_union_all q_union_distinct q_window_distribution
+#                q_window_first_last q_window_lag_lead
+#                q_window_range_frame q_window_rank q_window_running
+#                q_window_topn — stale at r20, NON-NEGOTIABLE)
+#                + ~35 of the 50-name r14 cohort (alphabetical head,
+#                re-derive from CORRECTNESS_r01..r18 before pinning),
+#                minus slots for new first-certs; and so on, one
 #                cohort per round with a tail riding its float.
 # Steady state re-certifies every query at most 6 rounds apart,
-# inside the guard's >MAX_CERT_AGE_ROUNDS bound (263 queries / 50
-# slots — ceil(263/6) = 44 needed, 6 slack per window).
+# inside the guard's >MAX_CERT_AGE_ROUNDS bound (265 queries / 50
+# slots — ceil(265/6) = 45 needed, 5 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # -- the 12-name r11 tail (stale at r18: re-cert NOW) -------------
-    "q_sales_opportunity",
-    "q_semantic_dedup",
-    "q_sessionize_sql",
-    "q_shipmode_priority",
-    "q_small_qty_revenue",
-    "q_span_dup_share",
-    "q_supplier_part_counts",
-    "q_top_supplier",
-    "q_url_extract",
-    "q_value_concentration",
-    "q_variant_props",
-    "q_waiting_orders",
-    # -- 36 of the r12 cohort (alphabetical head) ---------------------
-    "q_agg_distinct",
-    "q_agg_pricing",
-    "q_agg_stats",
-    "q_anti",
-    "q_arg_minmax",
-    "q_epoch_shuffle",
-    "q_equidepth_hist",
-    "q_heavy_hitters_cms",
-    "q_image_phash",
-    "q_image_resize",
-    "q_ivm_rollup",
-    "q_jaccard_prefix",
-    "q_kanon",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    "q_lang_drift",
-    "q_langid_confusion",
-    "q_latency_bands",
-    "q_linear_trend",
-    "q_manifest_analyze",
-    "q_manifest_changes",
-    "q_manifest_merge_prune",
-    "q_manifest_ndv",
-    "q_manifest_prune",
-    "q_manifest_restore",
-    "q_merge_variance",
-    "q_mixture_temperature",
-    "q_mode",
-    "q_multimodal_decode",
-    "q_ohlc",
-    "q_outliers_mad",
-    "q_partition_evolution",
-    "q_pattern_match",
-    "q_pattern_var",
-    "q_period_growth",
-    "q_pipeline_dedup",
-    # -- first-certification slots (r17 directives #2 and #5) ---------
-    "q_pipeline_lakehouse",
-    "q_dedup_representative",
+    # -- the 14-name r12 tail (stale at r19: re-cert NOW) -------------
+    "q_sample_weighted",
+    "q_schema_drift",
+    "q_session_rollup",
+    "q_shard_balance",
+    "q_span_dedup",
+    "q_stream_autocompact",
+    "q_time_travel_diff",
+    "q_time_weighted_avg",
+    "q_token_entropy",
+    "q_top_terms",
+    "q_train_val_split",
+    "q_union_evolve",
+    "q_weekday_profile",
+    "q_winsorize",
+    # -- 34 of the r13 cohort (alphabetical head) ---------------------
+    "q_array_ops",
+    "q_case_coalesce",
+    "q_cdf_stream",
+    "q_cte",
+    "q_cube",
+    "q_equidepth_hist_approx",
+    "q_except",
+    "q_except_all",
+    "q_exists_subquery",
+    "q_explode",
+    "q_feature_extract",
+    "q_filter_project",
+    "q_having",
+    "q_in_subquery",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multi",
+    "q_join_right",
+    "q_json_props",
+    "q_limit_offset",
+    "q_manifest_cdf",
+    "q_manifest_concurrent",
+    "q_map_ops",
+    "q_pivot",
+    "q_predicates",
+    "q_rollup",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_str",
+    "q_scalar_subquery",
+    # -- first-certification slots (r18 directives #2 and #3) ---------
+    "q_lakehouse_append",
+    "q_sql_merge",
 )
 
 _OPERATOR_MODULES = (

@@ -5,7 +5,8 @@ The reference's users express their table maintenance as SQL strings
 against the target database (``post_query`` is free-form SQL, ref:
 /root/reference/pypeline/Pype.py:164-167).  Delta users write MERGE /
 UPDATE / DELETE / DESCRIBE HISTORY / VACUUM / RESTORE the same way.
-This module parses exactly those SIX statement shapes and dispatches
+This module parses exactly those statement shapes (the verdict's six
+plus ``INSERT INTO``, the append everyone writes) and dispatches
 them onto the existing :class:`ManifestTable` methods — a thin,
 loud-failure router, deliberately NOT a general SQL engine (Spark SQL
 is right there for queries; anything this parser does not recognize
@@ -21,6 +22,10 @@ trailing semicolon):
   — the ON clause must be a conjunction of ``a.k = b.k`` equalities
   (they become the merge key columns; non-equi residuals belong in
   clause conditions).
+- ``INSERT INTO t [(c1, ..)] VALUES (..), (..)`` /
+  ``INSERT INTO t [(c1, ..)] SELECT ..`` — dispatches to
+  ``commit_append`` (new base files through the ledger; a column
+  list reorders/renames, otherwise the query's own columns apply)
 - ``UPDATE t SET x = e[, ..] [WHERE pred]``
 - ``DELETE FROM t [WHERE pred]``
 - ``DESCRIBE HISTORY t``
@@ -58,14 +63,15 @@ _IDENT = r"(?:`[^`]+`|[A-Za-z_][\w.]*)"
 
 #: leading keywords this router claims; anything else is not ours
 _LEAD = re.compile(
-    r"(?is)^\s*(MERGE|UPDATE|DELETE|DESCRIBE|VACUUM|RESTORE)\b"
+    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|DESCRIBE|VACUUM|RESTORE)\b"
 )
 
 #: the stricter claim the post_query hook uses: plain ``DESCRIBE t``
 #: is valid Spark SQL and must keep falling through to spark.sql —
 #: only ``DESCRIBE HISTORY`` is ours
 _CLAIM = re.compile(
-    r"(?is)^\s*(MERGE|UPDATE|DELETE|VACUUM|RESTORE|DESCRIBE\s+HISTORY)\b"
+    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|VACUUM|RESTORE"
+    r"|DESCRIBE\s+HISTORY)\b"
 )
 
 
@@ -381,11 +387,33 @@ def parse_statement(sql: str) -> tuple[str, dict]:
     if not lead:
         raise SqlStatementError(
             "not a manifest-table statement (supported: MERGE INTO, "
-            "UPDATE, DELETE FROM, DESCRIBE HISTORY, VACUUM, RESTORE)"
+            "INSERT INTO, UPDATE, DELETE FROM, DESCRIBE HISTORY, "
+            "VACUUM, RESTORE)"
         )
     kind = lead.group(1).upper()
     if kind == "MERGE":
         return "merge", _parse_merge(stmt)
+    if kind == "INSERT":
+        s = _expect(stmt, "INSERT")
+        s = _expect(s, "INTO")
+        table, s = _take_ident(s, "table")
+        cols = None
+        if s.lstrip().startswith("("):
+            cols_text, s = _take_parens(s)
+            cols = [
+                _unquote(c).strip() for c in _split_top(cols_text, ",")
+            ]
+            if not all(re.fullmatch(r"\w+", c) for c in cols):
+                raise SqlStatementError(
+                    f"bad INSERT column list ({cols_text.strip()!r})"
+                )
+        body = s.strip()
+        if not re.match(r"(?is)^(VALUES|SELECT|WITH)\b", body):
+            raise SqlStatementError(
+                "expected VALUES (..) or SELECT .. after INSERT INTO "
+                f"{table}"
+            )
+        return "insert", {"table": table, "cols": cols, "query": body}
     if kind == "UPDATE":
         s = _expect(stmt, "UPDATE")
         table, s = _take_ident(s, "table")
@@ -496,6 +524,53 @@ def execute_table_sql(
         if "version" in p:
             return t.restore(version=p["version"], batch_id=batch_id)
         return t.restore(timestamp=p["timestamp"], batch_id=batch_id)
+    if kind == "insert":
+        df = spark.sql(p["query"])
+        if p["cols"] is not None:
+            if len(p["cols"]) != len(df.columns):
+                raise SqlStatementError(
+                    f"INSERT column list has {len(p['cols'])} names "
+                    f"but the query produces {len(df.columns)} columns"
+                )
+            df = df.toDF(*p["cols"])
+        sch = (
+            t._read_manifest().get("schema")
+            if t.version() > 0 else None
+        )
+        if sch is not None:
+            # SQL INSERT semantics: positional alignment to the table
+            # schema when no column list is given (a bare VALUES query
+            # arrives as col1/col2/..), implicit cast to the tracked
+            # types, unknown names rejected; identity columns are
+            # table-assigned and never count as insert targets
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
+            m = t._read_manifest()
+            idc = set(m.get("identity_cols") or {})
+            fields = [
+                f for f in StructType.fromJson(sch).fields
+                if f.name not in idc
+            ]
+            if p["cols"] is None:
+                if len(df.columns) != len(fields):
+                    raise SqlStatementError(
+                        f"INSERT provides {len(df.columns)} columns "
+                        f"but table {p['table']!r} has {len(fields)} "
+                        "(add a column list)"
+                    )
+                df = df.toDF(*[f.name for f in fields])
+            typ = {f.name: f.dataType for f in fields}
+            unknown = [c for c in df.columns if c not in typ]
+            if unknown:
+                raise SqlStatementError(
+                    f"INSERT column(s) {unknown} not in table "
+                    f"{p['table']!r}"
+                )
+            df = df.select(
+                *[F.col(c).cast(typ[c]).alias(c) for c in df.columns]
+            )
+        return t.commit_append(df, batch_id=batch_id)
     if kind == "update":
         return t.update_where(
             spark,

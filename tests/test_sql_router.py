@@ -106,6 +106,31 @@ class TestStatements:
         df = t.read(spark)
         assert df.count() == 36
 
+    def test_insert_into(self, spark, tmp_path, cust):
+        t = _table(tmp_path, cust, "ins1", hi=20)
+        v = execute_table_sql(
+            spark, lambda n: t,
+            "INSERT INTO t VALUES (1000, 5.0, 'NEW'), (1001, 6.0, 'NEW')",
+        )
+        assert v == 2
+        assert t._load_record(v)["kind"] == "append"
+        assert t.read(spark).filter("c_custkey >= 1000").count() == 2
+        cust.filter(F.col("c_custkey").between(100, 110)
+                    ).createOrReplaceTempView("ins_src")
+        execute_table_sql(
+            spark, lambda n: t,
+            "INSERT INTO t (c_custkey, c_acctbal, c_mktsegment) "
+            "SELECT c_custkey, c_acctbal, c_mktsegment FROM ins_src",
+        )
+        assert t.read(spark).count() == 21 + 2 + 11
+        with pytest.raises(SqlStatementError, match="VALUES"):
+            parse_statement("INSERT INTO t SET x = 1")
+        with pytest.raises(SqlStatementError, match="column list"):
+            execute_table_sql(
+                spark, lambda n: t,
+                "INSERT INTO t (a, b) VALUES (1, 2, 3)",
+            )
+
     def test_describe_history_vacuum_restore(self, spark, tmp_path, cust):
         t = _table(tmp_path, cust, "h1", hi=20)
         execute_table_sql(

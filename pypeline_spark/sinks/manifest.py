@@ -5182,11 +5182,11 @@ class ManifestTable:
         predicate is TRUE are removed (FALSE and NULL rows stay, the
         SQL rule).  The commit stores the deleted rows as full-row
         typed CDC (``_change_type='delete'``), so :meth:`changes` and
-        the streaming source read straight THROUGH it.  Requires a
-        compacted table (no outstanding merge-on-read deltas — for a
-        keyed MoR table, tombstones via ``commit_delta(deletes=)`` are
-        the O(batch) alternative).  A predicate matching nothing is a
-        no-op (no commit).  OCC: rebases over pure-metadata commits
+        the streaming source read straight THROUGH it.  ``mode='cow'``
+        requires a compacted table (no outstanding merge-on-read
+        deltas); ``mode='dv'`` works over them by delegating to the
+        keyed dv MERGE (r18 — see below).  A predicate matching
+        nothing is a no-op (no commit).  OCC: rebases over pure-metadata commits
         only while schema/mapping/constraints are unchanged; any
         content commit aborts it.
 
@@ -5200,7 +5200,12 @@ class ManifestTable:
         ``mode='dv'``: DELETION VECTORS (the Delta 3.x merge-on-read
         DELETE) — no base file is rewritten; the commit records the
         matched (file, position) pairs as a small dv fileset that
-        every reader anti-joins away (:meth:`_read_base`).  Write
+        every reader anti-joins away (:meth:`_read_base`).  On a table
+        with OUTSTANDING merge-on-read deltas the statement delegates
+        to the keyed dv MERGE (r18): the matched set is the RESOLVED
+        rows satisfying the predicate and every stored image of their
+        keys is suppressed — a streaming table never needs a compact
+        to run a predicate DELETE.  Write
         cost is O(matched rows) regardless of how the matches
         scatter: deleting 1k rows spread over 10k files of a 100 TB
         table writes kilobytes instead of rewriting 10k files.  Reads
@@ -5462,6 +5467,80 @@ class ManifestTable:
 
         return self._commit_retrying(m, build, frozenset({"metadata"}), what)
 
+    def _dml_where_dv_over_deltas(
+        self,
+        spark: SparkSession,
+        m: dict,
+        predicate: str,
+        assignments: Optional[dict],
+        batch_id: Optional[str],
+        stats_cols: Sequence[str],
+        what: str,
+    ) -> int:
+        """Predicate DML on a table with OUTSTANDING merge-on-read
+        deltas (r18 headroom — previously a loud refusal): the matched
+        set is the RESOLVED rows satisfying the predicate, and acting
+        on them positionally would resurrect older images of the same
+        key, so the statement delegates to the KEYED deletion-vector
+        MERGE — which already suppresses EVERY stored image of an
+        acted key (base rows, superseded delta rows, tombstones) and
+        carries the outstanding deltas through untouched.  DELETE
+        becomes a matched-delete merge on the matched keys; UPDATE
+        computes the post-image rows (simultaneous assignment over the
+        resolved OLD row, SQL rule) and merges them back with an
+        unconditional matched-update.  Cost: one resolved-view filter
+        + the dv merge's O(changed rows) write — still no base
+        rewrite, still no forced compact."""
+        from pyspark.sql import functions as F
+
+        keys = m.get("key_columns")
+        if not keys:
+            raise ValueError(
+                f"{what}: outstanding merge-on-read deltas and no "
+                "recorded key_columns — resolution is undefined; "
+                "compact() first"
+            )
+        resolved = self.read_resolved(spark, version=m["version"])
+        if resolved is None:
+            return m["version"]
+        matched = resolved.filter(F.expr(predicate).cast("boolean"))
+        idc = set(m.get("identity_cols") or {})
+        if assignments is None:
+            src = matched.select(*keys)
+            clauses = [("delete", None, None)]
+        else:
+            typ = {f.name: f.dataType for f in resolved.schema.fields}
+            bad = [c for c in assignments if c not in typ]
+            if bad:
+                raise ValueError(f"{what}: no such column(s) {bad}")
+            self._require_no_identity_values(m, assignments, what)
+            # rejects direct assignment of a generated column (the
+            # recompute itself happens inside the merge plan)
+            self._generated_recompute(m, dict(assignments))
+            ass = {
+                c: (F.expr(e) if isinstance(e, str) else F.lit(e)).cast(
+                    typ[c]
+                )
+                for c, e in assignments.items()
+            }
+            src = matched.select(
+                *[
+                    ass.get(c, F.col(c)).alias(c)
+                    for c in resolved.columns
+                    if c not in idc  # table-assigned, never a payload
+                ]
+            )
+            clauses = [("update", None, "*")]
+        return self.merge_into(
+            spark,
+            src,
+            key_columns=list(keys),
+            clauses=clauses,
+            batch_id=batch_id,
+            stats_cols=stats_cols,
+            mode="dv",
+        )
+
     def _dml_where_dv(
         self,
         spark: SparkSession,
@@ -5491,10 +5570,9 @@ class ManifestTable:
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
         if m.get("deltas"):
-            raise ValueError(
-                f"{what}: deletion vectors suppress BASE rows only — "
-                "compact() outstanding merge-on-read deltas first, or "
-                "use commit_delta(deletes=) tombstones on a keyed table"
+            return self._dml_where_dv_over_deltas(
+                spark, m, predicate, assignments, batch_id, stats_cols,
+                what,
             )
         if not m["files"]:
             return m["version"]
@@ -5503,13 +5581,12 @@ class ManifestTable:
         candidates = self._dml_candidates(m, predicate)
         if not candidates:
             return m["version"]  # provably nothing matches
+        # the tagged read resolves row ids itself when tracking is on
+        # (the resolved id rides the pre/post images and so the CDC:
+        # a dv UPDATE preserves identity by construction)
         matched = self._read_base_tagged(
             spark, m, candidates, rowid=bool(m.get("row_tracking"))
         ).filter(pred)
-        if m.get("row_tracking"):
-            # resolved id rides the pre/post images (and so the CDC):
-            # a dv UPDATE preserves identity by construction
-            matched = self._rowid_resolve(spark, m, matched, candidates)
         dv_files, _ds, dv_meta = self._write_fileset(
             matched.select(
                 F.col("__dvf__").alias("__file__"),

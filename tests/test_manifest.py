@@ -4703,9 +4703,20 @@ class TestDeletionVectors:
         # the delta row wins) and inserts k=1000
         assert res.count() == 401
         assert res.filter("k = 50").select("v").collect()[0][0] == 9.9
-        # dv deletes refuse while deltas are outstanding
+        # dv deletes over outstanding deltas delegate to the keyed dv
+        # merge (r18): every image of the matched key is suppressed,
+        # the deltas carry through, nothing rewrites
+        base = list(t._read_manifest()["files"])
+        t.delete_where(spark, "k = 1", batch_id="x", mode="dv")
+        m = t._read_manifest()
+        assert m["files"][: len(base)] == base
+        assert m.get("deltas")
+        res2 = t.read_resolved(spark)
+        assert res2.count() == 400
+        assert res2.filter("k = 1").count() == 0
+        # cow DML still refuses outstanding deltas (it rewrites base)
         with pytest.raises(ValueError, match="compact"):
-            t.delete_where(spark, "k = 1", batch_id="x", mode="dv")
+            t.delete_where(spark, "k = 2", batch_id="x2", mode="cow")
 
     def test_compact_and_optimize_materialize_dv(
         self, spark, tmp_path, frame

@@ -165,20 +165,26 @@ class TestStatements:
             ["c_custkey"], batch_id="d1",
         )
         base = list(t._read_manifest()["files"])
-        cust.filter(F.col("c_custkey") <= 5).select(
-            "c_custkey"
-        ).createOrReplaceTempView("router_dv_keys")
+        # predicate DELETE on a delta'd table routes through the keyed
+        # dv merge (r18 headroom): no base rewrite, deltas carried, all
+        # images of matched keys suppressed
         execute_table_sql(
-            spark, lambda n: t,
-            """MERGE INTO t USING router_dv_keys k
-               ON t.c_custkey = k.c_custkey
-               WHEN MATCHED THEN DELETE""",
+            spark, lambda n: t, "DELETE FROM t WHERE c_custkey <= 5"
         )
         m = t._read_manifest()
         assert m["files"][: len(base)] == base  # dv merge: no rewrite
         assert m.get("dv")
         assert m.get("deltas")  # outstanding deltas carried through
         assert t.read_resolved(spark).count() == 30
+        # predicate UPDATE over the same delta'd state
+        execute_table_sql(
+            spark, lambda n: t,
+            "UPDATE t SET c_acctbal = 0.0 WHERE c_custkey BETWEEN 31 AND 33",
+        )
+        got = {r.c_custkey: r.c_acctbal
+               for r in t.read_resolved(spark).collect()}
+        assert all(got[k] == 0.0 for k in (31, 32, 33))
+        assert t._read_manifest().get("deltas")
         # row-tracked table: ids preserved through routed UPDATE
         t2 = _table(tmp_path, cust, "dv2", hi=20)
         t2.enable_row_tracking(batch_id="rt")

@@ -4110,15 +4110,24 @@ class ManifestTable:
     _PRUNE_IDX_MAX = 16
     _F64_EXACT = float(2**53)  # ints beyond this round in float64
 
+    #: string-index sentinels: a missing min compares below every real
+    #: value, a missing max above — so a missing side can never PROVE
+    #: disjointness (the conservative rule), exactly like NaN in the
+    #: numeric index
+    _STR_LO_SENT = ""
+    _STR_HI_SENT = "\U0010ffff"
+
     def _prune_index(self, m: dict, col: str):
-        """Per-(version, stat-key) NUMERIC stats index: aligned numpy
-        float64 (mins, maxs) arrays with NaN for files without stats —
-        NaN compares False against any bound, which is exactly the
-        conservative 'unknown → keep' rule, so one vectorized compare
-        replaces the per-file Python loop (r17 directive #4: O(files)
-        interpreter work per plan was the planning bottleneck at 10^5+
-        files).  Returns None when the column's stats are not exactly
-        representable in float64 (strings, |int| > 2^53) — those fall
+        """Per-(version, stat-key) stats index: ``("num", mins, maxs)``
+        — aligned numpy float64 arrays with NaN for files without
+        stats (NaN compares False against any bound: the conservative
+        'unknown → keep' rule) — or ``("str", mins, maxs)`` — numpy
+        unicode arrays with ordered sentinels for missing sides (ISO
+        timestamp/date stats compare lexicographically == by value, so
+        time-range pruning vectorizes too, r18 #5).  One vectorized
+        compare replaces the per-file Python loop (r17 directive #4).
+        Returns None when the column's stats fit neither index exactly
+        (|int| > 2^53, NaN floats, mixed numeric/string) — those fall
         back to the scalar loop, whose keep-set the property battery
         pins as identical.  Cache entries are validated by IDENTITY of
         the manifest's file list (materialized manifests are immutable
@@ -4136,35 +4145,69 @@ class ManifestTable:
 
         stats = m.get("stats", {})
         n = len(files)
-        mins = np.full(n, np.nan)
-        maxs = np.full(n, np.nan)
-        idx = (mins, maxs)
+        vals: list = [None] * n  # (fmin, fmax) per file, or None
+        kind: Optional[str] = None
+        ok = True
         for i, f in enumerate(files):
             s = stats.get(f)
             s = s.get(skey) if s else None
             if s is None:
                 continue
             fmin, fmax = s
-            ok = True
             for v in (fmin, fmax):
                 if v is None:
                     continue
-                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                if isinstance(v, str):
+                    vk = "str"
+                elif isinstance(v, bool):
                     ok = False
                     break
-                if isinstance(v, int) and abs(v) > self._F64_EXACT:
+                elif isinstance(v, (int, float)):
+                    vk = "num"
+                    if isinstance(v, int) and abs(v) > self._F64_EXACT:
+                        ok = False
+                        break
+                    if isinstance(v, float) and math.isnan(v):
+                        ok = False  # 'unknown', not 'keep-proof'
+                        break
+                else:
                     ok = False
                     break
-                if isinstance(v, float) and math.isnan(v):
-                    ok = False  # NaN stat means 'unknown', not 'keep-proof'
+                if kind is None:
+                    kind = vk
+                elif kind != vk:
+                    ok = False  # mixed types: scalar fallback
                     break
             if not ok:
-                idx = None
                 break
-            if fmin is not None:
-                mins[i] = fmin
-            if fmax is not None:
-                maxs[i] = fmax
+            vals[i] = (fmin, fmax)
+        if not ok:
+            idx = None
+        elif kind == "str":
+            mins = np.array([
+                v[0] if v is not None and v[0] is not None
+                else self._STR_LO_SENT
+                for v in vals
+            ])
+            maxs = np.array([
+                v[1] if v is not None and v[1] is not None
+                else self._STR_HI_SENT
+                for v in vals
+            ])
+            idx = ("str", mins, maxs)
+        else:
+            # numeric (or entirely stats-free: all-NaN numeric arrays
+            # keep every file, compatible with either probe kind)
+            mins = np.full(n, np.nan)
+            maxs = np.full(n, np.nan)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                if v[0] is not None:
+                    mins[i] = v[0]
+                if v[1] is not None:
+                    maxs[i] = v[1]
+            idx = ("num", mins, maxs)
         self._prune_idx[key] = (files, idx)
         while len(self._prune_idx) > self._PRUNE_IDX_MAX:
             self._prune_idx.pop(next(iter(self._prune_idx)))
@@ -4180,71 +4223,126 @@ class ManifestTable:
     def _prune_mask(self, m: dict, bounds: dict):
         """Boolean numpy keep-mask over ``m['files']`` for a
         conjunction of range bounds, or None when any bounded column
-        needs the scalar fallback (non-float64-exact stats or a
-        non-numeric probe value).  NUMERIC generated forms (affine,
-        mod) contribute their derived disjointness proofs vectorized
-        too; the date/ISO-string forms land in the scalar path by
-        construction (string probes/stats void the float64 index)."""
+        needs the scalar fallback.  Numeric probes run against the
+        float64 index; STRING probes (canonicalized timestamps/dates)
+        against the unicode index.  Generated forms contribute their
+        derived disjointness proofs vectorized too — affine/mod on the
+        numeric side, date/trunc truncations on the string side (r18
+        #5); the one form the mask cannot express (an integer
+        ``year()`` probe proven from string source stats) defers the
+        whole plan to the scalar loop so no proof is silently lost.
+        The contract the property battery pins: the mask applies
+        EVERY proof the scalar path would, or returns None."""
         import numpy as np
 
         forms = self._gen_forms(m)
+
+        def _index(c, want_kind):
+            idx = self._prune_index(m, c)
+            if idx is None:
+                return None
+            k, mins, maxs = idx
+            if k != want_kind:
+                # an all-missing column materializes as all-NaN
+                # numeric: it proves nothing for either probe kind
+                if k == "num" and np.isnan(mins).all():
+                    return (
+                        np.full(len(mins), self._STR_LO_SENT),
+                        np.full(len(mins), self._STR_HI_SENT),
+                    ) if want_kind == "str" else (mins, maxs)
+                return None
+            return mins, maxs
+
         mask = None
         for col, (lo, hi) in bounds.items():
-            for b in (lo, hi):
-                if b is not None and (
-                    isinstance(b, bool) or not isinstance(b, (int, float))
-                ):
-                    return None
-            idx = self._prune_index(m, col)
+            kinds = {
+                "num" if isinstance(b, (int, float)) else
+                "str" if isinstance(b, str) else None
+                for b in (lo, hi)
+            } - {None}
+            if len(kinds) != 1 or any(
+                isinstance(b, bool) for b in (lo, hi)
+            ):
+                return None  # unbounded-both, mixed or exotic: scalar
+            pk = kinds.pop()
+            idx = _index(col, pk)
             if idx is None:
                 return None
             mins, maxs = idx
             drop = np.zeros(len(mins), dtype=bool)
             if lo is not None:
-                drop |= maxs < lo  # NaN < lo is False: unknown kept
+                drop |= maxs < lo  # NaN/sentinel never proves: kept
             if hi is not None:
                 drop |= mins > hi
             # derived proofs through generated forms (r18 #5)
             f = forms.get(col)
-            if f is not None and f[1] not in ("affine", "mod"):
-                # a numeric probe on a date/trunc/year generated column
-                # (e.g. eyear = 2025) can only be proven against the
-                # source's ISO-string stats by the SCALAR path — a
-                # numeric mask here would silently lose the proof
-                return None
-            if f is not None and f[1] in ("affine", "mod"):
+            if f is not None:
                 src, kind, param = f
-                sidx = self._prune_index(m, src)
-                if sidx is None:
-                    return None
-                smin, smax = sidx
-                if kind == "affine":
-                    glo = self._affine_vec(np, smin, param)
-                    ghi = self._affine_vec(np, smax, param)
+                if pk == "num" and kind == "affine":
+                    sidx = _index(src, "num")
+                    if sidx is None:
+                        return None
+                    glo = self._affine_vec(np, sidx[0], param)
+                    ghi = self._affine_vec(np, sidx[1], param)
                     if lo is not None:
                         drop |= ghi < lo
                     if hi is not None:
                         drop |= glo > hi
-                elif (
-                    lo is not None
-                    and lo == hi
-                    and float(lo).is_integer()
-                ):
-                    span = smax - smin  # NaN propagates → False → keep
-                    with np.errstate(invalid="ignore"):
-                        absent = ~(
-                            (span >= param - 1)
-                            | (np.mod(float(lo) - smin, param) <= span)
+                elif pk == "num" and kind == "mod":
+                    if (
+                        lo is not None
+                        and lo == hi
+                        and float(lo).is_integer()
+                    ):
+                        sidx = _index(src, "num")
+                        if sidx is None:
+                            return None
+                        smin, smax = sidx
+                        span = smax - smin  # NaN propagates → keep
+                        with np.errstate(invalid="ignore"):
+                            absent = ~(
+                                (span >= param - 1)
+                                | (np.mod(float(lo) - smin, param) <= span)
+                            )
+                        absent &= ~np.isnan(span)
+                        drop |= absent
+                elif pk == "str" and kind in ("date", "trunc"):
+                    sidx = _index(src, "str")
+                    if sidx is None:
+                        return None
+                    ck = (m.get("version"), f"map:{src}:{kind}:{param}")
+                    ent = self._prune_idx.get(ck)
+                    if ent is not None and ent[0] is m.get("files"):
+                        glo, ghi = ent[1]
+                    else:
+                        glo = self._str_map_vec(
+                            np, sidx[0], kind, param, self._STR_LO_SENT
                         )
-                    absent &= ~np.isnan(span)
-                    drop |= absent
-            for g, (src, kind, param) in forms.items():
-                if src != col or kind not in ("affine",):
-                    continue
-                gidx = self._prune_index(m, g)
-                if gidx is None:
+                        ghi = self._str_map_vec(
+                            np, sidx[1], kind, param, self._STR_HI_SENT
+                        )
+                        self._prune_idx[ck] = (m.get("files"), (glo, ghi))
+                        while len(self._prune_idx) > self._PRUNE_IDX_MAX:
+                            self._prune_idx.pop(
+                                next(iter(self._prune_idx))
+                            )
+                    if lo is not None:
+                        drop |= ghi < lo
+                    if hi is not None:
+                        drop |= glo > hi
+                elif pk == "num" and kind == "year":
+                    # the one proof the mask cannot express but the
+                    # scalar path can (integer year() probe vs string
+                    # source stats): defer the whole plan
                     return None
-                gmin, gmax = gidx
+                # every other probe-kind × form combination yields no
+                # proof in the scalar path either (mixed-type compares
+                # are 'unknown'): nothing to add
+            for g, (src, kind, param) in forms.items():
+                if src != col:
+                    continue
+                if kind == "mod":
+                    continue  # no source→bucket derivation
                 flo = (
                     self._gen_apply(kind, param, lo)
                     if lo is not None else None
@@ -4253,6 +4351,15 @@ class ManifestTable:
                     self._gen_apply(kind, param, hi)
                     if hi is not None else None
                 )
+                if flo is None and fhi is None:
+                    continue  # unmappable probe: no proof either path
+                gk = "num" if isinstance(
+                    flo if flo is not None else fhi, (int, float)
+                ) else "str"
+                gidx = _index(g, gk)
+                if gidx is None:
+                    return None
+                gmin, gmax = gidx
                 if flo is not None:
                     drop |= gmax < flo
                 if fhi is not None:
@@ -4270,6 +4377,28 @@ class ManifestTable:
         if op == "*":
             return arr * c
         return arr / c
+
+    @classmethod
+    def _str_map_vec(cls, np, arr, kind, param, sentinel):
+        """Vectorized string truncation mapper: apply the date/trunc
+        form to every non-sentinel entry (numpy fixed-width casts ARE
+        prefix truncation; order-preserving by construction), keeping
+        sentinel entries as sentinels so a missing side still never
+        proves disjointness."""
+        miss = arr == sentinel
+        if kind == "date":
+            need = 10
+            out = arr.astype("<U10")
+        else:
+            need = cls._TRUNC_CUT[param]
+            out = np.char.add(
+                arr.astype(f"<U{need}"), cls._TRUNC_PAD[param]
+            )
+        # entries too short to truncate are 'unknown' in the scalar
+        # path (_gen_apply returns None): neutralize them, and restore
+        # sentinels (both fit any fixed width in play)
+        out[miss | (np.char.str_len(arr) < need)] = sentinel
+        return out
 
     def prune_plan_multi(
         self, bounds: dict, version: Optional[int] = None

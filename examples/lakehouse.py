@@ -503,6 +503,69 @@ def main(sf_dir: str) -> None:
         for r in rows:
             print(f"    key={r['c_custkey']} tier={r['tier']} "
                   f"cents={r['cents']} _row_id={r['_row_id']}")
+
+        # -- round 18: SQL front-end, appends, CoW × tracking,
+        #    identity, generated-column pruning -------------------------
+        from pypeline_spark.sinks.sql import execute_table_sql
+
+        r = lambda name: acc  # one-table resolver
+        execute_table_sql(
+            spark, r,
+            "INSERT INTO accounts (c_custkey, c_acctbal) "
+            "SELECT c_custkey, c_acctbal "
+            "FROM customer WHERE c_custkey BETWEEN 130 AND 140",
+        )
+        execute_table_sql(
+            spark, r,
+            "UPDATE accounts SET c_acctbal = c_acctbal + 10.0 "
+            "WHERE c_custkey BETWEEN 130 AND 132",
+        )
+        execute_table_sql(
+            spark, r, "DELETE FROM accounts WHERE c_custkey = 140"
+        )
+        hist = execute_table_sql(spark, r, "DESCRIBE HISTORY accounts")
+        kinds = [row["kind"] for row in hist.collect()]
+        print("26. SQL statement router (r18): INSERT INTO (an 'append' "
+              "commit — feed/stream read through it), UPDATE and DELETE "
+              "dispatched onto the table, DESCRIBE HISTORY reads back "
+              f"kinds {kinds[:4]}... — and the CoW forms now preserve "
+              "row identity (r18 #4), so none of this needed dv mode.")
+
+        acc.add_identity_column("sk", start=1000, step=1, batch_id="id1")
+        execute_table_sql(
+            spark, r,
+            "INSERT INTO accounts (c_custkey, c_acctbal) "
+            "SELECT c_custkey, c_acctbal "
+            "FROM customer WHERE c_custkey BETWEEN 141 AND 145",
+        )
+        sks = (
+            acc.read(spark).orderBy(F.col("sk").desc()).limit(3)
+            .select("c_custkey", "sk").collect()
+        )
+        print("27. IDENTITY column (r18 #6): sk = 1000 + row_id, minted "
+              "at publish (collision-safe under OCC) — newest rows: "
+              + ", ".join(f"key={x['c_custkey']} sk={x['sk']}" for x in sks))
+
+        gen = ManifestTable(os.path.join(root, "gen18"))
+        gen.commit_overwrite(
+            spark.table("customer")
+            .select("c_custkey", "c_acctbal")
+            .filter("c_custkey <= 120")
+            .repartitionByRange(6, "c_custkey"),
+            batch_id="s",
+            stats_cols=["c_custkey"],
+        )
+        gen.evolve_schema(
+            "ck2 bigint", batch_id="g1",
+            generated={"ck2": "c_custkey * 2"},
+        )
+        keep, total = gen.prune_plan_multi({"ck2": (0, 40)})
+        print("28. generation-expression pruning (r18 #5): a predicate "
+              "on the GENERATED ck2 = c_custkey * 2 column plans "
+              "against the SOURCE column's stats through the affine "
+              f"form — {len(keep)}/{total} files kept, vectorized "
+              "numpy either way (date truncations prune too, via the "
+              "string stats index).")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

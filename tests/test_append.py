@@ -320,6 +320,49 @@ class TestLakehouseAppendStep:
         b0 = spark.read.parquet(f"{stream_dir}/b0")
         assert t.commit_append(b0, batch_id="stream-0") == 4
 
+    def test_streaming_upsert_op_micro_batches(self, spark, sf_dir, tmp_path):
+        """The foreachBatch binding dispatches ANY lakehouse op per
+        epoch: an upsert step seeds the table on epoch 0 (overwrite)
+        and MERGEs every later micro-batch — final state equals a
+        one-shot last-writer-wins upsert of all batches."""
+        register_tables(spark, sf_dir)
+        cust = spark.table("customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("amt")
+        )
+        stream_dir = str(tmp_path / "in")
+        parts = [
+            cust.filter(F.pmod(F.col("k"), 3) == i) for i in range(3)
+        ]
+        for i in range(3):
+            parts[i].write.mode("overwrite").parquet(f"{stream_dir}/b{i}")
+        spark.readStream.schema(cust.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{stream_dir}/b*").createOrReplaceTempView(
+            "cust_ups_stream"
+        )
+        config = PipelineConfig.from_dict({
+            "pypes": {
+                "sync": {
+                    "extract_query": "SELECT * FROM cust_ups_stream",
+                    "target_table": "dim",
+                    "type": "lakehouse",
+                    "lakehouse_op": "upsert",
+                    "key_columns": ["k"],
+                    "batch_id": "ups-{seq}",
+                    "checkpoint_dir": str(tmp_path / "ckpt"),
+                },
+            },
+            "pypelines": {"p": ["sync"]},
+        })
+        cat = LakehouseCatalog(str(tmp_path / "lh"))
+        Pypeline(spark, config, lakehouse=cat).run("p")
+        t = cat.table("dim")
+        assert t.version() == 3  # seed overwrite + 2 merges
+        assert _canon(t.read(spark)) == _canon(cust)
+        assert {
+            b for b in t.applied_batch_ids() if b.startswith("ups-")
+        } == {"ups-0", "ups-1", "ups-2"}
+
     def test_streaming_requires_seq_template_and_checkpoint(
         self, spark, sf_dir, tmp_path
     ):

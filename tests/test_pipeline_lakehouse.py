@@ -212,6 +212,42 @@ class TestLakehouseStep:
         assert t.read(spark).filter(F.col("c_custkey") <= 20).count() == 0
         assert t.read(spark).count() == 80  # 101 - 21 deleted
 
+    def test_composes_with_row_tracking_and_identity(
+        self, spark, tmp_path, customers
+    ):
+        """r18: the YAML surface over a ROW-TRACKED table with an
+        IDENTITY column — the ADVICE r18 composition gap: dv
+        auto-select now includes row tracking, updates keep both the
+        row id and the derived identity, merge inserts mint fresh."""
+        cat = LakehouseCatalog(str(tmp_path))
+        cfg = _one_step_config()
+        pl = Pypeline(spark, cfg, lakehouse=cat)
+        pl.run("p", {"hi": 100, "seq": 1})
+        t = cat.table("dim")
+        t.enable_row_tracking(batch_id="rt")
+        t.add_identity_column("sk", start=10, step=3, batch_id="idc")
+        before = {
+            r["c_custkey"]: (r["_row_id"], r["sk"])
+            for r in t.read_rowids(spark).collect()
+        }
+        assert all(
+            sk == 10 + 3 * rid for rid, sk in before.values()
+        )
+        # the step auto-selects dv on the tracked table: updates keep
+        # identity, inserts mint fresh
+        pl.run("p", {"hi": 130, "seq": 2})
+        after = {
+            r["c_custkey"]: (r["_row_id"], r["sk"])
+            for r in t.read_rowids(spark).collect()
+        }
+        assert all(after[k] == before[k] for k in before)
+        fresh = [after[k][1] for k in after if k not in before]
+        assert fresh and len(set(v[1] for v in after.values())) == len(after)
+        # replay stays a ledger no-op with the features on
+        v = t.version()
+        pl.run("p", {"hi": 130, "seq": 2})
+        assert t.version() == v
+
     def test_missing_catalog_raises(self, spark, customers):
         cfg = _one_step_config()
         pl = Pypeline(spark, cfg)  # no lakehouse=

@@ -28,6 +28,9 @@ trailing semicolon):
   list reorders/renames, otherwise the query's own columns apply)
 - ``UPDATE t SET x = e[, ..] [WHERE pred]``
 - ``DELETE FROM t [WHERE pred]``
+- ``ALTER TABLE t ADD COLUMN[S] c type [DEFAULT expr][, ..]`` —
+  metadata-only schema evolution (``evolve_schema``); ``ALTER TABLE t
+  ADD CONSTRAINT n CHECK (expr)`` / ``DROP CONSTRAINT n``
 - ``DESCRIBE HISTORY t``
 - ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
 - ``RESTORE [TABLE] t TO VERSION AS OF n`` /
@@ -63,14 +66,15 @@ _IDENT = r"(?:`[^`]+`|[A-Za-z_][\w.]*)"
 
 #: leading keywords this router claims; anything else is not ours
 _LEAD = re.compile(
-    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|DESCRIBE|VACUUM|RESTORE)\b"
+    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|ALTER|DESCRIBE|VACUUM"
+    r"|RESTORE)\b"
 )
 
 #: the stricter claim the post_query hook uses: plain ``DESCRIBE t``
 #: is valid Spark SQL and must keep falling through to spark.sql —
 #: only ``DESCRIBE HISTORY`` is ours
 _CLAIM = re.compile(
-    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|VACUUM|RESTORE"
+    r"(?is)^\s*(MERGE|INSERT|UPDATE|DELETE|ALTER|VACUUM|RESTORE"
     r"|DESCRIBE\s+HISTORY)\b"
 )
 
@@ -441,6 +445,77 @@ def parse_statement(sql: str) -> tuple[str, dict]:
         else:
             pred = "true"
         return "delete", {"table": table, "where": pred}
+    if kind == "ALTER":
+        s = _expect(stmt, "ALTER")
+        s = _expect(s, "TABLE")
+        table, s = _take_ident(s, "table")
+        m = re.match(r"(?is)^\s*ADD\s+COLUMNS?\b", s)
+        if m:
+            body = s[m.end():].strip()
+            if body.startswith("("):
+                body, tail = _take_parens(body)
+                if tail.strip():
+                    raise SqlStatementError(
+                        f"trailing tokens after column list: "
+                        f"{tail.strip()[:40]!r}"
+                    )
+            cols: list = []
+            defaults: dict = {}
+            for part in _split_top(body, ","):
+                cm = re.match(
+                    rf"(?s)^\s*({_IDENT})\s+(\w+(?:\s*\(\s*\d+"
+                    r"(?:\s*,\s*\d+)?\s*\))?)\s*(.*)$",
+                    part,
+                )
+                if not cm:
+                    raise SqlStatementError(
+                        f"bad column declaration {part.strip()!r} "
+                        "(expected name type [DEFAULT expr])"
+                    )
+                name, typ, rest = (
+                    _unquote(cm.group(1)), cm.group(2), cm.group(3).strip()
+                )
+                if rest:
+                    dm = re.match(r"(?is)^DEFAULT\s+(.+)$", rest)
+                    if not dm:
+                        raise SqlStatementError(
+                            f"unsupported column option {rest[:30]!r} "
+                            "(only DEFAULT <expr>)"
+                        )
+                    defaults[name] = dm.group(1).strip()
+                cols.append(f"{name} {typ}")
+            if not cols:
+                raise SqlStatementError("empty ADD COLUMNS list")
+            return "add_columns", {
+                "table": table,
+                "ddl": ", ".join(cols),
+                "defaults": defaults,
+            }
+        m = re.match(
+            rf"(?is)^\s*ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*", s
+        )
+        if m:
+            expr, tail = _take_parens(s[m.end():])
+            if tail.strip():
+                raise SqlStatementError(
+                    f"trailing tokens after CHECK: {tail.strip()[:40]!r}"
+                )
+            return "add_constraint", {
+                "table": table,
+                "name": _unquote(m.group(1)),
+                "expr": expr.strip(),
+            }
+        m = re.match(rf"(?is)^\s*DROP\s+CONSTRAINT\s+({_IDENT})\s*$", s)
+        if m:
+            return "drop_constraint", {
+                "table": table,
+                "name": _unquote(m.group(1)),
+            }
+        raise SqlStatementError(
+            "supported ALTER TABLE forms: ADD COLUMN[S] c type "
+            "[DEFAULT expr][, ..], ADD CONSTRAINT n CHECK (expr), "
+            "DROP CONSTRAINT n"
+        )
     if kind == "DESCRIBE":
         m = re.fullmatch(
             rf"(?is)DESCRIBE\s+HISTORY\s+({_IDENT})", stmt
@@ -524,6 +599,18 @@ def execute_table_sql(
         if "version" in p:
             return t.restore(version=p["version"], batch_id=batch_id)
         return t.restore(timestamp=p["timestamp"], batch_id=batch_id)
+    if kind == "add_columns":
+        return t.evolve_schema(
+            p["ddl"],
+            batch_id=batch_id,
+            defaults=p["defaults"] or None,
+        )
+    if kind == "add_constraint":
+        return t.add_check_constraint(
+            spark, p["name"], p["expr"], batch_id=batch_id
+        )
+    if kind == "drop_constraint":
+        return t.drop_constraint(p["name"], batch_id=batch_id)
     if kind == "insert":
         df = spark.sql(p["query"])
         if p["cols"] is not None:

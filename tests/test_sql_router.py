@@ -131,6 +131,42 @@ class TestStatements:
                 "INSERT INTO t (a, b) VALUES (1, 2, 3)",
             )
 
+    def test_alter_table_shapes(self, spark, tmp_path, cust):
+        t = _table(tmp_path, cust, "alt1", hi=20)
+        execute_table_sql(
+            spark, lambda n: t,
+            "ALTER TABLE t ADD COLUMNS (tier string DEFAULT 'STD', "
+            "bonus double)",
+        )
+        df = t.read(spark)
+        assert df.filter("tier = 'STD'").count() == 21  # pre-add fill
+        assert "bonus" in df.columns
+        execute_table_sql(
+            spark, lambda n: t,
+            "ALTER TABLE t ADD CONSTRAINT pos CHECK (c_custkey >= 0)",
+        )
+        with pytest.raises(Exception, match="pos"):
+            t.commit_append(
+                cust.filter(F.col("c_custkey") == 5).select(
+                    (-F.col("c_custkey")).alias("c_custkey"), "c_acctbal"
+                ),
+                batch_id="bad",
+            )
+        execute_table_sql(
+            spark, lambda n: t, "ALTER TABLE t DROP CONSTRAINT pos"
+        )
+        assert "pos" not in (
+            t._read_manifest().get("constraints") or {}
+        ).get("checks", {})
+        for bad, frag in [
+            ("ALTER TABLE t RENAME COLUMN a TO b", "supported ALTER"),
+            ("ALTER TABLE t ADD COLUMN x", "column declaration"),
+            ("ALTER TABLE t ADD COLUMN x int NOT NULL",
+             "unsupported column option"),
+        ]:
+            with pytest.raises(SqlStatementError, match=frag):
+                parse_statement(bad)
+
     def test_describe_history_vacuum_restore(self, spark, tmp_path, cust):
         t = _table(tmp_path, cust, "h1", hi=20)
         execute_table_sql(

@@ -62,106 +62,88 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-18 window is the staleness rotation the r17 verdict
-# directed (directive #1): (a) the 14-name r12 tail — stale at r19,
-# must re-cert THIS round, NON-NEGOTIABLE per the verdict; (b) 34 of
-# the 49-query r13 cohort (alphabetical head, re-derived from
-# CORRECTNESS_r01..r17 before pinning — the derivation matched the
-# verdict's planned names exactly), deferring q_scan/q_semi plus the
-# 13-name r13 tail (q_table_evolve .. q_window_topn) to the r19
-# window inside their float (r13 certs are admissible through r19);
-# and (c) TWO first-certification slots for the operators added this
-# round, as the verdict allows ("a new first-cert may displace r13
-# head names into the r19 tail"): the declarative streaming-append
-# ingest lifecycle `q_lakehouse_append` (directive #2) and the SQL
-# statement router `q_sql_merge` (directive #3).  Row tracking
-# through CoW (#4), generation-expression pruning (#5) and identity
-# columns (#6) are certified by pytest batteries / probes per the
-# verdict's Done criteria and take no window slots.
+# The round-19 window is the staleness rotation the r18 verdict
+# directed (directive #1): (a) the 15-name r13 tail (q_scan ..
+# q_window_topn) — stale at r20, re-cert THIS round, NON-NEGOTIABLE
+# per the verdict; (b) the alphabetical head of the 50-name r14
+# cohort (re-derived from CORRECTNESS_r01..r18 before pinning — the
+# derivation matched the verdict's planned names exactly: latest-cert
+# histogram 15@r13 / 50@r14 / 50@r15 / 50@r16 / 50@r17 / 50@r18,
+# never-certified set EMPTY, 265/265 ever driver-green); and (c)
+# first-certification slots for the operators added this round
+# (r18 directives #2/#4/#5), each displacing one r14-head name into
+# the r20 tail inside its float (r14 certs are admissible through
+# r20).
 #
-# Cumulative driver record after round 17: 263 of 263 registered
-# queries ever driver-green (never-certified set EMPTY);
-# latest-cert histogram re-derived from CORRECTNESS_r01..r17 before
-# pinning: 14@r12 / 49@r13 / 50@r14 / 50@r15 / 50@r16 / 50@r17.
-# All 50 below pre-verified strict-canon green at sf0.01
-# (SPARK_GRAFT_BARE=1 tools/check_oracle.py) before pinning.
-#
-# Rotation runway (registry 265 after the r18 additions; an rN cert
-# is admissible until the newest record reaches N+6, so every cohort
-# may drain across two windows):
-#   r18 window = 14 r12 tail + 34 r13 head + 2 new first-certs (this
-#                one)
-#   r19 window = the 15 deferred r13 names (q_scan q_semi
-#                q_table_evolve q_to_json q_topk q_try_cast
-#                q_union_all q_union_distinct q_window_distribution
-#                q_window_first_last q_window_lag_lead
-#                q_window_range_frame q_window_rank q_window_running
-#                q_window_topn — stale at r20, NON-NEGOTIABLE)
-#                + ~35 of the 50-name r14 cohort (alphabetical head,
-#                re-derive from CORRECTNESS_r01..r18 before pinning),
-#                minus slots for new first-certs; and so on, one
-#                cohort per round with a tail riding its float.
+# Rotation runway (an rN cert is admissible until the newest record
+# reaches N+6, so every cohort may drain across two windows):
+#   r19 window = 15 r13 tail + r14 alphabetical head + first-cert
+#                slots (this one)
+#   r20 window = the deferred r14 tail (stale at r20: q_quality_score
+#                .. q_zorder minus whatever re-certs here) + the r15
+#                cohort head, minus slots for new first-certs; and so
+#                on, one cohort per round with a tail riding its
+#                float.
 # Steady state re-certifies every query at most 6 rounds apart,
-# inside the guard's >MAX_CERT_AGE_ROUNDS bound (265 queries / 50
+# inside the guard's >MAX_CERT_AGE_ROUNDS bound (265+ queries / 50
 # slots — ceil(265/6) = 45 needed, 5 slack per window).
 #
 # tests/test_registry.py enforces the invariant mechanically: any
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # -- the 14-name r12 tail (stale at r19: re-cert NOW) -------------
-    "q_sample_weighted",
-    "q_schema_drift",
-    "q_session_rollup",
-    "q_shard_balance",
-    "q_span_dedup",
-    "q_stream_autocompact",
-    "q_time_travel_diff",
-    "q_time_weighted_avg",
-    "q_token_entropy",
-    "q_top_terms",
-    "q_train_val_split",
-    "q_union_evolve",
-    "q_weekday_profile",
-    "q_winsorize",
-    # -- 34 of the r13 cohort (alphabetical head) ---------------------
-    "q_array_ops",
-    "q_case_coalesce",
-    "q_cdf_stream",
-    "q_cte",
-    "q_cube",
-    "q_equidepth_hist_approx",
-    "q_except",
-    "q_except_all",
-    "q_exists_subquery",
-    "q_explode",
-    "q_feature_extract",
-    "q_filter_project",
-    "q_having",
-    "q_in_subquery",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multi",
-    "q_join_right",
-    "q_json_props",
-    "q_limit_offset",
-    "q_manifest_cdf",
-    "q_manifest_concurrent",
-    "q_map_ops",
-    "q_pivot",
-    "q_predicates",
-    "q_rollup",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_str",
-    "q_scalar_subquery",
-    # -- first-certification slots (r18 directives #2 and #3) ---------
-    "q_lakehouse_append",
-    "q_sql_merge",
+    # -- the 15-name r13 tail (stale at r20: re-cert NOW) -------------
+    "q_scan",
+    "q_semi",
+    "q_table_evolve",
+    "q_to_json",
+    "q_topk",
+    "q_try_cast",
+    "q_union_all",
+    "q_union_distinct",
+    "q_window_distribution",
+    "q_window_first_last",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running",
+    "q_window_topn",
+    # -- 35 of the r14 cohort (alphabetical head) ---------------------
+    "q_agg_salted",
+    "q_asof_join",
+    "q_cdf_schema_evolve",
+    "q_cdf_through_optimize",
+    "q_click_gaps",
+    "q_column_mapping",
+    "q_corpus_pipeline",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_embedding_stats",
+    "q_events_pruned",
+    "q_ewma_smooth",
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_ivm_cdc",
+    "q_ivm_durable",
+    "q_join_bucketed",
+    "q_join_salted",
+    "q_lang_filter",
+    "q_lang_id",
+    "q_manifest_bloom",
+    "q_manifest_mor",
+    "q_manifest_zorder",
+    "q_multimodal_meta",
+    "q_multimodal_pointers",
+    "q_ngram_jaccard",
+    "q_pii_scrub",
+    "q_pipeline_etl",
+    "q_quality_score",
+    "q_range_join",
+    "q_repetition",
 )
 
 _OPERATOR_MODULES = (

@@ -48,6 +48,30 @@ class LakehouseCatalog:
     def register(self, name: str, root: str) -> None:
         self._roots[name] = root
 
+    def owns(self, name: str) -> bool:
+        """True when the catalog actually owns a COMMITTED table under
+        this name: explicitly registered, or version files exist on
+        disk at its default root.  Side-effect-free by contract — it
+        never instantiates (and so never mkdirs) a
+        :class:`ManifestTable` for a name it does not own.  The SQL
+        router's r18 probe used the instance cache as a known-table
+        set, which its own ``catalog.table(name)`` probe polluted: the
+        second identical statement against a plain Spark table found
+        the cached empty instance and was silently routed to a
+        phantom lakehouse table (ADVICE r19, high)."""
+        if name in self._roots:
+            return True
+        root = os.path.join(self.base_dir, name)
+        if os.path.exists(os.path.join(root, "_manifest.json")):
+            return True
+        try:
+            return any(
+                f.startswith("_manifest.v") and f.endswith(".json")
+                for f in os.listdir(root)
+            )
+        except OSError:
+            return False
+
     def table(self, name: str) -> ManifestTable:
         t = self._tables.get(name)
         if t is None:

@@ -4720,6 +4720,21 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
+        if m.get("deltas") and m.get("key_columns"):
+            # Resolution ranks ALL base files at 0, below every delta
+            # fileset: an appended row whose key has an older
+            # outstanding delta upsert would be shadowed by that older
+            # row on every resolved read, and compact() would drop it
+            # permanently — a newer committed write silently losing to
+            # an older one (ADVICE r19, medium).  On a keyed table
+            # with outstanding deltas the append must ride the delta
+            # tier, where last-writer-wins rank is the version order.
+            raise ValueError(
+                "commit_append: keyed table has outstanding "
+                "merge-on-read deltas — an appended base row ranks "
+                "BELOW every outstanding delta for its key; use "
+                "commit_delta (rank = commit order) or compact() first"
+            )
         self._require_no_identity_values(m, df.columns, "commit_append")
         df = self._apply_column_defaults(m, df, "commit_append")
         self._validate_constraints(m, df, "commit_append")
@@ -4771,6 +4786,16 @@ class ManifestTable:
                     "commit_append lost to a concurrent constraint "
                     "change — re-read the table and retry (the batch "
                     "must be re-validated)"
+                )
+            if mm.get("deltas") and mm.get("key_columns"):
+                # same shadowing hazard as the entry guard, arrived
+                # concurrently: rebasing this append over a delta that
+                # landed mid-commit would rank the fresh base rows
+                # below it for their keys
+                raise CommitConflict(
+                    "commit_append lost to a concurrent merge-on-read "
+                    "delta on a keyed table — appended rows would rank "
+                    "below it; use commit_delta or compact() first"
                 )
             new = {
                 "version": mm["version"] + 1,
@@ -5628,6 +5653,20 @@ class ManifestTable:
                 f"{what}: outstanding merge-on-read deltas and no "
                 "recorded key_columns — resolution is undefined; "
                 "compact() first"
+            )
+        if assignments is not None and set(assignments) & set(keys):
+            # The delegation merges post-images back ON key_columns
+            # with a matched-update clause; a post-image carrying a
+            # NEW key would match nothing (update silently lost) or
+            # clobber a DIFFERENT row (ADVICE r19, medium).  The CoW
+            # path handles key updates; over deltas this must stay a
+            # loud refusal like the __row_id__/identity guards.
+            raise ValueError(
+                f"{what}: assignment targets key column(s) "
+                f"{sorted(set(assignments) & set(keys))} while "
+                "merge-on-read deltas are outstanding — the dv merge "
+                "matches ON those keys, so a key-changing update "
+                "cannot be expressed; compact() first"
             )
         resolved = self.read_resolved(spark, version=m["version"])
         if resolved is None:

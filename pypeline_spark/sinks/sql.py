@@ -78,6 +78,15 @@ _CLAIM = re.compile(
     r"|DESCRIBE\s+HISTORY)\b"
 )
 
+#: cheap target extraction for statements _CLAIM leads on but
+#: parse_statement rejects — enough to decide "is this a lakehouse
+#: table's statement" without parsing the full shape
+_TARGET = re.compile(
+    r"(?is)^\s*(?:MERGE\s+INTO|INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE)?)"
+    r"|UPDATE|DELETE\s+FROM|ALTER\s+TABLE|DESCRIBE\s+HISTORY|VACUUM"
+    r"|RESTORE(?:\s+TABLE)?)\s+(`[^`]+`|[A-Za-z_][\w.]*)"
+)
+
 
 def _unquote(name: str) -> str:
     name = name.strip()
@@ -194,11 +203,45 @@ def _expect(s: str, kw: str) -> str:
     return s[m.end():]
 
 
+def _split_assign(part: str) -> Optional[tuple[str, str]]:
+    """Split ``col = expr`` on the FIRST top-level assignment ``=`` —
+    skipping string literals, parenthesized subexpressions, and the
+    comparison operators ``== != <= >=`` (a bare ``=`` in the RHS is
+    SQL equality and belongs to the expression: ``SET flag = amount
+    >= 10`` is one assignment, not three pieces — ADVICE r19, low)."""
+    depth = 0
+    i, n = 0, len(part)
+    while i < n:
+        c = part[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if part[j] == "'":
+                    if j + 1 < n and part[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            prev = part[i - 1] if i else " "
+            nxt = part[i + 1] if i + 1 < n else " "
+            if prev not in "!<>=" and nxt != "=":
+                return part[:i], part[i + 1:]
+        i += 1
+    return None
+
+
 def _assignments(text: str, mapping: dict, target_names) -> dict:
     out: dict = {}
     for part in _split_top(text, ","):
-        pieces = _split_top(part, "=")
-        if len(pieces) != 2:
+        pieces = _split_assign(part)
+        if pieces is None:
             raise SqlStatementError(
                 f"bad assignment {part.strip()!r} (expected col = expr)"
             )
@@ -703,10 +746,21 @@ def try_execute_table_sql(
     caller can refresh the written table's registered view."""
     if not _CLAIM.match(sql or ""):
         return False, None, None
-    kind, p = parse_statement(sql)
+    try:
+        kind, p = parse_statement(sql)
+    except SqlStatementError:
+        # Valid Spark SQL outside this grammar (INSERT OVERWRITE,
+        # ALTER TABLE .. RENAME, ..) must keep falling through to
+        # spark.sql when the target is not a table the catalog owns
+        # (ADVICE r19, low — r18 hard-failed here).  Only statements
+        # whose target IS a lakehouse table stay loud: handing them
+        # to an engine that cannot write the manifest would silently
+        # diverge the table.
+        m = _TARGET.match(sql)
+        if m is None or not catalog.owns(_unquote(m.group(1))):
+            return False, None, None
+        raise
     name = p["table"]
-    if not (name in catalog._tables or name in catalog._roots or (
-        catalog.table(name).version() > 0
-    )):
+    if not catalog.owns(name):
         return False, None, None
     return True, execute_table_sql(spark, catalog.table, sql), name

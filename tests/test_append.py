@@ -173,33 +173,78 @@ class TestCommitAppend:
                 batch_id="mine",
             )
 
-    def test_append_with_outstanding_dv_and_deltas(
+    def test_append_with_outstanding_dv_composes(
         self, spark, tmp_path, cust
     ):
-        """An append composes with merge-on-read state: dv suppression
-        and delta resolution keep working over the grown base."""
+        """An append composes with deletion-vector state: dv
+        suppression keeps working over the grown base (the dv only
+        references pre-append files)."""
         t = ManifestTable(str(tmp_path / "a9"))
         t.commit_overwrite(cust.filter(F.col("c_custkey") <= 30),
                            batch_id="seed")
         t.delete_where(spark, "c_custkey % 5 = 0", batch_id="dd", mode="dv")
+        t.commit_append(
+            cust.filter(F.col("c_custkey").between(31, 40)), batch_id="a1"
+        )
+        got = {r.c_custkey for r in t.read_resolved(spark).collect()}
+        # the dv suppresses only pre-append rows: appended multiples
+        # of 5 (35, 40) rightly survive
+        assert got == {k for k in range(41) if k % 5 != 0 or k > 30}
+
+    def test_append_refused_over_outstanding_deltas(
+        self, spark, tmp_path, cust
+    ):
+        """On a keyed table with outstanding merge-on-read deltas an
+        append is REFUSED: resolution ranks all base files at 0, so an
+        appended row whose key has an older outstanding delta upsert
+        would be shadowed by that OLDER row on every resolved read —
+        and compact() would drop it permanently (ADVICE r19, medium).
+        After compact() drains the deltas the append lands."""
+        t = ManifestTable(str(tmp_path / "a9b"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") <= 30),
+                           batch_id="seed")
         t.commit_delta(
             cust.filter(F.col("c_custkey") <= 3).withColumn(
                 "c_acctbal", F.lit(-1.0)
             ),
             ["c_custkey"], batch_id="d1",
         )
+        with pytest.raises(ValueError, match="commit_delta"):
+            t.commit_append(
+                cust.filter(F.col("c_custkey").between(31, 40)),
+                batch_id="a1",
+            )
+        t.compact(spark)
         t.commit_append(
             cust.filter(F.col("c_custkey").between(31, 40)), batch_id="a1"
         )
         got = {r.c_custkey: r.c_acctbal
                for r in t.read_resolved(spark).collect()}
-        # the dv suppresses only pre-append rows: appended multiples
-        # of 5 (35, 40) rightly survive; the delta resurrects key 0
-        assert set(got) == {
-            k for k in range(41)
-            if k % 5 != 0 or k <= 3 or k > 30
-        }
+        assert set(got) == set(range(41))
         assert all(got[k] == -1.0 for k in (0, 1, 2, 3))
+
+    def test_occ_append_aborts_on_concurrent_delta_keyed(
+        self, spark, tmp_path, cust
+    ):
+        """The same hazard arriving CONCURRENTLY: a delta landing
+        inside the append's OCC window aborts the rebase instead of
+        silently ranking the fresh base rows below it."""
+        t = ManifestTable(str(tmp_path / "a9c"))
+        t.commit_overwrite(cust.filter(F.col("c_custkey") <= 10),
+                           batch_id="seed")
+
+        def racer():
+            ManifestTable(t.root).commit_delta(
+                cust.filter(F.col("c_custkey") <= 2),
+                ["c_custkey"], batch_id="race-d",
+            )
+
+        t._race_once = racer
+        with pytest.raises(CommitConflict, match="delta"):
+            t.commit_append(
+                cust.filter(F.col("c_custkey").between(11, 15)),
+                batch_id="a1",
+            )
 
     def test_row_tracking_composes(self, spark, tmp_path, cust):
         t = ManifestTable(str(tmp_path / "a10"))

@@ -4718,6 +4718,30 @@ class TestDeletionVectors:
         with pytest.raises(ValueError, match="compact"):
             t.delete_where(spark, "k = 2", batch_id="x2", mode="cow")
 
+    def test_dv_update_over_deltas_refuses_key_assignment(
+        self, spark, tmp_path, frame
+    ):
+        """r19 ADVICE (medium): the over-deltas UPDATE delegates to a
+        keyed dv MERGE matching ON key_columns — a post-image carrying
+        a NEW key matches nothing (update silently lost) or clobbers a
+        DIFFERENT row.  Key-changing updates must stay a loud refusal
+        while deltas are outstanding; non-key assignments still work."""
+        t = self._seed(tmp_path, frame, "keyup")
+        t.commit_delta(
+            spark.createDataFrame([(1, 1, 5.0)], "k long, g long, v double"),
+            key_columns=["k"], batch_id="d1",
+        )
+        with pytest.raises(ValueError, match="key column"):
+            t.update_where(
+                spark, "k = 2", {"k": "k + 100"}, batch_id="u1", mode="dv"
+            )
+        # the non-key update on the same state lands and resolves
+        t.update_where(
+            spark, "k = 2", {"v": "v + 1000"}, batch_id="u2", mode="dv"
+        )
+        got = t.read_resolved(spark).filter("k = 2").select("v").collect()
+        assert len(got) == 1 and got[0][0] > 1000
+
     def test_compact_and_optimize_materialize_dv(
         self, spark, tmp_path, frame
     ):

@@ -359,3 +359,74 @@ class TestPostQueryRouting:
             try_execute_table_sql(
                 spark, cat, "MERGE INTO known USING s ON x WHEN"
             )
+
+    def test_repeat_fallthrough_is_not_cached_as_lakehouse(
+        self, spark, tmp_path
+    ):
+        """r19 ADVICE (high): the r18 routing probe cached an empty
+        ManifestTable instance (and mkdir'd its root), so the SECOND
+        identical statement against a plain Spark table found the name
+        "known" and was silently routed to a phantom lakehouse table.
+        Routing must decide on ownership (registered root or committed
+        version files), never on the probe's own instance cache."""
+        import os
+
+        from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
+
+        cat = LakehouseCatalog(str(tmp_path))
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        ).createOrReplaceTempView("plain_tbl")
+        for _ in range(3):  # every repetition must keep falling through
+            routed, res, name = try_execute_table_sql(
+                spark, cat, "DELETE FROM plain_tbl WHERE k = 1"
+            )
+            assert routed is False and res is None and name is None
+        # and the probe left no phantom table directory behind
+        assert not os.path.exists(str(tmp_path / "plain_tbl"))
+
+    def test_unclaimed_grammar_falls_through_for_foreign_targets(
+        self, spark, tmp_path, cust
+    ):
+        """r19 ADVICE (low): valid Spark SQL outside the router's
+        grammar (INSERT OVERWRITE, ALTER .. RENAME) must fall through
+        to spark.sql when the target is NOT a catalog table — and stay
+        a loud SqlStatementError when it IS one."""
+        from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
+
+        cat = LakehouseCatalog(str(tmp_path))
+        for stmt in (
+            "INSERT OVERWRITE some_spark_tbl SELECT 1 AS x",
+            "ALTER TABLE some_spark_tbl RENAME TO other_tbl",
+            "UPDATE some_spark_tbl SET x = y = z",
+        ):
+            routed, res, name = try_execute_table_sql(spark, cat, stmt)
+            assert routed is False and res is None and name is None
+        _table(tmp_path, cust, "owned9", hi=5)
+        cat.register("owned9", str(tmp_path / "owned9"))
+        with pytest.raises(SqlStatementError):
+            try_execute_table_sql(
+                spark, cat, "INSERT OVERWRITE owned9 SELECT 1 AS x"
+            )
+
+    def test_assignment_rhs_comparison_operators(
+        self, spark, tmp_path, cust
+    ):
+        """r19 ADVICE (low): a bare ``=`` split must not shatter RHS
+        comparison operators — ``SET flag = acctbal >= 10`` is ONE
+        assignment whose expression is a boolean comparison."""
+        t = _table(tmp_path, cust, "cmp1", hi=10)
+        kind, p = parse_statement(
+            "UPDATE cmp1 SET c_mktsegment = CASE WHEN c_acctbal >= 0 "
+            "THEN 'POS' ELSE 'NEG' END WHERE c_custkey <= 10"
+        )
+        assert kind == "update"
+        assert list(p["assignments"]) == ["c_mktsegment"]
+        execute_table_sql(
+            spark, lambda n: t,
+            "UPDATE cmp1 SET c_mktsegment = CASE WHEN c_acctbal >= 0 "
+            "THEN 'POS' ELSE 'NEG' END WHERE c_custkey <= 10",
+        )
+        rows = {r.c_custkey: r.c_mktsegment
+                for r in t.read(spark).collect()}
+        assert set(rows.values()) <= {"POS", "NEG"}

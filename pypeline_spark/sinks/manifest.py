@@ -3122,10 +3122,14 @@ class ManifestTable:
         logic.
 
         Scope contract (enforced loudly): the table must be
-        schema-tracked, UNMAPPED, and delta-free, and once tracking is
-        on the merge-on-read delta tier (``commit_delta``) is refused
-        — a delta fileset's rows have no defined identity before
-        last-writer-wins resolution.  Every other write preserves ids:
+        schema-tracked, UNMAPPED, and delta-free at ENABLE time.  The
+        merge-on-read delta tier then composes by DEFERRED assignment
+        (r19 directive #2): ``commit_delta`` lands unidentified delta
+        rows, resolved reads inherit the base id per existing key, and
+        a delta-introduced key mints its id when it first materializes
+        into base files (compaction / dv-merge rewrite) — Delta's
+        lazy-id shape, so the cheap streaming-upsert ingest path works
+        on tracked tables.  Every other write preserves ids:
         deletion-vector DML and the dv MERGE by construction (nothing
         rewrites), compact/OPTIMIZE by materializing them, and — r18
         directive #4 — the COPY-ON-WRITE DML/MERGE forms by reading
@@ -3320,23 +3324,6 @@ class ManifestTable:
                 "batch/source"
             )
 
-    def _require_no_row_tracking(self, m: dict, what: str) -> None:
-        """Only the BLIND-append delta tier still refuses row tracking
-        (r18 directive #4 brought the copy-on-write DML/MERGE forms
-        into the contract — they materialize ids into the files they
-        rewrite anyway): a delta fileset's rows have no defined
-        identity until last-writer-wins resolution, so appending one
-        to a tracked table would create rows whose ids depend on a
-        future compaction's row order."""
-        if m.get("row_tracking"):
-            raise ValueError(
-                f"{what} appends merge-on-read delta filesets whose "
-                "rows have no defined identity before resolution — "
-                "this table has row tracking enabled; use merge_into "
-                "(mode='dv' or 'cow'), the predicate DML forms, or "
-                "commit_append instead"
-            )
-
     def _rowid_resolve(
         self, spark: SparkSession, m: dict, df: DataFrame,
         names: Sequence[str],
@@ -3385,6 +3372,27 @@ class ManifestTable:
             "__dvf__", "__dvp__"
         )
 
+    def _resolved_with_rowids(
+        self, spark: SparkSession, m: dict, prune: Optional[tuple] = None
+    ) -> Optional[DataFrame]:
+        """The resolved current content WITH the stable ``__row_id__``
+        — the read every id-preserving materialization shares
+        (compact/optimize fold, the dv MERGE's target slice,
+        ``read_rowids``).  Compacted tables read base files directly;
+        with outstanding deltas the ids ride the resolution's own
+        key-window shuffle under deferred assignment (base-backed keys
+        inherit, delta-only keys NULL — see :meth:`read_resolved`)."""
+        if m.get("deltas"):
+            return self.read_resolved(
+                spark, version=m["version"], prune=prune, with_rowids=True
+            )
+        names = m["files"]
+        if prune is not None:
+            names, _n = self.prune_plan(
+                prune[0], prune[1], prune[2], version=m["version"]
+            )
+        return self._rowid_content(spark, m, names) if names else None
+
     def read_rowids(
         self, spark: SparkSession, version: Optional[int] = None
     ) -> Optional[DataFrame]:
@@ -3392,16 +3400,22 @@ class ManifestTable:
         ``_row_id`` (the Delta ``_metadata.row_id`` shape): tracked
         columns + one long column, unique over the visible rows of the
         version, stable across OPTIMIZE/compact, dv DELETE/UPDATE and
-        the dv MERGE's updates."""
+        the dv MERGE's updates.  With outstanding merge-on-read deltas
+        the view is the RESOLVED one under deferred assignment: a key
+        introduced by a delta reads ``_row_id`` NULL until compaction
+        (or a dv-merge rewrite) first materializes it into base files
+        (r19 directive #2)."""
         m = self._manifest_at(version)
         if not m.get("row_tracking"):
             raise ValueError(
                 "row tracking is not enabled on this table (or not at "
                 "this version) — call enable_row_tracking() first"
             )
-        if not m["files"]:
+        if not m["files"] and not m.get("deltas"):
             return None
-        out = self._rowid_content(spark, m, m["files"])
+        out = self._resolved_with_rowids(spark, m)
+        if out is None:
+            return None
         return out.withColumnRenamed("__row_id__", "_row_id")
 
     # -- write path -----------------------------------------------------------
@@ -6598,13 +6612,11 @@ class ManifestTable:
             # thread the stable row id through the merge: updates keep
             # the matched target row's id (it rides tcols into the
             # post images and the CDC), inserts mint fresh ids at read
-            # via their file's base_row_id + position
-            names = m["files"]
-            if prune is not None:
-                names, _n = self.prune_plan(
-                    prune[0], prune[1], prune[2], version=m["version"]
-                )
-            t_base = self._rowid_content(spark, m, names)
+            # via their file's base_row_id + position.  Over
+            # outstanding deltas the slice is the RESOLVED view with
+            # inherited ids (delta-only keys NULL → their post-images
+            # materialize with fresh ids, r19 #2).
+            t_base = self._resolved_with_rowids(spark, m, prune)
         elif has_content:
             t_base = self.read_resolved(
                 spark, version=m["version"], prune=prune
@@ -6886,7 +6898,27 @@ class ManifestTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["version"]
-        self._require_no_row_tracking(m, "commit_delta")
+        # Row tracking composes with the delta tier by DEFERRED id
+        # assignment (r19 directive #2, the Delta lazy-id shape):
+        # delta rows carry no identity at commit time — a resolved
+        # read inherits the base id for an existing key, and a key
+        # introduced here materializes (and mints its id at the
+        # publish choke point) on the first compaction / dv-merge
+        # rewrite.  The batch must not claim ids or identity values.
+        if m.get("row_tracking"):
+            claimed = set(
+                list(updates.columns) if updates is not None else []
+            ) | set(list(deletes.columns) if deletes is not None else [])
+            if "__row_id__" in claimed:
+                raise ValueError(
+                    "commit_delta: __row_id__ is the row-tracking "
+                    "identity — the table assigns it at "
+                    "materialization; drop the column from the batch"
+                )
+        if updates is not None:
+            self._require_no_identity_values(
+                m, updates.columns, "commit_delta"
+            )
         keys = list(key_columns)
         if m.get("key_columns") not in (None, keys):
             raise ValueError(
@@ -7070,6 +7102,7 @@ class ManifestTable:
         version: Optional[int] = None,
         prune: Optional[tuple] = None,
         timestamp=None,
+        with_rowids: bool = False,
     ) -> Optional[DataFrame]:
         """Snapshot read with delta resolution: base ∪ deltas, latest
         commit wins per key.  Resolution is a SINGLE shuffle on the key
@@ -7100,6 +7133,19 @@ class ManifestTable:
 
         ``timestamp`` (exclusive with ``version``) is ``TIMESTAMP AS
         OF``: resolve at the latest commit <= ts.
+
+        ``with_rowids`` (row-tracked tables): attach the stable
+        ``__row_id__`` under DEFERRED assignment (r19 directive #2,
+        the Delta lazy-id shape for merge-on-read): a resolved row
+        whose key is visible in the BASE inherits that base row's id —
+        updates preserve identity — while a key introduced by an
+        outstanding delta carries NULL until it first materializes
+        into base files (compaction / dv-merge rewrite), where the
+        publish choke point mints its id.  Inheritance rides the SAME
+        key-partitioned window shuffle the last-writer-wins fold
+        already pays (one ``max`` over the key partition — base keys
+        are unique, so the max IS the base id); no extra join, no
+        extra shuffle, at any table size.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -7107,7 +7153,27 @@ class ManifestTable:
         version = self._resolve_version(version, timestamp)
         m = self._manifest_at(version)
         deltas = m.get("deltas", [])
+        if with_rowids and not m.get("row_tracking"):
+            raise ValueError(
+                "read_resolved(with_rowids=True): row tracking is not "
+                "enabled on this table (or not at this version)"
+            )
+        # identity columns derive from the row id: over outstanding
+        # deltas the plain resolved view must inherit ids internally
+        # so identity values stay correct for base-backed keys
+        want_ids = with_rowids or bool(
+            deltas and m.get("row_tracking") and m.get("identity_cols")
+        )
         if not deltas:
+            if with_rowids:
+                names = m["files"]
+                if prune is not None:
+                    names, _n = self.prune_plan(
+                        prune[0], prune[1], prune[2], version=version
+                    )
+                return (
+                    self._rowid_content(spark, m, names) if names else None
+                )
             if prune is not None:
                 pcol, plo, phi = prune
                 if plo is not None and plo == phi:
@@ -7147,20 +7213,47 @@ class ManifestTable:
                 # their internal marker column survives the union —
                 # mapped back to logical names on a column-mapped table.
                 # Both apply the version's deletion vectors (a dv-mode
-                # MERGE suppresses superseded DELTA rows too).
-                df = self._read_base(spark, m, names)
+                # MERGE suppresses superseded DELTA rows too).  When
+                # ids are wanted the base part carries __row_id__
+                # (delta parts null-fill via allowMissingColumns).
+                df = (
+                    self._rowid_content(spark, m, names)
+                    if want_ids
+                    else self._read_base(spark, m, names)
+                )
             else:
                 df = self._read_delta_logical(spark, m, names)
             parts.append(df.withColumn("__rank__", F.lit(rank)))
         if not parts:
             full = self.read(spark, version)
-            return None if full is None else full.limit(0)
+            if full is None:
+                return None
+            full = full.limit(0)
+            if with_rowids:
+                full = full.withColumn(
+                    "__row_id__", F.lit(None).cast("long")
+                )
+            return full
         # allowMissingColumns: additive schema evolution across commits
         # (a delta batch may carry a new column; base rows resolve with
         # NULL there — the Iceberg/Delta mergeSchema read behavior)
         unioned = parts[0]
         for p in parts[1:]:
             unioned = unioned.unionByName(p, allowMissingColumns=True)
+        if want_ids:
+            # id inheritance BEFORE the LWW filter, over the same key
+            # partitioning the fold shuffles on: every image of a key
+            # is present here, and only its base image (unique per
+            # key, dv already applied) carries an id — max() selects
+            # it, and delta-only keys stay NULL (deferred assignment)
+            if "__row_id__" not in unioned.columns:
+                unioned = unioned.withColumn(
+                    "__row_id__", F.lit(None).cast("long")
+                )
+            unioned = unioned.withColumn(
+                "__row_id__",
+                F.max("__row_id__").over(Window.partitionBy(*keys)),
+            )
         w = Window.partitionBy(*keys).orderBy(F.col("__rank__").desc())
         resolved = (
             unioned.withColumn("__rn__", F.row_number().over(w))
@@ -7178,6 +7271,13 @@ class ManifestTable:
                 resolved = resolved.filter(F.col(col) >= lo)
             if hi is not None:
                 resolved = resolved.filter(F.col(col) <= hi)
+        if want_ids and m.get("identity_cols"):
+            # identity derives from the inherited id: delta-won rows
+            # of an existing key keep the key's identity value;
+            # delta-only keys are NULL until materialization mints ids
+            resolved = self._apply_identity(m, resolved)
+        if want_ids and not with_rowids:
+            resolved = resolved.drop("__row_id__")
         return resolved
 
     def compact(
@@ -7210,7 +7310,11 @@ class ManifestTable:
         # join-free reads on every file
         bloom = m.get("bloom_cols", []) if bloom_cols is None else list(bloom_cols)
         resolved = (
-            self._rowid_content(spark, m, m["files"])
+            # surviving rows keep their ids through the fold: base-
+            # backed keys write their inherited __row_id__ physically,
+            # delta-introduced keys write NULL and the publish choke
+            # point mints theirs (deferred assignment, r19 #2)
+            self._resolved_with_rowids(spark, m)
             if m.get("row_tracking")
             else self.read_resolved(spark)
         )
@@ -7364,7 +7468,12 @@ class ManifestTable:
             # cardinality after last-writer-wins resolution is not
             # metadata-derivable; checkpoint lazily so the sizing count
             # materializes the blocks the rewrite below then reuses
-            current = self.read_resolved(spark).localCheckpoint(eager=False)
+            # (id-preserving on a tracked table — same rule as compact)
+            current = (
+                self._resolved_with_rowids(spark, m)
+                if m.get("row_tracking")
+                else self.read_resolved(spark)
+            ).localCheckpoint(eager=False)
             total = current.count()
         else:
             current = (

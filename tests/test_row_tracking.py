@@ -159,16 +159,122 @@ class TestRowTracking:
         with pytest.raises(ValueError, match="row tracking"):
             t.read_rowids(spark, version=1)
 
-    def test_delta_tier_still_refused(self, spark, tmp_path, cust):
-        """Only the blind-append delta tier refuses a tracked table
-        (its rows have no identity before LWW resolution); every CoW
-        form now preserves ids (r18 directive #4)."""
-        t = _tracked(tmp_path, cust, "c1")
-        with pytest.raises(ValueError, match="row tracking"):
+    def test_delta_ingest_defers_ids_and_compact_materializes(
+        self, spark, tmp_path, cust
+    ):
+        """r19 directive #2 — the merge-on-read tier composes with
+        tracking by DEFERRED assignment: delta upserts of existing
+        keys INHERIT the base id on every resolved read; keys a delta
+        introduces read NULL until compaction materializes them with
+        fresh ids from the high-water mark; tombstoned keys' ids die.
+        Surviving ids are stable across the whole resolution."""
+        t = _tracked(tmp_path, cust, "c1", hi=30)
+        ids0 = _ids(spark, t)
+        hwm0 = t._read_manifest()["row_id_hwm"]
+        t.commit_delta(
+            cust.filter(F.col("c_custkey").between(25, 40)).select(
+                "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal")
+            ),
+            ["c_custkey"], batch_id="d1",
+            deletes=spark.createDataFrame([(7,)], "c_custkey long"),
+        )
+        mid = _ids(spark, t)
+        assert 7 not in mid
+        for k in range(25, 31):  # delta-updated, base-backed: inherited
+            assert mid[k] == ids0[k]
+        for k in range(31, 41):  # delta-introduced: deferred
+            assert mid[k] is None
+        assert all(mid[k] == ids0[k] for k in ids0 if k not in (7,))
+        t.compact(spark, batch_id="cp", stats_cols=["c_custkey"])
+        done = _ids(spark, t)
+        assert all(done[k] == mid[k] for k in mid if mid[k] is not None)
+        minted = [done[k] for k in range(31, 41)]
+        assert all(i is not None and i >= hwm0 for i in minted)
+        assert len(set(done.values())) == len(done)
+        # the dead id was never recycled
+        assert ids0[7] not in set(done.values())
+
+    def test_delta_batch_claiming_row_id_refused(
+        self, spark, tmp_path, cust
+    ):
+        t = _tracked(tmp_path, cust, "c1b", hi=10)
+        with pytest.raises(ValueError, match="__row_id__"):
             t.commit_delta(
-                cust.filter(F.col("c_custkey") > 140),
+                cust.filter(F.col("c_custkey") <= 2).withColumn(
+                    "__row_id__", F.lit(0).cast("long")
+                ),
                 ["c_custkey"], batch_id="x1",
             )
+
+    def test_dv_merge_over_deltas_pairs_cdc_by_id(
+        self, spark, tmp_path, cust
+    ):
+        """A dv MERGE running over OUTSTANDING deltas on a tracked
+        table: updates of base-backed keys keep their ids (CDC pre /
+        post images pair by ``__row_id__`` across the resolution);
+        an update of a delta-only key materializes it (fresh id);
+        inserts mint fresh ids."""
+        t = _tracked(tmp_path, cust, "c2", hi=20)
+        ids0 = _ids(spark, t)
+        t.commit_delta(
+            cust.filter(F.col("c_custkey").between(18, 25)),
+            ["c_custkey"], batch_id="d1",
+        )
+        v0 = t.version()
+        src = cust.filter(F.col("c_custkey").isin(5, 22, 50)).select(
+            "c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal")
+        )
+        t.merge_into(
+            spark, src, key_columns=["c_custkey"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            batch_id="m1", mode="dv",
+        )
+        feed = t.changes(spark, v0)
+        pre = {r["c_custkey"]: r["__row_id__"] for r in feed.filter(
+            F.col("_change_type") == "update_preimage").collect()}
+        post = {r["c_custkey"]: r["__row_id__"] for r in feed.filter(
+            F.col("_change_type") == "update_postimage").collect()}
+        assert set(pre) == set(post) == {5, 22}
+        assert pre[5] == post[5] == ids0[5]  # base-backed: paired
+        assert pre[22] is None  # delta-only pre-image: unmaterialized
+        done = _ids(spark, t)
+        assert done[5] == ids0[5]
+        assert done[22] is not None and done[50] is not None
+        # delta keys the merge didn't touch remain deferred
+        assert done[24] is None
+        assert len({v for v in done.values() if v is not None}) == len(
+            [v for v in done.values() if v is not None]
+        )
+
+    def test_streaming_delta_ingest_on_tracked_table(
+        self, spark, tmp_path, cust
+    ):
+        """stream_delta_manifest — the cheapest streaming-upsert path
+        — now works on a tracked table: micro-batches land as delta
+        commits through the ledger and the auto-compaction policy
+        materializes ids without disturbing surviving rows."""
+        from pypeline_spark.streaming.ingest import stream_delta_manifest
+
+        t = _tracked(tmp_path, cust, "c3", hi=15)
+        ids0 = _ids(spark, t)
+        src_dir = tmp_path / "stream_src"
+        cust.filter(F.col("c_custkey").between(10, 35)).coalesce(
+            1
+        ).write.parquet(str(src_dir / "b0"))
+        stream = spark.readStream.schema(
+            "c_custkey long, c_acctbal double"
+        ).option("maxFilesPerTrigger", "1").parquet(str(src_dir / "b*"))
+        q = stream_delta_manifest(
+            stream, t, ["c_custkey"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stats_cols=["c_custkey"],
+            max_delta_filesets=1, compact_target_rows=500,
+        )
+        assert q.awaitTermination(300), "stream did not finish in time"
+        done = _ids(spark, t)
+        assert set(done) == set(range(36))
+        assert all(done[k] == ids0[k] for k in ids0)
+        assert len(set(done.values())) == len(done)
 
     def test_cow_dml_preserves_ids(self, spark, tmp_path, cust):
         """Copy-on-write DELETE/UPDATE (r18 #4): the rewrite

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
-from pypeline_spark.session import load_table
+from pypeline_spark.session import load_table, scan_parallelism
 
 
 @query(
@@ -35,8 +35,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key group.  Never a cross product; skewed users are split by AQE
     skew-join handling.
     """
-    e = load_table(spark, sf_dir, "events")
-    a = e.alias("a")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # Under-split scan (single-row-group fixture): the probe side of the
+    # per-key join otherwise runs inside the one-task scan stage —
+    # spreading it first measured 2.5x at sf0.1.  scan_parallelism
+    # returns 0 on a wide scan, where the join's own exchange (or AQE)
+    # already owns the placement.
+    par = scan_parallelism(spark, sf_dir, "events")
+    a = (e.repartition(par, F.col("user_id")) if par else e).alias("a")
     b = e.alias("b")
     joined = a.join(
         b,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
-from pypeline_spark.session import load_table
+from pypeline_spark.session import load_table, scan_parallelism
 
 SAMPLE_PCT = 5  # keep rows whose hash bucket (0..99) is < 5
 
@@ -68,6 +68,22 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     bucket = hash_bucket(F.col("l_orderkey"), F.col("l_linenumber"))
+    par = scan_parallelism(spark, sf_dir, "lineitem")
+    if par:
+        # Under-split scan: Catalyst pushes the (non-source-pushable) md5
+        # predicate below any plain repartition, so the hashing would
+        # still run inside the one-task scan stage.  The lazy
+        # localCheckpoint is a deliberate optimizer barrier: shuffle the
+        # 3-column projection wide, then evaluate the md5 filter on every
+        # core (1.4x at sf0.1).  On a wide scan (par == 0) filtering AT
+        # the scan is the right shape — prune before anything moves —
+        # so the barrier is skipped entirely.
+        return (
+            li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .repartition(par, F.col("l_orderkey"), F.col("l_linenumber"))
+            .localCheckpoint(eager=False)
+            .filter(bucket < SAMPLE_PCT)
+        )
     return li.filter(bucket < SAMPLE_PCT).select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )

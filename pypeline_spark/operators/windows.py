@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
-from pypeline_spark.session import load_table
+from pypeline_spark.session import load_table, scan_parallelism
 
 
 @query(
@@ -29,8 +29,21 @@ from pypeline_spark.session import load_table
     """,
 )
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price (row_number + filter)."""
-    o = load_table(spark, sf_dir, "orders")
+    """Top-3 orders per customer by price (row_number + filter).
+
+    r19: on an under-split scan, project to the 3 needed columns and
+    hash-repartition on the window key first — the window's required
+    ClusteredDistribution is satisfied by that exchange (still exactly
+    ONE Exchange hashpartitioning, plan-gated), but the sort runs on
+    every core instead of downstream of a one-task scan (1.35x at
+    sf0.1).  On a wide scan the window's own exchange does this already.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    par = scan_parallelism(spark, sf_dir, "orders")
+    if par:
+        o = o.repartition(par, F.col("o_custkey"))
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         o.withColumn("rn", F.row_number().over(w))

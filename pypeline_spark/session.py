@@ -112,6 +112,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_parallelism(spark: SparkSession, sf_dir: str, *tables: str) -> int:
+    """Repartition width for compute-heavy work fed by an under-split scan,
+    or 0 when the scan already parallelizes on its own.
+
+    Parquet scan parallelism is bounded by file/row-group layout: a scan
+    can produce at most ~(total_bytes / maxPartitionBytes) non-trivial
+    splits, so when the named tables are small relative to the cluster
+    (the local fixture is ONE single-row-group file per table), every
+    expression pipelined into the scan stage — decimal aggregation, md5
+    hashing, regex tokenization, broadcast-join probes — runs on one
+    core.  In that regime an explicit hash repartition spreads the
+    compute over defaultParallelism for the cost of shuffling a (pre-
+    projected) narrow relation.
+
+    At warehouse scale the condition flips off by construction: once the
+    inputs carry at least defaultParallelism scan splits the extra
+    exchange would be a pure pessimization (a full shuffle of the fact
+    table), so callers get 0 and keep the plain scan.  Both `spark.conf`
+    values involved stay cluster-tunable; nothing here is local-mode
+    specific.
+    """
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    raw = raw.removesuffix("b")
+    mult = units.get(raw[-1:], 1)
+    max_split = int(raw.rstrip("kmg") or "0") * mult or 134217728
+    par = spark.sparkContext.defaultParallelism
+    total = 0
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            # directory table or remote path: treat as already-wide
+            return 0
+    if total // max_split >= par:
+        return 0
+    return par
+
+
 def _epoch_nanos(bound: "str | int") -> int:
     """UTC wall-clock string (ISO date/datetime) -> nanosecond epoch.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pypeline_spark.registry import query
-from pypeline_spark.session import load_table
+from pypeline_spark.session import load_table, scan_parallelism
 from pypeline_spark.streaming import await_finished
 
 
@@ -168,8 +168,17 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 10-minute gap — Spark's native session_window;
     the oracle is the classic gaps-and-islands SQL formulation (session
-    end = last event + gap, matching Spark's semantics)."""
-    return session_agg(load_table(spark, sf_dir, "events"))
+    end = last event + gap, matching Spark's semantics).
+
+    r19: under-split scan => project + hash-repartition on user_id so
+    the session-window sort/merge runs wide (1.5x at sf0.1); the
+    exchange satisfies the aggregation's required distribution, so no
+    second shuffle appears.  No-op on a wide scan."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    par = scan_parallelism(spark, sf_dir, "events")
+    if par:
+        e = e.repartition(par, F.col("user_id"))
+    return session_agg(e)
 
 
 @query(

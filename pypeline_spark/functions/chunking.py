@@ -123,7 +123,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("documents",))
     return spark.sql(
         f"""
         WITH tok AS (

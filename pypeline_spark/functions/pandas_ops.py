@@ -73,23 +73,38 @@ def sessionize_pandas(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
     be built — kept here because its output is byte-identical to the
     native one and the oracle proves it.
     """
-    gap = pd.Timedelta(minutes=gap_min)
+    import numpy as np
+
+    gap_td = np.timedelta64(gap_min, "m")
 
     def _sessions(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        new_session = (pdf["ts"].diff() > gap) | pdf["ts"].diff().isna()
-        sid = new_session.cumsum()
-        g = pdf.groupby(sid)
-        out = pd.DataFrame(
+        # Vectorized gaps-and-islands on numpy arrays.  applyInPandas
+        # invokes this once PER GROUP, so per-call constant cost is the
+        # dominant term (guide §4: per-task/per-call work) — the numpy
+        # formulation replaces sort_values + diff + groupby (five
+        # aggregate passes and an intermediate frame per call) with one
+        # lexsort and reduceat slices (r19: 0.93s -> 0.80s on the
+        # headline bench, at the applyInPandas machinery's floor of
+        # 0.83s measured with a constant-output function).
+        ts = pdf["ts"].to_numpy()
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts))
+        ts = ts[order]
+        # NaN -> 0 keeps pandas' skipna SUM semantics under reduceat
+        val = np.nan_to_num(pdf["value"].to_numpy()[order])
+        new = np.empty(len(ts), dtype=bool)
+        new[0] = True
+        np.greater(np.diff(ts), gap_td, out=new[1:])
+        starts_idx = np.flatnonzero(new)
+        ends_idx = np.r_[starts_idx[1:] - 1, len(ts) - 1]
+        return pd.DataFrame(
             {
-                "session_start": g["ts"].min(),
-                "session_end": g["ts"].max() + gap,
-                "user_id": g["user_id"].first(),
-                "n_events": g.size(),
-                "session_value": g["value"].sum().round(2),
+                "session_start": ts[starts_idx],
+                "session_end": ts[ends_idx] + gap_td,
+                "user_id": pdf["user_id"].iloc[0],
+                "n_events": np.diff(np.r_[starts_idx, len(ts)]),
+                "session_value": np.round(np.add.reduceat(val, starts_idx), 2),
             }
         )
-        return out
 
     schema = (
         "session_start timestamp, session_end timestamp, "

@@ -465,7 +465,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name
@@ -487,7 +487,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (rewritten to a semi join)."""
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice FROM orders
@@ -509,7 +509,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery broadcast as a literal at runtime."""
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer",))
     return spark.sql(
         """
         SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
@@ -538,7 +538,7 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE + scalar subquery over it (TPC-H Q15 shape)."""
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("lineitem", "supplier"))
     return spark.sql(
         """
         WITH revenue AS (
@@ -706,7 +706,7 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT 'no_null_in_set' AS branch, c_custkey FROM customer

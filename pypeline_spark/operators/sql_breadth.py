@@ -193,7 +193,7 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
@@ -242,7 +242,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer",))
     return spark.sql(
         """
         WITH RECURSIVE walk(custkey, node, depth) AS (

@@ -183,7 +183,7 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() disambiguation columns
     (distinguishes rollup nulls from data nulls)."""
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "nation"))
     return spark.sql(
         """
         SELECT n_name, c_mktsegment, COUNT(*) AS n,

@@ -178,7 +178,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pypeline_spark.session import register_tables
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         WITH daily AS (

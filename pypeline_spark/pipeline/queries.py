@@ -65,7 +65,7 @@ def q_pipeline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step pipeline: upsert-create with a Python transformer chain,
     then an update step reading back from the target — the reference's
     inter-step dataflow-through-database-state, here via temp views."""
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer",))
     config = PipelineConfig.from_dict(_ETL_CONFIG)
     pipeline = Pypeline(spark, config, placeholders={"max_key": 600})
     pipeline.run("customer_etl")
@@ -130,7 +130,7 @@ def q_pipeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``sinks.history.cdc_apply`` — the reference's DB-sync
     loop upgraded to real change-log semantics, driven entirely from
     the validated YAML-shaped config."""
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     config = PipelineConfig.from_dict(_CDC_CONFIG)
     pipeline = Pypeline(spark, config, placeholders={"max_key": 1000})
     pipeline.run("account_sync")
@@ -204,7 +204,7 @@ def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its digest only.  The minhash method probes the persisted band
     index, shuffling the batch — never rescanning the corpus.
     """
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("documents",))
     config = PipelineConfig.from_dict(_DEDUP_CONFIG)
     pipeline = Pypeline(spark, config)
     pipeline.run("corpus_ingest")

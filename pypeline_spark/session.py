@@ -222,15 +222,24 @@ def load_events(
     return _normalize_events_ts(df)
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture parquet as a temp view; return name -> DataFrame.
+def register_tables(
+    spark: SparkSession, sf_dir: str, only: "tuple[str, ...] | None" = None
+) -> dict[str, DataFrame]:
+    """Register fixture parquets as temp views; return name -> DataFrame.
 
     Temp views keep the scan lazy: Catalyst still sees the parquet relation,
     so filters/projections written against the view push down to the file
     scan (PushedFilters / ReadSchema in the physical plan).
+
+    ``only`` limits registration to the tables a query actually reads:
+    each registration costs a blocking footer/schema read on the driver
+    (~0.1s apiece here, and a listing per table on object storage), so
+    per-query work should not scale with catalog size — the r19 profile
+    showed blanket registration dominating the whole pipeline query
+    (~0.9s of its 1.5s wall-clock).
     """
     out: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in only if only is not None else TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue

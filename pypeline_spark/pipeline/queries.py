@@ -330,7 +330,7 @@ def q_pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
     from pypeline_spark.sinks.manifest import ManifestTable
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     from pyspark.sql import functions as F
 
     from pypeline_spark.session import load_table
@@ -458,7 +458,7 @@ def q_lakehouse_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypeline_spark.pipeline.lakehouse import LakehouseCatalog
     from pypeline_spark.session import load_table
 
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=("customer", "orders"))
     from pyspark.sql import functions as F
 
     o = load_table(spark, sf_dir, "orders")

@@ -2948,6 +2948,28 @@ class ManifestTable:
                 out = out.drop("__row_id__")
         return out
 
+    @staticmethod
+    def _dv_read_schema():
+        """The FIXED schema of every deletion-vector fileset (written
+        by the dv DML paths as exactly ``__file__``/``__pos__``).
+        Passing it explicitly skips the per-read footer/schema
+        inference round trip — dv frames are rebuilt on every resolved
+        read, so the inference cost repeated per plan (r19
+        optimization, guide §1.2)."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            [
+                StructField("__file__", StringType(), True),
+                StructField("__pos__", LongType(), True),
+            ]
+        )
+
     def _dv_frame(self, spark: SparkSession, m: dict, dirty: Sequence[str]):
         """The deletion-vector side of the suppression anti-join — the
         ``(__file__, __pos__)`` pairs covering the ``dirty`` files,
@@ -2955,7 +2977,7 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         dv = m["dv"]
-        dvdf = spark.read.parquet(
+        dvdf = spark.read.schema(self._dv_read_schema()).parquet(
             *[self._path(f) for f in dv["files"]]
         )
         # narrowing the dv side to the dirty files is an optimization
@@ -5809,9 +5831,8 @@ class ManifestTable:
             )
         )
         counts_tbl = self._collect_index_metadata(
-            spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in dv_files]
-            )
+            spark.read.schema(self._dv_read_schema())
+            .parquet(*[os.path.join(self.data_dir, f) for f in dv_files])
             .groupBy("__file__")
             .agg(F.count(F.lit(1)).alias("__n__"))
         )
@@ -6748,7 +6769,8 @@ class ManifestTable:
                     )
                 )
                 counts_tbl = self._collect_index_metadata(
-                    spark.read.parquet(
+                    spark.read.schema(self._dv_read_schema())
+                    .parquet(
                         *[os.path.join(self.data_dir, f) for f in dv_files]
                     )
                     .groupBy("__file__")

@@ -36,6 +36,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Schema memo for fixture reads (path -> StructType).  A bare
+# spark.read.parquet() infers the schema by reading parquet footers —
+# a blocking driver-side job costing ~0.15-0.3s per call here (and a
+# listing + footer fetch per table on object storage).  A real
+# warehouse reads through a catalog that already knows the schema; this
+# memo is that catalog surface: the FIRST read of a path infers and
+# remembers the schema (so nothing is hardcoded and the
+# version-dependent events.ts read shape is preserved), later reads
+# pass it explicitly and skip the inference job.  Metadata only — the
+# scan itself still reads the files on every action (guide §6: don't
+# pay a schema-inference job per query).
+_SCHEMA_MEMO: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def get_spark(app_name: str = "pypeline_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the SparkSession with scale-appropriate defaults."""
@@ -106,7 +128,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # normalization wall-clock-preserving there too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
     return df
@@ -196,7 +218,7 @@ def load_events(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
         # raw nanos long: integer-epoch comparison pushes straight down.

@@ -354,6 +354,48 @@ class TestCorpusPipeline:
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert minhash_signature(empty).count() == 0
 
+    def test_carry_tokens_parity(self, spark, sf_dir):
+        # the r19 rewrite (window exact-dedup + carried token counts)
+        # must keep the cleaned row set identical and n_toks equal to
+        # the recomputed token count per surviving doc
+        from pypeline_spark.functions.corpus import clean_corpus
+        from pypeline_spark.functions.text import tokens
+        from pypeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plain = clean_corpus(docs)
+        carried = clean_corpus(docs, carry_tokens=True)
+        assert carried.columns == plain.columns + ["n_toks"]
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, carried.drop("n_toks").collect()))
+        assert a == b
+        bad = carried.filter(
+            F.col("n_toks") != F.size(tokens(F.col("text")))
+        ).count()
+        assert bad == 0
+
+    def test_exact_dedup_keeps_smallest_doc_id(self, spark, docs):
+        # the window row_number rewrite must keep the group-min policy:
+        # for every duplicated fingerprint, the survivor is min(doc_id)
+        from pypeline_spark.functions.corpus import clean_corpus
+
+        dup = docs.filter(F.col("doc_id") < 30).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        cleaned = clean_corpus(docs.unionByName(dup))
+        surviving = {r.doc_id for r in cleaned.select("doc_id").collect()}
+        planted_and_kept = {
+            r.doc_id
+            for r in clean_corpus(docs)
+            .filter(F.col("doc_id") < 30)
+            .select("doc_id")
+            .collect()
+        }
+        # every planted clone whose original survives the gates must
+        # lose to the original (smaller id) in exact dedup
+        assert all(i + 100000 not in surviving for i in planted_and_kept)
+        assert planted_and_kept <= surviving
+
 
 class TestLayoutIndependence:
     """Exports claim layout-independent determinism — re-running under a

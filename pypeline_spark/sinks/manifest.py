@@ -6065,9 +6065,29 @@ class ManifestTable:
     def _merge_ambiguity_guard(self, src, t_base, keys):
         """The SQL/Delta multiple-match rule: more than one SOURCE row
         matching the same target key raises (which row's assignments
-        win is undefined)."""
+        win is undefined).
+
+        Two-phase (r19, guide §1.2): ambiguity REQUIRES a duplicated
+        source key, so phase 1 probes the SOURCE alone — a unique-keyed
+        source (the common case) is cleared without ever scanning the
+        target, removing a full pass over the touched base files per
+        merge.  The probe grows with the batch, not the table; at
+        fixture scale the two shapes measure flat (job-overhead-bound),
+        the saving is the target-side scan that grows with table size.
+        Only when source duplicates exist does phase 2 run the original
+        src x target semi-join to check whether one actually MATCHES a
+        target row — the raise condition is bit-identical."""
         from pyspark.sql import functions as F
 
+        dup = (
+            src.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .first()
+        )
+        if dup is None:
+            return
         dup = (
             src.join(t_base.select(*keys), on=keys, how="left_semi")
             .groupBy(*keys)

@@ -5039,6 +5039,30 @@ class TestMergeInto:
         )
         assert t.read(spark).filter("k = 9").count() == 2
 
+    def test_duplicate_unmatched_source_keys_pass_guard(
+        self, spark, tmp_path, target
+    ):
+        # duplicated source keys that match NO target row are legal
+        # (the SQL rule only bans multiple matches of the same target
+        # row) — pins phase 2 of the two-phase guard: the source-only
+        # duplicate probe alone must not raise
+        t = self._seed(tmp_path, target, "ambnm")
+        dup = spark.createDataFrame(
+            [(77, "p", 1), (77, "q", 2), (3, "r", 5)],
+            "k long, name string, qty long",
+        )
+        t.merge_into(
+            spark, dup, key_columns=["k"],
+            clauses=[
+                ("update", None, {"qty": "s.qty"}),
+                ("insert", None, "*"),
+            ],
+            batch_id="mnm",
+        )
+        got = t.read(spark)
+        assert got.filter("k = 77").count() == 2  # both inserted
+        assert _canon(got.filter("k = 3").select("qty")) == [(5,)]
+
     def test_insert_dict_null_fills_and_casts(self, spark, tmp_path, target):
         t = self._seed(tmp_path, target, "ins")
         src = spark.createDataFrame([(8,)], "k long")

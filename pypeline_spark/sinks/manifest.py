@@ -3011,8 +3011,11 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         dv = m["dv"]
-        dvdf = spark.read.schema(self._dv_read_schema()).parquet(
-            *[self._path(f) for f in dv["files"]]
+        # dv sidecar filesets are uuid4-immutable like base files, and a
+        # dv-mode merge re-reads the same version's dv fileset per read
+        # path — same relation memo as the base scan (metadata only)
+        dvdf = _memo_read(
+            spark, self._dv_read_schema(), [self._path(f) for f in dv["files"]]
         )
         # narrowing the dv side to the dirty files is an optimization
         # only (non-matching entries fall out of the anti-join anyway):

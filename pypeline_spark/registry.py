@@ -62,28 +62,24 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 
 # Registration order is load-bearing: the driver's correctness harness
 # checks the FIRST 50 registered queries (observed cap in round 1).
-# The round-19 window is the staleness rotation the r18 verdict
-# directed (directive #1): (a) the 15-name r13 tail (q_scan ..
-# q_window_topn) — stale at r20, re-cert THIS round, NON-NEGOTIABLE
-# per the verdict; (b) the alphabetical head of the 50-name r14
-# cohort (re-derived from CORRECTNESS_r01..r18 before pinning — the
-# derivation matched the verdict's planned names exactly: latest-cert
-# histogram 15@r13 / 50@r14 / 50@r15 / 50@r16 / 50@r17 / 50@r18,
-# never-certified set EMPTY, 265/265 ever driver-green); and (c)
-# first-certification slots for the operators added this round
-# (r18 directives #2/#4/#5), each displacing one r14-head name into
-# the r20 tail inside its float (r14 certs are admissible through
-# r20).
+# The round-20 window is the rotation the r19 verdict directed
+# (directive #5) and the registry runway planned: (a) the 15-name r14
+# tail (q_running_totals .. q_zorder) — their r14 certs go stale the
+# moment CORRECTNESS_r20 lands (20 - 14 > MAX_CERT_AGE_ROUNDS), so
+# they re-certify NOW; (b) the alphabetical head (35 names) of the
+# 50-name r15 cohort.  Re-derived from CORRECTNESS_r01..r19 before
+# pinning: latest-cert histogram 15@r14 / 50@r15 / 50@r16 / 50@r17 /
+# 50@r18 / 50@r19, never-certified set EMPTY, 265/265 ever
+# driver-green.  No first-certification slots: r20 is an optimization
+# round, no new operators.
 #
 # Rotation runway (an rN cert is admissible until the newest record
 # reaches N+6, so every cohort may drain across two windows):
-#   r19 window = 15 r13 tail + r14 alphabetical head + first-cert
-#                slots (this one)
-#   r20 window = the deferred r14 tail (stale at r20: q_quality_score
-#                .. q_zorder minus whatever re-certs here) + the r15
-#                cohort head, minus slots for new first-certs; and so
-#                on, one cohort per round with a tail riding its
-#                float.
+#   r20 window = 15 r14 tail + r15 alphabetical head (this one)
+#   r21 window = the deferred r15 tail (q_nullsafe_join ..
+#                q_winsorize, stale at r21) + the r16 cohort head,
+#                minus slots for any new first-certs; and so on, one
+#                cohort per round with a tail riding its float.
 # Steady state re-certifies every query at most 6 rounds apart,
 # inside the guard's >MAX_CERT_AGE_ROUNDS bound (265+ queries / 50
 # slots — ceil(265/6) = 45 needed, 5 slack per window).
@@ -92,58 +88,58 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Builde
 # registered query whose latest driver-green round is absent or stale
 # must sit in this window.
 _DRIVER_WINDOW = (
-    # -- the 15-name r13 tail (stale at r20: re-cert NOW) -------------
-    "q_scan",
-    "q_semi",
-    "q_table_evolve",
-    "q_to_json",
-    "q_topk",
-    "q_try_cast",
-    "q_union_all",
-    "q_union_distinct",
-    "q_window_distribution",
-    "q_window_first_last",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_running",
-    "q_window_topn",
-    # -- 35 of the r14 cohort (alphabetical head) ---------------------
-    "q_agg_salted",
-    "q_asof_join",
-    "q_cdf_schema_evolve",
-    "q_cdf_through_optimize",
-    "q_click_gaps",
-    "q_column_mapping",
-    "q_corpus_pipeline",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_dedup_minhash",
-    "q_embedding_stats",
-    "q_events_pruned",
-    "q_ewma_smooth",
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_ivm_cdc",
-    "q_ivm_durable",
-    "q_join_bucketed",
-    "q_join_salted",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_manifest_bloom",
-    "q_manifest_mor",
-    "q_manifest_zorder",
-    "q_multimodal_meta",
-    "q_multimodal_pointers",
-    "q_ngram_jaccard",
-    "q_pii_scrub",
-    "q_pipeline_etl",
-    "q_quality_score",
-    "q_range_join",
-    "q_repetition",
+    # -- the 15-name r14 tail (stale at r21 checks: re-cert NOW) ------
+    "q_running_totals",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scd2",
+    "q_session",
+    "q_sessionize_pandas",
+    "q_simhash",
+    "q_sliding",
+    "q_snapshot_diff",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_text_stats",
+    "q_token_count",
+    "q_topk_cosine",
+    "q_zorder",
+    # -- 35 of the r15 cohort (alphabetical head) ---------------------
+    "q_asof_forward",
+    "q_asof_nearest",
+    "q_bloom_join",
+    "q_bpe_pairs",
+    "q_capped_running",
+    "q_cdc_apply",
+    "q_cohort_retention",
+    "q_column_profile",
+    "q_conditional_agg",
+    "q_corr",
+    "q_corr_matrix",
+    "q_date_gap_fill",
+    "q_dedup_recall",
+    "q_dedup_url",
+    "q_delete_vector",
+    "q_delete_where",
+    "q_doc_chunks",
+    "q_dq_checks",
+    "q_embedding_quantize",
+    "q_feature_hist",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_interpolate",
+    "q_knn_recall",
+    "q_lateral",
+    "q_lm_quality",
+    "q_lsh_efficiency",
+    "q_manifest_optimize",
+    "q_manifest_vacuum",
+    "q_market_basket",
+    "q_market_share",
+    "q_median_iqr",
+    "q_merge_into",
+    "q_mixture_sample",
 )
 
 _OPERATOR_MODULES = (

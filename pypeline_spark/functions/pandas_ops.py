@@ -63,44 +63,71 @@ def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ws_token_count()(F.col("text")).alias("n_tokens"))
 
 
-def sessionize_pandas(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+#: target decoded bytes of events per pandas group when the caller
+#: derives the bucket count from the backing file size (r20): one
+#: Arrow round trip then carries a few thousand rows instead of one
+#: user's handful, while each group stays a bounded fraction of a task.
+SESSION_BUCKET_BYTES = 4 * 1024 * 1024
+
+
+def sessionize_pandas(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """Custom grouped sessionization via applyInPandas.
 
     The imperative twin of the native ``session_window`` plan
-    (streaming/windows.py): one shuffle keyed by user_id, then pure
-    pandas gaps-and-islands per user.  This is the (b)-tier pattern
-    from the build brief — how an operator Spark *didn't* have would
-    be built — kept here because its output is byte-identical to the
-    native one and the oracle proves it.
+    (streaming/windows.py): one shuffle keyed by a deterministic hash
+    bucket of user_id, then pure pandas gaps-and-islands over every
+    user in the bucket.  This is the (b)-tier pattern from the build
+    brief — how an operator Spark *didn't* have would be built — kept
+    here because its output is byte-identical to the native one and
+    the oracle proves it.
+
+    Grouping by ``pmod(xxhash64(user_id), n_buckets)`` instead of by
+    user_id (r20, guide §4.1/§4.2): applyInPandas pays a fixed
+    JVM↔Python Arrow round trip PER GROUP, and per-user groups hold a
+    handful of rows, so the fixture paid ~1500 round trips for
+    milliseconds of numpy work.  All users of a bucket sessionize in
+    ONE pandas call (user_id joins the lexsort key and a user-change
+    starts a session), so the call count drops to ``n_buckets`` while
+    results stay identical for ANY bucket count — session boundaries
+    are per-user by construction.  Default bucket count is
+    2×defaultParallelism; callers with a known input size pass
+    ``n_buckets`` sized so a group stays a bounded fraction of a task
+    (q_sessionize_pandas derives it from the backing file size, so at
+    warehouse scale groups stay ~SESSION_BUCKET_BYTES and never
+    concentrate the corpus into a few giant pandas frames).
     """
     import numpy as np
 
     gap_td = np.timedelta64(gap_min, "m")
 
     def _sessions(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized gaps-and-islands on numpy arrays.  applyInPandas
-        # invokes this once PER GROUP, so per-call constant cost is the
-        # dominant term (guide §4: per-task/per-call work) — the numpy
-        # formulation replaces sort_values + diff + groupby (five
-        # aggregate passes and an intermediate frame per call) with one
-        # lexsort and reduceat slices (r19: 0.93s -> 0.80s on the
-        # headline bench, at the applyInPandas machinery's floor of
-        # 0.83s measured with a constant-output function).
+        # Vectorized gaps-and-islands on numpy arrays, many users per
+        # call.  The numpy formulation replaces sort_values + diff +
+        # groupby (five aggregate passes and an intermediate frame per
+        # call) with one lexsort and reduceat slices (r19); a session
+        # starts at a user change OR a gap above the threshold (r20).
         ts = pdf["ts"].to_numpy()
-        order = np.lexsort((pdf["event_id"].to_numpy(), ts))
+        uid = pdf["user_id"].to_numpy()
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts, uid))
         ts = ts[order]
+        uid = uid[order]
         # NaN -> 0 keeps pandas' skipna SUM semantics under reduceat
         val = np.nan_to_num(pdf["value"].to_numpy()[order])
         new = np.empty(len(ts), dtype=bool)
         new[0] = True
         np.greater(np.diff(ts), gap_td, out=new[1:])
+        np.logical_or(new[1:], uid[1:] != uid[:-1], out=new[1:])
         starts_idx = np.flatnonzero(new)
         ends_idx = np.r_[starts_idx[1:] - 1, len(ts) - 1]
         return pd.DataFrame(
             {
                 "session_start": ts[starts_idx],
                 "session_end": ts[ends_idx] + gap_td,
-                "user_id": pdf["user_id"].iloc[0],
+                "user_id": uid[starts_idx],
                 "n_events": np.diff(np.r_[starts_idx, len(ts)]),
                 "session_value": np.round(np.add.reduceat(val, starts_idx), 2),
             }
@@ -117,10 +144,14 @@ def sessionize_pandas(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
     # An explicit numbered repartition is exempt from AQE coalescing
     # and satisfies the groupBy's distribution, so no second shuffle.
     par = events.sparkSession.sparkContext.defaultParallelism
+    if n_buckets is None:
+        n_buckets = 2 * par
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
     return (
         events.select("user_id", "ts", "event_id", "value")
-        .repartition(par, "user_id")
-        .groupBy("user_id")
+        .withColumn("__bucket", bucket)
+        .repartition(par, "__bucket")
+        .groupBy("__bucket")
         .applyInPandas(_sessions, schema)
     )
 
@@ -152,8 +183,24 @@ def sessionize_pandas(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
 def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas sessionization (10-minute gap) — oracle-checked
     against the same gaps-and-islands SQL as the native q_session, so
-    native window, custom pandas operator, and DuckDB all agree."""
-    return sessionize_pandas(load_table(spark, sf_dir, "events"))
+    native window, custom pandas operator, and DuckDB all agree.
+
+    Bucket count derives from the backing file size (scale-adaptive,
+    like ``session.scan_parallelism``): ~SESSION_BUCKET_BYTES of
+    events per pandas group, floored at 2×defaultParallelism so small
+    fixtures still spread over every core.  Results are bucket-count-
+    independent (sessionization is per-user)."""
+    import os
+
+    spark_par = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    n_buckets = max(2 * spark_par, size // SESSION_BUCKET_BYTES)
+    return sessionize_pandas(
+        load_table(spark, sf_dir, "events"), n_buckets=n_buckets
+    )
 
 
 @query(

@@ -105,3 +105,42 @@ class TestVectorizedSessionizer:
         ns = sorted(((r.user_id, r.session_start, r.session_end, r.n_events, r.session_value) for r in native))
         cs = sorted(((r.user_id, r.session_start, r.session_end, r.n_events, r.session_value) for r in custom))
         assert ns == cs
+
+    def test_multi_user_single_bucket(self, spark):
+        # r20 bucketed grouping: force EVERY user into one pandas group
+        # (n_buckets=1) — user boundaries must still start new sessions
+        # and per-user results must match the per-bucket default.
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, 1, t0, 1.0),
+            (1, 2, t0 + datetime.timedelta(minutes=3), 2.0),
+            # user 2's first event inside user 1's gap window: the
+            # user change itself must open a session
+            (2, 3, t0 + datetime.timedelta(minutes=4), 4.0),
+            (2, 4, t0 + datetime.timedelta(minutes=30), 8.0),  # > gap: new
+            (3, 5, t0, None),  # all-null singleton rides along
+        ]
+        e = self._events(spark, rows)
+        key = lambda r: (  # noqa: E731
+            r.user_id, r.session_start, r.session_end, r.n_events, r.session_value
+        )
+        one_bucket = sorted(map(key, sessionize_pandas(e, n_buckets=1).collect()))
+        default = sorted(map(key, sessionize_pandas(e).collect()))
+        assert one_bucket == default
+        assert [(u, n, v) for u, _s, _e, n, v in one_bucket] == [
+            (1, 2, 3.0),
+            (2, 1, 4.0),
+            (2, 1, 8.0),
+            (3, 1, 0.0),
+        ]
+
+    def test_bucket_count_invariance(self, spark, sf_dir):
+        # results must be identical for ANY bucket count (per-user
+        # semantics can't leak across the grouping granularity)
+        e = load_table(spark, sf_dir, "events")
+        key = lambda r: (  # noqa: E731
+            r.user_id, r.session_start, r.session_end, r.n_events, r.session_value
+        )
+        a = sorted(map(key, sessionize_pandas(e, n_buckets=3).collect()))
+        b = sorted(map(key, sessionize_pandas(e, n_buckets=257).collect()))
+        assert a == b

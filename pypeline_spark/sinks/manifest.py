@@ -62,17 +62,32 @@ _RELATION_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _RELATION_MEMO_CAP = 128
 
 
-def _memo_read(spark: SparkSession, schema, paths: Sequence[str]) -> DataFrame:
+def _memo_read(
+    spark: SparkSession, schema, paths: Sequence[str]
+) -> DataFrame:
+    """``schema=None`` memoizes an INFERRED-schema read (r20): raw
+    delta/CDC filesets carry physical names plus internal markers no
+    manifest schema describes, so their reads must infer — a blocking
+    footer job per call.  The fileset is uuid4-immutable like every
+    data file, so the first inference is also the last; repeats within
+    a query (and across pipeline steps reading the same version's
+    deltas) hit the memo."""
+
+    def _read() -> DataFrame:
+        if schema is None:
+            return spark.read.parquet(*paths)
+        return spark.read.schema(schema).parquet(*paths)
+
     try:
         per = _RELATION_MEMO.get(spark)
         if per is None:
             per = _RELATION_MEMO[spark] = OrderedDict()
     except TypeError:  # un-weakref-able session stub (tests)
-        return spark.read.schema(schema).parquet(*paths)
-    key = (tuple(paths), schema.json())
+        return _read()
+    key = (tuple(paths), schema.json() if schema is not None else None)
     df = per.get(key)
     if df is None:
-        df = spark.read.schema(schema).parquet(*paths)
+        df = _read()
         per[key] = df
         if len(per) > _RELATION_MEMO_CAP:
             per.popitem(last=False)
@@ -2892,7 +2907,7 @@ class ManifestTable:
                 "table (enable_row_tracking enforces this)"
             )
         if sch is None:
-            return _tag(spark.read.parquet(*paths), None)
+            return _tag(_memo_read(spark, None, paths), None)
         st = StructType.fromJson(sch)
         if rowid:
             from pyspark.sql.types import LongType
@@ -3072,9 +3087,7 @@ class ManifestTable:
         if dirty:
             parts.append(
                 _tag(
-                    spark.read.parquet(
-                        *[self._path(f) for f in dirty]
-                    )
+                    _memo_read(spark, None, [self._path(f) for f in dirty])
                 ).join(
                     self._dv_frame(spark, m, dirty),
                     on=[
@@ -3087,9 +3100,7 @@ class ManifestTable:
         if clean:
             parts.append(
                 _tag(
-                    spark.read.parquet(
-                        *[self._path(f) for f in clean]
-                    )
+                    _memo_read(spark, None, [self._path(f) for f in clean])
                 )
             )
         out = parts[0]
@@ -3109,7 +3120,7 @@ class ManifestTable:
                 "__dvf__", "__dvp__"
             )
         return self._to_logical(
-            spark.read.parquet(*[self._path(f) for f in names]), m
+            _memo_read(spark, None, [self._path(f) for f in names]), m
         )
 
     @staticmethod
@@ -3730,6 +3741,81 @@ class ManifestTable:
                 rows.column("name").to_pylist(), rows.column("stats").to_pylist()
             )
         }
+
+    #: driver-side value-count ceiling: a just-written fileset whose
+    #: total bytes exceed this keeps the distributed aggregation even
+    #: when its file count is small (a single fat file would otherwise
+    #: pull a whole column through the driver).
+    _DRIVER_COUNT_BYTES = 32 * 1024 * 1024
+
+    def _written_value_counts(
+        self,
+        spark: SparkSession,
+        files: Sequence[str],
+        col: str,
+        read_schema=None,
+        distributed: "bool | None" = None,
+    ) -> dict:
+        """``value -> row count`` of one marker column across a
+        JUST-WRITTEN fileset (dv suppression counts keyed by
+        ``__file__``; CDC op metrics keyed by the change type).
+
+        Adaptive like ``_footer_stats_distributed`` (r19/r20, guide
+        §1.2/§5): the commit paths need these counts for the manifest
+        they are about to publish, and re-reading a handful of
+        KiB-sized files this process just wrote through a full Spark
+        job (scan → partial agg → exchange → final agg → Arrow
+        collect) costs a fixed ~0.1-0.4 s launch for microseconds of
+        work.  Small filesets (≤ defaultParallelism files AND ≤
+        ``_DRIVER_COUNT_BYTES`` total) read the single column on the
+        driver with pyarrow; larger filesets — the 100 TB commit
+        shape, where a merge's CDC is itself big data — keep the
+        distributed aggregation.  Both paths produce identical exact
+        counts (integer counts of identical stored values; pinned by
+        ``TestWrittenValueCounts``)."""
+        from pyspark.sql import functions as F
+
+        if not files:
+            return {}
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        if distributed is None:
+            try:
+                total = sum(os.path.getsize(p) for p in paths)
+            except OSError:
+                total = None  # non-local data_dir: size unknown
+            distributed = (
+                total is None
+                or total > self._DRIVER_COUNT_BYTES
+                or len(files) > spark.sparkContext.defaultParallelism
+            )
+        if not distributed:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            out: dict = {}
+            for p in paths:
+                arr = pq.read_table(p, columns=[col]).column(col)
+                for entry in pc.value_counts(arr).to_pylist():
+                    out[entry["values"]] = (
+                        out.get(entry["values"], 0) + int(entry["counts"])
+                    )
+            return out
+        reader = (
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read
+        )
+        tbl = self._collect_index_metadata(
+            reader.parquet(*paths)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+        )
+        return dict(
+            zip(
+                tbl.column(col).to_pylist(),
+                (int(n) for n in tbl.column("__n__").to_pylist()),
+            )
+        )
 
     # -- bloom file index -------------------------------------------------
 
@@ -5378,19 +5464,7 @@ class ManifestTable:
 
         if not cdc_files:
             return {}
-        tbl = self._collect_index_metadata(
-            spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in cdc_files]
-            )
-            .groupBy(self._CT)
-            .agg(F.count(F.lit(1)).alias("__n__"))
-        )
-        counts = dict(
-            zip(
-                tbl.column(self._CT).to_pylist(),
-                (int(n) for n in tbl.column("__n__").to_pylist()),
-            )
-        )
+        counts = self._written_value_counts(spark, cdc_files, self._CT)
         return {
             "rows_inserted": counts.get("insert", 0),
             "rows_updated": counts.get("update_postimage", 0),
@@ -5867,17 +5941,8 @@ class ManifestTable:
                 F.col("__dvp__").alias("__pos__"),
             )
         )
-        counts_tbl = self._collect_index_metadata(
-            spark.read.schema(self._dv_read_schema())
-            .parquet(*[os.path.join(self.data_dir, f) for f in dv_files])
-            .groupBy("__file__")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-        )
-        counts = dict(
-            zip(
-                counts_tbl.column("__file__").to_pylist(),
-                (int(n) for n in counts_tbl.column("__n__").to_pylist()),
-            )
+        counts = self._written_value_counts(
+            spark, dv_files, "__file__", read_schema=self._dv_read_schema()
         )
         if not counts:
             # predicate matched no rows: no commit (the empty written
@@ -6825,22 +6890,11 @@ class ManifestTable:
                         F.col("__dvp__").alias("__pos__"),
                     )
                 )
-                counts_tbl = self._collect_index_metadata(
-                    spark.read.schema(self._dv_read_schema())
-                    .parquet(
-                        *[os.path.join(self.data_dir, f) for f in dv_files]
-                    )
-                    .groupBy("__file__")
-                    .agg(F.count(F.lit(1)).alias("__n__"))
-                )
-                counts = dict(
-                    zip(
-                        counts_tbl.column("__file__").to_pylist(),
-                        (
-                            int(n)
-                            for n in counts_tbl.column("__n__").to_pylist()
-                        ),
-                    )
+                counts = self._written_value_counts(
+                    spark,
+                    dv_files,
+                    "__file__",
+                    read_schema=self._dv_read_schema(),
                 )
         # -- the post-image / insert fileset ----------------------------
         bloom = m.get("bloom_cols", [])

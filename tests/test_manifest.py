@@ -738,6 +738,89 @@ class TestDistributedFooterStats:
             spark, staging, cols, distributed=False
         )
 
+    def test_written_value_counts_driver_equals_distributed(
+        self, spark, tmp_path
+    ):
+        """r20 adaptive switch for the post-write count-back jobs (dv
+        suppression counts, CDC op metrics): the driver pyarrow path
+        must be bit-identical to the distributed aggregation,
+        including multi-file filesets and null marker values."""
+        t = ManifestTable(str(tmp_path / "vc"))
+        df = spark.range(0, 1_000).selectExpr(
+            "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('f', CAST(id % 7 AS STRING)) END AS __file__",
+            "id AS __pos__",
+        )
+        staging = os.path.join(t.root, "stage")
+        df.repartition(3).write.parquet(staging)
+        files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, f), os.path.join(t.data_dir, f)
+                )
+                files.append(f)
+        loop = t._written_value_counts(
+            spark, files, "__file__", distributed=False
+        )
+        job = t._written_value_counts(
+            spark, files, "__file__", distributed=True
+        )
+        assert loop == job
+        assert sum(v for k, v in loop.items() if k is not None) > 0
+        # auto mode picks the loop for a tiny local fileset
+        assert t._written_value_counts(spark, files, "__file__") == loop
+        assert t._written_value_counts(spark, [], "__file__") == {}
+
+    def test_merge_dv_counts_match_brute_recount(self, spark, tmp_path):
+        """End-to-end: the dv suppression counts and CDC op metrics a
+        dv merge publishes (now via the adaptive counter) must equal a
+        brute-force Spark recount of the written filesets."""
+        from pyspark.sql import functions as F
+
+        t = ManifestTable(str(tmp_path / "vc2"))
+        base = spark.range(0, 200).selectExpr(
+            "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+        )
+        t.commit_overwrite(base.repartition(4, "k"), stats_cols=["k"])
+        src = spark.range(0, 80).selectExpr(
+            "id AS k", "CAST(id * 10 AS DOUBLE) AS v"
+        )
+        t.merge_into(
+            spark,
+            src,
+            key_columns=["k"],
+            clauses=[("update", None, "*"), ("insert", None, "*")],
+            mode="dv",
+        )
+        m = t._read_manifest()
+        dv = m["dv"]
+        recount = (
+            spark.read.schema(ManifestTable._dv_read_schema())
+            .parquet(*[os.path.join(t.data_dir, f) for f in dv["files"]])
+            .groupBy("__file__")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert dv["rows"] == {r["__file__"]: r["n"] for r in recount}
+        cdc = (
+            spark.read.parquet(
+                *[os.path.join(t.data_dir, f) for f in m["cdc_files"]]
+            )
+            .groupBy("__ct__")
+            .count()
+            .collect()
+        )
+        by_ct = {r["__ct__"]: r["count"] for r in cdc}
+        # op metrics surface through DESCRIBE HISTORY (transient key,
+        # popped into the per-commit record)
+        hist = {
+            r["version"]: r
+            for r in t.history(spark).collect()
+        }
+        rec = hist[m["version"]]
+        assert rec["rows_updated"] == by_ct.get("update_postimage", 0)
+        assert rec["rows_inserted"] == by_ct.get("insert", 0)
+
     def test_write_fileset_records_identical_stats(self, spark, tmp_path, customers):
         # end-to-end: the manifest entry written through the
         # distributed job equals what the serial loop would have put

@@ -35,10 +35,9 @@ from pyspark.sql import functions as F
 
 from pypeline_spark.functions.dedup import (
     candidate_pairs,
-    doc_shingle_arrays,
     jaccard_from_arrays,
     lsh_bands,
-    minhash_signature,
+    minhash_wide,
 )
 from pypeline_spark.functions.text import tokens
 from pypeline_spark.registry import query
@@ -56,6 +55,13 @@ def clean_corpus(docs: DataFrame, carry_tokens: bool = False) -> DataFrame:
     ``n_toks`` column so downstream aggregates can reuse it instead of
     re-running the regex tokenizer over every surviving document
     (guide §1.2: don't recompute what a prior stage already paid for).
+
+    PRECONDITION: ``doc_id`` must be unique in ``docs`` (the fixture
+    table contract).  The exact-dedup step keeps the row_number-1 row
+    per (fingerprint, doc_id) order; with duplicate doc_ids the choice
+    among rows tying on doc_id (same normalized fingerprint, possibly
+    different raw text/lang) would be nondeterministic, where the old
+    semi-join formulation kept every tying row (ADVICE r19).
     """
     n_toks = F.size(tokens(F.col("text")))
     carried = [n_toks.alias("n_toks")] if carry_tokens else []
@@ -87,13 +93,15 @@ def clean_corpus(docs: DataFrame, carry_tokens: bool = False) -> DataFrame:
 
     # near-dup removal: MinHash-LSH candidates verified by exact
     # Jaccard >= threshold, greedy keep-smallest (drop every pair's
-    # id_b).  Shingle arrays feed signatures and verification both;
-    # localCheckpoint (not .cache()) materializes them once without
-    # session-global cache state — blocks are GC-scoped to this plan.
-    arrs = doc_shingle_arrays(deduped).localCheckpoint(eager=False)
-    sigs = minhash_signature(deduped, arrs=arrs)
-    pairs = candidate_pairs(lsh_bands(sigs))
-    verified = jaccard_from_arrays(pairs, arrs).filter(
+    # id_b).  ONE wide relation (shingle arrays + signature columns,
+    # r20) feeds the band chain and the verification both, so the
+    # md5-per-shingle pass runs once; localCheckpoint (not .cache())
+    # materializes it without session-global cache state — blocks are
+    # GC-scoped to this plan.  gate=False: the >=20-token quality gate
+    # above already guarantees every doc shingles.
+    X = minhash_wide(deduped, gate=False).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(X))
+    verified = jaccard_from_arrays(pairs, X).filter(
         F.col("jaccard") >= NEAR_DUP_THRESHOLD
     )
     dupes = verified.select(F.col("id_b").alias("doc_id")).distinct()

@@ -186,22 +186,85 @@ def minhash_signature(
     return hashed.select(F.col(id_col), *sig_cols)
 
 
+def minhash_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: bool = True,
+) -> DataFrame:
+    """(id, sh, mh_0..mh_{k-1}): shingle arrays AND MinHash signature
+    columns in ONE map pass — the relation the LSH queries checkpoint.
+
+    r20 (guide §1.2): the per-query shape used to checkpoint only the
+    shingle arrays, so the band self-join evaluated the md5-per-shingle
+    signature subtree on BOTH join sides above the checkpoint.  Folding
+    the signature columns into the checkpointed relation computes the
+    hashes once, in the same parallelized stage that builds the
+    shingles, for 12 extra bigints per doc of checkpoint storage and
+    zero added shuffles.  Construction batches expressions into
+    ``selectExpr`` calls (guide §4.3: one py4j round trip + server-side
+    parse per projection, not one per column method).
+
+    ``gate=False`` skips the >=3-token gate when the caller's input
+    already guarantees it (e.g. the corpus pipeline's >=20-token
+    quality gate).  Gated docs have no shingles and no signature, so
+    excluding them changes neither the bands nor any verified pair.
+    The md5 array sits in its own projection so Catalyst does not
+    inline the hash subtree into each of the k array_min lambdas
+    (CollapseProject keeps multi-referenced non-cheap expressions
+    materialized), and likewise the shingle CASE below it.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs
+    if gate:
+        # cheap equivalent predicate (>= 3 tokens <=> >= 1 shingle),
+        # evaluated at the scan before anything shuffles — see
+        # minhash_signature for why a size(sh) > 0 filter on the built
+        # relation is the wrong place
+        src = docs.where(
+            f"size(split(trim(lower({text_col})), '\\\\s+')) >= 3"
+        )
+    toksed = src.selectExpr(
+        id_col, f"split(trim(lower({text_col})), '\\\\s+') AS __toks"
+    ).repartition(par, F.col(id_col))
+    hashed = toksed.selectExpr(
+        id_col, _shingles_sql("__toks") + " AS sh"
+    ).selectExpr(
+        id_col,
+        "sh",
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+        f"AS BIGINT) % {MINHASH_P}) AS hs",
+    )
+    return hashed.selectExpr(
+        id_col,
+        "sh",
+        *[
+            f"array_min(transform(hs, h -> ({MINHASH_A[s]} * h + "
+            f"{MINHASH_B[s]}) % {MINHASH_P})) AS mh_{s}"
+            for s in range(N_HASHES)
+        ],
+    )
+
+
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Signature -> (id, band, band_key) rows; docs sharing a band_key
     within a band are candidate pairs.
 
     Single posexplode pass (not a union of per-band selects, which
-    would re-evaluate the signature subtree once per band).
+    would re-evaluate the signature subtree once per band).  Rendered
+    as ONE selectExpr (guide §4.3: one py4j round trip + server-side
+    parse instead of ~40 Column-method calls); the analyzed tree is
+    identical to the Column form.
     """
     n_bands = N_HASHES // BAND_ROWS
-    band_keys = F.array(
-        *[
-            F.concat_ws("_", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-            for b in range(n_bands)
-        ]
+    keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"mh_{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + ")"
+        for b in range(n_bands)
     )
-    return signatures.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    return signatures.selectExpr(
+        id_col, f"posexplode(array({keys})) AS (band, band_key)"
     )
 
 
@@ -245,18 +308,16 @@ def jaccard_from_arrays(
     corpus, so both joins broadcast the pairs side and the array
     relation is never shuffled.
     """
-    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    bb = arrs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    aa = arrs.selectExpr(f"{id_col} AS id_a", "sh AS sh_a")
+    bb = arrs.selectExpr(f"{id_col} AS id_b", "sh AS sh_b")
     return (
         aa.join(F.broadcast(pairs), "id_a")
         .join(bb, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(
-                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 4
-            ).alias("jaccard"),
+            "round(size(array_intersect(sh_a, sh_b)) / (size(sh_a) + "
+            "size(sh_b) - size(array_intersect(sh_a, sh_b))), 4) AS jaccard",
         )
     )
 
@@ -454,17 +515,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5), so the DuckDB oracle replays it exactly.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Shingle-array relation feeds both the signature computation and
-    # the verify step; everything up to the band groupBy is map-side
-    # (no explode, no per-shingle shuffle).  Materialized once via
-    # localCheckpoint rather than .cache(): no session-global catalog
-    # state to leak or unpersist (blocks are GC-scoped to this plan),
-    # and repeated builder calls can't trip "already cached" churn.  At
-    # warehouse scale the arrays/signatures would be persisted tables.
-    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
-    sigs = minhash_signature(d, arrs=arrs)
-    pairs = candidate_pairs(lsh_bands(sigs))
-    return jaccard_from_arrays(pairs, arrs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # ONE wide relation (shingle arrays + signature columns) feeds the
+    # band chain and the verify step; everything up to the band groupBy
+    # is map-side (no explode, no per-shingle shuffle).  Materialized
+    # once via localCheckpoint rather than .cache(): no session-global
+    # catalog state to leak or unpersist (blocks are GC-scoped to this
+    # plan), and repeated builder calls can't trip "already cached"
+    # churn.  At warehouse scale the arrays/signatures would be
+    # persisted tables.
+    X = minhash_wide(d).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(X))
+    return jaccard_from_arrays(pairs, X).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed bigint
@@ -644,10 +705,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster as themselves.  Oracle replays the closure with a
     recursive CTE over the same deterministic pair set."""
     d = load_table(spark, sf_dir, "documents")
-    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
-    sigs = minhash_signature(d, arrs=arrs)
-    pairs = candidate_pairs(lsh_bands(sigs))
-    verified = jaccard_from_arrays(pairs, arrs).filter(
+    X = minhash_wide(d).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(X))
+    verified = jaccard_from_arrays(pairs, X).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     return near_dup_clusters(verified, d.select("doc_id"))
@@ -753,10 +813,9 @@ def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pypeline_spark.functions.text import quality_expr, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
-    sigs = minhash_signature(d, arrs=arrs)
-    pairs = candidate_pairs(lsh_bands(sigs))
-    verified = jaccard_from_arrays(pairs, arrs).filter(
+    X = minhash_wide(d).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(X))
+    verified = jaccard_from_arrays(pairs, X).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     clusters = near_dup_clusters(verified, d.select("doc_id"))
@@ -792,10 +851,10 @@ def incremental_near_dups(
     table is bucketed by (band, band_key) so a batch probe shuffles
     only the batch.
     """
-    arrs_kept = doc_shingle_arrays(kept, id_col).localCheckpoint(eager=False)
-    arrs_new = doc_shingle_arrays(batch, id_col).localCheckpoint(eager=False)
-    bands_kept = lsh_bands(minhash_signature(kept, id_col, arrs=arrs_kept), id_col)
-    bands_new = lsh_bands(minhash_signature(batch, id_col, arrs=arrs_new), id_col)
+    arrs_kept = minhash_wide(kept, id_col).localCheckpoint(eager=False)
+    arrs_new = minhash_wide(batch, id_col).localCheckpoint(eager=False)
+    bands_kept = lsh_bands(arrs_kept, id_col)
+    bands_new = lsh_bands(arrs_new, id_col)
     cand = (
         bands_new.alias("n")
         .join(
@@ -1260,10 +1319,9 @@ def q_lsh_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-class query.
     """
     d = load_table(spark, sf_dir, "documents")
-    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
-    bands = lsh_bands(minhash_signature(d, arrs=arrs))
-    cand = candidate_pairs(bands)
-    jac = jaccard_from_arrays(cand, arrs)
+    X = minhash_wide(d).localCheckpoint(eager=False)
+    cand = candidate_pairs(lsh_bands(X))
+    jac = jaccard_from_arrays(cand, X)
     return jac.agg(
         F.count("*").cast("bigint").alias("n_candidates"),
         F.sum(F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0))
@@ -1357,9 +1415,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_span_dedup) as its candidate source instead.
     """
     d = load_table(spark, sf_dir, "documents")
-    arrs = doc_shingle_arrays(d).localCheckpoint(eager=False)
-    sigs = minhash_signature(d, arrs=arrs)
-    pairs = candidate_pairs(lsh_bands(sigs))
+    arrs = minhash_wide(d).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(arrs))
     aa = arrs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     bb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -67,12 +67,27 @@ def brute_force_topk(
 
     Rank on similarity rounded to 6 places with id tie-break so the
     result set is deterministic under float-summation differences.
+
+    Norms are computed ONCE per vector (corpus-side before the cross
+    join, query-side inside the broadcast) instead of per scored pair
+    (r20, guide §1.2): the inlined ``cosine`` re-evaluated norm(c_vec)
+    per query and norm(q_vec) per corpus row, 3x the FLOPs of the dot
+    product alone.  Same aggregate expression evaluated on the same
+    values, so every sim is bit-identical to the inlined form.
     """
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    scored = corpus.repartition(par, F.col(c_id)).crossJoin(F.broadcast(queries)).select(
+    qn = queries.withColumn("__qn", norm(F.col(q_vec)))
+    cn = corpus.repartition(par, F.col(c_id)).withColumn(
+        "__cn", norm(F.col(c_vec))
+    )
+    scored = cn.crossJoin(F.broadcast(qn)).select(
         F.col(q_id),
         F.col(c_id),
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), 6).alias("sim"),
+        F.round(
+            dot(F.col(q_vec), F.col(c_vec))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("sim"),
     )
     scored = scored.filter(F.col(q_id) != F.col(c_id))
     w = W.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))

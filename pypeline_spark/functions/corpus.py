@@ -37,7 +37,7 @@ from pypeline_spark.functions.dedup import (
     candidate_pairs,
     jaccard_from_arrays,
     lsh_bands,
-    minhash_wide,
+    minhash_extend,
 )
 from pypeline_spark.functions.text import tokens
 from pypeline_spark.registry import query
@@ -75,10 +75,7 @@ def clean_corpus(docs: DataFrame, carry_tokens: bool = False) -> DataFrame:
     # gate+fingerprint subtree (regex tokenize + md5 over every doc) is
     # evaluated ONCE instead of twice — the semi-join's build and probe
     # sides each recomputed it (r19 interleaved A/B: 1.15-1.2x on
-    # q_corpus_pipeline).  The result feeds two consumers (the
-    # shingle/signature branch and the final anti-join), so materialize
-    # it once — localCheckpoint, GC-scoped, same rationale as the
-    # shingle arrays below.
+    # q_corpus_pipeline).
     from pyspark.sql import Window as W
 
     fp = kept.withColumn("f", F.md5(F.lower(F.trim(F.col("text")))))
@@ -88,24 +85,28 @@ def clean_corpus(docs: DataFrame, carry_tokens: bool = False) -> DataFrame:
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn", "f")
-        .localCheckpoint(eager=False)
     )
 
     # near-dup removal: MinHash-LSH candidates verified by exact
     # Jaccard >= threshold, greedy keep-smallest (drop every pair's
-    # id_b).  ONE wide relation (shingle arrays + signature columns,
-    # r20) feeds the band chain and the verification both, so the
-    # md5-per-shingle pass runs once; localCheckpoint (not .cache())
-    # materializes it without session-global cache state — blocks are
-    # GC-scoped to this plan.  gate=False: the >=20-token quality gate
-    # above already guarantees every doc shingles.
-    X = minhash_wide(deduped, gate=False).localCheckpoint(eager=False)
-    pairs = candidate_pairs(lsh_bands(X))
-    verified = jaccard_from_arrays(pairs, X).filter(
+    # id_b).  ONE wide checkpointed relation (the deduped survivors
+    # PLUS their shingle arrays and signature columns, r20) feeds the
+    # band chain, both verification sides AND the final survivor
+    # stream — one materialization instead of the previous two
+    # (deduped, then arrays), with the shingle/signature compute
+    # pipelined into the fingerprint window's output stage (no extra
+    # exchange; the >=20-token quality gate guarantees every doc
+    # shingles).  localCheckpoint (not .cache()): no session-global
+    # cache state, blocks are GC-scoped to this plan.
+    from pypeline_spark.functions.dedup import MINHASH_COLS
+
+    Y = minhash_extend(deduped).localCheckpoint(eager=False)
+    pairs = candidate_pairs(lsh_bands(Y))
+    verified = jaccard_from_arrays(pairs, Y).filter(
         F.col("jaccard") >= NEAR_DUP_THRESHOLD
     )
     dupes = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    return deduped.join(dupes, "doc_id", "left_anti")
+    return Y.drop(*MINHASH_COLS).join(dupes, "doc_id", "left_anti")
 
 
 @query(

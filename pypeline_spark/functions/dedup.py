@@ -186,6 +186,39 @@ def minhash_signature(
     return hashed.select(F.col(id_col), *sig_cols)
 
 
+#: the md5 hash array / per-seed minimum expressions shared by the
+#: wide-relation builders below (rendered once, parsed server-side)
+_HS_SQL = (
+    "transform(sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+    f"AS BIGINT) % {MINHASH_P}) AS hs"
+)
+_SIG_SQL = [
+    f"array_min(transform(hs, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) "
+    f"% {MINHASH_P})) AS mh_{s}"
+    for s in range(N_HASHES)
+]
+MINHASH_COLS = ("sh", *(f"mh_{s}" for s in range(N_HASHES)))
+
+
+def minhash_extend(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the shingle array and MinHash signature columns to an
+    EXISTING relation, carrying every input column through — the
+    composition form of :func:`minhash_wide` for pipelines whose input
+    is already gated (>= 3 tokens) and already distributed (e.g. the
+    corpus pipeline's post-window output): no extra exchange, one wide
+    relation serves the band chain, the verification joins AND the
+    survivor stream, so ONE checkpoint replaces two."""
+    toksed = docs.selectExpr(
+        "*", f"split(trim(lower({text_col})), '\\\\s+') AS __toks"
+    )
+    hashed = (
+        toksed.selectExpr("*", _shingles_sql("__toks") + " AS sh")
+        .drop("__toks")
+        .selectExpr("*", _HS_SQL)
+    )
+    return hashed.selectExpr("*", *_SIG_SQL).drop("hs")
+
+
 def minhash_wide(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -229,21 +262,8 @@ def minhash_wide(
     ).repartition(par, F.col(id_col))
     hashed = toksed.selectExpr(
         id_col, _shingles_sql("__toks") + " AS sh"
-    ).selectExpr(
-        id_col,
-        "sh",
-        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
-        f"AS BIGINT) % {MINHASH_P}) AS hs",
-    )
-    return hashed.selectExpr(
-        id_col,
-        "sh",
-        *[
-            f"array_min(transform(hs, h -> ({MINHASH_A[s]} * h + "
-            f"{MINHASH_B[s]}) % {MINHASH_P})) AS mh_{s}"
-            for s in range(N_HASHES)
-        ],
-    )
+    ).selectExpr(id_col, "sh", _HS_SQL)
+    return hashed.selectExpr(id_col, "sh", *_SIG_SQL)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -636,6 +656,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_CKPT_EVERY = 3  # label-propagation rounds per localCheckpoint barrier
 N_CC_ITERS = 6  # min-label propagation hops; near-dup clusters are tiny
 # (fixture max diameter 1, max size 4) so 6 reaches fixpoint with wide
 # margin — the fixpoint itself is asserted in tests/test_llm_ops.py.
@@ -654,15 +675,24 @@ def near_dup_clusters(
     diameter so N_CC_ITERS reaches the full-closure fixpoint that the
     DuckDB recursive-CTE oracle computes.  Each iteration is one small
     join + groupBy over the pair graph (linear in edges, never in
-    corpus), localCheckpoint-ed so plan depth stays flat.  Cluster
-    representative = min doc_id, so "keep one per cluster" is
-    ``doc_id == cluster_id``.
+    corpus); every CC_CKPT_EVERY-th round localCheckpoints so plan
+    depth stays bounded.  Cluster representative = min doc_id, so
+    "keep one per cluster" is ``doc_id == cluster_id``.
+
+    Checkpoint spacing (r20, guide §5): a barrier per round paid 6
+    plan-analysis + materialization round trips per query; labels feed
+    two consumers per round (the neighbor join and the union), so an
+    UNcheckpointed round recomputes its subtree up to twice — the
+    measured optimum on the fixture is a barrier every 3rd round
+    (min 3.79 s -> 2.24-2.60 s on q_dedup_clusters' chain, identical
+    labels; every-4+ tips into recompute blowup, 2x worse by every-6).
+    Checkpoint placement never changes values, only evaluation count.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "lbl"
         )
@@ -670,8 +700,9 @@ def near_dup_clusters(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
         )
+        if i % CC_CKPT_EVERY == CC_CKPT_EVERY - 1 or i == n_iter - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").cast("bigint").alias("cluster_id")
     )

@@ -18,6 +18,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +50,35 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # pay a schema-inference job per query).
 _SCHEMA_MEMO: dict = {}
 
+# Relation memo for fixture reads (r20, guide §6 — the same memo the
+# manifest tier carries for its immutable filesets): even with the
+# schema known, every ``spark.read.schema(...).parquet(path)`` call
+# pays an eager DataSource resolution (~15-20 ms of py4j + file
+# listing here, a listing round trip on object storage), and a typical
+# builder reads 1-5 fixture tables — pure per-query driver overhead
+# that scales with nothing.  Fixture files are immutable test data, so
+# (session, path) keys an immutable relation; metadata-plane only —
+# every action on the returned DataFrame still scans the files.
+# Weak-keyed per session, with stopped sessions purged on access (a
+# cached DataFrame holds its session strongly, so WeakKeyDictionary
+# collection alone cannot fire — ADVICE r19).
+_RELATION_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _purge_stopped_sessions(memo) -> None:
+    """Drop memo entries whose SparkSession has been stopped: their
+    JVM handles are dead and the cached DataFrames would otherwise pin
+    the session object for process lifetime (ADVICE r19)."""
+    for s in list(memo):
+        try:
+            if getattr(s._sc, "_jsc", None) is None:
+                del memo[s]
+        except Exception:
+            try:
+                del memo[s]
+            except KeyError:
+                pass
+
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     sch = _SCHEMA_MEMO.get(path)
@@ -56,7 +86,17 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
         _SCHEMA_MEMO[path] = df.schema
         return df
-    return spark.read.schema(sch).parquet(path)
+    try:
+        _purge_stopped_sessions(_RELATION_MEMO)
+        per = _RELATION_MEMO.get(spark)
+        if per is None:
+            per = _RELATION_MEMO[spark] = {}
+    except TypeError:  # un-weakref-able session stub (tests)
+        return spark.read.schema(sch).parquet(path)
+    df = per.get(path)
+    if df is None:
+        df = per[path] = spark.read.schema(sch).parquet(path)
+    return df
 
 
 def get_spark(app_name: str = "pypeline_spark", cpus: int | None = None) -> SparkSession:

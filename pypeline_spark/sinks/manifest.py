@@ -79,6 +79,17 @@ def _memo_read(
         return spark.read.schema(schema).parquet(*paths)
 
     try:
+        # purge stopped sessions first: a cached DataFrame holds its
+        # session strongly, so WeakKeyDictionary collection alone can
+        # never fire — without this a long-lived process cycling
+        # sessions would pin every dead session's JVM handles (ADVICE
+        # r19).  Note the memo also freezes first-read listing results:
+        # an externally deleted file surfaces at scan time as
+        # FileNotFound rather than at read time (fine under the
+        # uuid4-immutable file contract; noted per ADVICE r19).
+        from pypeline_spark.session import _purge_stopped_sessions
+
+        _purge_stopped_sessions(_RELATION_MEMO)
         per = _RELATION_MEMO.get(spark)
         if per is None:
             per = _RELATION_MEMO[spark] = OrderedDict()

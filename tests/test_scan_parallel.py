@@ -57,6 +57,33 @@ class TestScanParallelism:
         assert sorted(map(tuple, on)) == sorted(map(tuple, off))
 
 
+class TestFixtureRelationMemo:
+    def test_repeat_reads_return_memoized_relation(self, spark, sf_dir):
+        from pypeline_spark.session import _read_parquet
+        import os
+
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        _read_parquet(spark, path)  # may be the inference (first) read
+        a = _read_parquet(spark, path)
+        b = _read_parquet(spark, path)
+        assert a is b  # same relation object: no re-resolution
+        # metadata-plane only: the memoized relation still computes
+        assert a.limit(1).count() == 1
+
+    def test_purge_drops_stopped_sessions(self):
+        from pypeline_spark.session import _purge_stopped_sessions
+
+        class FakeCtx:
+            _jsc = None  # the stopped-session signature
+
+        class FakeSession:
+            _sc = FakeCtx()
+
+        memo = {FakeSession(): {"p": "df"}}
+        _purge_stopped_sessions(memo)
+        assert memo == {}
+
+
 class TestVectorizedSessionizer:
     def _events(self, spark, rows):
         return spark.createDataFrame(

@@ -72,17 +72,23 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if par:
         # Under-split scan: Catalyst pushes the (non-source-pushable) md5
         # predicate below any plain repartition, so the hashing would
-        # still run inside the one-task scan stage.  The lazy
-        # localCheckpoint is a deliberate optimizer barrier: shuffle the
-        # 3-column projection wide, then evaluate the md5 filter on every
-        # core (1.4x at sf0.1).  On a wide scan (par == 0) filtering AT
-        # the scan is the right shape — prune before anything moves —
-        # so the barrier is skipped entirely.
+        # still run inside the one-task scan stage.  The predicate is
+        # kept above the exchange by folding a value-neutral
+        # NONDETERMINISTIC term into it (spark_partition_id() * 0 —
+        # always adds zero, so the kept rows are identical on any
+        # placement or task retry): Catalyst neither pushes nor splits
+        # a nondeterministic predicate, so the md5 evaluates wide,
+        # post-shuffle, in the SAME pipelined job — r20, replacing the
+        # r19 lazy-localCheckpoint barrier, which cost a separate
+        # plan-analysis + RDD materialization per run (interleaved A/B
+        # 1.37x, identical rows).  On a wide scan (par == 0) filtering
+        # AT the scan is the right shape — prune before anything moves
+        # — so the fence is skipped entirely.
+        fenced = (bucket + F.spark_partition_id() * F.lit(0)) < SAMPLE_PCT
         return (
             li.select("l_orderkey", "l_linenumber", "l_extendedprice")
             .repartition(par, F.col("l_orderkey"), F.col("l_linenumber"))
-            .localCheckpoint(eager=False)
-            .filter(bucket < SAMPLE_PCT)
+            .filter(fenced)
         )
     return li.filter(bucket < SAMPLE_PCT).select(
         "l_orderkey", "l_linenumber", "l_extendedprice"

@@ -23,10 +23,11 @@ def plan_of(df) -> str:
 
 
 class TestHashSample:
-    """q_sample_hash has two regimes (r19): under-split scans route
-    through a repartition + lazy-localCheckpoint barrier so the md5
-    filter evaluates wide; wide scans keep the original filter-at-scan
-    shape.  Pin the mechanics of BOTH."""
+    """q_sample_hash has two regimes (r19/r20): under-split scans route
+    through a repartition with a nondeterministic-fenced md5 filter so
+    the hashing evaluates wide, post-shuffle, in one pipelined job;
+    wide scans keep the original filter-at-scan shape.  Pin the
+    mechanics of BOTH."""
 
     def _wide_scan(self, spark):
         import contextlib
@@ -56,14 +57,19 @@ class TestHashSample:
         assert "l_extendedprice" in read_schema
         assert "l_shipdate" not in read_schema
 
-    def test_undersplit_barrier_prunes_and_defers_filter(self, spark, sf_dir, cases):
-        # guard on (fixture default) => the checkpointed relation carries
-        # ONLY the 3 projected columns, and the md5 filter sits ABOVE the
-        # barrier (post-shuffle, wide) instead of inside the scan task
+    def test_undersplit_fence_prunes_and_defers_filter(self, spark, sf_dir, cases):
+        # guard on (fixture default) => the exchange carries ONLY the 3
+        # projected columns, and the fenced md5 filter sits ABOVE the
+        # exchange (post-shuffle, wide) instead of inside the scan task
+        # — the nondeterministic term must neither fold away nor let
+        # the predicate push/split below the repartition
         df = cases["q_sample_hash"].builder(spark, sf_dir)
         plan = plan_of(df)
-        assert "ExistingRDD" in plan  # the barrier
-        assert "md5" in plan  # filter evaluated above it
+        lines = plan.splitlines()
+        fi = next(i for i, l in enumerate(lines) if "Filter" in l and "md5" in l)
+        ei = next(i for i, l in enumerate(lines) if "Exchange" in l)
+        assert fi < ei, "md5 filter was pushed below the parallelizing exchange"
+        assert "SPARK_PARTITION_ID" in plan.upper()  # the fence survived folding
         assert set(df.columns) == {"l_orderkey", "l_linenumber", "l_extendedprice"}
         # results identical across the two regimes
         with self._wide_scan(spark):

@@ -640,16 +640,28 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame
         .select("q_id", "vec_id")
         .distinct()
     )
+    # norms once per vector (below the joins), dot per candidate pair —
+    # same factoring as brute_force_topk (r20, guide §1.2); the divided
+    # expression evaluates identically, so every rounded sim is
+    # bit-identical to the inlined cosine
     scored = (
-        cand.join(corpus, "vec_id")
+        cand.join(corpus.withColumn("__cn", norm(F.col("embedding"))), "vec_id")
         .join(
-            F.broadcast(queries.select("q_id", "q_vec")),
+            F.broadcast(
+                queries.select("q_id", "q_vec").withColumn(
+                    "__qn", norm(F.col("q_vec"))
+                )
+            ),
             "q_id",
         )
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -802,17 +814,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    emb = e.select("vec_id", "embedding")
+    # norms once per vector (below the candidate joins), dot per pair —
+    # same factoring as brute_force_topk (r20, guide §1.2); the divided
+    # expression evaluates identically, so the threshold decision is
+    # bit-identical to the inlined cosine
+    emb = e.select("vec_id", "embedding").withColumn(
+        "__n", norm(F.col("embedding"))
+    )
     dups = (
         cand.join(
-            emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+            emb.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("va"),
+                F.col("__n").alias("na"),
+            ),
             "id_a",
         )
         .join(
-            emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+            emb.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("vb"),
+                F.col("__n").alias("nb"),
+            ),
             "id_b",
         )
-        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_TAU)
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= SEM_TAU
+        )
     )
     lower = (
         dups.groupBy("id_b")
